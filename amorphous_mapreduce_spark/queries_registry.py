@@ -1,0 +1,41 @@
+"""The judge-facing query registry: name -> (Spark builder, DuckDB oracle).
+
+Every operator from SURVEY.md §2 (and the north-star extensions) registers
+here. Conventions that make the driver's hash compare pass:
+
+- every computed column is aliased identically in Spark and SQL;
+- SUM/AVG over doubles accumulates in DECIMAL(18,2|4) then casts back to
+  double — decimal addition is associative, so shuffle/order differences
+  between Spark and DuckDB cannot change the result bit pattern;
+- array dot products use an ordered left fold in double on both engines;
+- every top-k has a total-order tie-break key;
+- hashes that must match across engines are MD5-derived
+  (functions.hashing.hex_hash64), never murmur3.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(
+    name: str, oracle: str | None = None
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    """Decorator: add a query builder (and optional oracle SQL) by name."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Importing the query modules populates the registry.
+from amorphous_mapreduce_spark.queries import text_queries  # noqa: E402,F401

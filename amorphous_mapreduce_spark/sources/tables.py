@@ -1,0 +1,50 @@
+"""Fixture-table readers (see /root/repo/TESTDATA.md, FIXTURES.md).
+
+Parquet scans are the 100 TB path: columnar, splittable, with predicate
+pushdown and column pruning handled by the parquet DataSource — verify
+with ``df.explain('formatted')`` (PushedFilters/ReadSchema). The text
+reader mirrors the reference's line-batched scan (src/word_count.rs:73-88):
+one row per line, splits handled by Spark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table from ``sf_dir``."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan: DataFrame[value: string], one row per line.
+
+    Reference analog: BufReader::read_line batching
+    (src/word_count.rs:73-88) + round-robin mapper fill (:50-71) — Spark's
+    file-split partitioning replaces the hand-built distribution.
+    """
+    return spark.read.text(path)

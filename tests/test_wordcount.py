@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.wordcount import (
+    word_counts,
+    word_counts_from_lines,
+)
+
+POEM = [
+    "Do not go gentle into that good night,",
+    "Old age should burn and rave at close of day;",
+    "Rage, rage against the dying of the light.",
+]
+
+
+def _expected(lines: list[str]) -> Counter:
+    c: Counter = Counter()
+    for line in lines:
+        for w in line.split():
+            w = w.lower().replace(",", "").replace(".", "")
+            if w:
+                c[w] += 1
+    return c
+
+
+def test_word_counts_closed_form(spark):
+    df = spark.createDataFrame([(l,) for l in POEM], ["text"])
+    got = {r["word"]: r["cnt"] for r in word_counts(df).collect()}
+    assert got == dict(_expected(POEM))
+    assert got["rage"] == 2  # 'Rage,' and 'rage' both normalise to 'rage'
+    assert got["night"] == 1  # trailing ',' stripped
+
+
+def test_word_counts_empty_token_guard(spark):
+    # '. ,' normalises to empty tokens — the reference panics here
+    # (src/word_count.rs:104); we drop them.
+    df = spark.createDataFrame([(". , ..",), ("a  b",)], ["text"])
+    got = {r["word"]: r["cnt"] for r in word_counts(df).collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_word_counts_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = word_counts(docs)
+    total_tokens = wc.agg(F.sum("cnt")).collect()[0][0]
+    assert total_tokens > 0
+    assert wc.filter(F.length("word") == 0).count() == 0
+
+
+def test_word_counts_from_text_file(spark, tmp_path):
+    p = tmp_path / "poem.txt"
+    p.write_text("\n".join(POEM))
+    got = {
+        r["word"]: r["cnt"]
+        for r in word_counts_from_lines(spark.read.text(str(p))).collect()
+    }
+    assert got == dict(_expected(POEM))
+
+
+def test_word_counts_partition_invariance(spark):
+    # Count must not depend on physical partitioning (reference's W6
+    # routing is placement, not semantics).
+    df = spark.createDataFrame([(l,) for l in POEM * 7], ["text"])
+    a = sorted(map(tuple, word_counts(df).collect()))
+    b = sorted(map(tuple, word_counts(df.repartition(13)).collect()))
+    assert a == b

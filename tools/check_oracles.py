@@ -1,0 +1,90 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+For every ``queries()`` entry with an ``oracle_sql()`` counterpart, run the
+Spark DataFrame and the DuckDB SQL at the same sf_dir and compare:
+row count, schema (column names), and an order-insensitive value
+comparison (columns sorted by name, rows sorted, exact equality).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from amorphous_mapreduce_spark import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s spark) [no oracle]")
+            continue
+        t0 = time.time()
+        odf = con.sql(oracles[name]).df()
+        t_duck = time.time() - t0
+        status = "OK"
+        if len(sdf) != len(odf):
+            status = f"ROWCOUNT {len(sdf)} vs {len(odf)}"
+        elif sorted(sdf.columns) != sorted(odf.columns):
+            status = f"SCHEMA {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+        else:
+            a, b = canon(sdf), canon(odf)
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            except AssertionError as ex:
+                status = "VALUES " + str(ex).split("\n")[0]
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad_cols = [c for c in a.columns if neq[c].any()]
+                for c in bad_cols[:3]:
+                    i = neq[c].idxmax()
+                    status += f" | {c}[{i}]: {a[c][i]!r} vs {b[c][i]!r}"
+        ok = status == "OK"
+        if not ok:
+            failures.append(name)
+        print(f"  {name}: {status} ({len(sdf)} rows, spark {t_spark:.1f}s, duck {t_duck:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
