@@ -1,0 +1,56 @@
+"""Exact (engine-portable) aggregation helpers.
+
+Problem (SURVEY.md §7 "What's hard"): double sums are order-dependent, and
+Spark and the DuckDB oracle sum in different orders, so value hashes would
+diverge. Fix: accumulate in DECIMAL — decimal addition is associative and
+exact — then cast the final value back to double. The double->decimal cast
+of each input is unambiguous because the fixture doubles approximate
+two-decimal values (distance ~1e-13, never at a rounding boundary).
+
+Products of measures are computed *in decimal* (cast each factor first) so
+both engines derive the identical exact decimal before summing. Precisions
+are kept small (12,2) so DuckDB's decimal-multiply widening stays under its
+38-digit cap.
+
+This is also the right 100 TB posture: decimal HashAggregate is still
+JVM-side whole-stage-codegen with map-side partial aggregation; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+
+
+def dec(col: Column | str, typ: str = DEC) -> Column:
+    """Cast a measure to exact decimal."""
+    return (F.col(col) if isinstance(col, str) else col).cast(typ)
+
+
+def dsum(col: Column | str, typ: str = DEC) -> Column:
+    """Order-insensitive exact sum of a double measure, returned as double."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def dsum_expr(expr: Column) -> Column:
+    """Exact sum of an already-decimal expression, returned as double."""
+    return F.sum(expr).cast("double")
+
+
+def davg(col: Column | str, typ: str = DEC) -> Column:
+    """Exact-sum-based average: identical double division on both engines."""
+    return dsum(col, typ) / F.count(F.lit(1))
+
+
+# SQL-side counterparts (DuckDB), kept adjacent so the two stay in sync.
+SQL_DEC = "DECIMAL(12,2)"
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"

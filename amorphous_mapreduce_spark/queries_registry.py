@@ -38,4 +38,7 @@ def register(
 
 
 # Importing the query modules populates the registry.
-from amorphous_mapreduce_spark.queries import text_queries  # noqa: E402,F401
+from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
+    relational_queries,
+    text_queries,
+)

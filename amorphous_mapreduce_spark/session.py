@@ -55,6 +55,9 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # Deterministic timestamp semantics vs the DuckDB oracle.
         "spark.sql.session.timeZone": "UTC",
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects; read
+        # as long and convert at the scan (sources.tables.load_table).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
     }
