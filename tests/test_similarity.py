@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from amorphous_mapreduce_spark.functions.vectors import cosine_similarity
+from amorphous_mapreduce_spark.operators.similarity import (
+    cosine_topk,
+    lsh_candidate_pairs,
+    lsh_topk,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _emb_df(spark, vecs: np.ndarray):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_cosine_identical_vectors_score_one(spark):
+    # Planted identical vectors must top at cosine 1.0 (SURVEY.md §5).
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs[7] = vecs[3]  # plant a duplicate
+    df = _emb_df(spark, vecs)
+    top1 = {
+        r["qid"]: (r["nid"], r["sim"])
+        for r in cosine_topk(df, k=1).collect()
+    }
+    assert top1[3][0] == 7 and top1[3][1] == pytest.approx(1.0)
+    assert top1[7][0] == 3 and top1[7][1] == pytest.approx(1.0)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(1)
+    a, b = rng.normal(size=16), rng.normal(size=16)
+    df = spark.createDataFrame(
+        [([float(x) for x in a], [float(y) for y in b])], ["va", "vb"]
+    )
+    got = df.select(cosine_similarity("va", "vb").alias("sim")).first()["sim"]
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_lsh_finds_planted_duplicate(spark):
+    # An exact duplicate matches every hyperplane sign, hence every band:
+    # LSH must always produce it as a candidate.
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs[11] = vecs[5]
+    df = _emb_df(spark, vecs)
+    pairs = {
+        (r["qid"], r["nid"])
+        for r in lsh_candidate_pairs(df, n_planes=16, band_bits=4).collect()
+    }
+    assert (5, 11) in pairs
+    top1 = {r["qid"]: r["nid"] for r in lsh_topk(df, k=1, n_planes=16, band_bits=4).collect()}
+    assert top1[5] == 11 and top1[11] == 5
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk(emb, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in lsh_topk(emb, k=3, n_planes=32, band_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall@3 too low: {recall:.2f}"
+
+
+def test_lsh_determinism(spark):
+    rng = np.random.default_rng(4)
+    df = _emb_df(spark, rng.normal(size=(30, 16)).astype(np.float32))
+    a = sorted(map(tuple, lsh_topk(df, k=2, n_planes=16, band_bits=4).collect()))
+    b = sorted(map(tuple, lsh_topk(df, k=2, n_planes=16, band_bits=4).collect()))
+    assert a == b  # MD5-derived hyperplanes: no RNG state anywhere
