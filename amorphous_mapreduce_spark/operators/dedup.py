@@ -1,0 +1,256 @@
+"""Deduplication operators (north-star, SURVEY.md §2.5).
+
+All variants are built from the reference's own capability classes: tokenise
+(W3-W5, src/word_count.rs:99-103), hash-partition (W6, :104-105) and per-key
+aggregate (W7, :121-123) — applied to the duplicate-detection problem of a
+large-scale training-data pipeline.
+
+Engine-portability rule: every hash is MD5-derived (functions.hashing) and
+every minhash permutation is fixed integer arithmetic mod a prime, so each
+operator has an exact DuckDB oracle — no murmur3, no RNG state.
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle groupBy on a 128-bit digest — the
+  canonical dedup at any scale; skew-free (digest keys are uniform);
+- MinHash/LSH: per-doc work is linear in tokens; the candidate join
+  shuffles on (band, signature) buckets whose entropy bounds bucket sizes;
+  pair explosion is bounded by bucket cardinality, and exact Jaccard
+  re-ranking touches only candidates — the standard sub-quadratic path;
+- SimHash: 64-bit fingerprints; near-dup = Hamming ≤ t. The all-pairs
+  check here is the correctness baseline; at scale, block by bit-bands
+  (same LSH machinery) before the Hamming filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+# Minhash permutation family: h_i(x) = ((x mod P) * (2i+1) + i*12345) mod P.
+# P fits products in int64 for any i < 2^16; identical in ANSI SQL.
+MINHASH_P = 2_147_483_647
+
+
+def normalize_text(col: Column | str, lower: bool = True) -> Column:
+    """Whitespace-collapse + trim (+ lowercase): the canonical form every
+    dedup variant hashes. Mirrors W4/W5 normalisation semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: [content_hash, keeper_id, n_copies].
+
+    groupBy(md5(normalised text)) with min(id) as the canonical survivor —
+    one shuffle, uniform keys, works identically at 100 TB.
+    """
+    return (
+        docs.select(
+            F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, pos, word]: position-indexed tokens of the normalised text."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+
+
+def shingles(
+    docs: DataFrame,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word-``shingle_size``-gram hashes per doc: [id, sh].
+
+    Shingle text is the space-joined n-gram; hash is the portable 60-bit
+    MD5-derived integer. Built with lead() windows so the construction is
+    expressible identically in the SQL oracle.
+    """
+    toks = tokenized(docs, id_col, text_col)
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, shingle_size)]
+    # Both window expressions must be evaluated in the SAME select (before
+    # any filter) — otherwise the leads would be recomputed over the
+    # filtered rows and truncate the final shingle of each doc.
+    grams = toks.select(
+        "id",
+        F.concat_ws(" ", *parts).alias("gram"),
+        F.lead("word", shingle_size - 1).over(w).alias("_last"),
+    )
+    return (
+        grams.filter(F.col("_last").isNotNull())
+        .select("id", hex_hash64(F.col("gram")).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: [id, hid, mh] — min over shingles per hash fn."""
+    sh = shingles(docs, shingle_size, id_col, text_col)
+    spark = docs.sparkSession
+    hids = spark.range(num_hashes).select(F.col("id").alias("hid"))
+    perm = (
+        (F.col("sh") % MINHASH_P) * (F.col("hid") * 2 + 1) + F.col("hid") * 12345
+    ) % MINHASH_P
+    return (
+        sh.crossJoin(F.broadcast(hids))
+        .groupBy("id", "hid")
+        .agg(F.min(perm).alias("mh"))
+    )
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, band_bits: int = 4
+) -> DataFrame:
+    """[id, band, sig]: signature components grouped into LSH bands."""
+    pb = F.struct("hid", "mh")
+    return (
+        sigs.select("id", (F.col("hid") / band_bits).cast("long").alias("band"), pb.alias("pb"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pb")), lambda s: s["mh"]),
+                "-",
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_bits: int = 4,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct near-dup candidate pairs [qid, nid] (qid < nid) that agree
+    on at least one full minhash band."""
+    buckets = minhash_band_buckets(
+        minhash_signatures(docs, num_hashes, shingle_size, id_col, text_col),
+        band_bits,
+    )
+    a = buckets.select(F.col("id").alias("qid"), "band", "sig")
+    b = buckets.select(F.col("id").alias("nid"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.0,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle:
+    [qid, nid, inter, union_sz, jaccard].
+
+    Inverted-index join (shingle -> docs) keeps it sub-quadratic for
+    non-degenerate corpora; a frequency cap on hot shingles would bound
+    worst-case fanout at extreme scale.
+    """
+    sh = shingles(docs, shingle_size, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("qid"), "sh")
+    b = sh.select(F.col("id").alias("nid"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("qid") < F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("qid"), F.col("sz").alias("qsz")), "qid")
+        .join(sizes.select(F.col("id").alias("nid"), F.col("sz").alias("nsz")), "nid")
+        .withColumn("union_sz", F.col("qsz") + F.col("nsz") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("qid", "nid", "inter", "union_sz", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash fingerprints: [id, simhash].
+
+    Component b of the fingerprint is the sign of Σ_tokens (±1), where the
+    ±1 is bit b of the token's portable hash. Token multiplicity counts
+    (bag semantics), matching the classic Charikar construction.
+    """
+    if bits > 60:
+        bits = 60  # hex_hash64 yields 60 usable bits
+    toks = tokenized(docs, id_col, text_col).select(
+        "id", hex_hash64("word").alias("th")
+    )
+    spark = docs.sparkSession
+    bit_ids = spark.range(bits).select(F.col("id").alias("bit"))
+    # shiftright/shiftleft need column shift amounts -> SQL expr form.
+    contrib = F.expr("(shiftright(th, cast(bit as int)) & 1) * 2 - 1")
+    return (
+        toks.crossJoin(F.broadcast(bit_ids))
+        .groupBy("id", "bit")
+        .agg(F.sum(contrib).alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") >= 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 12,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming: [qid, nid, hamming].
+
+    All-pairs baseline (correctness); at scale, pre-block on bit bands.
+    """
+    fp = simhash(docs, bits, id_col, text_col)
+    a = fp.select(F.col("id").alias("qid"), F.col("simhash").alias("qh"))
+    b = fp.select(F.col("id").alias("nid"), F.col("simhash").alias("nh"))
+    ham = F.bit_count(F.col("qh").bitwiseXOR(F.col("nh")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis queries over ``documents`` (north-star, SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.text_analysis import (
+    BPE_REGEX,
+    LANG_MARKERS,
+    STOPWORDS,
+    bigram_counts,
+    doc_fingerprints,
+    doc_stats,
+    language_id,
+    term_frequencies,
+    token_counts_bpe,
+)
+from amorphous_mapreduce_spark.queries.dedup_queries import NORM, TOKS_CTE
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+DOC_STATS_ORACLE = f"""
+SELECT doc_id AS id,
+       n_tokens, n_chars_norm,
+       (n_chars_norm - (n_tokens - 1)) / n_tokens AS avg_token_len,
+       punct_ratio, stopword_ratio,
+       CASE WHEN n_tokens < 5 THEN 0.0
+            ELSE least(1.0, n_tokens / 100) * (1 - punct_ratio)
+                 * (0.5 + stopword_ratio) END AS quality
+FROM (
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+           CAST(length(norm) AS INT) AS n_chars_norm,
+           (length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')))
+               / length(norm) AS punct_ratio,
+           len(list_filter(string_split(norm, ' '),
+                           w -> w IN ({_sql_list(STOPWORDS)})))
+               / len(string_split(norm, ' ')) AS stopword_ratio
+    FROM (SELECT doc_id, {NORM} AS norm FROM documents)
+)
+"""
+
+
+@register("doc_stats", DOC_STATS_ORACLE)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats (length/punct/stopword ratios + score)."""
+    return doc_stats(_docs(spark, sf_dir))
+
+
+_g = "greatest(s_en, s_de, s_fr, s_es)"
+LANG_ORACLE = f"""
+SELECT id,
+       CASE WHEN {_g} = 0 THEN 'und'
+            WHEN s_fr = {_g} THEN 'fr'
+            WHEN s_es = {_g} THEN 'es'
+            WHEN s_en = {_g} THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       CAST({_g} AS INT) AS lang_score
+FROM (
+    SELECT doc_id AS id,
+""" + ",\n".join(
+    f"           len(list_filter(string_split({NORM}, ' '), "
+    f"w -> w IN ({_sql_list(ws)}))) AS s_{lang}"
+    for lang, ws in sorted(LANG_MARKERS.items())
+) + """
+    FROM documents
+)
+"""
+
+
+@register("language_id", LANG_ORACLE)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language heuristic; ties break on lang desc."""
+    return language_id(_docs(spark, sf_dir))
+
+
+TOKCOUNT_ORACLE = f"""
+SELECT doc_id AS id,
+       CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INT) AS n_bpe_tokens,
+       CAST(len(string_split({NORM}, ' ')) AS INT) AS n_word_tokens
+FROM documents
+"""
+
+
+@register("token_counts", TOKCOUNT_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (LLM token budgeting proxy)."""
+    return token_counts_bpe(_docs(spark, sf_dir))
+
+
+FINGERPRINT_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, th AS (
+    SELECT id, pos, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS th
+    FROM toks
+), wins AS (
+    SELECT id, pos,
+           MIN(th) OVER (PARTITION BY id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+           MAX(pos) OVER (PARTITION BY id) AS n
+    FROM th
+)
+SELECT DISTINCT id, fp FROM wins WHERE pos <= n - 3
+"""
+)
+
+
+@register("doc_fingerprints", FINGERPRINT_ORACLE)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: distinct 4-window minima of token hashes."""
+    return doc_fingerprints(_docs(spark, sf_dir), window=4)
+
+
+TERMFREQ_ORACLE = f"""
+WITH t AS (
+    SELECT lang AS grp, unnest(string_split({NORM}, ' ')) AS word
+    FROM documents
+), c AS (
+    SELECT grp, word, COUNT(*) AS cnt
+    FROM t WHERE length(word) > 0
+    GROUP BY grp, word
+)
+SELECT grp, word, cnt, rnk FROM (
+    SELECT grp, word, cnt,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt DESC, word) AS rnk
+    FROM c
+)
+WHERE rnk <= 10
+"""
+
+
+@register("term_freq_by_lang", TERMFREQ_ORACLE)
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per lang: per-group count + window top-k."""
+    return term_frequencies(_docs(spark, sf_dir), group_col="lang", top_k=10)
+
+
+BIGRAM_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, grams AS (
+    SELECT word || ' ' || lead(word, 1) OVER (PARTITION BY id ORDER BY pos) AS bigram
+    FROM toks
+)
+SELECT bigram, COUNT(*) AS cnt FROM grams WHERE bigram IS NOT NULL
+GROUP BY bigram
+"""
+)
+
+
+@register("bigram_counts", BIGRAM_ORACLE)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (n-gram stats via lead windows)."""
+    return bigram_counts(_docs(spark, sf_dir))

@@ -1,0 +1,174 @@
+"""Dedup queries over ``documents`` — exact, MinHash-LSH, Jaccard, SimHash.
+
+The SQL oracles mirror the operators construction-for-construction: same
+normalisation regex, same MD5-derived 60-bit hashes, same fixed minhash
+permutations — so value hashes match exactly (integer arithmetic only;
+the single division, Jaccard, is a deterministic double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+# Shared oracle CTE fragments (DuckDB). NORM/TOKS/SHINGLES mirror
+# operators.dedup.normalize_text/tokenized/shingles exactly.
+NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+TOKS_CTE = f"""
+toks AS (
+    SELECT id, pos, word FROM (
+        SELECT doc_id AS id,
+               generate_subscripts(ws, 1) AS pos,
+               unnest(ws) AS word
+        FROM (SELECT doc_id, regexp_split_to_array({NORM}, ' ') AS ws
+              FROM documents)
+    ) WHERE length(word) > 0
+)
+"""
+
+SHINGLES_CTE = (
+    TOKS_CTE
+    + """
+, grams AS (
+    SELECT id,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram,
+           lead(word, 2) OVER w AS last2
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+), shingles AS (
+    SELECT DISTINCT id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS sh
+    FROM grams WHERE last2 IS NOT NULL
+)
+"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+EXACT_ORACLE = f"""
+SELECT md5({NORM}) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+"""
+
+
+@register("exact_dedup", EXACT_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a content digest (uniform keys)."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+MINHASH_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+)
+SELECT DISTINCT a.id AS qid, b.id AS nid
+FROM bands a JOIN bands b USING (band, sig)
+WHERE a.id < b.id
+"""
+)
+
+
+@register("minhash_lsh_pairs", MINHASH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 fns)-LSH(4-bit bands) near-dup candidates — the
+    sub-quadratic dedup path (shingle->minhash->band->bucket-join)."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
+
+
+JACCARD_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+inters AS (
+    SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
+    FROM shingles a JOIN shingles b USING (sh)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT qid, nid, inter,
+       qs.sz + ns.sz - inter AS union_sz,
+       CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) AS jaccard
+FROM inters
+JOIN sizes qs ON qs.id = qid
+JOIN sizes ns ON ns.id = nid
+WHERE CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) >= 0.05
+"""
+)
+
+
+@register("ngram_jaccard", JACCARD_ORACLE)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.05 via shingle inverted-index join."""
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+SIMHASH_CTE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, th AS (
+    SELECT id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS th FROM toks
+), bitsums AS (
+    SELECT id, b.range AS bit,
+           CAST(SUM(((th >> CAST(b.range AS INT)) & 1) * 2 - 1) AS BIGINT) AS s
+    FROM th, range(60) b
+    GROUP BY id, b.range
+), fp AS (
+    SELECT id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY id
+)
+"""
+)
+
+SIMHASH_ORACLE = SIMHASH_CTE + "SELECT id, simhash FROM fp"
+
+
+@register("simhash_fingerprint", SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (Charikar): sign of per-bit ±1 sums."""
+    return simhash(_docs(spark, sf_dir))
+
+
+SIMHASH_PAIRS_ORACLE = (
+    SIMHASH_CTE
+    + """
+SELECT a.id AS qid, b.id AS nid,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a, fp b
+WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 12
+"""
+)
+
+
+@register("simhash_near_pairs", SIMHASH_PAIRS_ORACLE)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 12 (all-pairs baseline; band
+    the bits with the LSH machinery at scale)."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)

@@ -39,6 +39,8 @@ def register(
 
 # Importing the query modules populates the registry.
 from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
+    analysis_queries,
+    dedup_queries,
     gemm_queries,
     relational_queries,
     similarity_queries,

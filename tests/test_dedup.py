@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the  quick brown fox jumps over the lazy dog "),  # dup modulo norm
+    (3, "The quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    # 1, 2, 5 normalise to identical content -> keeper 1 with 3 copies.
+    assert rows[1] == 3
+    assert rows[3] == 1 and rows[4] == 1
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = exact_dedup(docs)
+    keepers = once.select(F.col("keeper_id").alias("doc_id"))
+    survivors = docs.join(keepers, "doc_id")
+    twice = exact_dedup(survivors)
+    assert twice.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_minhash_identical_signatures(docs):
+    sigs = minhash_signatures(docs, num_hashes=8)
+    s1 = {r["hid"]: r["mh"] for r in sigs.filter(F.col("id") == 1).collect()}
+    s2 = {r["hid"]: r["mh"] for r in sigs.filter(F.col("id") == 2).collect()}
+    assert s1 == s2  # normalised duplicates hash identically
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["qid"], r["nid"]) for r in minhash_lsh_pairs(docs, 16, 4).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+
+
+def test_jaccard_exact_values(docs):
+    got = {
+        (r["qid"], r["nid"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 5)] == pytest.approx(1.0)
+    # docs 1 and 3 share 6 of their 7 trigrams each: J = 6/8
+    assert got[(1, 3)] == pytest.approx(6 / 8)
+    assert (1, 4) not in got  # no shared shingles
+
+
+def test_shingle_count(docs):
+    # 9-token doc -> 7 distinct trigrams
+    n = shingles(docs).filter(F.col("id") == 1).count()
+    assert n == 7
+
+
+def test_simhash_dups_and_distance(docs):
+    fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[1] == fps[2] == fps[5]
+    near = {
+        (r["qid"], r["nid"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=60).collect()
+    }
+    assert near[(1, 2)] == 0
+    # near-dup (one word differs) must be closer than unrelated content
+    assert near[(1, 3)] < near[(1, 4)]

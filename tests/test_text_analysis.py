@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.text_analysis import (
+    bigram_counts,
+    doc_fingerprints,
+    doc_stats,
+    language_id,
+    term_frequencies,
+    token_counts_bpe,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en", "s1"),
+            (2, "der hund ist und das haus ist gross", "de", "s1"),
+            (3, "xyzzy plugh qwerty", "zz", "s2"),
+            (4, "Hello, world! 42 tokens?", "en", "s2"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_doc_stats_basic(docs):
+    rows = {r["id"]: r for r in doc_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["stopword_ratio"] == pytest.approx(2 / 6)  # 'the' x2
+    assert rows[1]["punct_ratio"] == 0.0
+    assert rows[4]["punct_ratio"] > 0
+    assert rows[3]["quality"] == 0.0  # < 5 tokens
+
+
+def test_language_id_markers(docs):
+    rows = {r["id"]: r for r in language_id(docs).collect()}
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[3]["lang_pred"] == "und" and rows[3]["lang_score"] == 0
+
+
+def test_token_counts_bpe(docs):
+    rows = {r["id"]: r for r in token_counts_bpe(docs).collect()}
+    # "Hello, world! 42 tokens?" -> Hello , world ! 42 tokens ? = 7 pieces
+    assert rows[4]["n_bpe_tokens"] == 7
+    assert rows[4]["n_word_tokens"] == 4
+
+
+def test_fingerprints_shared_for_shared_text(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here"), (3, "unrelated words only three four five")],
+        ["doc_id", "text"],
+    )
+    fps = doc_fingerprints(docs, window=4)
+    f1 = {r["fp"] for r in fps.filter(F.col("id") == 1).collect()}
+    f2 = {r["fp"] for r in fps.filter(F.col("id") == 2).collect()}
+    f3 = {r["fp"] for r in fps.filter(F.col("id") == 3).collect()}
+    assert f1 & f2  # shared prefix -> shared fingerprints
+    assert not (f1 & f3)
+
+
+def test_term_frequencies_topk(docs):
+    rows = term_frequencies(docs, group_col="lang", top_k=2).collect()
+    en = [(r["word"], r["cnt"]) for r in rows if r["grp"] == "en" and r["rnk"] == 1]
+    assert en == [("the", 2)]
+    assert all(r["rnk"] <= 2 for r in rows)
+
+
+def test_bigram_counts(spark):
+    docs = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    got = {r["bigram"]: r["cnt"] for r in bigram_counts(docs).collect()}
+    assert got == {"a b": 2, "b a": 2}
