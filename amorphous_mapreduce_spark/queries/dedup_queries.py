@@ -169,6 +169,12 @@ WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 12
 
 @register("simhash_near_pairs", SIMHASH_PAIRS_ORACLE)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming <= 12 (all-pairs baseline; band
-    the bits with the LSH machinery at scale)."""
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)
+    """SimHash near-dup pairs at Hamming <= 12.
+
+    banded=False here: at this corpus size (5k docs) and loose threshold
+    (12/60 bits), the pigeonhole band join generates most pairs anyway and
+    the brute nested loop is faster. The banded variant (identical output,
+    hash-join candidates) is the right call for tight thresholds / large
+    corpora — see operators.dedup.simhash_near_pairs.
+    """
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=False)

@@ -1,0 +1,79 @@
+"""Benchmark runner — prints ONE JSON line with per-query wall-clock.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is fully
+materialised via the noop sink (no driver collect; measures the whole
+distributed plan). First query pays JVM/codegen warmup; a throwaway warmup
+query runs first so per-query numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "wordcount",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "gemm_coordinate",
+    "gemm_block",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "events_sessionize",
+    "events_daily_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from amorphous_mapreduce_spark import get_spark
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    spark = get_spark(app_name="amorphous-mapreduce-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("q6_forecast_revenue")  # warmup: JVM + codegen + parquet footer read
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in QUERIES:
+            times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
