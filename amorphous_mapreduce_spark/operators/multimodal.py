@@ -1,0 +1,218 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star requirement (SURVEY.md §2.5): a 100 TB training-data pipeline
+carries media as `binary` columns with structured metadata, and runs
+decode / feature-extraction / resize / frame-sampling as Arrow-batched
+pandas functions over `mapInPandas`. The Spark-side plumbing here —
+schemas, batch iteration, partition sizing — is real and tested; the
+actual codec calls are stubbed behind ``decoder=`` hooks because no
+image/audio libraries ship in this environment (a real deployment passes
+e.g. a PIL/ffmpeg-backed decoder with the same signature).
+
+Design notes for scale:
+- media bytes never pass through Python row-at-a-time: mapInPandas streams
+  Arrow record batches, and ``media_batch_bytes`` controls
+  maxRecordsPerBatch-style sizing so a batch of blobs fits executor memory;
+- metadata (width/height/codec/duration) lives in a struct column so
+  filters on it push down without touching the blob bytes (parquet column
+  pruning keeps blobs unread for metadata-only queries);
+- derived features are plain `array<float>` columns — they feed directly
+  into operators.similarity (ANN) and operators.gemm.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def default_decoder(content: bytes, meta: dict) -> "object":
+    """Stub decoder: the codec layer is NOT implemented in this container.
+
+    Raises so that accidental use is loud; tests and the synthetic
+    pipeline use ``fake_decoder`` instead.
+    """
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; pass decoder=fake_decoder or a real codec-backed "
+        "callable with the same signature"
+    )
+
+
+def fake_decoder(content: bytes, meta: dict):
+    """Deterministic stand-in decode: bytes -> pseudo-pixel float array.
+
+    Derives a fixed-length float vector from the blob bytes (no RNG, no
+    codecs) so the full distributed plumbing is exercised end-to-end.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(content, dtype=np.uint8).astype(np.float32)
+    size = 64
+    if len(arr) < size:
+        arr = np.pad(arr, (0, size - len(arr)))
+    # fold the byte stream into `size` buckets (sum-pool) and scale to [0,1]
+    n = (len(arr) // size) * size
+    folded = arr[:n].reshape(size, -1).mean(axis=1)
+    return folded / 255.0
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA (for tests/demos).
+
+    Blob bytes are md5-chained from the id — reproducible, no files needed.
+    """
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.unhex(
+            F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{i}"))) for i in range(8)])
+        ).alias("content"),
+        F.struct(
+            F.when(F.col("id") % 3 == 0, "image")
+            .when(F.col("id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("media_type"),
+            F.lit("fake").alias("codec"),
+            F.lit(16).alias("width"),
+            F.lit(8).alias("height"),
+            (F.col("id") * 40 + 1000).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, dict], "object"] = default_decoder,
+    feature_dim: int = 64,
+) -> DataFrame:
+    """Decode + feature-extract: [media_id, feature: array<float>].
+
+    mapInPandas streams Arrow batches; the decoder runs once per blob.
+    Output feeds operators.similarity / operators.gemm directly.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                [float(x) for x in decoder(content, meta)][:feature_dim]
+                for content, meta in zip(pdf["content"], pdf["meta"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "content", "meta").mapInPandas(batches, schema)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decoder: Callable[[bytes, dict], "object"] = default_decoder,
+) -> DataFrame:
+    """Re-encode images at (width, height): same MEDIA_SCHEMA out.
+
+    Plumbing-real / codec-stubbed: with the fake decoder the 'resized'
+    content is a deterministic truncation-or-pad of the byte stream; a
+    real deployment swaps in an image library without touching the plan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            out = pdf.copy()
+            new_content = []
+            new_meta = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                decoder(content, meta)  # validates decodability
+                blob = bytes(content)[:target].ljust(target, b"\0")
+                new_content.append(blob)
+                m = dict(meta)
+                m["width"], m["height"] = width, height
+                new_meta.append(m)
+            out["content"] = new_content
+            out["meta"] = new_meta
+            yield out
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes, dict], "object"] = default_decoder,
+) -> DataFrame:
+    """Frame-sample videos: one row per sampled frame
+    [media_id, frame_idx, frame_ts_ms, frame: binary].
+
+    Row-expansion happens inside the pandas iterator (no explode of blob
+    arrays through the JVM); frame payloads are deterministic slices under
+    the fake decoder.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_ts_ms", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                if meta["media_type"] != "video":
+                    continue
+                decoder(content, meta)
+                duration = int(meta["duration_ms"])
+                blob = bytes(content)
+                n_frames = max(1, duration // every_ms)
+                step = max(1, len(blob) // n_frames)
+                for fi in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    tss.append(fi * every_ms)
+                    frames.append(blob[fi * step : (fi + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(batches, schema)

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.sources import load_table
+from amorphous_mapreduce_spark.streaming import (
+    sessionized_event_counts,
+    streaming_word_counts,
+    windowed_event_stats,
+)
+
+
+def _run_stream_over_parquet(spark, src_df, transform, tmp_path, name, mode="append"):
+    """Write src to parquet, readStream it, run transform to a memory sink."""
+    path = str(tmp_path / f"{name}_src")
+    src_df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src_df.schema).parquet(path)
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_event_stats_batch_stream_parity(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    batch = windowed_event_stats(events, window="1 hour").toPandas()
+    streamed = _run_stream_over_parquet(
+        spark,
+        events,
+        lambda s: windowed_event_stats(s, window="1 hour"),
+        tmp_path,
+        "win_stats",
+    ).toPandas()
+    key = ["window_start", "event_type"]
+    b = batch.sort_values(key, ignore_index=True)
+    s = streamed.sort_values(key, ignore_index=True)
+    # availableNow + watermark: all but the trailing (open) windows emit.
+    assert len(s) >= 0.8 * len(b)
+    merged = s.merge(b, on=key, suffixes=("_s", "_b"))
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+
+
+def test_streaming_word_counts(spark, tmp_path):
+    lines = spark.createDataFrame(
+        [("spark streams spark",), ("streams of spark",)], ["value"]
+    )
+    got = _run_stream_over_parquet(
+        spark, lines, streaming_word_counts, tmp_path, "wc", mode="complete"
+    )
+    counts = {r["word"]: r["cnt"] for r in got.collect()}
+    assert counts == {"spark": 3, "streams": 2, "of": 1}
+
+
+def test_sessionized_event_counts_batch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionized_event_counts(events, gap="30 minutes")
+    rows = sess.collect()
+    assert rows
+    # session windows per user never overlap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+    # total events preserved
+    assert sum(r["n_events"] for r in rows) == events.count()
