@@ -16,31 +16,44 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
-def _walk(node: Any, out: list[dict[str, Any]], counter: list[int]) -> int:
-    """DFS over a JVM TreeNode; returns this node's index in ``out``."""
-    idx = counter[0]
-    counter[0] += 1
-    children = [node.apply(i) for i in range(node.numChildren())]
-    child_ids = [_walk(c, out, counter) for c in children]
+def _build(
+    arr: list[dict[str, Any]], pos: int, out: list[dict[str, Any]]
+) -> tuple[int, int]:
+    """Rebuild the tree from Spark's preorder toJSON array.
+
+    Returns (index of this node in ``out``, next unconsumed position).
+    """
+    node = arr[pos]
+    nxt = pos + 1
+    child_ids = []
+    for _ in range(int(node.get("num-children", 0))):
+        cid, nxt = _build(arr, nxt, out)
+        child_ids.append(cid)
+    idx = len(out)
+    cls = node.get("class", "?").rsplit(".", 1)[-1]
+    content = {
+        k: v
+        for k, v in node.items()
+        if k not in ("class", "num-children") and not isinstance(v, (list, dict))
+    }
     out.append(
         {
             "index": idx,
-            "op": node.nodeName(),
+            "op": cls,
             "dependency": child_ids,
-            "op_content": node.simpleStringWithNodeId()
-            if hasattr(node, "simpleStringWithNodeId")
-            else node.simpleString(100),
+            "op_content": content,
         }
     )
-    return idx
+    return idx, nxt
 
 
 def plan_to_json(df: DataFrame, plan: str = "executedPlan") -> str:
     """JSON op-list for one of the plan stages.
 
     ``plan``: 'logical' | 'analyzed' | 'optimizedPlan' | 'sparkPlan' |
-    'executedPlan'. Falls back to Spark's own toJSON for full fidelity if
-    the node walk hits a JVM surface change.
+    'executedPlan'. Nodes are emitted children-first with dependency
+    edges, mirroring the reference's dependency-ordered op_list
+    (src/op.rs:15-16: deps always point at already-emitted ops).
     """
     qe = df._jdf.queryExecution()
     node = {
@@ -50,12 +63,10 @@ def plan_to_json(df: DataFrame, plan: str = "executedPlan") -> str:
         "sparkPlan": qe.sparkPlan,
         "executedPlan": qe.executedPlan,
     }[plan]()
-    try:
-        ops: list[dict[str, Any]] = []
-        _walk(node, ops, [0])
-        return json.dumps({"plan": plan, "op_list": ops}, indent=2)
-    except Exception:
-        return node.toJSON()
+    arr = json.loads(node.toJSON())
+    ops: list[dict[str, Any]] = []
+    _build(arr, 0, ops)
+    return json.dumps({"plan": plan, "op_list": ops}, indent=2)
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
