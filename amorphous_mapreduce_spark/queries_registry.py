@@ -44,5 +44,6 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     gemm_queries,
     relational_queries,
     similarity_queries,
+    streaming_queries,
     text_queries,
 )

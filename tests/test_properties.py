@@ -1,0 +1,104 @@
+"""Property-based tests (SURVEY.md §5.4): invariance under partitioning,
+numpy equivalence, dedup idempotence, grid factorisation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.grid import closest_factor, reducer_grid
+
+SPARK_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    lines=st.lists(
+        st.text(alphabet="ab ,.", min_size=0, max_size=30), min_size=1, max_size=20
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@SPARK_SETTINGS
+def test_wordcount_partition_invariance(spark, lines, nparts):
+    from amorphous_mapreduce_spark.operators.wordcount import word_counts
+
+    df = spark.createDataFrame([(l,) for l in lines], ["text"])
+    a = sorted(map(tuple, word_counts(df).collect()))
+    b = sorted(map(tuple, word_counts(df.repartition(nparts)).collect()))
+    assert a == b
+
+
+@given(
+    m=st.integers(2, 6),
+    k=st.integers(2, 6),
+    n=st.integers(2, 6),
+    seed=st.integers(0, 2**16),
+)
+@SPARK_SETTINGS
+def test_gemm_matches_numpy(spark, m, k, n, seed):
+    from amorphous_mapreduce_spark.operators.gemm import gemm_coordinate
+
+    rng = np.random.default_rng(seed)
+    MA, MB = rng.normal(size=(m, k)), rng.normal(size=(k, n))
+    A = spark.createDataFrame(
+        [(i, kk, float(MA[i, kk])) for i in range(m) for kk in range(k)],
+        ["i", "k", "a"],
+    )
+    B = spark.createDataFrame(
+        [(kk, j, float(MB[kk, j])) for kk in range(k) for j in range(n)],
+        ["k", "j", "b"],
+    )
+    got = np.zeros((m, n))
+    for r in gemm_coordinate(A, B).collect():
+        got[r["i"], r["j"]] = r["val"]
+    assert np.allclose(got, MA @ MB, atol=1e-9)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="xyz ", min_size=1, max_size=20), min_size=1, max_size=10
+    )
+)
+@SPARK_SETTINGS
+def test_exact_dedup_idempotent(spark, texts):
+    from amorphous_mapreduce_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = exact_dedup(docs)
+    survivors = docs.join(once.select(F.col("keeper_id").alias("doc_id")), "doc_id")
+    twice = exact_dedup(survivors)
+    assert twice.filter(F.col("n_copies") > 1).count() == 0
+    assert twice.count() == once.count()
+
+
+@given(value=st.integers(1, 10_000), factor=st.floats(0.5, 200))
+@settings(max_examples=300, deadline=None)
+def test_closest_factor_properties(value, factor):
+    got = closest_factor(value, factor)
+    assert value % got == 0
+    best = min(
+        (abs(factor - d) for d in range(1, value + 1) if value % d == 0),
+    )
+    assert abs(factor - got) == pytest.approx(best)
+
+
+@given(r=st.integers(1, 4096))
+@settings(max_examples=300, deadline=None)
+def test_reducer_grid_exact_cover(r):
+    pm, pn = reducer_grid(r)
+    assert pm * pn == r
+    # near-square: no other factorisation is strictly closer to sqrt
+    s = math.sqrt(r)
+    assert all(
+        abs(s - pm) <= abs(s - d) or abs(s - pn) <= abs(s - r // d)
+        for d in range(1, r + 1)
+        if r % d == 0
+    )

@@ -60,6 +60,26 @@ def test_word_counts_from_text_file(spark, tmp_path):
     assert got == dict(_expected(POEM))
 
 
+def test_word_counts_reference_corpus(spark):
+    # The reference's own fixture: article/1.txt (Dylan Thomas villanelle,
+    # src/word_count.rs's intended input). Closed-form hand-countable
+    # properties from FIXTURES.md: 'rage' x8 wordforms normalise together;
+    # refrain lines repeat. Skipped if the read-only reference is absent.
+    import os
+
+    path = "/root/reference/article/1.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference corpus not available")
+    lines = open(path, encoding="utf-8").read().splitlines()
+    got = {
+        r["word"]: r["cnt"]
+        for r in word_counts_from_lines(spark.read.text(path)).collect()
+    }
+    assert got == dict(_expected(lines))
+
+
 def test_word_counts_partition_invariance(spark):
     # Count must not depend on physical partitioning (reference's W6
     # routing is placement, not semantics).
