@@ -45,5 +45,6 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     relational_queries,
     similarity_queries,
     streaming_queries,
+    subquery_queries,
     text_queries,
 )
