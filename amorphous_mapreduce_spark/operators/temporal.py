@@ -1,0 +1,115 @@
+"""Temporal joins Spark lacks as builtins: as-of join and range join.
+
+Both are implemented as compositions of existing DataFrame ops (the
+preferred strategy per SURVEY.md §2.4 custom-operator ladder), not pandas
+cogroups:
+
+- **as-of join**: union both sides tagged, one window sort per key with a
+  forward-carried last-observation — O(n log n) in each key's rows, one
+  shuffle on the key, no per-key driver loops, no pandas. This is the
+  scalable formulation (the per-key sort happens inside Spark's window
+  exec, spilling as needed).
+- **range join**: interval containment via time-bucketing — intervals
+  explode to the buckets they cover, events join on their bucket
+  (equi-join!), then the exact containment predicate filters. Turns an
+  inequality join (nested loop at scale) into a hash join with bounded
+  fanout = interval_span/bucket + 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``by`` key.
+
+    Returns left columns + ``asof_<on>`` + ``asof_<c>`` for each
+    ``right_cols``. Left rows with no prior right row keep NULLs
+    (left-outer as-of semantics). At equal timestamps the right row is
+    considered visible (<=), matching DuckDB's ASOF JOIN.
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    # Align schemas: left payload columns are NULL on right rows & v.v.
+    for c in lcols:
+        if c not in (by, on) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    unioned = l.unionByName(r.select(*l.columns))
+    # Right rows sort before left rows at identical (on) so they are
+    # visible to them (ASOF's <=).
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in unioned.columns],
+        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{on}"),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out_cols = lcols + [f"asof_{on}"] + [f"asof_{c}" for c in right_cols]
+    return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Rows of ``events`` matched to every interval containing them
+    (start <= ts < end), via bucketed equi-join.
+
+    ``bucket`` should be >= the typical interval length so fanout stays
+    near 1; the containment filter guarantees exactness regardless.
+    """
+    n_secs = {"1 hour": 3600, "1 day": 86400, "15 minutes": 900, "1 minute": 60}[
+        bucket
+    ]
+    ev = events.withColumn(
+        "_b", (F.unix_timestamp(F.col(ts_col)) / n_secs).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bs", (F.unix_timestamp(F.col(start_col)) / n_secs).cast("long")
+    ).withColumn(
+        # end is exclusive: a zero-length tail bucket is still generated,
+        # the containment filter discards spurious matches.
+        "_be",
+        (F.unix_timestamp(F.col(end_col)) / n_secs).cast("long"),
+    )
+    iv_exploded = iv.withColumn("_b", F.explode(F.sequence("_bs", "_be"))).drop(
+        "_bs", "_be"
+    )
+    return (
+        ev.join(iv_exploded, "_b")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )

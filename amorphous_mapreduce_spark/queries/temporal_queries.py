@@ -1,0 +1,80 @@
+"""Temporal-join queries: as-of (DuckDB ASOF JOIN oracle) and range join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.temporal import asof_join, range_join
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+ASOF_ORACLE = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), signups AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       s.ts AS asof_ts, s.value AS asof_value
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register("asof_purchase_signup", ASOF_ORACLE)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's most recent
+    prior-or-simultaneous signup. Union+window formulation (one shuffle on
+    user_id, per-key ordered carry-forward) vs DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, signups, on="ts", by="user_id", right_cols=("value",))
+
+
+RANGE_ORACLE = """
+WITH intervals AS (
+    SELECT i.range AS interval_id,
+           TIMESTAMP '2024-01-01' + INTERVAL 6 HOUR * i.range AS start,
+           TIMESTAMP '2024-01-01' + INTERVAL 6 HOUR * i.range
+               + INTERVAL 90 MINUTE AS "end"
+    FROM range(120) i
+)
+SELECT interval_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN intervals
+  ON ts >= start AND ts < "end"
+GROUP BY interval_id
+"""
+
+
+@register("events_range_join", RANGE_ORACLE)
+def q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events bucketed into 90-minute maintenance windows on a
+    6-hour grid; bucketed equi-join turns the inequality predicate into a
+    hash join (the inequality form is a nested loop at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        spark.range(120)
+        .select(F.col("id").alias("interval_id"))
+        .withColumn(
+            "start",
+            F.lit("2024-01-01").cast("timestamp")
+            + F.col("interval_id") * F.expr("INTERVAL 6 HOURS"),
+        )
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 90 MINUTES"))
+    )
+    return (
+        range_join(ev, intervals, ts_col="ts", bucket="1 hour")
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

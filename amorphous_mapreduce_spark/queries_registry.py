@@ -46,5 +46,6 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     similarity_queries,
     streaming_queries,
     subquery_queries,
+    temporal_queries,
     text_queries,
 )

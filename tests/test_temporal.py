@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:05"), 9.0),
+            (2, 100, _ts("2024-01-01 10:00:20"), 9.5),
+            (3, 200, _ts("2024-01-01 10:00:01"), 5.0),
+            (4, 300, _ts("2024-01-01 10:00:10"), 1.0),  # no quote for 300
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:00:00"), 1.0),
+            (100, _ts("2024-01-01 10:00:10"), 2.0),
+            (100, _ts("2024-01-01 10:00:20"), 3.0),  # equal ts as trade 2
+            (200, _ts("2024-01-01 10:00:02"), 7.0),  # after trade 3
+        ],
+        ["user_id", "ts", "value"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            trades, quotes, on="ts", by="user_id", right_cols=("value",)
+        ).collect()
+    }
+    assert got[1] == (_ts("2024-01-01 10:00:00"), 1.0)  # latest <= 10:00:05
+    assert got[2] == (_ts("2024-01-01 10:00:20"), 3.0)  # equal ts visible
+    assert got[3] == (None, None)  # quote is after the trade
+    assert got[4] == (None, None)  # key never quoted
+    assert len(got) == 4  # left-outer: every left row exactly once
+
+
+def test_asof_join_preserves_left_columns(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="user_id", right_cols=("value",))
+    assert out.columns == ["event_id", "user_id", "ts", "value", "asof_ts", "asof_value"]
+
+
+def test_range_join_containment(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:30:00")),
+            (2, _ts("2024-01-01 01:30:00")),  # outside the 90-min window
+            (3, _ts("2024-01-01 06:10:00")),
+            (4, _ts("2024-01-01 07:30:00")),  # exactly at end -> excluded
+        ],
+        ["event_id", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:30:00")),
+            (1, _ts("2024-01-01 06:00:00"), _ts("2024-01-01 07:30:00")),
+        ],
+        ["interval_id", "start", "end"],
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in range_join(events, intervals, bucket="1 hour").collect()
+    }
+    assert got == {(1, 0), (3, 1)}
+
+
+def test_range_join_overlapping_intervals(spark):
+    events = spark.createDataFrame([(1, _ts("2024-01-01 00:30:00"))], ["event_id", "ts"])
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+            (1, _ts("2024-01-01 00:15:00"), _ts("2024-01-01 00:45:00")),
+        ],
+        ["interval_id", "start", "end"],
+    )
+    got = {
+        r["interval_id"]
+        for r in range_join(events, intervals, bucket="15 minutes").collect()
+    }
+    assert got == {0, 1}  # one event, both containing intervals
