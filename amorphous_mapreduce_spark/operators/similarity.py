@@ -151,6 +151,103 @@ def lsh_candidate_pairs(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantiser: (centroids [cell, cv], assignments [id, vec, cell]).
+
+    Centroids are ``n_cells`` corpus vectors chosen by smallest
+    md5(id) — deterministic pseudo-random seeding (IVF-flat without the
+    k-means refinement; swap in trained centroids without changing the
+    query path). Assignment = argmax dot with the broadcast centroid table.
+    """
+    w = Window.orderBy(hex_hash64(F.col(id_col).cast("string")), F.col(id_col))
+    centroids = (
+        emb.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_cells)
+        .select(
+            (F.col("_r") - 1).alias("cell"), F.col(vec_col).alias("cv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(vec_col, "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wbest = Window.partitionBy("id").orderBy(F.desc("_score"), F.asc("cell"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            "cell",
+            dot.alias("_score"),
+        )
+        .withColumn("_rk", F.row_number().over(wbest))
+        .filter(F.col("_rk") == 1)
+        .select("id", "vec", "cell")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN top-k: probe the ``n_probe`` nearest cells per query,
+    exact cosine re-rank within them: [qid, nid, sim, rnk].
+
+    The candidate join is an equi-join on cell id — per-cell inverted
+    lists are the classic sub-linear search structure; at scale the
+    assignment table is partitioned by cell so probes touch only those
+    partitions.
+    """
+    centroids, assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    assigned = assigned.persist()
+    dot_qc = F.aggregate(
+        F.zip_with("vec", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("id").orderBy(F.desc("_score"), F.asc("cell"))
+    probes = (
+        assigned.select("id", "vec")
+        .crossJoin(F.broadcast(centroids))
+        .select("id", "vec", "cell", dot_qc.alias("_score"))
+        .withColumn("_rk", F.row_number().over(wprobe))
+        .filter(F.col("_rk") <= n_probe)
+        .select(F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell")
+    )
+    cands = probes.join(
+        assigned.select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell"),
+        "cell",
+    ).filter(F.col("qid") != F.col("nid"))
+    dot_qn = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cands.select(
+        "qid", "nid", (dot_qn / (norm("qv") * norm("nv"))).alias("sim")
+    ).distinct()
+    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,

@@ -15,6 +15,7 @@ from amorphous_mapreduce_spark.functions.vectors import l2_norm
 from amorphous_mapreduce_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from amorphous_mapreduce_spark.queries_registry import register
@@ -83,6 +84,14 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_pairs(emb)
         .filter((F.col("qid") < F.col("nid")) & (F.col("sim") > 0.45))
     )
+
+
+@register("similarity_ivf_topk")  # no oracle: ANN result is approximate
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5: deterministic coarse quantiser + cell-probe
+    equi-join + exact re-rank (recall checked in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, n_cells=16, n_probe=4)
 
 
 @register("similarity_lsh_topk")  # no oracle: ANN result is approximate

@@ -91,3 +91,29 @@ def test_lsh_determinism(spark):
     a = sorted(map(tuple, lsh_topk(df, k=2, n_planes=16, band_bits=4).collect()))
     b = sorted(map(tuple, lsh_topk(df, k=2, n_planes=16, band_bits=4).collect()))
     assert a == b  # MD5-derived hyperplanes: no RNG state anywhere
+
+
+def test_ivf_finds_planted_duplicate(spark):
+    import numpy as np
+
+    from amorphous_mapreduce_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs[11] = vecs[5]  # identical vector -> identical cell assignment
+    df = _emb_df(spark, vecs)
+    top1 = {r["qid"]: r["nid"] for r in ivf_topk(df, k=1, n_cells=4, n_probe=2).collect()}
+    assert top1[5] == 11 and top1[11] == 5
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    from amorphous_mapreduce_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["qid"], r["nid"]) for r in cosine_topk(emb, k=3).collect()}
+    approx = {
+        (r["qid"], r["nid"])
+        for r in ivf_topk(emb, k=3, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall@3 too low: {recall:.2f}"

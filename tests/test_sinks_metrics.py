@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.plans import explain_str
+from amorphous_mapreduce_spark.plans.metrics import cost_report, summarize_cost
+from amorphous_mapreduce_spark.sources import load_table
+from amorphous_mapreduce_spark.sources.sinks import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_part")
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    # partition pruning: filtering on the partition key prunes directories
+    plan = explain_str(back.filter(F.col("l_returnflag") == "R"))
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_json")
+    write_json(nation, out)
+    back = read_json(spark, out)
+    assert back.count() == 25
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_csv")
+    write_csv(region, out)
+    back = read_csv(spark, out)
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
+
+
+def test_cost_report_metrics(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    report = cost_report(df)
+    assert report
+    ops = {r["op"] for r in report}
+    assert any("Aggregate" in o for o in ops)
+    totals = summarize_cost(report)
+    assert totals["output_rows"] > 0
+    assert totals["n_ops"] == len(report)
