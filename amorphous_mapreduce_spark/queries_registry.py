@@ -40,6 +40,7 @@ def register(
 # Importing the query modules populates the registry.
 from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     analysis_queries,
+    analytics_queries,
     dedup_queries,
     gemm_queries,
     relational_queries,
