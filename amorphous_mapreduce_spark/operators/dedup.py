@@ -107,17 +107,24 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signatures: [id, hid, mh] — min over shingles per hash fn."""
+    """MinHash signatures: [id, hid, mh] — min over shingles per hash fn.
+
+    All ``num_hashes`` minima ride ONE aggregation pass as separate agg
+    expressions (same trick as simhash's bit sums) — not a shingle×hashes
+    row explosion, which would multiply shuffle volume by num_hashes on a
+    large corpus. The wide row then unpivots via stack() (no shuffle).
+    """
     sh = shingles(docs, shingle_size, id_col, text_col)
-    spark = docs.sparkSession
-    hids = spark.range(num_hashes).select(F.col("id").alias("hid"))
-    perm = (
-        (F.col("sh") % MINHASH_P) * (F.col("hid") * 2 + 1) + F.col("hid") * 12345
-    ) % MINHASH_P
-    return (
-        sh.crossJoin(F.broadcast(hids))
-        .groupBy("id", "hid")
-        .agg(F.min(perm).alias("mh"))
+
+    def perm(i: int):
+        return ((F.col("sh") % MINHASH_P) * (2 * i + 1) + i * 12345) % MINHASH_P
+
+    wide = sh.groupBy("id").agg(
+        *[F.min(perm(i)).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    stack_args = ", ".join(f"{i}L, mh{i}" for i in range(num_hashes))
+    return wide.select(
+        "id", F.expr(f"stack({num_hashes}, {stack_args}) AS (hid, mh)")
     )
 
 
@@ -148,10 +155,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Distinct near-dup candidate pairs [qid, nid] (qid < nid) that agree
     on at least one full minhash band."""
+    # Persist: both join branches read the buckets (else the shingle +
+    # minhash pipeline executes twice).
     buckets = minhash_band_buckets(
         minhash_signatures(docs, num_hashes, shingle_size, id_col, text_col),
         band_bits,
-    )
+    ).persist()
     a = buckets.select(F.col("id").alias("qid"), "band", "sig")
     b = buckets.select(F.col("id").alias("nid"), "band", "sig")
     return (

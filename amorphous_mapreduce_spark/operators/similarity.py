@@ -140,7 +140,9 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Distinct candidate pairs (qid < nid) sharing any band bucket."""
-    sigs = hyperplane_signatures(emb, n_planes, band_bits, id_col, vec_col)
+    # Persist: both join branches read the signatures — without it the
+    # whole signature pipeline runs twice. One row per (vector, band).
+    sigs = hyperplane_signatures(emb, n_planes, band_bits, id_col, vec_col).persist()
     a = sigs.select(F.col("id").alias("qid"), "band", "sig")
     b = sigs.select(F.col("id").alias("nid"), "band", "sig")
     return (
@@ -266,7 +268,7 @@ def lsh_topk(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
-    )
+    ).persist()
     dot = F.aggregate(
         F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

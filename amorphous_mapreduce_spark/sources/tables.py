@@ -31,7 +31,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table from ``sf_dir``."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # pragma: no cover - depends on caller's session
+        # A caller-provided session (e.g. the driver's) may lack the
+        # nanosAsLong conf that get_spark sets; events.ts is TIMESTAMP(NANOS)
+        # which Spark otherwise rejects. The conf is runtime-settable.
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate ns -> us,
         # matching DuckDB's nanos -> TIMESTAMP(us) truncation.
