@@ -1,0 +1,96 @@
+"""Connected components — dedup clustering for near-duplicate graphs.
+
+A training-data pipeline doesn't just find near-dup *pairs*; it groups
+them into clusters and keeps one canonical doc per cluster. Components
+are computed by iterative min-label propagation (each node repeatedly
+adopts the smallest label among itself and its neighbours) — the standard
+Spark formulation: a bounded driver loop over joins, converging in
+O(diameter) rounds (near-dup graphs are shallow; the cap is a safety).
+
+Scale notes: every round is one join + one aggregate on the edge list
+(shuffle on node id); labels are persisted per round and lineage is cut
+with localCheckpoint so plans don't grow with iterations. The loop's only
+driver-side data is the single convergence counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "qid",
+    dst: str = "nid",
+    max_iter: int = 20,
+) -> DataFrame:
+    """[id, component] — component = min node id reachable from id.
+
+    ``edges`` is undirected input (each pair once is fine); ``nodes``
+    optionally supplies isolated vertices (they become singletons).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().persist()
+
+    ids = sym.select(F.col("a").alias("id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col("id"))).distinct()
+    labels = ids.withColumn("component", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # (a) adopt the minimum label among self and neighbours
+        neigh_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        stepped = labels.join(neigh_min, labels.id == neigh_min.a, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+        # (b) pointer jumping: follow component -> its component (labels
+        # halve the remaining distance each round -> O(log diameter))
+        parents = stepped.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
+        new_labels = (
+            stepped.join(parents, stepped.component == F.col("_pid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
+                ).alias("component"),
+                "_old",
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[id, cluster, is_keeper] — near-dup clusters over candidate pairs;
+    the keeper is the smallest doc id in each cluster (singletons keep
+    themselves)."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    cc = connected_components(pairs, nodes=nodes)
+    return cc.select(
+        "id",
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -41,6 +41,7 @@ def register(
 from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     analysis_queries,
     analytics_queries,
+    cluster_queries,
     dedup_queries,
     gemm_queries,
     relational_queries,
