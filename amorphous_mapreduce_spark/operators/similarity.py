@@ -77,6 +77,16 @@ def cosine_topk(
     )
 
 
+def _plane_sign(seed: str, plane: int, dim: int) -> float:
+    """±1 component of hyperplane ``plane`` at ``dim``: the same value as
+    functions.hashing.hex_hash64(f"{seed}_{plane}_{dim}") % 2, computed
+    driver-side (hashlib md5 == Spark md5 on the same bytes)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}_{plane}_{dim}".encode()).hexdigest()
+    return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+
 def hyperplane_signatures(
     emb: DataFrame,
     n_planes: int,
@@ -91,44 +101,34 @@ def hyperplane_signatures(
     deterministic, no RNG state, reproducible across engines and runs.
     sign bit = [Σ_d s(p,d)·v[d] >= 0]. Bits are band-grouped (LSH banding:
     ``n_planes/band_bits`` independent tables OR-ed for recall).
+
+    Plane components are baked in as literal arrays, so the whole
+    signature is ONE narrow projection per vector — no explode, no plane
+    join, no shuffle (the prior formulation cost three shuffles).
     """
     dims = emb.select(F.size(vec_col).alias("d")).first()["d"]
-    spark = emb.sparkSession
-    planes = (
-        spark.range(n_planes)
-        .select(F.col("id").alias("plane_id"))
-        .crossJoin(spark.range(dims).select(F.col("id").alias("dim")))
-        .withColumn(
-            "sign",
-            F.when(
-                hex_hash64(
-                    F.concat_ws("_", F.lit(seed), F.col("plane_id"), F.col("dim"))
-                )
-                % 2
-                == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+    bit_cols = []
+    for p in range(n_planes):
+        plane_vec = F.array(
+            *[F.lit(_plane_sign(seed, p, d)) for d in range(dims)]
         )
-    )
-    cells = emb.select(
-        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "v")
-    )
-    bits = (
-        cells.join(F.broadcast(planes), "dim")
-        .groupBy("id", "plane_id")
-        .agg(F.sum(F.col("v").cast("double") * F.col("sign")).alias("proj"))
-        .select(
-            "id",
-            (F.col("plane_id") / band_bits).cast("long").alias("band"),
-            F.struct("plane_id", (F.col("proj") >= 0).cast("int").alias("bit")).alias(
-                "pb"
-            ),
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_vec, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        bit_cols.append(F.when(proj >= 0, "1").otherwise("0"))
+    n_bands = (n_planes + band_bits - 1) // band_bits
+    sigs = emb.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.concat(*bit_cols[b * band_bits : (b + 1) * band_bits]).alias(f"_s{b}")
+            for b in range(n_bands)
+        ],
     )
-    return bits.groupBy("id", "band").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list("pb")), lambda s: s["bit"]), ""
-        ).alias("sig")
+    stack_args = ", ".join(f"{b}L, _s{b}" for b in range(n_bands))
+    return sigs.select(
+        "id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
 
 

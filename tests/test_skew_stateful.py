@@ -83,7 +83,10 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         assert r["content_hash"] not in by_hash, "duplicate hash emitted"
         by_hash[r["content_hash"]] = r["doc_id"]
     emitted = set(by_hash.values())
-    # 3 distinct contents; doc 3 duplicates 1 (modulo whitespace), 5 dups 2
+    # 3 distinct contents; docs {1,3} share content (modulo whitespace), as
+    # do {2,5}; exactly one of each pair is emitted (which one depends on
+    # micro-batch file order), plus unique doc 4.
     assert len(by_hash) == 3
-    assert 3 not in emitted and 5 not in emitted
-    assert {1, 2, 4} >= emitted and 4 in emitted
+    assert 4 in emitted
+    assert len(emitted & {1, 3}) == 1
+    assert len(emitted & {2, 5}) == 1
