@@ -25,21 +25,26 @@ from amorphous_mapreduce_spark.sources import load_table
 # operators.dedup.normalize_text/tokenized/shingles exactly.
 NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
-TOKS_CTE = f"""
+
+def toks_cte(src: str = "documents") -> str:
+    """Position-indexed token CTE over any relation with (doc_id, text)."""
+    return f"""
 toks AS (
     SELECT id, pos, word FROM (
         SELECT doc_id AS id,
                generate_subscripts(ws, 1) AS pos,
                unnest(ws) AS word
         FROM (SELECT doc_id, regexp_split_to_array({NORM}, ' ') AS ws
-              FROM documents)
+              FROM {src})
     ) WHERE length(word) > 0
 )
 """
 
-SHINGLES_CTE = (
-    TOKS_CTE
-    + """
+
+def shingles_cte(src: str = "documents") -> str:
+    return (
+        toks_cte(src)
+        + """
 , grams AS (
     SELECT id,
            word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS gram,
@@ -50,7 +55,11 @@ SHINGLES_CTE = (
     FROM grams WHERE last2 IS NOT NULL
 )
 """
-)
+    )
+
+
+TOKS_CTE = toks_cte()
+SHINGLES_CTE = shingles_cte()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     analysis_queries,
     analytics_queries,
     cluster_queries,
+    curation_queries,
     dedup_queries,
     gemm_queries,
     relational_queries,

@@ -73,3 +73,26 @@ def test_gemm_coordinate_sparse_inputs(spark):
     B = spark.createDataFrame([(0, 0, 5.0), (1, 1, 7.0)], ["k", "j", "b"])
     got = {(r["i"], r["j"]): r["val"] for r in gemm_coordinate(A, B).collect()}
     assert got == {(0, 0): 10.0, (1, 1): 21.0}
+
+
+def test_gram_matrix_via_block_gemm(spark, sf_dir):
+    # similarity scores ARE the reference's outer product: G = E-transpose
+    # dot E over the embeddings fixture, block path vs numpy.
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    rows = emb.select("vec_id", "embedding").collect()
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = {r["vec_id"]: i for i, r in enumerate(rows)}
+    A = spark.createDataFrame(
+        [(int(r["vec_id"]), d, float(v)) for r in rows for d, v in enumerate(r["embedding"])],
+        ["i", "k", "a"],
+    )
+    B = spark.createDataFrame(
+        [(d, int(r["vec_id"]), float(v)) for r in rows for d, v in enumerate(r["embedding"])],
+        ["k", "j", "b"],
+    )
+    got = np.zeros((len(rows), len(rows)))
+    for r in gemm_block(A, B, block_size=16).collect():
+        got[ids[r["i"]], ids[r["j"]]] = r["val"]
+    assert np.allclose(got, E @ E.T, atol=1e-6)
