@@ -1,0 +1,82 @@
+"""Remaining operator-class coverage: array aggregation, pivot, rank
+statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+ARRAYAGG_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+           AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("customer_order_priorities", ARRAYAGG_ORACLE)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted array -> string (deterministic set agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE l_returnflag = 'A') AS flag_a,
+       COUNT(*) FILTER (WHERE l_returnflag = 'N') AS flag_n,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS flag_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("returnflag_pivot", PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list (no extra pass to
+    discover pivot values — required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("flag_a"),
+        F.col("N").alias("flag_n"),
+        F.col("R").alias("flag_r"),
+    )
+
+
+NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(10) OVER w AS INT) AS decile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("customer_acctbal_deciles", NTILE_ORACLE)
+def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over a total order (tie-break on custkey)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
