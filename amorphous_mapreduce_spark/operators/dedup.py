@@ -63,11 +63,22 @@ def exact_dedup(
 
 
 def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """[id, pos, word]: position-indexed tokens of the normalised text."""
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "word"),
-    ).filter(F.length("word") > 0)
+    """[id, pos, word]: position-indexed tokens of the normalised text.
+
+    Docs are spread across the cluster BEFORE the explode: a small corpus
+    often scans as one partition, and everything downstream (split,
+    explode, hashing) would otherwise run on a single core. One cheap
+    shuffle of compact doc rows buys full parallelism for the token work.
+    """
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.repartition(nparts)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "word"),
+        )
+        .filter(F.length("word") > 0)
+    )
 
 
 def shingles(
@@ -219,15 +230,10 @@ def simhash(
     """
     if bits > 60:
         bits = 60  # hex_hash64 yields 60 usable bits
-    spark = docs.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # The repartition parallelises past the (often single-partition) text
-    # scan; the exchange boundary also pins the md5-derived hash to one
-    # evaluation per token.
-    toks = (
-        tokenized(docs, id_col, text_col)
-        .select("id", hex_hash64("word").alias("th"))
-        .repartition(nparts)
+    # tokenized() already spreads docs across partitions, so the per-token
+    # hash below is computed in parallel.
+    toks = tokenized(docs, id_col, text_col).select(
+        "id", hex_hash64("word").alias("th")
     )
     # One aggregation pass with `bits` sum expressions — NOT a token×bits
     # row explosion (a 60x shuffle blowup on large corpora). All 60 sums

@@ -36,8 +36,12 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     (unwrap on last char, src/word_count.rs:104); we define the semantics
     as filter-out, mirrored in every oracle.
     """
+    # Spread rows before the explode: a small text scan is often a single
+    # partition, which would serialise tokenisation onto one core.
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("raw"))
+        df.repartition(nparts)
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("raw"))
         .select(F.regexp_replace(F.lower(F.col("raw")), PUNCT_CLASS, "").alias("word"))
         .filter(F.length("word") > 0)
     )
