@@ -94,3 +94,93 @@ def test_range_join_overlapping_intervals(spark):
         for r in range_join(events, intervals, bucket="15 minutes").collect()
     }
     assert got == {0, 1}  # one event, both containing intervals
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 120, 80
+    left = pd.DataFrame(
+        {
+            "event_id": range(n_l),
+            "user_id": rng.integers(0, 5, n_l),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+            "value": rng.normal(size=n_l).round(3),
+        }
+    ).sort_values("ts", ignore_index=True)
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n_r),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+            "value": rng.normal(size=n_r).round(3),
+        }
+    ).sort_values("ts", ignore_index=True)
+    # drop duplicate (user, ts) on the right: tie order is undefined there
+    right = right.drop_duplicates(["user_id", "ts"], keep="first")
+
+    want = pd.merge_asof(
+        left,
+        right.rename(columns={"ts": "ts_r", "value": "value_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="user_id",
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="user_id",
+            right_cols=("value",),
+        )
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    want = want.sort_values("event_id", ignore_index=True)
+    assert (got["asof_ts"].isna() == want["ts_r"].isna()).all()
+    mask = ~want["ts_r"].isna()
+    assert (got.loc[mask, "asof_ts"].values == want.loc[mask, "ts_r"].values).all()
+    assert (got.loc[mask, "asof_value"].values == want.loc[mask, "value_r"].values).all()
+
+
+def test_range_join_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    events = pd.DataFrame(
+        {
+            "event_id": range(200),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 100_000, 200), unit="s"),
+        }
+    )
+    starts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 90_000, 30), unit="s"
+    )
+    intervals = pd.DataFrame(
+        {
+            "interval_id": range(30),
+            "start": starts,
+            "end": starts + pd.to_timedelta(rng.integers(600, 20_000, 30), unit="s"),
+        }
+    )
+    want = {
+        (int(e.event_id), int(i.interval_id))
+        for e in events.itertuples()
+        for i in intervals.itertuples()
+        if i.start <= e.ts < i.end
+    }
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in range_join(
+            spark.createDataFrame(events),
+            spark.createDataFrame(intervals),
+            bucket="1 hour",
+        ).collect()
+    }
+    assert got == want
