@@ -57,17 +57,35 @@ def gemm_block(
     block pair holds 2·block_size² doubles — keep ≪ executor memory.
     """
     bs = block_size
+    # Cells are carried as three parallel flat arrays (indices + values),
+    # unzipped JVM-side with transform() — so the Python side densifies
+    # blocks with vectorised fancy indexing, never a per-cell loop (a
+    # bs²-cell Python loop would dominate at real block sizes).
     Ab = (
         A.withColumn("bi", (F.col("i") / bs).cast("long"))
         .withColumn("bk", (F.col("k") / bs).cast("long"))
         .groupBy("bi", "bk")
-        .agg(F.collect_list(F.struct("i", "k", "a")).alias("a_cells"))
+        .agg(F.collect_list(F.struct("i", "k", "a")).alias("c"))
+        .select(
+            "bi",
+            "bk",
+            F.transform("c", lambda s: s["i"]).alias("a_ii"),
+            F.transform("c", lambda s: s["k"]).alias("a_kk"),
+            F.transform("c", lambda s: s["a"]).alias("a_vv"),
+        )
     )
     Bb = (
         B.withColumn("bk", (F.col("k") / bs).cast("long"))
         .withColumn("bj", (F.col("j") / bs).cast("long"))
         .groupBy("bk", "bj")
-        .agg(F.collect_list(F.struct("k", "j", "b")).alias("b_cells"))
+        .agg(F.collect_list(F.struct("k", "j", "b")).alias("c"))
+        .select(
+            "bk",
+            "bj",
+            F.transform("c", lambda s: s["k"]).alias("b_kk"),
+            F.transform("c", lambda s: s["j"]).alias("b_jj"),
+            F.transform("c", lambda s: s["b"]).alias("b_vv"),
+        )
     )
     # One row per (bi, bk, bj) block pair; grouped by output tile (bi, bj)
     # so each tile accumulates its k-blocks locally (reference G10).
@@ -76,30 +94,27 @@ def gemm_block(
     def multiply_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        acc: dict[tuple[int, int], float] = {}
-        tile: np.ndarray | None = None
-        # Densify each k-block pair and np.dot it; accumulate into the tile.
         bi = int(pdf["bi"].iloc[0])
         bj = int(pdf["bj"].iloc[0])
         i0, j0 = bi * bs, bj * bs
         tile = np.zeros((bs, bs))
         seen_i = np.zeros(bs, dtype=bool)
         seen_j = np.zeros(bs, dtype=bool)
-        for _, row in pdf.iterrows():
-            k0 = int(row["bk"]) * bs
+        for row in pdf.itertuples():
+            k0 = int(row.bk) * bs
             a_mat = np.zeros((bs, bs))
-            for c in row["a_cells"]:
-                a_mat[int(c["i"]) - i0, int(c["k"]) - k0] = c["a"]
-                seen_i[int(c["i"]) - i0] = True
+            ai = np.asarray(row.a_ii, dtype=np.int64) - i0
+            ak = np.asarray(row.a_kk, dtype=np.int64) - k0
+            a_mat[ai, ak] = np.asarray(row.a_vv, dtype=np.float64)
+            seen_i[ai] = True
             b_mat = np.zeros((bs, bs))
-            for c in row["b_cells"]:
-                b_mat[int(c["k"]) - k0, int(c["j"]) - j0] = c["b"]
-                seen_j[int(c["j"]) - j0] = True
+            bk_ = np.asarray(row.b_kk, dtype=np.int64) - k0
+            bj_ = np.asarray(row.b_jj, dtype=np.int64) - j0
+            b_mat[bk_, bj_] = np.asarray(row.b_vv, dtype=np.float64)
+            seen_j[bj_] = True
             tile += a_mat @ b_mat
         ii, jj = np.nonzero(np.outer(seen_i, seen_j))
-        return pd.DataFrame(
-            {"i": ii + i0, "j": jj + j0, "val": tile[ii, jj]}
-        )
+        return pd.DataFrame({"i": ii + i0, "j": jj + j0, "val": tile[ii, jj]})
 
     return pairs.groupBy("bi", "bj").applyInPandas(
         multiply_tile, schema="i long, j long, val double"
