@@ -106,7 +106,11 @@ def hyperplane_signatures(
     signature is ONE narrow projection per vector — no explode, no plane
     join, no shuffle (the prior formulation cost three shuffles).
     """
-    dims = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty input: empty signature table, same schema
+        spark = emb.sparkSession
+        return spark.createDataFrame([], schema="id long, band long, sig string")
+    dims = first["d"]
     bit_cols = []
     for p in range(n_planes):
         plane_vec = F.array(

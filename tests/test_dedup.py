@@ -82,3 +82,14 @@ def test_simhash_dups_and_distance(docs):
     assert near[(1, 2)] == 0
     # near-dup (one word differs) must be closer than unrelated content
     assert near[(1, 3)] < near[(1, 4)]
+
+
+def test_dedup_ops_on_empty_input(spark):
+    from amorphous_mapreduce_spark.operators.curation import curate_corpus
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    assert exact_dedup(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert simhash(empty).count() == 0
+    assert jaccard_pairs(empty).count() == 0
+    assert curate_corpus(empty).count() == 0

@@ -117,3 +117,12 @@ def test_ivf_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall@3 too low: {recall:.2f}"
+
+
+def test_similarity_ops_on_empty_input(spark):
+    from amorphous_mapreduce_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], SCHEMA)
+    assert cosine_topk(empty, k=3).count() == 0
+    assert lsh_topk(empty, k=3, n_planes=8, band_bits=4).count() == 0
+    assert ivf_topk(empty, k=3, n_cells=4, n_probe=2).count() == 0

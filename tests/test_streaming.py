@@ -131,3 +131,32 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # count but require the window closed exactly once).
     ten = [n for (h, n) in rows if h == 10]
     assert len(ten) == 1 and ten[0] in (1, 2)
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    # stream-static enrichment: streaming events joined to a static dim
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    user_dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    src = str(tmp_path / "ssj_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(user_dim), "user_id").groupBy("tier").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["tier"]: r["count"] for r in spark.sql("SELECT * FROM ssj").collect()}
+    want = {
+        r["tier"]: r["count"]
+        for r in events.join(user_dim, "user_id").groupBy("tier").count().collect()
+    }
+    assert got == want
