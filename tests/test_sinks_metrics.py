@@ -54,3 +54,36 @@ def test_cost_report_metrics(spark, sf_dir):
     totals = summarize_cost(report)
     assert totals["output_rows"] > 0
     assert totals["n_ops"] == len(report)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    # bucketBy persists co-partitioning: a join on the bucket key between
+    # two bucketed tables needs no Exchange (the reference's fixed
+    # mapper->reducer routing, made durable).
+    import uuid
+
+    from amorphous_mapreduce_spark.sources.sinks import write_bucketed_table
+
+    # warehouse dir is a static conf — tables are unique-named instead
+    suffix = uuid.uuid4().hex[:8]
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"), f"li_b_{suffix}", ["l_orderkey"], 8
+    )
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"), f"or_b_{suffix}", ["o_orderkey"], 8
+    )
+    a = spark.table(f"li_b_{suffix}")
+    b = spark.table(f"or_b_{suffix}")
+    # force the non-broadcast path so bucketing is what saves the shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = explain_str(joined, "formatted")
+        assert joined.count() == li.count()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
