@@ -205,3 +205,82 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("_avg"))
         .select("c_custkey", "c_acctbal", "n_name")
     )
+
+
+# --- correlated aggregate threshold (TPC-H Q17 shape) ---------------------
+
+Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                                         AS DOUBLE) / COUNT(*))
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("small_quantity_revenue", Q17_ORACLE)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average-quantity threshold, decorrelated
+    into a window mean over the part key — one pass over lineitem."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(dec("l_quantity")).over(w).cast("double") / F.count("*").over(w)
+    return (
+        li.withColumn("_avg", avg_qty)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- anti-join + global scalar subquery (TPC-H Q22 shape) -----------------
+
+Q22_ORACLE = """
+WITH wealthy AS (
+    SELECT * FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                                   AS DOUBLE) / COUNT(*)
+                       FROM customer c2 WHERE c2.c_acctbal > 0)
+)
+SELECT CAST(c_nationkey % 5 AS INT) AS cntry_group,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM wealthy w
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = w.c_custkey
+                    AND o.o_totalprice > 450000)
+GROUP BY cntry_group
+"""
+
+
+@register("idle_wealthy_customers", Q22_ORACLE)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-global-average customers with no large orders —
+    scalar subquery (computed once, broadcast) + left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_bal = (
+        pos.agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("v")
+        ).first()["v"]
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 450000)
+    wealthy = cust.filter(F.col("c_acctbal") > avg_bal)
+    return (
+        wealthy.join(big_orders, wealthy.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_group"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
