@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.sources.merge import (
+    merge_upsert,
+    read_latest,
+    read_version,
+    upsert_parquet,
+)
+
+
+def test_merge_upsert_transform(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], ["id", "name", "v"]
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in merge_upsert(base, updates, ["id"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_versioned_upsert_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"])
+    assert upsert_parquet(spark, table, b0, ["id"]) == 0
+    u1 = spark.createDataFrame([(2, 21.0), (3, 30.0)], ["id", "v"])
+    assert upsert_parquet(spark, table, u1, ["id"]) == 1
+
+    latest = {r["id"]: r["v"] for r in read_latest(spark, table).collect()}
+    assert latest == {1: 10.0, 2: 21.0, 3: 30.0}
+    # time travel: v0 unchanged (copy-on-write immutability)
+    v0 = {r["id"]: r["v"] for r in read_version(spark, table, 0).collect()}
+    assert v0 == {1: 10.0, 2: 20.0}
+
+
+def test_upsert_idempotent_replay(spark, tmp_path):
+    table = str(tmp_path / "tbl2")
+    b0 = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    upsert_parquet(spark, table, b0, ["id"])
+    u = spark.createDataFrame([(1, 2.0)], ["id", "v"])
+    upsert_parquet(spark, table, u, ["id"])
+    upsert_parquet(spark, table, u, ["id"])  # replaying the same update
+    latest = {r["id"]: r["v"] for r in read_latest(spark, table).collect()}
+    assert latest == {1: 2.0}
+    assert read_latest(spark, table).count() == 1
+
+
+def test_read_latest_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_latest(spark, str(tmp_path / "nope"))
