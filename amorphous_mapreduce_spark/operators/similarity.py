@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.hashing import hex_hash64
-from amorphous_mapreduce_spark.functions.vectors import cosine_similarity, l2_norm
+from amorphous_mapreduce_spark.functions.vectors import l2_norm
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

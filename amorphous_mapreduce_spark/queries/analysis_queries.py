@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.text_analysis import (
     BPE_REGEX,

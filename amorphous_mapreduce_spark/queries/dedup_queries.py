@@ -9,7 +9,6 @@ the single division, Jaccard, is a deterministic double division).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.dedup import (
     exact_dedup,

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amorphous_mapreduce_spark.functions.agg import davg, dec, dsum, dsum_expr
+from amorphous_mapreduce_spark.functions.agg import dec, dsum, dsum_expr
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 

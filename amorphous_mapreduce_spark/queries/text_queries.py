@@ -7,7 +7,6 @@ SURVEY.md §2.2 W1-W8) and the north-star text-analysis operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.wordcount import word_counts
 from amorphous_mapreduce_spark.queries_registry import register
