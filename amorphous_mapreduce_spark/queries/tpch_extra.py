@@ -1,0 +1,210 @@
+"""Remaining TPC-H query shapes adapted to the fixture schema.
+
+Q2 (correlated MIN), Q8 (market-share ratio by year), Q11 (group value
+above a global-total threshold), Q16 (NOT LIKE / IN-list distinct
+counts), Q20 (IN over grouped HAVING), Q21 (sole-supplier NOT EXISTS).
+All follow the exact-decimal discipline; thresholds/totals are computed
+in-plan (window over the whole frame), never on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.agg import dec, dsum, dsum_expr
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+Q2_ORACLE = """
+SELECT p.p_type, p.p_partkey, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_type = p.p_type)
+"""
+
+
+@register("cheapest_part_per_type", Q2_ORACLE)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery decorrelated into a window
+    minimum (all minimum-priced parts per type; MIN of doubles is exact)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("_min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("_min"))
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN p_brand = 'Brand#1'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON l_partkey = p_partkey
+WHERE r_name = 'EUROPE'
+GROUP BY o_year
+"""
+
+
+@register("brand_market_share", Q8_ORACLE)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one brand's revenue share per order year among a
+    region's customers (conditional ratio over a 6-way star join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    brand_rev = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum_expr(brand_rev) / dsum_expr(rev)).alias("mkt_share"))
+    )
+
+
+Q11_ORACLE = """
+WITH sv AS (
+    SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS dval
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(dval AS DOUBLE) AS supplier_value
+FROM sv
+WHERE CAST(dval AS DOUBLE) >
+      CAST((SELECT SUM(dval) FROM sv) AS DOUBLE) * 0.011
+"""
+
+
+@register("important_suppliers", Q11_ORACLE)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers above a fraction of the global value —
+    the total is an exact-decimal whole-frame window sum (in-plan, no
+    driver round trip)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(F.sum(dec("l_extendedprice")).alias("dval"))
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        sv.withColumn("_total", F.sum("dval").over(wall))
+        .filter(
+            F.col("dval").cast("double") > F.col("_total").cast("double") * 0.011
+        )
+        .select("l_suppkey", F.col("dval").cast("double").alias("supplier_value"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("part_supplier_counts", Q16_ORACLE)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: exclusion predicates (<>, NOT LIKE, IN-list) +
+    distinct supplier counts per part group."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(part)
+        .join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_ORACLE = """
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+)
+"""
+
+
+@register("excess_stock_suppliers", Q20_ORACLE)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery as a left-semi
+    join against the aggregated (supplier, part) quantities."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+Q21_ORACLE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+      AND l2.l_returnflag = 'R'
+)
+GROUP BY s.s_name
+"""
+
+
+@register("sole_return_suppliers", Q21_ORACLE)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NOT EXISTS over sibling rows, decorrelated: keep
+    returned items whose order has exactly one distinct returning
+    supplier (cnt==1 ⟺ no other supplier returned in that order)."""
+    supp = _t(spark, sf_dir, "supplier")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_order = returned.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_nsupp")
+    )
+    sole = (
+        returned.join(per_order, "l_orderkey")
+        .filter(F.col("_nsupp") == 1)
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -52,4 +52,5 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     subquery_queries,
     temporal_queries,
     text_queries,
+    tpch_extra,
 )
