@@ -51,3 +51,28 @@ def test_upsert_idempotent_replay(spark, tmp_path):
 def test_read_latest_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_latest(spark, str(tmp_path / "nope"))
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    from amorphous_mapreduce_spark.streaming.sink import stream_upsert
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"])
+    b2 = spark.createDataFrame([(2, 21.0), (3, 30.0)], ["id", "v"])
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    b2.coalesce(1).write.mode("append").parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = stream_upsert(stream, table, ["id"], ckpt)
+    q.awaitTermination(120)
+    latest = {r["id"]: r["v"] for r in read_latest(spark, table).collect()}
+    # whichever batch order, id=1 and id=3 are unambiguous; id=2 is one of
+    # its two versions (20.0 if b2 processed first, 21.0 otherwise)
+    assert latest[1] == 10.0 and latest[3] == 30.0
+    assert latest[2] in (20.0, 21.0)
+    assert len(latest) == 3
