@@ -1,0 +1,104 @@
+"""Deterministic k-means over embeddings (diversity clustering).
+
+Training-data pipelines cluster embeddings to sample diverse subsets and
+to cap near-duplicate regions. This implementation is engineered for
+exact cross-engine reproducibility (the repo's oracle discipline):
+
+- vectors are quantised to integers (round(x*1000)) so centroid updates
+  are exact integer sums divided once in double — no float-accumulation
+  order sensitivity;
+- seeds are the ``k`` vectors with smallest md5(vec_id) (deterministic,
+  no RNG), mirroring operators.similarity.ivf_assign;
+- assignment is argmin squared distance via argmax(q·c − |c|²/2)
+  (ordered double folds), ties broken by cell id;
+- a fixed iteration count (no convergence check) keeps the computation
+  identical to an unrolled SQL oracle.
+
+Scale: per iteration, one broadcast join against k centroids + one
+groupBy(cell, dim) aggregation over n·d rows — linear in corpus size;
+k and d stay driver-side tiny (k centroids collected per iteration is
+k·d doubles, not data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+QUANT = 1000
+
+
+def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x * QUANT).cast("long")
+    )
+    return emb.select(F.col(id_col).alias("id"), qv.alias("qv"))
+
+
+def _score(qv_col: str, cv_col: str):
+    """argmax objective: q·c − |c|²/2 (equivalent to argmin distance)."""
+    dot = F.aggregate(
+        F.zip_with(qv_col, cv_col, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c2 = F.aggregate(
+        F.zip_with(cv_col, cv_col, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot - c2 / 2
+
+
+def _assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    w = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("cell"))
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .select("id", "qv", "cell", _score("qv", "cv").alias("_s"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "qv", "cell")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignments after ``iters`` Lloyd iterations: [id, cell]."""
+    q = _quantize(emb, id_col, vec_col).persist()
+    wseed = Window.orderBy(hex_hash64(F.col("id").cast("string")), F.col("id"))
+    centroids = (
+        q.withColumn("_r", F.row_number().over(wseed))
+        .filter(F.col("_r") <= k)
+        .select(
+            (F.col("_r") - 1).alias("cell"),
+            F.transform("qv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    assigned = _assign(q, centroids)
+    for _ in range(iters):
+        means = (
+            assigned.select("cell", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg((F.sum("v").cast("double") / F.count("*")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        assigned = _assign(q, means)
+    return assigned.select("id", "cell")
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    """[cell, n_members] — the diversity histogram."""
+    return assignments.groupBy("cell").agg(F.count("*").alias("n_members"))

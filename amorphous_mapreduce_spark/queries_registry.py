@@ -45,6 +45,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     curation_queries,
     dedup_queries,
     gemm_queries,
+    kmeans_queries,
     misc_queries,
     relational_queries,
     similarity_queries,
