@@ -101,3 +101,29 @@ def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the k-means assignment (diversity view)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_sizes(kmeans_assign(emb, k=K, iters=2))
+
+
+DIVERSITY_ORACLE = KMEANS_ORACLE.replace(
+    "SELECT id, cell FROM a2",
+    """SELECT id, cell, rnk FROM (
+    SELECT id, cell,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY id) AS rnk
+    FROM a2
+) WHERE rnk <= 16""",
+)
+
+
+@register("diversity_sample", DIVERSITY_ORACLE)
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: at most 16 vectors per k-means cell —
+    the diversity-capping step of a curation pipeline (deterministic
+    member order by id)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=K, iters=2)
+    w = Window.partitionBy("cell").orderBy("id")
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 16)
+    )
