@@ -8,7 +8,10 @@ exact cross-engine reproducibility (the repo's oracle discipline):
   are exact integer sums divided once in double — no float-accumulation
   order sensitivity;
 - seeds are the ``k`` vectors with smallest md5(vec_id) (deterministic,
-  no RNG), mirroring operators.similarity.ivf_assign;
+  no RNG), mirroring operators.similarity.ivf_assign; selected via
+  orderBy(hash, id).limit(k) — TakeOrderedAndProject, a distributed
+  per-partition top-k merge, NOT a single-partition global window — and
+  labeled by the seed's own id (cell = seed vec_id);
 - assignment is argmin squared distance via argmax(q·c − |c|²/2)
   (ordered double folds), ties broken by cell id;
 - a fixed iteration count (no convergence check) keeps the computation
@@ -72,12 +75,11 @@ def kmeans_assign(
 ) -> DataFrame:
     """Cluster assignments after ``iters`` Lloyd iterations: [id, cell]."""
     q = _quantize(emb, id_col, vec_col).persist()
-    wseed = Window.orderBy(hex_hash64(F.col("id").cast("string")), F.col("id"))
     centroids = (
-        q.withColumn("_r", F.row_number().over(wseed))
-        .filter(F.col("_r") <= k)
+        q.orderBy(hex_hash64(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
         .select(
-            (F.col("_r") - 1).alias("cell"),
+            F.col("id").alias("cell"),
             F.transform("qv", lambda x: x.cast("double")).alias("cv"),
         )
     )

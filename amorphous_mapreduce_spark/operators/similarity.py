@@ -168,15 +168,16 @@ def ivf_assign(
     Centroids are ``n_cells`` corpus vectors chosen by smallest
     md5(id) — deterministic pseudo-random seeding (IVF-flat without the
     k-means refinement; swap in trained centroids without changing the
-    query path). Assignment = argmax dot with the broadcast centroid table.
+    query path), selected via orderBy(hash, id).limit(k) which plans as
+    TakeOrderedAndProject (distributed per-partition top-k merge — no
+    single-partition window over the corpus). Cells are labeled by the
+    seed vector's own id. Assignment = argmax dot with the broadcast
+    centroid table.
     """
-    w = Window.orderBy(hex_hash64(F.col(id_col).cast("string")), F.col(id_col))
     centroids = (
-        emb.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_cells)
-        .select(
-            (F.col("_r") - 1).alias("cell"), F.col(vec_col).alias("cv")
-        )
+        emb.orderBy(hex_hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
     )
     dot = F.aggregate(
         F.zip_with(vec_col, "cv", lambda x, y: x.cast("double") * y.cast("double")),

@@ -93,8 +93,8 @@ WITH kv AS (
 )
 SELECT prop_key,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$."' || prop_key || '"') AS BIGINT))
-           AS sum_value
+       CAST(SUM(CAST(json_extract_string(props, '$."' || prop_key || '"')
+                     AS BIGINT)) AS BIGINT) AS sum_value
 FROM kv GROUP BY prop_key
 """
 

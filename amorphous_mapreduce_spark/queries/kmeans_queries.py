@@ -59,13 +59,12 @@ WITH q AS (
            list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
     FROM embeddings
 ), seeds AS (
-    SELECT ROW_NUMBER() OVER (
-               ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
-                             AS BIGINT), id
-           ) - 1 AS cell,
+    SELECT id AS cell,
            list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
     FROM q
-    QUALIFY cell <= {K - 1}
+    ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                  AS BIGINT), id
+    LIMIT {K}
 ),"""
     + _assign_cte("a0", "seeds")
     + ","

@@ -375,7 +375,8 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type

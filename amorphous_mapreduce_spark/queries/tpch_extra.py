@@ -102,13 +102,21 @@ WHERE CAST(dval AS DOUBLE) >
 @register("important_suppliers", Q11_ORACLE)
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: suppliers above a fraction of the global value —
-    the total is an exact-decimal whole-frame window sum (in-plan, no
-    driver round trip)."""
+    the total is a 1-row exact-decimal scalar aggregate broadcast-crossed
+    back (no Window.partitionBy(lit(1)) exchange-to-one: the per-supplier
+    rows never funnel through a single partition, only the 1-row total
+    does)."""
     li = _t(spark, sf_dir, "lineitem")
-    sv = li.groupBy("l_suppkey").agg(F.sum(dec("l_extendedprice")).alias("dval"))
-    wall = Window.partitionBy(F.lit(1))
+    # Both branches (per-supplier rows + scalar total) read sv: persist so
+    # the lineitem scan+agg runs once (CLAUDE.md shared-lineage gotcha).
+    sv = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("dval"))
+        .persist()
+    )
+    total = sv.agg(F.sum("dval").alias("_total"))
     return (
-        sv.withColumn("_total", F.sum("dval").over(wall))
+        sv.crossJoin(F.broadcast(total))
         .filter(
             F.col("dval").cast("double") > F.col("_total").cast("double") * 0.011
         )

@@ -35,6 +35,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtypes differ between Spark and the oracle.
+
+    The driver hashes values in a width-insensitive way (int32 vs int64
+    both hashed green in CORRECTNESS_r01) but IS sensitive to DuckDB
+    returning HUGEINT (pandas object dtype) where Spark returns int64 —
+    the class of bug canon()'s stringification masked (VERDICT r1 "What's
+    wrong" 1-2). So compare dtype KINDS: int≡uint widths collapse,
+    datetime units collapse, but object-vs-numeric / float-vs-int /
+    bool-vs-int mismatches fail.
+    """
+    bad = []
+    for c in sdf.columns:
+        ka, kb = sdf[c].dtype.kind, odf[c].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        if ka != kb:
+            bad.append(f"{c}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,6 +89,16 @@ def main() -> int:
             status = f"ROWCOUNT {len(sdf)} vs {len(odf)}"
         elif sorted(sdf.columns) != sorted(odf.columns):
             status = f"SCHEMA {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+        elif dtype_mismatches(
+            sdf.reindex(sorted(sdf.columns), axis=1),
+            odf.reindex(sorted(odf.columns), axis=1),
+        ):
+            status = "DTYPE " + "; ".join(
+                dtype_mismatches(
+                    sdf.reindex(sorted(sdf.columns), axis=1),
+                    odf.reindex(sorted(odf.columns), axis=1),
+                )
+            )
         else:
             a, b = canon(sdf), canon(odf)
             try:
