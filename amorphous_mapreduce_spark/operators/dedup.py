@@ -188,15 +188,32 @@ def jaccard_pairs(
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >= 1 shingle:
     [qid, nid, inter, union_sz, jaccard].
 
     Inverted-index join (shingle -> docs) keeps it sub-quadratic for
-    non-degenerate corpora; a frequency cap on hot shingles would bound
-    worst-case fanout at extreme scale.
+    non-degenerate corpora. ``max_df`` caps hot-shingle fanout: shingles
+    appearing in more than ``max_df`` documents are dropped from the
+    vocabulary BEFORE the join (from both the intersection counts and the
+    per-doc sizes, so the result is exact Jaccard over the capped
+    vocabulary). Without the cap, one stopword-like shingle at 100 TB
+    makes the self-join quadratic on that key — a shingle with df=d
+    produces d²/2 candidate rows.
     """
     sh = shingles(docs, shingle_size, id_col, text_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    # Three branches (sizes, both join sides) read the shingle table —
+    # persist so tokenize+shingle+df-cap runs once, not three times.
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("qid"), "sh")
     b = sh.select(F.col("id").alias("nid"), "sh")

@@ -53,10 +53,20 @@ def asof_join(
             l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
     unioned = l.unionByName(r.select(*l.columns))
     # Right rows sort before left rows at identical (on) so they are
-    # visible to them (ASOF's <=).
+    # visible to them (ASOF's <=). Among right rows with the SAME
+    # (by, on) the payload struct ascending makes the ordering total, so
+    # F.last deterministically carries the greatest payload tuple —
+    # without it the carried right row is arbitrary run-to-run.
+    order_exprs = [F.col(on).asc(), F.col("_side").asc()]
+    if right_cols:
+        order_exprs.append(
+            F.when(
+                F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
+            ).asc_nulls_first()
+        )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

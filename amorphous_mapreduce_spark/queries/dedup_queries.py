@@ -108,14 +108,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
 
 
+JACCARD_MAX_DF = 1000
+
 JACCARD_ORACLE = (
     "WITH "
     + SHINGLES_CTE
-    + """
-, sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+    + f"""
+, capped AS (
+    SELECT s.id, s.sh FROM shingles s
+    JOIN (SELECT sh FROM shingles GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}) rare USING (sh)
+)
+, sizes AS (SELECT id, COUNT(*) AS sz FROM capped GROUP BY id),
 inters AS (
     SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
-    FROM shingles a JOIN shingles b USING (sh)
+    FROM capped a JOIN capped b USING (sh)
     WHERE a.id < b.id
     GROUP BY a.id, b.id
 )
@@ -132,8 +139,10 @@ WHERE CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) >= 0.05
 
 @register("ngram_jaccard", JACCARD_ORACLE)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.05 via shingle inverted-index join."""
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    """Exact 3-gram Jaccard >= 0.05 via shingle inverted-index join, with
+    the hot-shingle df cap mirrored in the oracle (both sides compute
+    Jaccard over the df<=1000 vocabulary — identical results at any SF)."""
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.05, max_df=JACCARD_MAX_DF)
 
 
 SIMHASH_CTE = (

@@ -23,11 +23,50 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
-    """Rows of ``updates`` plus base rows whose key has no update."""
+def dedupe_updates(
+    updates: DataFrame, keys: list[str], order_cols: list[str] | None = None
+) -> DataFrame:
+    """Collapse ``updates`` to one row per key, deterministically.
+
+    MERGE semantics require a unique source row per key; an update batch
+    with several rows for one key must pick the SAME survivor on every
+    run (and on checkpoint replay in the streaming sink). The survivor is
+    the greatest row under ``order_cols`` descending (e.g. a ts/sequence
+    column = last-writer-wins), tie-broken by the remaining non-key
+    columns so the ordering is total. With no orderable columns at all
+    (key-only rows) duplicates are content-identical and a plain
+    dropDuplicates is already deterministic.
+    """
+    explicit = list(order_cols or [])
+    others = [c for c in updates.columns if c not in keys and c not in explicit]
+    ordering = [F.col(c).desc_nulls_last() for c in explicit + others]
+    if not ordering:
+        return updates.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows of ``updates`` plus base rows whose key has no update.
+
+    ``updates`` is deduped per key first (see ``dedupe_updates``) so the
+    result never carries duplicate keys, even for direct callers that
+    pass multi-row-per-key batches.
+    """
+    updates = dedupe_updates(updates, keys, order_cols)
     survivors = base.join(updates.select(*keys).distinct(), keys, "left_anti")
     return survivors.unionByName(updates)
 
@@ -66,20 +105,23 @@ def upsert_parquet(
     table_path: str,
     updates: DataFrame,
     keys: list[str],
+    order_cols: list[str] | None = None,
 ) -> int:
     """Upsert ``updates`` into the versioned table; returns the new version.
 
-    First call (no versions yet) just writes the updates as v=0. The
-    _SUCCESS marker gates visibility: a crashed write never becomes
+    First call (no versions yet) writes the (key-deduped) updates as v=0.
+    The _SUCCESS marker gates visibility: a crashed write never becomes
     latest.
     """
     v = latest_version(table_path)
     if v is None:
         new_v = 0
-        merged = updates
+        merged = dedupe_updates(updates, keys, order_cols)
     else:
         new_v = v + 1
-        merged = merge_upsert(read_version(spark, table_path, v), updates, keys)
+        merged = merge_upsert(
+            read_version(spark, table_path, v), updates, keys, order_cols
+        )
     merged.write.mode("errorifexists").parquet(
         os.path.join(table_path, f"v={new_v}")
     )

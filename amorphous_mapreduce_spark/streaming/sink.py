@@ -21,20 +21,23 @@ def stream_upsert(
     keys: list[str],
     checkpoint: str,
     trigger_available_now: bool = True,
+    order_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuously upsert a stream into the versioned table.
 
-    Each micro-batch becomes one table version; batch replays (after a
-    restart from the checkpoint) are idempotent per key because upsert
-    overwrites by key.
+    Each micro-batch becomes one table version. Within a batch the
+    survivor per key is chosen DETERMINISTICALLY by ``sources.merge.
+    dedupe_updates`` (greatest row under ``order_cols`` desc — e.g. a
+    ts/sequence column for last-writer-wins — tie-broken by the
+    remaining columns), so replaying a batch after a checkpoint restart
+    upserts the SAME row, making replay content-idempotent. A plain
+    dropDuplicates here would let a different row win on replay.
     """
 
     def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # last-writer-wins inside the batch: keep one row per key
-        deduped = batch.dropDuplicates(keys)
-        upsert_parquet(batch.sparkSession, table_path, deduped, keys)
+        upsert_parquet(batch.sparkSession, table_path, batch, keys, order_cols)
 
     writer = stream.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint

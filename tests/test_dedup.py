@@ -93,3 +93,29 @@ def test_dedup_ops_on_empty_input(spark):
     assert simhash(empty).count() == 0
     assert jaccard_pairs(empty).count() == 0
     assert curate_corpus(empty).count() == 0
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    # 10 docs sharing ONE stopword-like shingle; tails pairwise disjoint.
+    # Uncapped: every pair is a candidate (the hot shingle fans out to
+    # C(10,2)=45 pairs). Capped at df<=5 the hot shingle is dropped from
+    # the vocabulary, so no pair shares any shingle at all.
+    rows = [(i, f"common stop word u{i}x u{i}y") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = jaccard_pairs(docs, threshold=0.0)
+    capped = jaccard_pairs(docs, threshold=0.0, max_df=5)
+    assert uncapped.count() == 45
+    assert capped.count() == 0
+
+
+def test_jaccard_cap_above_max_df_is_identity(docs):
+    # A cap larger than any shingle's df must not change results.
+    base = {
+        (r["qid"], r["nid"]): (r["inter"], r["union_sz"])
+        for r in jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    capped = {
+        (r["qid"], r["nid"]): (r["inter"], r["union_sz"])
+        for r in jaccard_pairs(docs, threshold=0.0, max_df=1000).collect()
+    }
+    assert base == capped

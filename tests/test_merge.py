@@ -76,3 +76,44 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert latest[1] == 10.0 and latest[3] == 30.0
     assert latest[2] in (20.0, 21.0)
     assert len(latest) == 3
+
+
+def test_merge_upsert_dedupes_multirow_updates(spark):
+    # An update batch with several rows per key must yield ONE
+    # deterministic survivor (greatest under order_cols desc), never
+    # duplicate keys in the snapshot.
+    base = spark.createDataFrame([(1, "a", 0)], ["id", "name", "seq"])
+    updates = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "x", 1), (2, "y", 2)],
+        ["id", "name", "seq"],
+    )
+    for _ in range(3):  # stable across repeated runs
+        got = {
+            r["id"]: (r["name"], r["seq"])
+            for r in merge_upsert(base, updates, ["id"], order_cols=["seq"]).collect()
+        }
+        assert got == {1: ("new", 2), 2: ("y", 2)}
+
+
+def test_merge_upsert_default_ordering_deterministic(spark):
+    # No order_cols: survivor is the greatest row over the remaining
+    # columns — still deterministic run-to-run.
+    base = spark.createDataFrame([], "id long, name string")
+    updates = spark.createDataFrame(
+        [(1, "alpha"), (1, "zeta"), (1, "mid")], ["id", "name"]
+    )
+    runs = [
+        {r["id"]: r["name"] for r in merge_upsert(base, updates, ["id"]).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == {1: "zeta"} and runs.count(runs[0]) == 3
+
+
+def test_upsert_parquet_first_version_dedupes(spark, tmp_path):
+    table = str(tmp_path / "tbl_dedup_v0")
+    b0 = spark.createDataFrame(
+        [(1, 1.0, 1), (1, 2.0, 2)], ["id", "v", "seq"]
+    )
+    upsert_parquet(spark, table, b0, ["id"], order_cols=["seq"])
+    rows = read_latest(spark, table).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 2.0

@@ -184,3 +184,23 @@ def test_range_join_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_asof_duplicate_right_timestamps_deterministic(spark):
+    from amorphous_mapreduce_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, 5.0)], ["event_id", "user_id", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # two right rows at the SAME (user_id, ts): carried payload must be
+    # the greatest payload tuple, every run.
+    right = spark.createDataFrame(
+        [(1, 3.0, 10.0), (1, 3.0, 99.0), (1, 3.0, 42.0)],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    vals = [
+        asof_join(left, right, on="ts", by="user_id", right_cols=("value",))
+        .collect()[0]["asof_value"]
+        for _ in range(3)
+    ]
+    assert vals == [99.0, 99.0, 99.0]
