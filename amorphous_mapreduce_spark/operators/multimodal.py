@@ -78,7 +78,11 @@ def fake_decoder(content: bytes, meta: dict):
     """
     import numpy as np
 
-    arr = np.frombuffer(content, dtype=np.uint8).astype(np.float32)
+    # float64 accumulation: the mean/scale are exact-or-identically-rounded
+    # doubles, so casting the result to float32 (the output schema) gives
+    # the SAME bits as a SQL oracle computing in DOUBLE then ::FLOAT —
+    # float32 accumulation would double-round and drift by 1 ulp.
+    arr = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
     size = 64
     if len(arr) < size:
         arr = np.pad(arr, (0, size - len(arr)))

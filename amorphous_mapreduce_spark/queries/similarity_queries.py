@@ -86,19 +86,181 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_topk")  # no oracle: ANN result is approximate
+# --- ANN oracles ----------------------------------------------------------
+# The ANN paths are APPROXIMATE relative to exact top-k, but they are
+# fully DETERMINISTIC (md5-derived hyperplanes/seeds, ordered-fold dots
+# bit-identical to list_dot_product), so the whole pipeline is replayable
+# in SQL and hash-checkable — no rows-only escape hatch needed.
+
+_COS_AB = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+# operators.similarity.hyperplane_signatures replayed in SQL: plane p's
+# ±1 component at dim d = md5("lsh_{p}_{d}") parity (same bytes hashed as
+# _plane_sign), bit = sign of the ordered-fold projection, 4-bit bands.
+LSH_CTES = f"""
+planes AS (
+    SELECT p.range AS p,
+           list_transform(range((SELECT len(embedding) FROM embeddings LIMIT 1)),
+               d -> CASE WHEN CAST('0x' || substr(md5('lsh_' || p.range || '_' || d), 1, 15)
+                              AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS pl
+    FROM range(32) p
+), lshbits AS (
+    SELECT e.vec_id AS id, p.p,
+           CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) >= 0
+                THEN '1' ELSE '0' END AS bit
+    FROM embeddings e, planes p
+), lshbuckets AS (
+    SELECT id, p // 4 AS band, string_agg(bit, '' ORDER BY p) AS sig
+    FROM lshbits GROUP BY id, p // 4
+), lshcand AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM lshbuckets a JOIN lshbuckets b USING (band, sig)
+    WHERE a.id < b.id
+), lshsym AS (
+    SELECT qid, nid FROM lshcand
+    UNION ALL
+    SELECT nid AS qid, qid AS nid FROM lshcand
+), lshscored AS (
+    SELECT s.qid, s.nid, {_COS_AB} AS sim
+    FROM lshsym s
+    JOIN embeddings a ON a.vec_id = s.qid
+    JOIN embeddings b ON b.vec_id = s.nid
+), lsh AS (
+    SELECT qid, nid, sim, rnk FROM (
+        SELECT qid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM lshscored
+    ) WHERE rnk <= 5
+)"""
+
+# operators.similarity.ivf_topk replayed in SQL: seeds = 16 smallest
+# md5(vec_id) (same TakeOrdered selection), argmax-dot assignment with
+# cell tie-break, 4 probed cells, exact cosine re-rank.
+IVF_CTES = f"""
+ivfseeds AS (
+    SELECT vec_id AS cell, embedding FROM embeddings
+    ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+             vec_id
+    LIMIT 16
+), ivfrank AS (
+    SELECT e.vec_id AS id, s.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[],
+                                         s.embedding::DOUBLE[]) DESC, s.cell
+           ) AS rk
+    FROM embeddings e, ivfseeds s
+), ivfassign AS (
+    SELECT id, cell FROM ivfrank WHERE rk = 1
+), ivfprobes AS (
+    SELECT id AS qid, cell FROM ivfrank WHERE rk <= 4
+), ivfcand AS (
+    SELECT DISTINCT p.qid, a.id AS nid
+    FROM ivfprobes p JOIN ivfassign a USING (cell)
+    WHERE p.qid <> a.id
+), ivfscored AS (
+    SELECT c.qid, c.nid, {_COS_AB} AS sim
+    FROM ivfcand c
+    JOIN embeddings a ON a.vec_id = c.qid
+    JOIN embeddings b ON b.vec_id = c.nid
+), ivf AS (
+    SELECT qid, nid, sim, rnk FROM (
+        SELECT qid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM ivfscored
+    ) WHERE rnk <= 5
+)"""
+
+IVF_TOPK_ORACLE = "WITH " + IVF_CTES + "\nSELECT qid, nid, sim, rnk FROM ivf"
+LSH_TOPK_ORACLE = "WITH " + LSH_CTES + "\nSELECT qid, nid, sim, rnk FROM lsh"
+
+
+@register("similarity_ivf_topk", IVF_TOPK_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-5: deterministic coarse quantiser + cell-probe
-    equi-join + exact re-rank (recall checked in pytest)."""
+    equi-join + exact re-rank. Hash-checked against a full SQL replay of
+    the pipeline (deterministic ANN — no rows-only escape)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=5, n_cells=16, n_probe=4)
 
 
-@register("similarity_lsh_topk")  # no oracle: ANN result is approximate
+@register("similarity_lsh_topk", LSH_TOPK_ORACLE)
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5: sub-quadratic candidate generation + exact
-    re-rank — the 100 TB scale path (recall checked in pytest)."""
+    re-rank — the 100 TB scale path. Hash-checked against a full SQL
+    replay (md5 hyperplanes, ordered-fold projections)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # 8 bands × 4 bits: high recall even on near-isotropic vectors (the
     # fixture embeddings' top-neighbour cosines are only ~0.4-0.5).
     return lsh_topk(emb, k=5, n_planes=32, band_bits=4)
+
+
+# --- recall@k vs exact top-k (the ANN quality metric, in-plan) ------------
+
+_EXACT_CTE = f"""
+exact AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS_AB} AS sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id <> b.vec_id
+        )
+    ) WHERE rnk <= 5
+)"""
+
+_RECALL_SELECT = """
+SELECT n_exact, n_hits, CAST(n_hits AS DOUBLE) / n_exact AS recall FROM (
+    SELECT COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM exact e
+    LEFT JOIN {ann} t ON e.qid = t.qid AND e.nid = t.nid
+)"""
+
+
+def _recall(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
+    """recall@5 of an ANN result against the exact top-5, in one plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=5).select("qid", "nid")
+    hits = ann.select("qid", "nid").withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hits, ["qid", "nid"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+LSH_RECALL_ORACLE = (
+    "WITH " + _EXACT_CTE + ", " + LSH_CTES + _RECALL_SELECT.format(ann="lsh")
+)
+IVF_RECALL_ORACLE = (
+    "WITH " + _EXACT_CTE + ", " + IVF_CTES + _RECALL_SELECT.format(ann="ivf")
+)
+
+
+@register("similarity_lsh_recall", LSH_RECALL_ORACLE)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of LSH ANN vs the exact top-5 — the ANN correctness
+    signal, computed in-plan (join + aggregate) and hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall(spark, sf_dir, lsh_topk(emb, k=5, n_planes=32, band_bits=4))
+
+
+@register("similarity_ivf_recall", IVF_RECALL_ORACLE)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF ANN vs the exact top-5, in-plan, hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall(spark, sf_dir, ivf_topk(emb, k=5, n_cells=16, n_probe=4))

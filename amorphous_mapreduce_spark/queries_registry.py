@@ -47,6 +47,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     gemm_queries,
     kmeans_queries,
     misc_queries,
+    multimodal_queries,
     relational_queries,
     similarity_queries,
     streaming_queries,
