@@ -77,6 +77,107 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via blocked E·Eᵀ — the reference's tiled outer-product
+    GEMM (src/outer_product.rs:146-169 tiling, :194-208 rank-k update)
+    applied to similarity: [qid, nid, sim, rnk].
+
+    Vectors are grouped into ``n_blocks`` hash blocks; the O(b²) block
+    pairs (not the O(n²) row pairs!) flow through one crossJoin, and a
+    mapInPandas kernel computes each m×n score tile. Per (query, block)
+    only the local top-k survives the kernel, so the shuffle out of the
+    UDF is n·b·k rows instead of n² — the global window then merges the
+    per-block winners (global top-k ⊆ union of per-block top-k).
+
+    Bit-exactness with the SQL oracle: the tile is accumulated as an
+    ordered loop of per-dimension outer products
+    (``acc += outer(A[:,d], B[:,d])``), which performs the IDENTICAL
+    sequence of double additions as the ordered left fold in
+    functions.vectors / DuckDB list_dot_product — a BLAS ``A @ B`` would
+    drift in the last ulp and break the hash compare. Norms are computed
+    once JVM-side (l2_norm) and carried into the blocks.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
+        F.pmod(hex_hash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias(
+            "blk"
+        ),
+    )
+    # sort_array(collect_list(struct)) -> deterministic block member order
+    # (struct ordering leads with id), so kernel output is reproducible.
+    blocks = v.groupBy("blk").agg(
+        F.sort_array(F.collect_list(F.struct("id", "vec", "norm"))).alias("items")
+    )
+    pairs = blocks.select(
+        F.col("blk").alias("ablk"), F.col("items").alias("a_items")
+    ).crossJoin(
+        blocks.select(F.col("blk").alias("bblk"), F.col("items").alias("b_items"))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nid", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        for pdf in it:
+            qids, nids, sims = [], [], []
+            for a_items, b_items in zip(pdf["a_items"], pdf["b_items"]):
+                aids = np.array([x["id"] for x in a_items], dtype=np.int64)
+                bids = np.array([x["id"] for x in b_items], dtype=np.int64)
+                A = np.array([x["vec"] for x in a_items], dtype=np.float64)
+                B = np.array([x["vec"] for x in b_items], dtype=np.float64)
+                an = np.array([x["norm"] for x in a_items], dtype=np.float64)
+                bn = np.array([x["norm"] for x in b_items], dtype=np.float64)
+                m, n = len(aids), len(bids)
+                if m == 0 or n == 0:
+                    continue
+                acc = np.zeros((m, n), dtype=np.float64)
+                for d in range(A.shape[1]):  # rank-1 updates in dim order
+                    acc += np.outer(A[:, d], B[:, d])
+                tile = acc / np.outer(an, bn)
+                tile[aids[:, None] == bids[None, :]] = -np.inf  # self-pairs
+                kk = min(k, n)
+                for i in range(m):
+                    # top-k by (sim desc, nid asc): lexsort, last key primary
+                    order = np.lexsort((bids, -tile[i]))[:kk]
+                    for j in order:
+                        if tile[i, j] == -np.inf:
+                            continue
+                        qids.append(aids[i])
+                        nids.append(bids[j])
+                        sims.append(tile[i, j])
+            yield pd.DataFrame({"qid": qids, "nid": nids, "sim": sims})
+
+    cands = pairs.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return cands.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def _plane_sign(seed: str, plane: int, dim: int) -> float:
     """±1 component of hyperplane ``plane`` at ``dim``: the same value as
     functions.hashing.hex_hash64(f"{seed}_{plane}_{dim}") % 2, computed

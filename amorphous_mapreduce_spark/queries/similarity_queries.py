@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from amorphous_mapreduce_spark.functions.vectors import l2_norm
 from amorphous_mapreduce_spark.operators.similarity import (
     cosine_pairs,
-    cosine_topk,
+    cosine_topk_blocked,
     ivf_topk,
     lsh_topk,
 )
@@ -63,10 +63,12 @@ WHERE rnk <= 5
 
 @register("similarity_topk", TOPK_ORACLE)
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per vector: the exact ANN baseline.
-    O(n²·d) block cross join — at 100 TB swap in similarity_lsh_topk."""
+    """Exact cosine top-5 per vector via the BLOCKED outer-product path
+    (reference G3/G6 tiling): O(b²) block-pair crossJoin + per-tile rank-1
+    accumulation kernel, n·b·k candidate rows out — not an O(n²) row
+    cartesian. Still exact; at 100 TB prefer similarity_lsh_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, k=5)
+    return cosine_topk_blocked(emb, k=5, n_blocks=16)
 
 
 NEARDUP_ORACLE = f"""
@@ -227,7 +229,7 @@ SELECT n_exact, n_hits, CAST(n_hits AS DOUBLE) / n_exact AS recall FROM (
 def _recall(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
     """recall@5 of an ANN result against the exact top-5, in one plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb, k=5).select("qid", "nid")
+    exact = cosine_topk_blocked(emb, k=5, n_blocks=16).select("qid", "nid")
     hits = ann.select("qid", "nid").withColumn("_hit", F.lit(1))
     return (
         exact.join(hits, ["qid", "nid"], "left")

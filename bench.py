@@ -33,6 +33,11 @@ HEADLINE = [
     "similarity_lsh_topk",
     "events_sessionize",
     "events_daily_rollup",
+    # round-2 additions: one per new family so regressions stay visible
+    "kmeans_clusters",
+    "corpus_curation",
+    "asof_purchase_signup",
+    "media_features",
 ]
 
 

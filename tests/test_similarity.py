@@ -126,3 +126,41 @@ def test_similarity_ops_on_empty_input(spark):
     assert cosine_topk(empty, k=3).count() == 0
     assert lsh_topk(empty, k=3, n_planes=8, band_bits=4).count() == 0
     assert ivf_topk(empty, k=3, n_cells=4, n_probe=2).count() == 0
+
+
+def test_blocked_topk_equals_rowwise(spark):
+    from amorphous_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    rng = np.random.default_rng(42)
+    df = _emb_df(spark, rng.normal(size=(80, 16)).astype(np.float32))
+    a = {
+        (r["qid"], r["rnk"]): (r["nid"], r["sim"])
+        for r in cosine_topk(df, k=4).collect()
+    }
+    b = {
+        (r["qid"], r["rnk"]): (r["nid"], r["sim"])
+        for r in cosine_topk_blocked(df, k=4, n_blocks=5).collect()
+    }
+    # identical membership, ranks AND bit-identical sims (ordered rank-1
+    # accumulation == ordered left fold)
+    assert a == b
+
+
+def test_blocked_topk_small_blocks(spark):
+    # more blocks than rows: some blocks empty/singleton; still exact
+    from amorphous_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    df = _emb_df(spark, rng.normal(size=(7, 8)).astype(np.float32))
+    a = {(r["qid"], r["rnk"]): r["nid"] for r in cosine_topk(df, k=3).collect()}
+    b = {
+        (r["qid"], r["rnk"]): r["nid"]
+        for r in cosine_topk_blocked(df, k=3, n_blocks=16).collect()
+    }
+    assert a == b
