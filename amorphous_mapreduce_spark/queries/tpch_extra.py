@@ -1,10 +1,13 @@
 """Remaining TPC-H query shapes adapted to the fixture schema.
 
-Q2 (correlated MIN), Q8 (market-share ratio by year), Q11 (group value
-above a global-total threshold), Q16 (NOT LIKE / IN-list distinct
-counts), Q20 (IN over grouped HAVING), Q21 (sole-supplier NOT EXISTS).
+Q2 (correlated MIN), Q4 (EXISTS + priority counts), Q8 (market-share
+ratio by year), Q11 (group value above a global-total threshold),
+Q12 (conditional priority tallies), Q13 (customer order-count
+distribution via left outer join), Q15 (top-revenue supplier via scalar
+MAX), Q16 (NOT LIKE / IN-list distinct counts), Q20 (IN over grouped
+HAVING), Q21 (sole-supplier NOT EXISTS).
 All follow the exact-decimal discipline; thresholds/totals are computed
-in-plan (window over the whole frame), never on the driver.
+in-plan (scalar aggregate broadcast back), never on the driver.
 """
 
 from __future__ import annotations
@@ -215,4 +218,140 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("late_order_priorities", Q4_ORACLE)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS over correlated lineitems (here: any line
+    shipped after the order date, the fixture's stand-in for
+    commitdate < receiptdate) as a left-semi join with the inequality in
+    the join condition, then priority counts. Semi join shuffles on the
+    equi key only; the inequality is a post-probe filter."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_linestatus
+"""
+
+
+@register("late_lines_by_status", Q12_ORACLE)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority tallies over late-shipped
+    lines, grouped by line status (l_linestatus stands in for the
+    fixture-absent l_shipmode). Outer CAST AS BIGINT in the oracle:
+    DuckDB SUM(int) is HUGEINT (CLAUDE.md gotcha)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+@register("customer_order_distribution", Q13_ORACLE)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution — left outer join
+    (customers with zero matching orders count as 0), per-customer
+    COUNT(col) (null-skipping), then a second aggregation over the
+    counts. Two narrow shuffles on uniform keys; scale-safe."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q15_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(12,2))) AS tr
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE tr = (SELECT MAX(tr) FROM rev)
+"""
+
+
+@register("top_revenue_supplier", Q15_ORACLE)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum revenue — the scalar
+    MAX is a 1-row aggregate broadcast-crossed back (same no-single-
+    partition pattern as Q11); revenue in exact decimal so the equality
+    against MAX is bit-safe on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+            ).alias("tr")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("tr").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("tr") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
     )
