@@ -36,11 +36,43 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct().persist()
 
+    # Iterate ONLY over edge-incident nodes: isolated vertices can never
+    # change label, and in a near-dup graph they are the overwhelming
+    # majority (candidate pairs << corpus). Keeping them out of the loop
+    # shrinks every per-round join/checkpoint/count from |corpus| to
+    # |edge nodes| — the difference between O(corpus) and O(dups) work
+    # per round at 100 TB. Singletons are unioned back once at the end.
     ids = sym.select(F.col("a").alias("id")).distinct()
-    if nodes is not None:
-        ids = ids.unionByName(nodes.select(F.col("id"))).distinct()
     labels = ids.withColumn("component", F.col("id")).localCheckpoint()
 
+    # The loop's joins/aggs are narrow JVM row work over the (small) edge
+    # set; AQE's parallelism-first coalescing keeps ~2x-cores partitions
+    # even when a round's data is kilobytes, so every round pays hundreds
+    # of empty-task overheads. Size-based coalescing is the right policy
+    # inside the loop — scoped + restored so the caller's session policy
+    # (parallelism-first suits pandas-UDF stages) is untouched.
+    spark = edges.sparkSession
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_old = spark.conf.get(pf_key, "true")
+    spark.conf.set(pf_key, "false")
+    try:
+        labels = _cc_loop(sym, labels, max_iter)
+    finally:
+        spark.conf.set(pf_key, pf_old)
+    sym.unpersist()
+    if nodes is not None:
+        singletons = (
+            nodes.select(F.col("id"))
+            .distinct()
+            .join(labels.select("id"), "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        labels = labels.unionByName(singletons)
+    return labels
+
+
+def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation + pointer jumping until no label changes."""
     for _ in range(max_iter):
         # (a) adopt the minimum label among self and neighbours
         neigh_min = (
@@ -75,7 +107,6 @@ def connected_components(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 
