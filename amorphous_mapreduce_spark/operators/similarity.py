@@ -203,38 +203,51 @@ def hyperplane_signatures(
     sign bit = [Σ_d s(p,d)·v[d] >= 0]. Bits are band-grouped (LSH banding:
     ``n_planes/band_bits`` independent tables OR-ed for recall).
 
-    Plane components are baked in as literal arrays, so the whole
-    signature is ONE narrow projection per vector — no explode, no plane
-    join, no shuffle (the prior formulation cost three shuffles).
+    All ``n_planes`` projections are computed in ONE Arrow-batched
+    mapInPandas kernel (no explode, no plane join, no shuffle). The
+    prior formulation baked each plane in as a literal array expression;
+    at 32 planes x 64 dims the ~2k-term Catalyst tree took longer to
+    analyze + interpret than the data took to scan. The kernel
+    accumulates per dimension in order (``acc[:,p] += v[d]*s[d,p]`` for
+    d = 0..dims-1), the identical double-addition sequence as the
+    ordered left fold / DuckDB list_dot_product, so sign bits are
+    bit-stable across engines.
     """
+    import pandas as pd
+
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:  # empty input: empty signature table, same schema
         spark = emb.sparkSession
         return spark.createDataFrame([], schema="id long, band long, sig string")
     dims = first["d"]
-    bit_cols = []
-    for p in range(n_planes):
-        plane_vec = F.array(
-            *[F.lit(_plane_sign(seed, p, d)) for d in range(dims)]
-        )
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_vec, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit_cols.append(F.when(proj >= 0, "1").otherwise("0"))
+    import numpy as np
+
+    # dims x planes sign matrix, derived from md5 driver-side (tiny).
+    S = np.array(
+        [[_plane_sign(seed, p, d) for p in range(n_planes)] for d in range(dims)],
+        dtype=np.float64,
+    )
     n_bands = (n_planes + band_bits - 1) // band_bits
-    sigs = emb.select(
-        F.col(id_col).alias("id"),
-        *[
-            F.concat(*bit_cols[b * band_bits : (b + 1) * band_bits]).alias(f"_s{b}")
-            for b in range(n_bands)
-        ],
-    )
-    stack_args = ", ".join(f"{b}L, _s{b}" for b in range(n_bands))
-    return sigs.select(
-        "id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
-    )
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def kernel(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
+            acc = np.zeros((len(pdf), n_planes), dtype=np.float64)
+            for d in range(dims):  # ordered over dims == left fold order
+                acc += V[:, d : d + 1] * S[d]
+            bits = np.where(acc >= 0, "1", "0")
+            ids, bands, sigs = [], [], []
+            for i, vid in enumerate(pdf["id"]):
+                for b in range(n_bands):
+                    ids.append(vid)
+                    bands.append(b)
+                    sigs.append("".join(bits[i, b * band_bits : (b + 1) * band_bits]))
+            yield pd.DataFrame({"id": ids, "band": bands, "sig": sigs})
+
+    return src.mapInPandas(kernel, "id long, band long, sig string")
 
 
 def lsh_candidate_pairs(
