@@ -188,10 +188,10 @@ WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 12
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming <= 12.
 
-    banded=False here: at this corpus size (5k docs) and loose threshold
-    (12/60 bits), the pigeonhole band join generates most pairs anyway and
-    the brute nested loop is faster. The banded variant (identical output,
-    hash-join candidates) is the right call for tight thresholds / large
-    corpora — see operators.dedup.simhash_near_pairs.
+    banded=True: pigeonhole band join (exact result, hash-join candidate
+    generation) — the 100 TB path, and also the faster one on this corpus
+    (the fixture's near-dup clusters make band buckets correlate with
+    true pairs, so candidates ~ output, not ~ n²). The brute nested-loop
+    baseline remains available as banded=False.
     """
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=False)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=True)
