@@ -1,0 +1,192 @@
+"""Training-data pipeline queries: chunking, packing, sampling, TF-IDF,
+embedding quantization (operators/pipeline.py, SURVEY.md §2.5).
+
+Oracle notes:
+- chunking needs ABSOLUTE token positions, and Spark ``posexplode`` is
+  0-based while DuckDB ``generate_subscripts`` is 1-based — the CTE here
+  subtracts 1 (the shared dedup CTE only ever ORDERS by pos, where the
+  base doesn't matter).
+- window SUM(BIGINT) in DuckDB yields HUGEINT: every cumulative sum is
+  cast back to BIGINT (CLAUDE.md convention).
+- int8 quantization truncates toward zero: Spark CAST(double AS int)
+  truncates, DuckDB CAST rounds — the oracle wraps in TRUNC first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from amorphous_mapreduce_spark.operators.pipeline import (
+    chunk_documents,
+    pack_sequences,
+    quantize_embeddings,
+    stratified_sample,
+    stratified_topn,
+    tfidf_top_terms,
+)
+from amorphous_mapreduce_spark.queries.dedup_queries import NORM
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+# 0-based position-indexed tokens (matches operators.dedup.tokenized).
+TOKS0_CTE = f"""
+toks AS (
+    SELECT id, pos, word FROM (
+        SELECT doc_id AS id,
+               generate_subscripts(ws, 1) - 1 AS pos,
+               unnest(ws) AS word
+        FROM (SELECT doc_id, regexp_split_to_array({NORM}, ' ') AS ws
+              FROM documents)
+    ) WHERE length(word) > 0
+)
+"""
+
+HASH_KEY = (
+    "CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+CHUNK_ORACLE = (
+    "WITH "
+    + TOKS0_CTE
+    + """
+, member AS (
+    SELECT id, pos, word,
+           unnest(range(GREATEST(CAST(0 AS BIGINT),
+                                 CAST(CEIL((pos - 32 + 1) / 24.0) AS BIGINT)),
+                        CAST(FLOOR(pos / 24.0) AS BIGINT) + 1)) AS chunk_id
+    FROM toks
+)
+SELECT id, chunk_id, COUNT(*) AS n_tokens,
+       string_agg(word, ' ' ORDER BY pos) AS chunk_text
+FROM member
+GROUP BY id, chunk_id
+"""
+)
+
+
+@register("doc_chunks", CHUNK_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token / stride-24 chunk windows per document —
+    the context-length splitter of a pretraining pipeline (tokenize
+    W3-W5 + per-key aggregate W7, src/word_count.rs:99-123)."""
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+
+PACK_ORACLE = (
+    "WITH "
+    + TOKS0_CTE
+    + """
+, ntok AS (SELECT id, COUNT(*) AS n_tokens FROM toks GROUP BY id)
+SELECT lang, id, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS tok_offset,
+       CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                   - n_tokens) / 512.0) AS BIGINT) AS bin
+FROM ntok JOIN documents ON doc_id = id
+"""
+)
+
+
+@register("sequence_packing", PACK_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing layout (512-token contexts),
+    one window cumsum per language stratum — integer-exact anywhere."""
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=512)
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id AS id, lang FROM documents
+WHERE {HASH_KEY} % 100 < 10
+"""
+
+
+@register("stratified_sample", SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample per language — a stateless filter
+    (zero shuffle; the only sane sampling primitive at 100 TB)."""
+    return stratified_sample(_docs(spark, sf_dir), rate_pct=10)
+
+
+TOPN_ORACLE = f"""
+SELECT id, lang, rnk FROM (
+    SELECT doc_id AS id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY {HASH_KEY} ASC, doc_id ASC) AS rnk
+    FROM documents
+) WHERE rnk <= 5
+"""
+
+
+@register("stratified_topn", TOPN_ORACLE)
+def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-language deterministic sample: smallest-hash-first
+    with id tie-break (one shuffle on the stratum key)."""
+    return stratified_topn(_docs(spark, sf_dir), n=5)
+
+
+TFIDF_ORACLE = (
+    "WITH "
+    + TOKS0_CTE
+    + """
+, tf AS (SELECT id, word, COUNT(*) AS tf FROM toks GROUP BY id, word),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS _n FROM documents)
+SELECT id, word, tf, df, score, rnk FROM (
+    SELECT t.id, t.word, t.tf, d.df,
+           CAST(t.tf AS DOUBLE)
+               * (CAST(nd._n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY t.id
+               ORDER BY CAST(t.tf AS DOUBLE)
+                            * (CAST(nd._n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                            DESC,
+                        t.word ASC) AS rnk
+    FROM tf t JOIN dfreq d USING (word) CROSS JOIN nd
+) WHERE rnk <= 3
+"""
+)
+
+
+@register("tfidf_top_terms", TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by rational-form TF-IDF (tf * N/df — rank-
+    equivalent to the log form, bit-identical across engines)."""
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+QUANT_ORACLE = """
+WITH scaled AS (
+    SELECT vec_id AS id,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS scale,
+           embedding
+    FROM embeddings
+), q AS (
+    SELECT id, scale,
+           list_transform(embedding,
+               x -> CAST(TRUNC(CAST(x AS DOUBLE) / scale * 127.0)
+                         AS INTEGER)) AS qv
+    FROM scaled WHERE scale > 0
+)
+SELECT id, scale,
+       len(list_filter(qv, v -> abs(v) = 127)) AS n_sat,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum
+FROM q
+"""
+
+
+@register("embedding_quantize", QUANT_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit per embedding (scale, saturation
+    count, integer checksum) — pure per-row transform, zero shuffle."""
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))

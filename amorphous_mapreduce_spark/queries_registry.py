@@ -48,6 +48,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     kmeans_queries,
     misc_queries,
     multimodal_queries,
+    pipeline_queries,
     relational_queries,
     similarity_queries,
     streaming_queries,

@@ -1,0 +1,120 @@
+"""Tests for the training-data pipeline operators (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.pipeline import (
+    chunk_documents,
+    pack_sequences,
+    quantize_embeddings,
+    stratified_sample,
+    stratified_topn,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang) for i, (t, lang) in enumerate(rows)]
+    )
+
+
+def test_chunk_windows_cover_every_token(spark):
+    # 10 tokens, chunk_size=4, stride=3 -> chunks at offsets 0,3,6,9
+    text = " ".join(f"w{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(text, "en")]), chunk_size=4, stride=3
+    ).orderBy("chunk_id")
+    rows = out.collect()
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"
+    assert rows[3].chunk_text == "w9"  # tail chunk is partial
+    # overlap: every interior token appears in ceil(chunk/stride)=2 chunks
+    total = sum(r.n_tokens for r in rows)
+    assert total == 10 + 3  # 3 overlap tokens (positions 3, 6, 9)
+
+
+def test_chunking_is_partition_invariant(spark):
+    docs = _docs(spark, [(" ".join(f"t{i}" for i in range(50)), "en")] * 3)
+    a = chunk_documents(docs.repartition(1)).orderBy("id", "chunk_id").collect()
+    b = chunk_documents(docs.repartition(7)).orderBy("id", "chunk_id").collect()
+    assert a == b
+
+
+def test_pack_sequences_offsets_are_cumulative(spark):
+    docs = _docs(
+        spark,
+        [("a b c", "en"), ("d e", "en"), ("f", "en"), ("x y z w", "fr")],
+    )
+    out = {
+        (r.lang, r.id): (r.n_tokens, r.tok_offset, r.bin)
+        for r in pack_sequences(docs, ctx_len=4).collect()
+    }
+    assert out[("en", 0)] == (3, 0, 0)
+    assert out[("en", 1)] == (2, 3, 0)
+    assert out[("en", 2)] == (1, 5, 1)  # crosses into the 2nd context
+    assert out[("fr", 3)] == (4, 0, 0)  # strata are independent streams
+
+
+def test_stratified_sample_deterministic_and_subset(spark, sf_dir):
+    from amorphous_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.id for r in stratified_sample(docs, rate_pct=10).collect())
+    b = sorted(r.id for r in stratified_sample(docs, rate_pct=10).collect())
+    assert a == b and len(a) > 0
+    wider = {r.id for r in stratified_sample(docs, rate_pct=50).collect()}
+    assert set(a) <= wider  # hash-mod sampling nests by construction
+
+
+def test_stratified_topn_exact_counts(spark, sf_dir):
+    from amorphous_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_topn(docs, n=3)
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(3, sizes[lang])
+    assert set(r.rnk for r in out.collect()) <= {1, 2, 3}
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    docs = _docs(
+        spark,
+        [
+            ("common rare1 rare1 common", "en"),
+            ("common rare2 common", "en"),
+            ("common rare3", "en"),
+        ],
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    # 'common' appears in every doc (df=3, idf=1) so its score equals its
+    # tf; each rareN has idf=3, beating it in every doc.
+    assert {r.word for r in out} == {"rare1", "rare2", "rare3"}
+    assert all(r.rnk == 1 for r in out)
+
+
+def test_quantize_audit_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [
+        [0.5, -1.0, 0.25, 1.0],
+        [2.0, 0.0, -2.0, 1.0],
+        [0.0, 0.0, 0.0, 0.0],  # zero vector is filtered out
+    ]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    )
+    got = {r.id: (r.scale, r.n_sat, r.q_sum) for r in quantize_embeddings(emb).collect()}
+    assert set(got) == {0, 1}
+    for i in (0, 1):
+        v = np.array(vecs[i], dtype=np.float64)
+        scale = np.abs(v).max()
+        q = np.trunc(v / scale * 127.0).astype(np.int64)
+        assert got[i][0] == scale
+        assert got[i][1] == int((np.abs(q) == 127).sum())
+        assert got[i][2] == int(q.sum())
