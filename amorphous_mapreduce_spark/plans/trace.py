@@ -4,8 +4,17 @@ The reference's observable artifact is a dependency-ordered op DAG dumped
 to JSON (src/main.rs:17-25; envelope schema src/op.rs:50-63). Spark already
 maintains that DAG — the analyzed/optimized/physical plans — so the export
 here is a walk over ``df._jdf.queryExecution()`` rather than hand-built
-dependency lists. Each node record carries {index, op, children, details},
-mirroring the reference's {index, op, dependency, op_content} envelope.
+dependency lists. Each node record carries the reference's exact envelope
+fields {index, module, dependency, op, op_content} (src/op.rs:50-63):
+``module`` is the reference's placement id (pid, or "global" for
+movement ops) — here the op category name, since Spark owns placement;
+``op`` carries the category payload; ``op_content.name`` the node class.
+
+``op_category`` maps Spark physical operators onto the reference's three
+IR classes (src/op.rs:29-173, SURVEY.md §2.1): TransOp = data movement
+(exchanges/broadcasts/scans/sinks), CrossPOp = fan-out pairing
+(joins/cartesian/explode), VecOp = elementwise/accumulate work
+(everything else: project/filter/aggregate/sort/window).
 """
 
 from __future__ import annotations
@@ -14,6 +23,38 @@ import json
 from typing import Any
 
 from pyspark.sql import DataFrame
+
+# Substring -> category, first match wins (reference classes src/op.rs:29-173).
+_TRANS_MARKERS = (
+    "Exchange",
+    "Broadcast",
+    "Shuffle",
+    "Scan",
+    "InMemoryRelation",
+    "WriteFiles",
+    "InsertInto",
+    "Relation",
+    "LocalTableScan",
+    "AQEShuffleRead",
+)
+_CROSSP_MARKERS = ("Join", "CartesianProduct", "Generate", "Expand")
+
+
+def op_category(op_name: str) -> str:
+    """Reference IR class for one Spark plan-node class name.
+
+    TransOp = movement/materialization (the reference's local<->remote
+    SRAM transfers, src/op.rs:29-63); CrossPOp = fan-out pairing (the
+    outer-product tile op, src/op.rs:108-173); VecOp = elementwise or
+    accumulate compute (src/op.rs:66-106).
+    """
+    # pairing ops first: BroadcastHashJoin is a join that HAPPENS to move
+    # data — the reference models the movement as separate TransOps.
+    if any(m in op_name for m in _CROSSP_MARKERS):
+        return "CrossPOp"
+    if any(m in op_name for m in _TRANS_MARKERS):
+        return "TransOp"
+    return "VecOp"
 
 
 def _build(
@@ -36,12 +77,17 @@ def _build(
         for k, v in node.items()
         if k not in ("class", "num-children") and not isinstance(v, (list, dict))
     }
+    cat = op_category(cls)
     out.append(
         {
             "index": idx,
-            "op": cls,
+            # reference envelope: "global" for movement ops, a placement id
+            # otherwise (src/op.rs:51,95) — Spark owns placement, so the
+            # category name stands in for the pid.
+            "module": "global" if cat == "TransOp" else cat,
             "dependency": child_ids,
-            "op_content": content,
+            "op": {"category": cat, "class": cls},
+            "op_content": {"name": cls, **content},
         }
     )
     return idx, nxt
@@ -63,6 +109,11 @@ def plan_to_json(df: DataFrame, plan: str = "executedPlan") -> str:
         "sparkPlan": qe.sparkPlan,
         "executedPlan": qe.executedPlan,
     }[plan]()
+    # AQE wraps the executed plan in an AdaptiveSparkPlanExec whose final
+    # plan isn't serialized as a child — unwrap it so the export shows the
+    # real op DAG (pre-execution this is the initial plan).
+    if plan == "executedPlan" and "AdaptiveSparkPlan" in node.getClass().getName():
+        node = node.finalPhysicalPlan()
     arr = json.loads(node.toJSON())
     ops: list[dict[str, Any]] = []
     _build(arr, 0, ops)
