@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.hashing import hex_hash64
-from amorphous_mapreduce_spark.operators.dedup import tokenized
+from amorphous_mapreduce_spark.operators.dedup import shingles, tokenized
 
 
 def chunk_documents(
@@ -182,6 +182,78 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("id", "word", "tf", "df", "score", "rnk")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_source: str,
+    min_shared: int = 5,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Train/eval contamination flags: [id, n_shared] of training docs
+    sharing >= min_shared distinct shingles with the eval set.
+
+    The benchmark-decontamination pass every pretraining pipeline runs:
+    the eval set's distinct shingle vocabulary is tiny relative to the
+    corpus (per-benchmark, not per-corpus), so it is broadcast and the
+    flagging join never shuffles the training side's shingles. (id, sh)
+    is distinct by construction, so COUNT(*) counts distinct overlaps.
+    """
+    sh = shingles(docs, shingle_size=shingle_size, id_col=id_col, text_col=text_col)
+    src = docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
+    tagged = sh.join(F.broadcast(src), "id")
+    eval_sh = (
+        tagged.filter(F.col("src") == eval_source).select("sh").distinct()
+    )
+    return (
+        tagged.filter(F.col("src") != eval_source)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def source_mixing_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-mixing stats per source: [source, n_docs, n_tokens,
+    tok_share, w_sqrt].
+
+    The inputs a mixture sampler needs: token counts per source, each
+    source's exact share of the corpus, and the sqrt-damped raw weight
+    (the alpha=0.5 temperature of multilingual/multi-source sampling).
+    All engine-exact: integer sums, one double division per row, and
+    sqrt is correctly rounded IEEE on both engines — no double SUM whose
+    accumulation order could differ. The corpus total is a 1-row scalar
+    aggregate broadcast back (no global window).
+    """
+    toks = tokenized(docs, id_col, text_col)
+    src = docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    per_src = (
+        toks.join(F.broadcast(src), "id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("_total"))
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_total").cast("double")).alias(
+            "tok_share"
+        ),
+        F.sqrt(F.col("n_tokens").cast("double")).alias("w_sqrt"),
     )
 
 

@@ -18,13 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from amorphous_mapreduce_spark.operators.pipeline import (
     chunk_documents,
+    decontaminate,
     pack_sequences,
     quantize_embeddings,
+    source_mixing_weights,
     stratified_sample,
     stratified_topn,
     tfidf_top_terms,
 )
-from amorphous_mapreduce_spark.queries.dedup_queries import NORM
+from amorphous_mapreduce_spark.queries.dedup_queries import NORM, shingles_cte
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -183,6 +185,56 @@ SELECT id, scale,
        CAST(list_sum(qv) AS BIGINT) AS q_sum
 FROM q
 """
+
+
+DECON_ORACLE = (
+    "WITH "
+    + shingles_cte()
+    + """
+, tagged AS (
+    SELECT s.id, s.sh, d.source AS src
+    FROM shingles s JOIN documents d ON s.id = d.doc_id
+), eval_sh AS (SELECT DISTINCT sh FROM tagged WHERE src = 'src0')
+SELECT t.id, COUNT(*) AS n_shared
+FROM tagged t JOIN eval_sh e USING (sh)
+WHERE t.src != 'src0'
+GROUP BY t.id
+HAVING COUNT(*) >= 5
+"""
+)
+
+
+@register("decontaminate", DECON_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 5
+    distinct 3-shingles with the 'src0' eval set. The eval shingle
+    vocabulary is broadcast, so the training side never shuffles."""
+    return decontaminate(_docs(spark, sf_dir), eval_source="src0", min_shared=5)
+
+
+MIX_ORACLE = (
+    "WITH "
+    + TOKS0_CTE
+    + """
+, per AS (
+    SELECT d.source, COUNT(DISTINCT t.id) AS n_docs, COUNT(*) AS n_tokens
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+    GROUP BY d.source
+), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS _total FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(_total AS DOUBLE) AS tok_share,
+       sqrt(CAST(n_tokens AS DOUBLE)) AS w_sqrt
+FROM per CROSS JOIN tot
+"""
+)
+
+
+@register("source_mixing_weights", MIX_ORACLE)
+def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixing stats (doc/token counts, corpus share,
+    sqrt-damped weight) — integer sums plus one engine-exact division
+    and sqrt per row; the corpus total is a broadcast 1-row scalar."""
+    return source_mixing_weights(_docs(spark, sf_dir))
 
 
 @register("embedding_quantize", QUANT_ORACLE)

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.pipeline import (
     chunk_documents,
+    decontaminate,
     pack_sequences,
     quantize_embeddings,
+    source_mixing_weights,
     stratified_sample,
     stratified_topn,
     tfidf_top_terms,
@@ -18,6 +20,12 @@ from amorphous_mapreduce_spark.operators.pipeline import (
 def _docs(spark, rows):
     return spark.createDataFrame(
         [Row(doc_id=i, text=t, lang=lang) for i, (t, lang) in enumerate(rows)]
+    )
+
+
+def _sourced(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, (t, s) in enumerate(rows)]
     )
 
 
@@ -96,6 +104,44 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     # tf; each rareN has idf=3, beating it in every doc.
     assert {r.word for r in out} == {"rare1", "rare2", "rare3"}
     assert all(r.rnk == 1 for r in out)
+
+
+def test_decontaminate_flags_overlapping_training_docs(spark):
+    # doc 0 is the eval doc; doc 1 copies a 6-token span of it (4 shared
+    # 3-shingles); doc 2 shares nothing.
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _sourced(
+        spark,
+        [
+            (eval_text, "eval"),
+            ("xx alpha beta gamma delta epsilon zeta yy", "train"),
+            ("one two three four five six seven", "train"),
+        ],
+    )
+    out = {
+        r.id: r.n_shared
+        for r in decontaminate(docs, "eval", min_shared=3, shingle_size=3).collect()
+    }
+    assert out == {1: 4}
+    # a stricter threshold drops it; eval docs are never flagged
+    assert decontaminate(docs, "eval", min_shared=5).count() == 0
+
+
+def test_source_mixing_weights_shares_sum_to_one(spark):
+    import math
+
+    docs = _sourced(
+        spark,
+        [("a b c d", "web"), ("e f", "web"), ("g h i", "books"), ("", "empty")],
+    )
+    rows = {r.source: r for r in source_mixing_weights(docs).collect()}
+    # the all-empty source has no tokens and is absent (consistent with
+    # the SQL oracle's inner join against toks)
+    assert set(rows) == {"web", "books"}
+    assert (rows["web"].n_docs, rows["web"].n_tokens) == (2, 6)
+    assert (rows["books"].n_docs, rows["books"].n_tokens) == (1, 3)
+    assert abs(sum(r.tok_share for r in rows.values()) - 1.0) < 1e-12
+    assert rows["web"].w_sqrt == math.sqrt(6.0)
 
 
 def test_quantize_audit_matches_numpy(spark):
