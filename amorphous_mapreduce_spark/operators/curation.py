@@ -39,9 +39,12 @@ def curate_corpus(
     stats = doc_stats(docs, id_col=id_col, text_col=text_col).select(
         F.col("id").alias(id_col), "quality"
     )
+    # Persisted: both the exact-dedup branch and q2's probe side re-read
+    # this (tokenize + agg + join) lineage; without the cache the whole
+    # quality stage runs twice.
     qdocs = docs.join(
         stats.filter(F.col("quality") >= min_quality), id_col
-    )
+    ).persist()
     exact_keepers = exact_dedup(qdocs, id_col=id_col, text_col=text_col).select(
         F.col("keeper_id").alias(id_col)
     )

@@ -31,31 +31,34 @@ def connected_components(
     ``edges`` is undirected input (each pair once is fine); ``nodes``
     optionally supplies isolated vertices (they become singletons).
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().persist()
-
-    # Iterate ONLY over edge-incident nodes: isolated vertices can never
-    # change label, and in a near-dup graph they are the overwhelming
-    # majority (candidate pairs << corpus). Keeping them out of the loop
-    # shrinks every per-round join/checkpoint/count from |corpus| to
-    # |edge nodes| — the difference between O(corpus) and O(dups) work
-    # per round at 100 TB. Singletons are unioned back once at the end.
-    ids = sym.select(F.col("a").alias("id")).distinct()
-    labels = ids.withColumn("component", F.col("id")).localCheckpoint()
-
     # The loop's joins/aggs are narrow JVM row work over the (small) edge
     # set; AQE's parallelism-first coalescing keeps ~2x-cores partitions
     # even when a round's data is kilobytes, so every round pays hundreds
     # of empty-task overheads. Size-based coalescing is the right policy
-    # inside the loop — scoped + restored so the caller's session policy
-    # (parallelism-first suits pandas-UDF stages) is untouched.
+    # for the whole loop INCLUDING the initial label checkpoint (set
+    # before it, so init materialises a handful of right-sized partitions
+    # instead of shuffle.partitions mostly-empty ones) — scoped +
+    # restored so the caller's session policy (parallelism-first suits
+    # pandas-UDF stages) is untouched.
     spark = edges.sparkSession
     pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     pf_old = spark.conf.get(pf_key, "true")
     spark.conf.set(pf_key, "false")
     try:
+        sym = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        sym = sym.distinct().persist()
+
+        # Iterate ONLY over edge-incident nodes: isolated vertices can
+        # never change label, and in a near-dup graph they are the
+        # overwhelming majority (candidate pairs << corpus). Keeping them
+        # out of the loop shrinks every per-round join/checkpoint/count
+        # from |corpus| to |edge nodes| — the difference between
+        # O(corpus) and O(dups) work per round at 100 TB. Singletons are
+        # unioned back once at the end.
+        ids = sym.select(F.col("a").alias("id")).distinct()
+        labels = ids.withColumn("component", F.col("id")).localCheckpoint()
         labels = _cc_loop(sym, labels, max_iter)
     finally:
         spark.conf.set(pf_key, pf_old)
