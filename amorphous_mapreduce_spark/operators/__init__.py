@@ -25,6 +25,7 @@ from amorphous_mapreduce_spark.operators.multimodal import (
     synthetic_media,
 )
 from amorphous_mapreduce_spark.operators.similarity import (
+    cosine_near_dup_blocked,
     cosine_pairs,
     cosine_topk,
     ivf_topk,
@@ -49,6 +50,7 @@ __all__ = [
     "asof_join",
     "bigram_counts",
     "connected_components",
+    "cosine_near_dup_blocked",
     "cosine_pairs",
     "cosine_topk",
     "dedup_clusters",

@@ -178,6 +178,104 @@ def cosine_topk_blocked(
     )
 
 
+def cosine_near_dup_blocked(
+    emb: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs above ``threshold`` via the same
+    blocked E·Eᵀ tiling as :func:`cosine_topk_blocked`: [qid, nid, sim]
+    with qid < nid.
+
+    Only the upper triangle of block pairs (ablk <= bblk) is generated —
+    blocks partition ids, so an unordered row pair lives in exactly one
+    block pair — and the kernel emits each qualifying pair once as
+    (min, max). Work is O(b²/2) tiles; rows leaving the kernel are only
+    the above-threshold pairs, so shuffle volume tracks the answer size
+    rather than n². Bit-exact with the SQL cosine (ordered rank-1
+    accumulation, JVM-side norms), so the threshold compare is safe.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
+        F.pmod(hex_hash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias(
+            "blk"
+        ),
+    )
+    blocks = v.groupBy("blk").agg(
+        F.sort_array(F.collect_list(F.struct("id", "vec", "norm"))).alias("items")
+    )
+    pairs = (
+        blocks.select(F.col("blk").alias("ablk"), F.col("items").alias("a_items"))
+        .crossJoin(
+            blocks.select(
+                F.col("blk").alias("bblk"), F.col("items").alias("b_items")
+            )
+        )
+        .filter(F.col("ablk") <= F.col("bblk"))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nid", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        for pdf in it:
+            qids, nids, sims = [], [], []
+            for ablk, bblk, a_items, b_items in zip(
+                pdf["ablk"], pdf["bblk"], pdf["a_items"], pdf["b_items"]
+            ):
+                aids = np.array([x["id"] for x in a_items], dtype=np.int64)
+                bids = np.array([x["id"] for x in b_items], dtype=np.int64)
+                A = np.array([x["vec"] for x in a_items], dtype=np.float64)
+                B = np.array([x["vec"] for x in b_items], dtype=np.float64)
+                an = np.array([x["norm"] for x in a_items], dtype=np.float64)
+                bn = np.array([x["norm"] for x in b_items], dtype=np.float64)
+                m, n = len(aids), len(bids)
+                if m == 0 or n == 0:
+                    continue
+                acc = np.zeros((m, n), dtype=np.float64)
+                for d in range(A.shape[1]):  # rank-1 updates in dim order
+                    acc += np.outer(A[:, d], B[:, d])
+                tile = acc / np.outer(an, bn)
+                # each unordered pair exactly once: the diagonal block
+                # holds both orderings -> keep aid < bid; off-diagonal
+                # blocks hold each cross pair once -> keep all, emit
+                # (min, max).
+                if ablk == bblk:
+                    keep = (tile > threshold) & (aids[:, None] < bids[None, :])
+                else:
+                    keep = tile > threshold
+                ii, jj = np.nonzero(keep)
+                if len(ii) == 0:
+                    continue
+                lo = np.minimum(aids[ii], bids[jj])
+                hi = np.maximum(aids[ii], bids[jj])
+                qids.extend(lo.tolist())
+                nids.extend(hi.tolist())
+                sims.extend(tile[ii, jj].tolist())
+            yield pd.DataFrame({"qid": qids, "nid": nids, "sim": sims})
+
+    return pairs.mapInPandas(kernel, out_schema)
+
+
 def _plane_sign(seed: str, plane: int, dim: int) -> float:
     """±1 component of hyperplane ``plane`` at ``dim``: the same value as
     functions.hashing.hex_hash64(f"{seed}_{plane}_{dim}") % 2, computed

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.vectors import l2_norm
 from amorphous_mapreduce_spark.operators.similarity import (
-    cosine_pairs,
+    cosine_near_dup_blocked,
     cosine_topk_blocked,
     ivf_topk,
     lsh_topk,
@@ -80,12 +80,11 @@ WHERE a.vec_id < b.vec_id AND {_COS} > 0.45
 
 @register("embedding_near_dup", NEARDUP_ORACLE)
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above threshold (exact)."""
+    """Embedding-cosine near-duplicate pairs above threshold — exact, via
+    the blocked E·Eᵀ tiling (upper-triangle block pairs only, shuffle
+    out of the kernel tracks the answer size, never n²)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        cosine_pairs(emb)
-        .filter((F.col("qid") < F.col("nid")) & (F.col("sim") > 0.45))
-    )
+    return cosine_near_dup_blocked(emb, threshold=0.45)
 
 
 # --- ANN oracles ----------------------------------------------------------

@@ -13,6 +13,8 @@ from pyspark.sql.types import (
 
 from amorphous_mapreduce_spark.functions.vectors import cosine_similarity
 from amorphous_mapreduce_spark.operators.similarity import (
+    cosine_near_dup_blocked,
+    cosine_pairs,
     cosine_topk,
     lsh_candidate_pairs,
     lsh_topk,
@@ -43,6 +45,32 @@ def test_cosine_identical_vectors_score_one(spark):
     }
     assert top1[3][0] == 7 and top1[3][1] == pytest.approx(1.0)
     assert top1[7][0] == 3 and top1[7][1] == pytest.approx(1.0)
+
+
+def test_blocked_near_dup_matches_brute_force(spark):
+    # blocked tiling must emit exactly the brute-force pairs, each once,
+    # regardless of how ids land in blocks
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[11] = vecs[2] + 0.01 * rng.normal(size=8).astype(np.float32)
+    vecs[30] = vecs[25]  # exact dup pair
+    df = _emb_df(spark, vecs)
+    thr = 0.6
+    brute = {
+        (r["qid"], r["nid"]): r["sim"]
+        for r in cosine_pairs(df)
+        .filter((F.col("qid") < F.col("nid")) & (F.col("sim") > thr))
+        .collect()
+    }
+    for n_blocks in (1, 4, 16):
+        blocked = {
+            (r["qid"], r["nid"]): r["sim"]
+            for r in cosine_near_dup_blocked(df, thr, n_blocks=n_blocks).collect()
+        }
+        assert set(blocked) == set(brute)
+        for k in brute:
+            assert blocked[k] == pytest.approx(brute[k], abs=1e-12)
+    assert (25, 30) in brute
 
 
 def test_cosine_matches_numpy(spark):

@@ -1,0 +1,237 @@
+"""Automated physical-plan audit: every registered query, every scale red flag.
+
+The 100 TB question ("would this plan survive 1000 executors?") is asked
+per-query and answered from the *physical plan*, not from timing. This
+tool builds each registered query and scans its executed-plan text for
+the anti-patterns that break at scale:
+
+  - ``CartesianProduct``            unbounded all-pairs join over data
+  - ``Exchange SinglePartition``    everything through one task — benign
+                                    only as the 1-row final step of a
+                                    scalar aggregate (detected from the
+                                    surrounding plan lines)
+  - ``BroadcastNestedLoopJoin``     benign only when one side is a 1-row
+                                    scalar (per-query allowlist, each
+                                    entry carrying its justification)
+  - ``BatchEvalPython``             row-at-a-time Python UDF in the plan
+                                    (Arrow/pandas nodes are fine)
+
+and records the good signals (``PushedFilters`` reaching scans,
+``WholeStageCodegen`` spans, broadcast joins, ``TakeOrderedAndProject``
+top-k). Output: one summary line per query, a JSON report at
+``PLAN_AUDIT.json``, exit 1 on any unexplained red flag.
+
+Usage::
+
+    python tools/plan_audit.py [sf_dir] [query ...]
+
+Plans are built (not executed) at the given SF — builders that probe or
+iterate (CC, k-means) do run their bounded loops, so the default SF is
+the smallest fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose plan legitimately contains a flagged node, with the
+# reason it is scale-safe anyway. Every entry must say WHY.
+ALLOW: dict[str, dict[str, str]] = {
+    "important_suppliers": {
+        "BroadcastNestedLoopJoin": "1-row global-total scalar aggregate "
+        "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
+        "whole-frame window)",
+    },
+    "promo_revenue_share": {
+        "BroadcastNestedLoopJoin": "1-row revenue-total scalar crossed back",
+    },
+    "source_mixing_weights": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar crossed back",
+    },
+    "tfidf_top_terms": {
+        "BroadcastNestedLoopJoin": "1-row corpus-size scalar (N for idf) "
+        "crossed onto term frequencies",
+    },
+    "above_avg_customers": {
+        "BroadcastNestedLoopJoin": "1-row global-average scalar from an "
+        "uncorrelated subquery",
+    },
+    "similarity_topk": {
+        "BroadcastNestedLoopJoin": "block-pair generation joins the (tiny, "
+        "O(n/block_size)^2) block-id frames, not row-level data; rows move "
+        "via the keyed block join",
+    },
+    "similarity_lsh_recall": {
+        "BroadcastNestedLoopJoin": "inherits similarity_topk's block-id "
+        "pair frame (the exact side of the recall join)",
+    },
+    "similarity_ivf_recall": {
+        "BroadcastNestedLoopJoin": "inherits similarity_topk's block-id "
+        "pair frame (the exact side of the recall join)",
+    },
+    "embedding_near_dup": {
+        "BroadcastNestedLoopJoin": "upper-triangle block-id pair frame of "
+        "the blocked E·Eᵀ tiling (O(b²/2) block rows, not row-level data)",
+    },
+    "gemm_coordinate": {
+        "BroadcastNestedLoopJoin": "synthetic test-matrix generation "
+        "(Range x Range fixture); the compute join is keyed on k",
+    },
+    "gemm_block": {
+        "BroadcastNestedLoopJoin": "synthetic test-matrix generation "
+        "(Range x Range fixture); block pairs join keyed on bk",
+    },
+    "kmeans_clusters": {
+        "BroadcastNestedLoopJoin": "k-row centroid frame broadcast onto "
+        "vectors each iteration — bounded by k, never data-sized",
+    },
+    "kmeans_cluster_sizes": {
+        "BroadcastNestedLoopJoin": "k-row centroid frame broadcast (same "
+        "as kmeans_clusters)",
+    },
+    "diversity_sample": {
+        "BroadcastNestedLoopJoin": "k-row centroid frame broadcast (same "
+        "as kmeans_clusters)",
+    },
+    "similarity_ivf_topk": {
+        "BroadcastNestedLoopJoin": "k-row IVF centroid frame broadcast for "
+        "cell assignment/probing — bounded by n_cells",
+    },
+    "customer_acctbal_deciles": {
+        "Exchange SinglePartition": "percentile_approx over the customer "
+        "dimension is a scalar aggregate (keys=[]) computed via a 2-row "
+        "grouping-set plan DuckDB can mirror; input is the ~SF*150k-row "
+        "customer dim, not fact data",
+    },
+}
+
+GOOD = {
+    "broadcast_joins": r"BroadcastHashJoin",
+    "sort_merge_joins": r"SortMergeJoin",
+    "topk_take_ordered": r"TakeOrderedAndProject",
+    "whole_stage_codegen": r"WholeStageCodegen",
+    "arrow_python": r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|"
+    r"FlatMapGroupsInPandasWithState",
+}
+
+
+def _singlepartition_is_scalar(lines: list[str], i: int) -> bool:
+    """True if the Exchange SinglePartition at ``lines[i]`` feeds a scalar
+    (no-grouping-key) aggregate or a global ordered limit — the plan text
+    lists consumers ABOVE the exchange."""
+    for j in range(i - 1, max(-1, i - 5), -1):
+        up = lines[j]
+        if "HashAggregate(keys=[]" in up or "SortAggregate(key=[]" in up:
+            return True
+        if "TakeOrderedAndProject" in up or "CollectLimit" in up:
+            return True
+        # grouping-set rewrite of a scalar agg (percentile plans)
+        if "Expand" in up or "ObjectHashAggregate(keys=[]" in up:
+            return True
+        if "Exchange" in up:  # another boundary — stop looking
+            break
+    return False
+
+
+def audit_plan(name: str, plan: str) -> dict:
+    lines = plan.splitlines()
+    flags: dict[str, int] = {}
+    notes: list[str] = []
+
+    n_cart = len(re.findall(r"CartesianProduct", plan))
+    if n_cart:
+        flags["CartesianProduct"] = n_cart
+
+    n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    if n_bnlj:
+        flags["BroadcastNestedLoopJoin"] = n_bnlj
+
+    bad_sp = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln and not _singlepartition_is_scalar(
+            lines, i
+        ):
+            bad_sp += 1
+    if bad_sp:
+        flags["Exchange SinglePartition"] = bad_sp
+
+    n_batch = len(re.findall(r"BatchEvalPython", plan))
+    if n_batch:
+        flags["BatchEvalPython"] = n_batch
+
+    good = {k: len(re.findall(rx, plan)) for k, rx in GOOD.items()}
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    good["scans"] = len(scans)
+    good["scans_with_pushed_filters"] = sum(1 for s in scans if s.strip())
+
+    allowed = ALLOW.get(name, {})
+    unexplained = {k: v for k, v in flags.items() if k not in allowed}
+    for k in flags:
+        if k in allowed:
+            notes.append(f"{k}: allowed — {allowed[k]}")
+    return {
+        "query": name,
+        "flags": flags,
+        "unexplained": unexplained,
+        "good": good,
+        "notes": notes,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.session import get_spark
+
+    spark = get_spark()
+    results = []
+    n_red = 0
+    for name, fn in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # builder failure is itself a finding
+            results.append({"query": name, "error": str(exc)[:300]})
+            n_red += 1
+            print(f"ERROR  {name}: {exc}")
+            continue
+        r = audit_plan(name, plan)
+        results.append(r)
+        if r["unexplained"]:
+            n_red += 1
+            print(f"RED    {name}: {r['unexplained']}")
+        elif r["flags"]:
+            print(f"ok*    {name}: allowlisted {list(r['flags'])}")
+        else:
+            g = r["good"]
+            print(
+                f"ok     {name}: bhj={g['broadcast_joins']} smj={g['sort_merge_joins']}"
+                f" codegen={g['whole_stage_codegen']} scans={g['scans']}"
+            )
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_red": n_red,
+        "results": results,
+    }
+    if not only:
+        with open("PLAN_AUDIT.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"\nwrote PLAN_AUDIT.json: {len(results)} queries, {n_red} red")
+    else:
+        print(f"\n{len(results)} queries audited, {n_red} red")
+    return 1 if n_red else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
