@@ -185,6 +185,68 @@ def tfidf_top_terms(
     )
 
 
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def quality_rules(
+    docs: DataFrame,
+    min_words: int = 30,
+    max_top_bigram_frac: float = 0.1,
+    min_uniq_frac: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style per-document quality rules: [id, n_words, mean_wlen,
+    uniq_frac, top_bigram_frac, stop_frac, rules_pass].
+
+    The repetition/length/stopword heuristics of pretraining quality
+    filtering, engine-exact: every statistic is an integer count until
+    one final double division (and mean_wlen, an int/int division), so
+    the rule booleans can never flap between engines. Two hash
+    aggregations on the doc id (word stats, bigram stats) joined on the
+    uniform doc key — linear, skew-free, no windows over the corpus.
+    """
+    toks = tokenized(docs, id_col, text_col)
+    word_stats = toks.groupBy("id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("word")).alias("_chars"),
+        F.countDistinct("word").alias("_uniq"),
+        F.sum(F.col("word").isin(*STOPWORDS).cast("long")).alias("_stop"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "id", F.concat_ws(" ", "word", F.lead("word").over(w)).alias("bg"),
+            F.lead("word").over(w).alias("_nxt"),
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_top_bg"), F.sum("c").alias("_n_bg"))
+    )
+    joined = word_stats.join(bigrams, "id", "left")
+    mean_wlen = F.col("_chars").cast("double") / F.col("n_words").cast("double")
+    uniq_frac = F.col("_uniq").cast("double") / F.col("n_words").cast("double")
+    top_bg_frac = F.coalesce(
+        F.col("_top_bg").cast("double") / F.col("_n_bg").cast("double"), F.lit(0.0)
+    )
+    stop_frac = F.col("_stop").cast("double") / F.col("n_words").cast("double")
+    return joined.select(
+        "id",
+        "n_words",
+        mean_wlen.alias("mean_wlen"),
+        uniq_frac.alias("uniq_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
+        stop_frac.alias("stop_frac"),
+        (
+            (F.col("n_words") >= min_words)
+            & (top_bg_frac <= max_top_bigram_frac)
+            & (uniq_frac >= min_uniq_frac)
+        ).alias("rules_pass"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_source: str,

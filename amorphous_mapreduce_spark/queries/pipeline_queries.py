@@ -17,9 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from amorphous_mapreduce_spark.operators.pipeline import (
+    STOPWORDS,
     chunk_documents,
     decontaminate,
     pack_sequences,
+    quality_rules,
     quantize_embeddings,
     source_mixing_weights,
     stratified_sample,
@@ -185,6 +187,46 @@ SELECT id, scale,
        CAST(list_sum(qv) AS BIGINT) AS q_sum
 FROM q
 """
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_TOP_BG = "COALESCE(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0)"
+_UNIQ = "CAST(uniq AS DOUBLE) / CAST(n_words AS DOUBLE)"
+
+QUALITY_ORACLE = (
+    "WITH "
+    + TOKS0_CTE
+    + f"""
+, ws AS (
+    SELECT id, COUNT(*) AS n_words, SUM(length(word)) AS chars,
+           COUNT(DISTINCT word) AS uniq,
+           SUM(CASE WHEN word IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS stop
+    FROM toks GROUP BY id
+), bgc AS (
+    SELECT id, bg, COUNT(*) AS c FROM (
+        SELECT id,
+               word || ' ' || lead(word) OVER w AS bg,
+               lead(word) OVER w AS nxt
+        FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ) WHERE nxt IS NOT NULL GROUP BY id, bg
+), bga AS (SELECT id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM bgc GROUP BY id)
+SELECT ws.id, n_words,
+       CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
+       {_UNIQ} AS uniq_frac,
+       {_TOP_BG} AS top_bigram_frac,
+       CAST(stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_frac,
+       (n_words >= 30 AND {_TOP_BG} <= 0.1 AND {_UNIQ} >= 0.3) AS rules_pass
+FROM ws LEFT JOIN bga ON ws.id = bga.id
+"""
+)
+
+
+@register("quality_rules", QUALITY_ORACLE)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules per document (length, repetition,
+    vocabulary diversity, stopword presence) — integer counts with one
+    final division each, so the pass verdicts are engine-exact."""
+    return quality_rules(_docs(spark, sf_dir))
 
 
 DECON_ORACLE = (

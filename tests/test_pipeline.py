@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -9,6 +10,7 @@ from amorphous_mapreduce_spark.operators.pipeline import (
     chunk_documents,
     decontaminate,
     pack_sequences,
+    quality_rules,
     quantize_embeddings,
     source_mixing_weights,
     stratified_sample,
@@ -104,6 +106,23 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     # tf; each rareN has idf=3, beating it in every doc.
     assert {r.word for r in out} == {"rare1", "rare2", "rare3"}
     assert all(r.rnk == 1 for r in out)
+
+
+def test_quality_rules_flag_degenerate_docs(spark):
+    long_good = " ".join(f"w{i}" for i in range(40))
+    repeated = " ".join(["spam ham"] * 20)  # top bigram dominates
+    short = "tiny doc"
+    docs = _docs(spark, [(long_good, "en"), (repeated, "en"), (short, "en")])
+    out = {r.id: r for r in quality_rules(docs).collect()}
+    assert out[0].rules_pass  # 40 distinct words, no repetition
+    assert not out[1].rules_pass  # uniq_frac 2/40, top bigram ~half
+    assert out[1].top_bigram_frac == pytest.approx(20 / 39)
+    assert out[1].uniq_frac == pytest.approx(2 / 40)
+    assert not out[2].rules_pass  # below min_words
+    assert out[2].top_bigram_frac == pytest.approx(1 / 1)
+    assert out[0].mean_wlen == pytest.approx(
+        sum(len(f"w{i}") for i in range(40)) / 40
+    )
 
 
 def test_decontaminate_flags_overlapping_training_docs(spark):
