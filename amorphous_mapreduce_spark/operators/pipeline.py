@@ -202,30 +202,42 @@ def quality_rules(
     The repetition/length/stopword heuristics of pretraining quality
     filtering, engine-exact: every statistic is an integer count until
     one final double division (and mean_wlen, an int/int division), so
-    the rule booleans can never flap between engines. Two hash
-    aggregations on the doc id (word stats, bigram stats) joined on the
-    uniform doc key — linear, skew-free, no windows over the corpus.
+    the rule booleans can never flap between engines.
+
+    ONE corpus pass: the lead() window shuffles tokens onto their doc id
+    once; every downstream aggregate groups by that id (or a superset),
+    so Spark reuses the window's hash partitioning and adds no further
+    exchange. Word stats ride along the bigram rollup — each token
+    occurrence is exactly one windowed row, the last token of a doc
+    keeps a NULL successor ("_nxt") instead of being filtered, and since
+    a bigram string determines its first word, per-(id, bg) groups carry
+    the word-level sums losslessly.
     """
     toks = tokenized(docs, id_col, text_col)
-    word_stats = toks.groupBy("id").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.length("word")).alias("_chars"),
-        F.countDistinct("word").alias("_uniq"),
-        F.sum(F.col("word").isin(*STOPWORDS).cast("long")).alias("_stop"),
-    )
     w = Window.partitionBy("id").orderBy("pos")
-    bigrams = (
-        toks.select(
-            "id", F.concat_ws(" ", "word", F.lead("word").over(w)).alias("bg"),
-            F.lead("word").over(w).alias("_nxt"),
-        )
-        .filter(F.col("_nxt").isNotNull())
-        .groupBy("id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("_top_bg"), F.sum("c").alias("_n_bg"))
+    toksw = toks.select(
+        "id",
+        "word",
+        F.lead("word").over(w).alias("_nxt"),
     )
-    joined = word_stats.join(bigrams, "id", "left")
+    per_bg = toksw.groupBy(
+        "id",
+        "word",
+        F.concat_ws(" ", "word", "_nxt").alias("bg"),
+        F.col("_nxt").isNotNull().alias("_is_bg"),
+    ).agg(F.count("*").alias("c"))
+    joined = per_bg.groupBy("id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.length("word")).alias("_chars"),
+        F.countDistinct("word").alias("_uniq"),
+        F.sum(
+            F.col("c") * F.col("word").isin(*STOPWORDS).cast("long")
+        ).alias("_stop"),
+        F.max(F.when(F.col("_is_bg"), F.col("c"))).alias("_top_bg"),
+        F.sum(F.when(F.col("_is_bg"), F.col("c")).otherwise(F.lit(0))).alias(
+            "_n_bg"
+        ),
+    )
     mean_wlen = F.col("_chars").cast("double") / F.col("n_words").cast("double")
     uniq_frac = F.col("_uniq").cast("double") / F.col("n_words").cast("double")
     top_bg_frac = F.coalesce(
@@ -264,16 +276,31 @@ def decontaminate(
     corpus (per-benchmark, not per-corpus), so it is broadcast and the
     flagging join never shuffles the training side's shingles. (id, sh)
     is distinct by construction, so COUNT(*) counts distinct overlaps.
+
+    The source filter is applied to the DOCS, not to a tagged shingle
+    frame: eval and training shingles are built from disjoint pushed-down
+    scans (total tokenize work = one corpus pass, no id->source broadcast
+    join, and no double execution of the shingle lineage through a
+    fan-out join).
     """
-    sh = shingles(docs, shingle_size=shingle_size, id_col=id_col, text_col=text_col)
-    src = docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
-    tagged = sh.join(F.broadcast(src), "id")
     eval_sh = (
-        tagged.filter(F.col("src") == eval_source).select("sh").distinct()
+        shingles(
+            docs.filter(F.col(source_col) == eval_source),
+            shingle_size=shingle_size,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .select("sh")
+        .distinct()
+    )
+    train_sh = shingles(
+        docs.filter(F.col(source_col) != eval_source),
+        shingle_size=shingle_size,
+        id_col=id_col,
+        text_col=text_col,
     )
     return (
-        tagged.filter(F.col("src") != eval_source)
-        .join(F.broadcast(eval_sh), "sh")
+        train_sh.join(F.broadcast(eval_sh), "sh")
         .groupBy("id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -38,6 +38,9 @@ HEADLINE = [
     "corpus_curation",
     "asof_purchase_signup",
     "media_features",
+    # training-data pipeline family (added late round 2)
+    "decontaminate",
+    "quality_rules",
 ]
 
 
