@@ -51,6 +51,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     pipeline_queries,
     relational_queries,
     similarity_queries,
+    sketch_queries,
     streaming_queries,
     subquery_queries,
     temporal_queries,

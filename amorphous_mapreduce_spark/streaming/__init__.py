@@ -7,12 +7,14 @@ watermarked event-time windows -> writeStream.
 """
 
 from amorphous_mapreduce_spark.streaming.windows import (
+    interval_join_streams,
     sessionized_event_counts,
     streaming_word_counts,
     windowed_event_stats,
 )
 
 __all__ = [
+    "interval_join_streams",
     "sessionized_event_counts",
     "streaming_word_counts",
     "windowed_event_stats",

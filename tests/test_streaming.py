@@ -160,3 +160,38 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
         for r in events.join(user_dim, "user_id").groupBy("tier").count().collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    # impression->click attribution: two event streams joined on user
+    # within a bounded time interval; batch run of the same logic is the
+    # ground truth (unified semantics).
+    from amorphous_mapreduce_spark.streaming import interval_join_streams
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "view")
+    right = events.filter(F.col("event_type") == "purchase")
+    lsrc, rsrc = str(tmp_path / "ivl_l"), str(tmp_path / "ivl_r")
+    left.write.mode("overwrite").parquet(lsrc)
+    right.write.mode("overwrite").parquet(rsrc)
+
+    ls = spark.readStream.schema(left.schema).parquet(lsrc)
+    rs = spark.readStream.schema(right.schema).parquet(rsrc)
+    joined = interval_join_streams(ls, rs, max_delay="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ivl").collect()
+    }
+    want = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in interval_join_streams(left, right, max_delay="30 minutes").collect()
+    }
+    assert got == want and len(want) > 0
