@@ -112,3 +112,127 @@ def cms_heavy_hitters(
     # global ordered limit -> TakeOrderedAndProject (distributed top-k
     # merge), never a whole-vocabulary single-partition window
     return est.orderBy(F.desc("exact_count"), F.asc("word")).limit(k)
+
+
+def _trailing_zeros(col):
+    """Trailing zero bits of a positive BIGINT, via bit_count((h & -h)-1)
+    — identical on Spark and DuckDB (both 64-bit two's complement)."""
+    return F.bit_count((col.bitwiseAND(-col)) - F.lit(1))
+
+
+def fm_cardinality(
+    docs: DataFrame,
+    n_buckets: int = 32,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flajolet-Martin cardinality sketch state per language:
+    [lang, n_distinct_exact, fm_sum_pow2, buckets_used, max_rho].
+
+    The distinct-count sketch: per word, bucket = h % m and rho =
+    trailing-zeros(h >> 5) + 1; the sketch keeps MAX(rho) per bucket —
+    mergeable state (max of maxes), corpus-size independent (m rows per
+    language). ``fm_sum_pow2`` = Σ_buckets 2^max_rho is the integer core
+    of the FM estimator (the float scale factor is a driver-side
+    constant, deliberately left out so every output column is an exact
+    integer both engines reproduce bit-for-bit). Exact distinct rides
+    along for the error comparison.
+
+    ONE aggregation chain: distinct (lang, word) -> per-(lang, bucket)
+    maxima + counts -> per-lang rollup; each level groups by a prefix
+    superset so no branch re-executes the token scan.
+    """
+    toks = tokenized(docs, id_col, text_col)
+    langs = docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+    h = hex_hash64(F.concat(F.lit("fm_"), F.col("word")))
+    per_word = (
+        toks.join(F.broadcast(langs), "id")
+        .select("lang", "word")
+        .distinct()
+        .select(
+            "lang",
+            F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+            (
+                F.least(
+                    _trailing_zeros(F.shiftright(h, 5)) + F.lit(1), F.lit(40)
+                )
+            ).alias("rho"),
+        )
+    )
+    per_bucket = per_word.groupBy("lang", "bucket").agg(
+        F.max("rho").alias("max_rho"), F.count("*").alias("_n_words")
+    )
+    return per_bucket.groupBy("lang").agg(
+        F.sum("_n_words").alias("n_distinct_exact"),
+        F.sum(F.pow(F.lit(2.0), F.col("max_rho")).cast("long")).alias(
+            "fm_sum_pow2"
+        ),
+        F.count("*").alias("buckets_used"),
+        F.max("max_rho").alias("max_rho"),
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    group_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter pre-join pruning audit: [group, n_probe,
+    n_bloom_pass, n_exact] per ``group_col``.
+
+    The runtime-filter pattern: the dim side's keys set k bits each in an
+    m-bit array; fact rows pass if all k bits are set. At 100 TB the bit
+    set (<= k*|dim| distinct positions, itself bounded by m rows) is
+    broadcast and the fact side is pruned BEFORE its shuffle — the
+    whole point of a bloom semi-join. n_bloom_pass >= n_exact always
+    (no false negatives); the gap is the false-positive cost, visible
+    per group. All positions are MD5-derived integers — both engines
+    replay the filter exactly.
+    """
+    bits = None
+    for j in range(n_hashes):
+        pos_j = dim_keys.select(
+            F.pmod(
+                hex_hash64(F.concat(F.lit(f"bf{j}_"), F.col(fact_key).cast("string"))),
+                F.lit(n_bits),
+            ).alias("pos")
+        )
+        bits = pos_j if bits is None else bits.unionByName(pos_j)
+    bits = bits.distinct()
+
+    probe = fact.select(
+        F.col(group_col).alias("grp"), F.col(fact_key).alias("k")
+    )
+    for j in range(n_hashes):
+        pos_col = F.pmod(
+            hex_hash64(F.concat(F.lit(f"bf{j}_"), F.col("k").cast("string"))),
+            F.lit(n_bits),
+        )
+        bj = bits.select(F.col("pos").alias(f"_b{j}"))
+        probe = probe.withColumn(f"_p{j}", pos_col).join(
+            F.broadcast(bj), F.col(f"_p{j}") == F.col(f"_b{j}"), "left"
+        )
+    passes = F.lit(True)
+    for j in range(n_hashes):
+        passes = passes & F.col(f"_b{j}").isNotNull()
+    exact = fact.join(
+        dim_keys.select(F.col(fact_key)).distinct(), fact_key, "semi"
+    ).select(F.col(group_col).alias("grp"), F.lit(1).alias("_one"))
+    bloom_agg = probe.groupBy("grp").agg(
+        F.count("*").alias("n_probe"),
+        F.sum(passes.cast("long")).alias("n_bloom_pass"),
+    )
+    exact_agg = exact.groupBy("grp").agg(F.count("*").alias("n_exact"))
+    return (
+        bloom_agg.join(exact_agg, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_probe",
+            "n_bloom_pass",
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+        )
+    )

@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from amorphous_mapreduce_spark.operators.sketches import cms_heavy_hitters
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.sketches import (
+    bloom_semi_join,
+    cms_heavy_hitters,
+    fm_cardinality,
+)
 from amorphous_mapreduce_spark.queries.dedup_queries import TOKS_CTE
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
@@ -53,3 +59,93 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sublinear-state form of the reference's per-key count (W7,
     src/word_count.rs:121-123)."""
     return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+_FM_H = "CAST('0x' || substr(md5('fm_' || word), 1, 15) AS BIGINT)"
+
+FM_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tagged AS (
+    SELECT DISTINCT d.lang, t.word
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+pw AS (
+    SELECT lang, h % 32 AS bucket,
+           LEAST(bit_count(((h >> 5) & -(h >> 5)) - 1) + 1, 40) AS rho
+    FROM (SELECT lang, {_FM_H} AS h FROM tagged)
+),
+pb AS (
+    SELECT lang, bucket, MAX(rho) AS max_rho, COUNT(*) AS nw
+    FROM pw GROUP BY lang, bucket
+)
+SELECT lang,
+       CAST(SUM(nw) AS BIGINT) AS n_distinct_exact,
+       CAST(SUM(CAST(power(2.0, max_rho) AS BIGINT)) AS BIGINT) AS fm_sum_pow2,
+       COUNT(*) AS buckets_used,
+       MAX(max_rho) AS max_rho
+FROM pb GROUP BY lang
+"""
+)
+
+
+@register("fm_cardinality", FM_ORACLE)
+def q_fm_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flajolet-Martin distinct-count sketch state per language (bucket
+    maxima, integer estimator core) next to the exact distinct count —
+    mergeable m-rows-per-key state, the sublinear form of
+    COUNT(DISTINCT)."""
+    return fm_cardinality(load_table(spark, sf_dir, "documents"))
+
+
+def _bf_pos(expr: str, j: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf' || {j} || '_' || CAST({expr} AS VARCHAR)),"
+        " 1, 15) AS BIGINT) % 4096"
+    )
+
+
+BLOOM_ORACLE = f"""
+WITH dim AS (
+    SELECT DISTINCT p_partkey AS k FROM part WHERE p_type = 'ECONOMY'
+),
+bits AS (
+    SELECT DISTINCT {_bf_pos('k', 'j')} AS pos
+    FROM dim CROSS JOIN (VALUES (0), (1), (2)) AS h(j)
+),
+probe AS (
+    SELECT l_returnflag AS grp,
+           ({_bf_pos('l_partkey', '0')}) IN (SELECT pos FROM bits)
+           AND ({_bf_pos('l_partkey', '1')}) IN (SELECT pos FROM bits)
+           AND ({_bf_pos('l_partkey', '2')}) IN (SELECT pos FROM bits) AS pass
+    FROM lineitem
+),
+ba AS (
+    SELECT grp, COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass
+    FROM probe GROUP BY grp
+),
+ex AS (
+    SELECT l_returnflag AS grp, COUNT(*) AS n_exact
+    FROM lineitem WHERE l_partkey IN (SELECT k FROM dim)
+    GROUP BY l_returnflag
+)
+SELECT ba.grp AS l_returnflag, n_probe, n_bloom_pass,
+       COALESCE(n_exact, 0) AS n_exact
+FROM ba LEFT JOIN ex ON ba.grp = ex.grp
+"""
+
+
+@register("bloom_semi_join", BLOOM_ORACLE)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning audit: lineitem probed against the
+    bit set of ECONOMY part keys, per returnflag — broadcast runtime
+    filter vs exact semi-join, false-positive gap visible in-row."""
+    fact = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return bloom_semi_join(fact, dim, "l_partkey", "l_returnflag")

@@ -48,3 +48,44 @@ def test_cms_cells_are_mergeable(spark):
     n_tokens = 6 + 4
     for d in range(4):
         assert sum(v for (dd, _), v in gu.items() if dd == d) == n_tokens
+
+
+def test_fm_state_tracks_distinct_words(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e", lang="en"),
+            Row(doc_id=1, text="a b f", lang="en"),
+            Row(doc_id=2, text="x y", lang="fr"),
+        ]
+    )
+    from amorphous_mapreduce_spark.operators.sketches import fm_cardinality
+
+    out = {r.lang: r for r in fm_cardinality(docs).collect()}
+    assert out["en"].n_distinct_exact == 6
+    assert out["fr"].n_distinct_exact == 2
+    for r in out.values():
+        # sketch invariants: each used bucket contributes 2^max_rho >= 2
+        assert r.buckets_used <= min(32, r.n_distinct_exact)
+        assert r.fm_sum_pow2 >= 2 * r.buckets_used
+        assert r.max_rho >= 1
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+    from amorphous_mapreduce_spark.operators.sketches import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [Row(k=i, g="even" if i % 2 == 0 else "odd") for i in range(200)]
+    )
+    dim = spark.createDataFrame([Row(k=i) for i in range(0, 200, 10)])
+    out = {r.g: r for r in bloom_semi_join(fact, dim, "k", "g").collect()}
+    # every true member passes the filter (no false negatives); the
+    # filter never passes more than everything
+    for g in ("even", "odd"):
+        assert out[g].n_bloom_pass >= out[g].n_exact
+        assert out[g].n_probe == 100
+    assert out["even"].n_exact == 20 and out["odd"].n_exact == 0
+    # with 4096 bits and 20 keys, false positives should be rare
+    assert out["odd"].n_bloom_pass <= 5
