@@ -123,3 +123,64 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style gap-filled daily rollup with forward fill:
+    [event_type, day, n_events, filled_sum].
+
+    Every (key, day) cell of the corpus's day span exists in the output;
+    days with no events carry n_events = 0 and the last observed daily
+    sum (NULL before the first observation). The time spine is built
+    from a 1-row MIN/MAX bounds aggregate crossed onto the distinct key
+    set — never a per-row expansion of the raw events — so spine size is
+    |keys| x |days| regardless of event volume. The forward-fill window
+    partitions on the bounded key, ordering only each key's |days| rows.
+
+    Daily sums accumulate in DECIMAL before the double cast (CLAUDE.md
+    float-agg convention) and the fill only *copies* values, so outputs
+    are engine-exact.
+    """
+    # persisted: bounds, the key set, and the spine join all read this
+    # (bounded |keys| x |days|) rollup — without the cache the events
+    # aggregation would run three times
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(key_col).alias("k"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("_sum"),
+        )
+        .persist()
+    )
+    bounds = daily.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    keys = daily.select("k").distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["k", "day"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )

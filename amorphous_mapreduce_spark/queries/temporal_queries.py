@@ -78,3 +78,34 @@ def q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+GAPFILL_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+    FROM events GROUP BY day, k
+),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+    SELECT t.k, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+    FROM (SELECT DISTINCT k FROM daily) t CROSS JOIN b
+)
+SELECT s.k AS event_type, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(d.s IGNORE NULLS) OVER (
+           PARTITION BY s.k ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.day = d.day
+"""
+
+
+@register("events_gap_fill", GAPFILL_ORACLE)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup with forward fill (hypertable
+    time_bucket_gapfill + locf shape): every (event_type, day) cell of
+    the span exists, empty days carry the last observed daily sum."""
+    from amorphous_mapreduce_spark.operators.temporal import gap_fill_daily
+
+    return gap_fill_daily(load_table(spark, sf_dir, "events"))

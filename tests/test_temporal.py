@@ -204,3 +204,32 @@ def test_asof_duplicate_right_timestamps_deterministic(spark):
         for _ in range(3)
     ]
     assert vals == [99.0, 99.0, 99.0]
+
+
+def test_gap_fill_daily_fills_missing_days(spark):
+    import datetime as dt
+
+    from amorphous_mapreduce_spark.operators.temporal import gap_fill_daily
+
+    rows = [
+        # type "a": events on day 1 and day 4 -> days 2,3 filled
+        ("a", dt.datetime(2024, 3, 1, 10), 1.5),
+        ("a", dt.datetime(2024, 3, 1, 11), 2.5),
+        ("a", dt.datetime(2024, 3, 4, 9), 7.0),
+        # type "b": only day 2 -> leading day 1 NULL, trailing filled
+        ("b", dt.datetime(2024, 3, 2, 8), 3.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r.event_type, r.day.day): (r.n_events, r.filled_sum)
+        for r in gap_fill_daily(ev).collect()
+    }
+    # full 4-day span for BOTH keys
+    assert set(out) == {(t, d) for t in "ab" for d in (1, 2, 3, 4)}
+    assert out[("a", 1)] == (2, 4.0)
+    assert out[("a", 2)] == (0, 4.0)  # gap: carries day 1's sum
+    assert out[("a", 3)] == (0, 4.0)
+    assert out[("a", 4)] == (1, 7.0)
+    assert out[("b", 1)] == (0, None)  # before first observation
+    assert out[("b", 2)] == (1, 3.0)
+    assert out[("b", 4)] == (0, 3.0)

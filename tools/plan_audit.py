@@ -102,6 +102,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row IVF centroid frame broadcast for "
         "cell assignment/probing — bounded by n_cells",
     },
+    "events_gap_fill": {
+        "BroadcastNestedLoopJoin": "1-row MIN/MAX day-bounds aggregate "
+        "crossed onto the distinct key set to build the |keys| x |days| "
+        "time spine — never a per-row expansion of events",
+    },
     "customer_acctbal_deciles": {
         "Exchange SinglePartition": "percentile_approx over the customer "
         "dimension is a scalar aggregate (keys=[]) computed via a 2-row "
