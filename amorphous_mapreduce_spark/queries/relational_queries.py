@@ -371,6 +371,58 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUBE_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(p_brand, 'ALL') AS brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY CUBE (l_returnflag, p_brand)
+"""
+
+
+@register("cube_brand_returns", CUBE_ORACLE)
+def cube_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice (CUBE) over a dim join — all four
+    (returnflag, brand) marginals in one grouping-set expansion through
+    the shared partial+final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .cube("l_returnflag", "p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, metric, val FROM (
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS price,
+           CAST(p_size AS DOUBLE) AS psize
+    FROM part
+) UNPIVOT (val FOR metric IN (price, psize))
+"""
+
+
+@register("part_metrics_unpivot", UNPIVOT_ORACLE)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) — the inverse of returnflag_pivot;
+    a pure projection+expand, zero shuffle."""
+    pt = _t(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("double").alias("psize"),
+    ).unpivot("p_partkey", ["price", "psize"], "metric", "val")
+
+
 # --- JSON extraction ------------------------------------------------------
 
 JSON_ORACLE = """
