@@ -74,9 +74,21 @@ def connected_components(
     return labels
 
 
-def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
-    """Min-label propagation + pointer jumping until no label changes."""
-    for _ in range(max_iter):
+def _cc_loop(
+    sym: DataFrame, labels: DataFrame, max_iter: int, pj_after: int = 4
+) -> DataFrame:
+    """Min-label propagation until no label changes; pointer jumping is
+    switched on only from round ``pj_after`` onward.
+
+    Near-dup graphs are almost always shallow (pairs/triangles/small
+    stars converge in 2-3 min-label rounds), where the pointer-jump join
+    is a pure extra cost — measured ~35% of loop wall-clock at sf0.1 for
+    zero saved rounds. A genuinely deep component (long chains) makes
+    rounds start exceeding ``pj_after``, and from there label distances
+    halve per round (O(log diameter) total) — adaptive: cheap rounds in
+    the common case, the asymptotic guarantee in the adversarial one.
+    """
+    for it in range(max_iter):
         # (a) adopt the minimum label among self and neighbours
         neigh_min = (
             sym.join(labels, sym.b == labels.id)
@@ -91,21 +103,21 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             F.col("component").alias("_old"),
         )
         # (b) pointer jumping: follow component -> its component (labels
-        # halve the remaining distance each round -> O(log diameter))
-        parents = stepped.select(
-            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
-        )
-        new_labels = (
-            stepped.join(parents, stepped.component == F.col("_pid"), "left")
-            .select(
+        # halve the remaining distance each round)
+        if it >= pj_after:
+            parents = stepped.select(
+                F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+            )
+            stepped = stepped.join(
+                parents, stepped.component == F.col("_pid"), "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
                 ).alias("component"),
                 "_old",
             )
-            .localCheckpoint()
-        )
+        new_labels = stepped.localCheckpoint()
         changed = new_labels.filter(F.col("component") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:
