@@ -80,3 +80,21 @@ def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("decile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+FUZZY_ORACLE = """
+WITH n AS (SELECT DISTINCT p_name AS v FROM part)
+SELECT a.v AS a, b.v AS b, levenshtein(a.v, b.v) AS dist
+FROM n a JOIN n b ON a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 2
+"""
+
+
+@register("fuzzy_part_names", FUZZY_ORACLE)
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance <= 2 part-name pairs via lossless q-gram blocking
+    (inverted-index candidates + Levenshtein verify — never the O(n^2)
+    distance matrix the brute-force oracle computes)."""
+    from amorphous_mapreduce_spark.operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name")

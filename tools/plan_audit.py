@@ -102,6 +102,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row IVF centroid frame broadcast for "
         "cell assignment/probing — bounded by n_cells",
     },
+    "fuzzy_part_names": {
+        "BroadcastNestedLoopJoin": "short-string fallback block of the "
+        "q-gram join: distinct values shorter than q*(d+1)+1 chars crossed "
+        "against their length band — bounded by the tiny short-value set "
+        "(empty on this corpus), never corpus-sized",
+    },
     "events_gap_fill": {
         "BroadcastNestedLoopJoin": "1-row MIN/MAX day-bounds aggregate "
         "crossed onto the distinct key set to build the |keys| x |days| "
