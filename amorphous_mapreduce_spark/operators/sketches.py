@@ -48,23 +48,42 @@ def cms_cells(
     then d rows per vocab word summed into cells. Cells are mergeable:
     grids from disjoint corpus shards add elementwise.
     """
-    tf = (
+    tf = _word_counts(docs, id_col, text_col)
+    return _cells_from_tf(tf, depth, width)
+
+
+def _word_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
         tokenized(docs, id_col, text_col)
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    per_depth = [
-        tf.select(
-            F.lit(d).alias("depth"),
-            _bucket(F.col("word"), d, width).alias("bucket"),
-            F.col("c"),
+
+
+def _depth_rows(depth: int, width: int):
+    """Explode each vocab word into its d (depth, bucket) coordinates —
+    ONE pass over the tf frame (a d-branch union would re-execute the
+    token aggregation once per depth)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _bucket(F.col("word"), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
         )
-        for d in range(depth)
-    ]
-    updates = per_depth[0]
-    for u in per_depth[1:]:
-        updates = updates.unionByName(u)
-    return updates.groupBy("depth", "bucket").agg(F.sum("c").alias("cell"))
+    )
+
+
+def _cells_from_tf(tf: DataFrame, depth: int, width: int) -> DataFrame:
+    return (
+        tf.select(_depth_rows(depth, width).alias("db"), "c")
+        .select("db.depth", "db.bucket", "c")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("cell"))
+    )
 
 
 def cms_heavy_hitters(
@@ -83,26 +102,14 @@ def cms_heavy_hitters(
     The cell grid (d*m rows, corpus-size independent) is broadcast onto
     the per-word depth rows; the estimate is MIN over depths.
     """
-    tf = (
-        tokenized(docs, id_col, text_col)
-        .groupBy("word")
-        .agg(F.count("*").alias("exact_count"))
-    )
-    cells = cms_cells(docs, depth=depth, width=width, id_col=id_col, text_col=text_col)
+    # persisted: both the cell grid and the estimation rows read the
+    # token aggregate — without the cache it would run twice
+    tf = _word_counts(docs, id_col, text_col).persist()
+    cells = _cells_from_tf(tf, depth, width)
     wb = tf.select(
         "word",
-        "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("depth"),
-                        _bucket(F.col("word"), d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("db"),
+        F.col("c").alias("exact_count"),
+        _depth_rows(depth, width).alias("db"),
     ).select("word", "exact_count", F.col("db.depth"), F.col("db.bucket"))
     est = (
         wb.join(F.broadcast(cells), ["depth", "bucket"])

@@ -41,6 +41,10 @@ HEADLINE = [
     # training-data pipeline family (added late round 2)
     "decontaminate",
     "quality_rules",
+    # sketch / time-series / fuzzy families (added late round 2)
+    "cms_heavy_hitters",
+    "events_gap_fill",
+    "fuzzy_part_names",
 ]
 
 
