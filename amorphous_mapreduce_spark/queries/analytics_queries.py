@@ -129,3 +129,66 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dec("l_extendedprice")).cast("double").alias("min_price"),
         F.max(dec("l_extendedprice")).cast("double").alias("max_price"),
     )
+
+
+FUNNEL_ORACLE = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+e1 AS (
+    SELECT user_id, MIN(us) AS t1 FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+e2 AS (
+    SELECT e.user_id, MIN(us) AS t2
+    FROM ev e JOIN e1 ON e.user_id = e1.user_id
+    WHERE e.event_type = 'click' AND e.us > e1.t1
+    GROUP BY e.user_id
+),
+e3 AS (
+    SELECT e.user_id, MIN(us) AS t3
+    FROM ev e JOIN e2 ON e.user_id = e2.user_id
+    WHERE e.event_type = 'purchase' AND e.us > e2.t2
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM e1
+UNION ALL SELECT '2_click_after_view', COUNT(*) FROM e2
+UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM e3
+"""
+
+
+@register("events_funnel", FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing event times per user): each stage is one keyed
+    aggregation + one keyed join — no window over the event stream, no
+    per-user sorting; comparisons run on epoch microseconds, the
+    precision both engines share on this nanos fixture."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    e1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    e2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(e1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    e3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(e2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    stage = lambda name, df: df.agg(F.count("*").alias("n_users")).select(
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return (
+        stage("1_view", e1)
+        .unionByName(stage("2_click_after_view", e2))
+        .unionByName(stage("3_purchase_after_click", e3))
+    )
