@@ -192,3 +192,54 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("2_click_after_view", e2))
         .unionByName(stage("3_purchase_after_click", e3))
     )
+
+
+COHORT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS aweek
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST((epoch_us(a.aweek) - epoch_us(f.cohort_week)) / 604800000000
+            AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@register("events_cohort_retention", COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, one
+    row per (cohort, week offset) with active-user counts. Two keyed
+    aggregations + one keyed join; (user, week) distinct rows bound the
+    join input, so the shape is linear in active user-weeks."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aweek")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (
+                    F.unix_micros(F.col("aweek"))
+                    - F.unix_micros(F.col("cohort_week"))
+                )
+                / F.lit(604_800_000_000)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
