@@ -140,3 +140,89 @@ def dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "qid",
+    dst: str = "nid",
+) -> DataFrame:
+    """Fixed-point PageRank over an undirected pair graph: [id, deg,
+    rank_fp] after ``n_iter`` unrolled power iterations.
+
+    Ranks live in integer fixed-point units (``scale`` = 1.0), and every
+    step — the 1/N init, the per-edge contribution r div deg, the
+    damping (d%) and teleport ((100-d)%/N) — is integer arithmetic, so
+    sums are order-insensitive and both engines reproduce the exact same
+    integers (the kmeans quantisation discipline applied to graph
+    ranking; all operands non-negative, so Spark ``div`` and DuckDB
+    ``//`` agree).
+
+    The iteration count is FIXED (no convergence probe): the whole
+    computation is one declarative plan an SQL oracle can unroll
+    CTE-for-CTE. Per iteration: one keyed join of the edge list against
+    the rank frame + one hash aggregation on the destination — linear in
+    edges, the same shuffle shape as connected_components without the
+    driver loop.
+    """
+    # Same loop policy as connected_components: rank/edge frames are
+    # kilobytes per round, so size-based AQE coalescing (scoped +
+    # restored) keeps each of the ~4 stages/iteration at a handful of
+    # tasks instead of shuffle.partitions mostly-empty ones. The state is
+    # ALSO materialised per iteration (localCheckpoint): each iteration
+    # reads the previous state twice (contribution + carry-forward), so
+    # an unmaterialised unrolled lineage re-executes the whole edge
+    # pipeline 2^t times.
+    spark = edges.sparkSession
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_old = spark.conf.get(pf_key, "true")
+    spark.conf.set(pf_key, "false")
+    try:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            )
+            .distinct()
+            .persist()
+        )
+        deg = sym.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+        nn = deg.agg(F.count("*").alias("_n"))
+        # [id, deg, _n, rank_fp] — _n rides along so every later
+        # expression stays a column computation (no driver-side scalar)
+        state = (
+            deg.crossJoin(F.broadcast(nn))
+            .select(
+                "id", "deg", "_n", F.expr(f"{scale} div _n").alias("rank_fp")
+            )
+            .localCheckpoint()
+        )
+        teleport = (
+            f"(({100 - damping_pct} * CAST({scale} AS BIGINT)) div (100 * _n))"
+        )
+        for _ in range(n_iter):
+            contrib = (
+                sym.join(state, sym.a == state.id)
+                .select(F.col("b"), F.expr("rank_fp div deg").alias("_c"))
+                .groupBy("b")
+                .agg(F.sum("_c").alias("_s"))
+            )
+            state = (
+                state.join(contrib, state.id == contrib.b, "left")
+                .select(
+                    "id",
+                    "deg",
+                    "_n",
+                    F.expr(
+                        f"{teleport} + ({damping_pct} * coalesce(_s, 0L)) div 100"
+                    ).alias("rank_fp"),
+                )
+                .localCheckpoint()
+            )
+        sym.unpersist()
+    finally:
+        spark.conf.set(pf_key, pf_old)
+    return state.select("id", "deg", "rank_fp")

@@ -195,3 +195,64 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline remains available as banded=False.
     """
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=True)
+
+
+def _pr_iter(prev: str, cur: str) -> str:
+    """One unrolled fixed-point PageRank step (mirrors operators.graph
+    .pagerank: teleport 15%/N + 85% of summed integer contributions)."""
+    return f"""
+{cur} AS (
+    SELECT d.id, d.deg,
+           CAST((15 * 1000000000000) // (100 * nn.n)
+                + (85 * COALESCE(SUM(r.r // r.deg), 0)) // 100 AS BIGINT) AS r
+    FROM deg d CROSS JOIN nn
+         LEFT JOIN edges e ON e.b = d.id
+         LEFT JOIN {prev} r ON r.id = e.a
+    GROUP BY d.id, d.deg, nn.n
+)"""
+
+
+PAGERANK_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+), pairs AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+), edges AS (
+    SELECT qid AS a, nid AS b FROM pairs
+    UNION
+    SELECT nid AS a, qid AS b FROM pairs
+), deg AS (SELECT a AS id, COUNT(*) AS deg FROM edges GROUP BY a),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+    SELECT id, deg, CAST(1000000000000 // n AS BIGINT) AS r
+    FROM deg CROSS JOIN nn
+),"""
+    + ",".join(_pr_iter(f"r{i}", f"r{i + 1}") for i in range(3))
+    + """
+SELECT id, deg, r AS rank_fp FROM r3
+"""
+)
+
+
+@register("pagerank_near_dup", PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the MinHash-LSH near-dup graph: which
+    documents sit at the centre of duplication clusters. Integer
+    arithmetic end-to-end (the kmeans quantisation discipline), three
+    unrolled power iterations, CTE-for-CTE SQL oracle."""
+    from amorphous_mapreduce_spark.operators.graph import pagerank
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
+    return pagerank(pairs, n_iter=3)

@@ -42,3 +42,34 @@ def test_dedup_clusters_keepers(spark):
     assert rows[0]["cluster"] == rows[3]["cluster"] == rows[5]["cluster"] == 0
     keepers = {i for i, r in rows.items() if r["is_keeper"]}
     assert keepers == {0, 1, 2, 4}
+
+
+def test_pagerank_closed_form_and_ordering(spark):
+    from amorphous_mapreduce_spark.operators.graph import pagerank
+
+    # triangle 1-2-3 with pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], ["qid", "nid"]
+    )
+    S = 10**12
+    one = {r.id: r for r in pagerank(edges, n_iter=1).collect()}
+    assert {v.deg for v in one.values()} == {3, 2, 1}
+    # hand-computed fixed-point step (teleport 15%/4 + 85% of summed
+    # integer contributions r0 div deg)
+    assert one[1].rank_fp == 37_500_000_000 + (85 * 500_000_000_000) // 100
+    assert one[2].rank_fp == 37_500_000_000 + (85 * (250_000_000_000 // 3 + 125_000_000_000)) // 100
+    assert one[2].rank_fp == one[3].rank_fp
+    assert one[4].rank_fp == 37_500_000_000 + (85 * (250_000_000_000 // 3)) // 100
+    # total mass conserved up to integer-truncation dust
+    assert abs(sum(v.rank_fp for v in one.values()) - S) < 100
+
+    three = {r.id: r.rank_fp for r in pagerank(edges, n_iter=3).collect()}
+    assert three[1] > three[2] == three[3] > three[4]
+
+
+def test_pagerank_symmetric_two_nodes_is_fixed_point(spark):
+    from amorphous_mapreduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(7, 9)], ["qid", "nid"])
+    out = {r.id: r.rank_fp for r in pagerank(edges, n_iter=3).collect()}
+    assert out == {7: 500_000_000_000, 9: 500_000_000_000}
