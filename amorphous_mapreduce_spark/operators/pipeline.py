@@ -346,6 +346,38 @@ def source_mixing_weights(
     )
 
 
+def importance_sample(
+    docs: DataFrame,
+    base_rate: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-weighted deterministic sampling: [id, quality, coin] of
+    docs kept with probability ``base_rate * quality``.
+
+    The importance-sampling step of corpus mixing — higher-quality docs
+    survive proportionally more often — with an MD5 coin instead of RNG:
+    coin = hash60('imp_' || id) / 2^60, a uniform [0,1) binary fraction
+    both engines compute bit-identically (int64->double rounds to
+    nearest on both; the 2^60 divisor is a pure exponent shift). The
+    keep predicate is one exact multiply + compare, so the sample is
+    replayable anywhere, nests by construction across base rates, and is
+    a stateless filter — zero shuffle beyond the quality projection.
+    """
+    from amorphous_mapreduce_spark.operators.text_analysis import doc_stats
+
+    stats = doc_stats(docs, id_col=id_col, text_col=text_col).select(
+        "id", "quality"
+    )
+    coin = hex_hash64(
+        F.concat(F.lit("imp_"), F.col("id").cast("string"))
+    ) / F.lit(float(2**60))
+    return (
+        stats.select("id", "quality", coin.alias("coin"))
+        .filter(F.col("coin") < F.lit(base_rate) * F.col("quality"))
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame,
     id_col: str = "vec_id",

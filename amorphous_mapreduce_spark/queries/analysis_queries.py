@@ -164,3 +164,23 @@ GROUP BY bigram
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts (n-gram stats via lead windows)."""
     return bigram_counts(_docs(spark, sf_dir))
+
+
+IMPORTANCE_ORACLE = f"""
+SELECT id, quality,
+       CAST('0x' || substr(md5('imp_' || CAST(id AS VARCHAR)), 1, 15)
+            AS BIGINT) / 1152921504606846976.0 AS coin
+FROM ({DOC_STATS_ORACLE.strip()})
+WHERE CAST('0x' || substr(md5('imp_' || CAST(id AS VARCHAR)), 1, 15)
+           AS BIGINT) / 1152921504606846976.0 < 0.5 * quality
+"""
+
+
+@register("importance_sample", IMPORTANCE_ORACLE)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (keep probability =
+    0.5 * quality, MD5 coin) — the importance-sampling stage of corpus
+    mixing, replayable on any engine."""
+    from amorphous_mapreduce_spark.operators.pipeline import importance_sample
+
+    return importance_sample(_docs(spark, sf_dir), base_rate=0.5)

@@ -183,3 +183,24 @@ def test_quantize_audit_matches_numpy(spark):
         assert got[i][0] == scale
         assert got[i][1] == int((np.abs(q) == 127).sum())
         assert got[i][2] == int(q.sum())
+
+
+def test_importance_sample_respects_quality_weighting(spark):
+    from amorphous_mapreduce_spark.operators.pipeline import importance_sample
+    from amorphous_mapreduce_spark.operators.text_analysis import doc_stats
+
+    rows = [(i, " ".join(f"w{j}" for j in range(60)) + " the a of") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r.id for r in importance_sample(docs, base_rate=0.5).collect()}
+    q = {r.id: r.quality for r in doc_stats(docs).collect()}
+    # every kept doc satisfies the predicate; every excluded one fails it
+    import hashlib
+
+    def coin(i):
+        return int(hashlib.md5(f"imp_{i}".encode()).hexdigest()[:15], 16) / 2**60
+
+    for i, quality in q.items():
+        assert (coin(i) < 0.5 * quality) == (i in kept)
+    # nesting: a lower base rate keeps a subset
+    narrower = {r.id for r in importance_sample(docs, base_rate=0.25).collect()}
+    assert narrower <= kept
