@@ -243,3 +243,68 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+BASKET_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+sup AS (SELECT p, COUNT(*) AS s FROM items GROUP BY p),
+nn AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+pairs AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*) AS ab
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p
+    HAVING COUNT(*) >= 2
+)
+SELECT pa, pb, ab, sa.s AS sup_a, sb.s AS sup_b,
+       CAST(ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+       CAST(ab * nn.n AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE) AS lift
+FROM pairs JOIN sup sa ON pa = sa.p JOIN sup sb ON pb = sb.p CROSS JOIN nn
+"""
+
+
+@register("basket_part_pairs", BASKET_ORACLE)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: co-occurring
+    part pairs with support/confidence/lift. Pair generation is a keyed
+    self-join on the order id with fanout bounded by basket size (k²
+    per order, k small by construction) — never an all-parts cartesian;
+    the part-support side is broadcast. Ratios are single exact double
+    divisions of integer counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    sup = items.groupBy("p").agg(F.count("*").alias("s"))
+    nn = items.agg(F.countDistinct("o").alias("n"))
+    a = items.select(F.col("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("ab"))
+        .filter(F.col("ab") >= 2)
+    )
+    return (
+        pairs.join(F.broadcast(sup.select(F.col("p").alias("pa"), F.col("s").alias("sup_a"))), "pa")
+        .join(F.broadcast(sup.select(F.col("p").alias("pb"), F.col("s").alias("sup_b"))), "pb")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "pa",
+            "pb",
+            "ab",
+            "sup_a",
+            "sup_b",
+            (F.col("ab").cast("double") / F.col("sup_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("ab") * F.col("n")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -56,3 +56,16 @@ def test_q5_broadcast_in_plan(spark, sf_dir, registry):
 def test_topk_rank_bounds(spark, sf_dir, registry):
     rows = registry["topk_customers_per_nation"](spark, sf_dir).collect()
     assert all(1 <= r["rnk"] <= 3 for r in rows)
+
+
+def test_basket_rules_bounds(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["basket_part_pairs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.pa < r.pb
+        assert r.ab >= 2
+        assert 0.0 < r.confidence <= 1.0
+        assert r.ab <= min(r.sup_a, r.sup_b)
+        assert r.lift > 0.0

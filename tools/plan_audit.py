@@ -102,6 +102,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row IVF centroid frame broadcast for "
         "cell assignment/probing — bounded by n_cells",
     },
+    "basket_part_pairs": {
+        "BroadcastNestedLoopJoin": "1-row total-basket-count scalar "
+        "crossed onto the rule rows for the lift denominator",
+    },
     "fuzzy_part_names": {
         "BroadcastNestedLoopJoin": "short-string fallback block of the "
         "q-gram join: distinct values shorter than q*(d+1)+1 chars crossed "
