@@ -89,3 +89,56 @@ def test_bloom_semi_join_no_false_negatives(spark):
     assert out["even"].n_exact == 20 and out["odd"].n_exact == 0
     # with 4096 bits and 20 keys, false positives should be rare
     assert out["odd"].n_bloom_pass <= 5
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from amorphous_mapreduce_spark.operators.fuzzy import fuzzy_pairs
+    from amorphous_mapreduce_spark.operators.graph import pagerank
+    from amorphous_mapreduce_spark.operators.pipeline import (
+        importance_sample,
+        quality_rules,
+    )
+    from amorphous_mapreduce_spark.operators.sketches import (
+        bloom_semi_join,
+        cms_heavy_hitters,
+        fm_cardinality,
+    )
+    from amorphous_mapreduce_spark.operators.temporal import gap_fill_daily
+
+    docs = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("lang", StringType()),
+            ]
+        ),
+    )
+    assert cms_heavy_hitters(docs).count() == 0
+    assert fm_cardinality(docs).count() == 0
+    assert quality_rules(docs).count() == 0
+    assert importance_sample(docs).count() == 0
+    assert fuzzy_pairs(docs, "text").count() == 0
+
+    edges = spark.createDataFrame(
+        [], StructType([StructField("qid", LongType()), StructField("nid", LongType())])
+    )
+    assert pagerank(edges).count() == 0
+
+    ev = spark.createDataFrame(
+        [], "event_type string, ts timestamp, value double"
+    )
+    assert gap_fill_daily(ev).count() == 0
+
+    fact = spark.createDataFrame([(1, "g")], ["k", "g"])
+    empty_dim = spark.createDataFrame([], StructType([StructField("k", LongType())]))
+    out = bloom_semi_join(fact, empty_dim, "k", "g").collect()
+    assert len(out) == 1 and out[0].n_bloom_pass == 0 and out[0].n_exact == 0
