@@ -308,3 +308,30 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+HIST_ORACLE = """
+SELECT l_returnflag,
+       CAST(LEAST(FLOOR(l_extendedprice / 10000.0), 10) AS BIGINT) AS bin,
+       COUNT(*) AS n_items,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_min,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_max
+FROM lineitem
+GROUP BY l_returnflag, bin
+"""
+
+
+@register("price_histogram", HIST_ORACLE)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram per returnflag (10k-wide bins, top
+    bin open) — the data-profiling shape; bin assignment is one exact
+    double division + floor, counts are a single hash aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(10000.0)), F.lit(10)
+    ).cast("long")
+    return li.groupBy("l_returnflag", bin_col.alias("bin")).agg(
+        F.count("*").alias("n_items"),
+        F.min(dec("l_extendedprice")).cast("double").alias("bin_min"),
+        F.max(dec("l_extendedprice")).cast("double").alias("bin_max"),
+    )
