@@ -125,11 +125,13 @@ ALLOW: dict[str, dict[str, str]] = {
     },
 }
 
+# NOTE: WholeStageCodegen deliberately absent — pre-execution AQE plan
+# strings don't carry codegen markers, so counting them here would
+# always read 0 and imply something was measured that wasn't.
 GOOD = {
     "broadcast_joins": r"BroadcastHashJoin",
     "sort_merge_joins": r"SortMergeJoin",
     "topk_take_ordered": r"TakeOrderedAndProject",
-    "whole_stage_codegen": r"WholeStageCodegen",
     "arrow_python": r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|"
     r"FlatMapGroupsInPandasWithState",
 }
@@ -230,7 +232,8 @@ def main() -> int:
             g = r["good"]
             print(
                 f"ok     {name}: bhj={g['broadcast_joins']} smj={g['sort_merge_joins']}"
-                f" codegen={g['whole_stage_codegen']} scans={g['scans']}"
+                f" scans={g['scans']}"
+                f" pushed={g['scans_with_pushed_filters']}"
             )
 
     summary = {
