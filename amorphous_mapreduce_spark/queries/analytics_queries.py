@@ -335,3 +335,47 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dec("l_extendedprice")).cast("double").alias("bin_min"),
         F.max(dec("l_extendedprice")).cast("double").alias("bin_max"),
     )
+
+
+RFM_ORACLE = """
+WITH rfm AS (
+    SELECT o_custkey AS custkey,
+           CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                          DATE '1998-12-01') AS BIGINT) AS r_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, r_days, frequency, monetary,
+       CASE WHEN r_days <= 90 AND frequency >= 10 THEN 'core'
+            WHEN r_days <= 90 THEN 'active'
+            WHEN frequency >= 10 THEN 'lapsing_whale'
+            ELSE 'dormant' END AS segment
+FROM rfm
+"""
+
+
+@register("customer_rfm", RFM_ORACLE)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation per customer (recency vs a fixed as-of date,
+    order frequency, decimal-exact monetary) with threshold segments —
+    one hash aggregation on the customer key, every rule integer/exact."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1998-12-01").cast("date"),
+            F.max(F.col("o_orderdate")).cast("date"),
+        )
+        .cast("long")
+        .alias("r_days"),
+        F.count("*").alias("frequency"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    seg = (
+        F.when((F.col("r_days") <= 90) & (F.col("frequency") >= 10), "core")
+        .when(F.col("r_days") <= 90, "active")
+        .when(F.col("frequency") >= 10, "lapsing_whale")
+        .otherwise("dormant")
+    )
+    return rfm.select("custkey", "r_days", "frequency", "monetary", seg.alias("segment"))
