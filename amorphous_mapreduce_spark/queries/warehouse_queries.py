@@ -1,0 +1,221 @@
+"""Warehouse-modelling battery: SCD Type-2 interval builds, exact
+anomaly flags, Pareto (skyline) frontiers, and calendar moving averages.
+
+These are the dimensional-modelling / monitoring shapes a training-data
+warehouse runs daily on top of the relational core (SURVEY.md §2.4):
+change-data intervals from an event stream, outlier detection that a
+driver can alert on, and trailing-window KPIs. Every rule is
+integer/decimal-exact so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.agg import dec, dsum
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- SCD Type-2 validity intervals ----------------------------------------
+
+SCD2_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+marked AS (
+    SELECT user_id, event_id, event_type, us,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+seg AS (
+    SELECT user_id, event_type, us,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seg_id
+    FROM marked
+),
+g AS (
+    SELECT user_id, seg_id, event_type,
+           MIN(us) AS valid_from_us, COUNT(*) AS n_events
+    FROM seg GROUP BY user_id, seg_id, event_type
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id
+                                 ORDER BY valid_from_us) AS valid_to_us,
+       n_events
+FROM g
+"""
+
+
+@register("scd2_user_state", SCD2_ORACLE)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream: collapse each
+    user's consecutive same-type events into validity intervals
+    [valid_from, valid_to) — the islands-and-gaps shape every warehouse
+    uses for slowly-changing dimensions. All three windows partition by
+    user_id (keyed, no global sort); change detection and segment
+    numbering are built in ONE select so the windows share a sort
+    (CLAUDE.md gotcha: never split window cols across filters).
+    Comparisons run on epoch microseconds (the precision both engines
+    share on the nanos fixture); ties broken by event_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    seg = ev.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.sum(chg).over(wrun).alias("seg_id"),
+    )
+    g = seg.groupBy("user_id", "seg_id", "event_type").agg(
+        F.min("us").alias("valid_from_us"), F.count("*").alias("n_events")
+    )
+    wlead = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return g.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wlead).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+# --- exact anomaly flags (no float division anywhere) ----------------------
+
+SPIKES_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum6,
+           CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt
+    FROM events GROUP BY event_type
+)
+SELECT event_id, user_id, e.event_type, value
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE CAST(value AS DECIMAL(18,6)) * s.cnt > 3 * s.sum6
+"""
+
+
+@register("events_value_spikes", SPIKES_ORACLE)
+def q_events_value_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value exceeds 3x their type's
+    mean. The mean is never materialised — the predicate is rearranged
+    to ``value * count > 3 * sum`` so every comparison is exact decimal
+    x integer arithmetic (no float division to drift between engines).
+    One keyed agg over a handful of types, broadcast back onto the
+    stream: at 100 TB the stats side is a few rows per event type."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(dec("value", "decimal(18,6)")).alias("sum6"),
+        F.count("*").cast("decimal(10,0)").alias("cnt"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(dec("value", "decimal(18,6)") * F.col("cnt") > 3 * F.col("sum6"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --- Pareto frontier (skyline) per brand -----------------------------------
+
+SKYLINE_ORACLE = """
+SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("part_skyline", SKYLINE_ORACLE)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier: parts not dominated on (cheaper price,
+    larger size) by any same-brand part. The dominance test is a left
+    ANTI join whose equi-component is the brand key, so Spark plans a
+    hash join with the inequality as a residual filter — candidate
+    pairs are bounded per brand group, never a global cartesian."""
+    p = _t(spark, sf_dir, "part")
+    q = p.select(
+        F.col("p_brand").alias("q_brand"),
+        F.col("p_retailprice").alias("q_price"),
+        F.col("p_size").alias("q_size"),
+    )
+    dominated_by = (
+        (F.col("p_brand") == F.col("q_brand"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated_by, "left_anti").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+
+
+# --- trailing 7-day moving average without a global window -----------------
+
+MA7_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS ddate,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY ddate
+),
+contrib AS (
+    SELECT daily.ddate + CAST(g.i AS INTEGER) AS tdate, rev
+    FROM daily CROSS JOIN (SELECT UNNEST(range(0, 7)) AS i) g
+),
+ma AS (
+    SELECT tdate, SUM(rev) AS rev7, COUNT(*) AS days_present
+    FROM contrib GROUP BY tdate
+)
+SELECT CAST(d.ddate AS TIMESTAMP) AS ddate,
+       CAST(d.rev AS DOUBLE) AS day_revenue,
+       CAST(m.rev7 AS DOUBLE) AS rev_7d,
+       m.days_present,
+       CAST(m.rev7 AS DOUBLE) / m.days_present AS ma_7d
+FROM daily d JOIN ma m ON d.ddate = m.tdate
+"""
+
+
+@register("daily_revenue_ma7", MA7_ORACLE)
+def q_daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily order revenue WITHOUT a
+    global ordered window: each daily total is exploded into the 7
+    target dates it contributes to, then re-aggregated by target date —
+    two keyed hash aggs, embarrassingly parallel at any scale (the
+    classic scale-out replacement for ``ROWS 6 PRECEDING`` over an
+    unpartitioned frame). Division happens once, double/int, identical
+    on both engines; sums stay decimal."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("ddate")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "ddate", "rev"
+    ).select(F.expr("date_add(ddate, i)").alias("tdate"), "rev")
+    ma = contrib.groupBy("tdate").agg(
+        F.sum("rev").alias("rev7"), F.count("*").alias("days_present")
+    )
+    return daily.join(ma, daily.ddate == ma.tdate).select(
+        F.col("ddate").cast("timestamp").alias("ddate"),
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.col("rev7").cast("double").alias("rev_7d"),
+        "days_present",
+        (F.col("rev7").cast("double") / F.col("days_present")).alias("ma_7d"),
+    )

@@ -57,4 +57,5 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     temporal_queries,
     text_queries,
     tpch_extra,
+    warehouse_queries,
 )
