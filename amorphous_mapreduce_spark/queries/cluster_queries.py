@@ -112,3 +112,51 @@ def q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("prop_key").agg(
         F.count("*").alias("n_events"), F.sum("v").alias("sum_value")
     )
+
+
+# Oracle: same minhash-LSH pairs CTE, then triangles = two keyed joins
+# (AB-BC chaining + AC membership) over the canonical qid<nid pair set.
+TRIANGLES_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+), pairs AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+)
+SELECT p1.qid AS id_a, p1.nid AS id_b, p2.nid AS id_c
+FROM pairs p1
+JOIN pairs p2 ON p1.nid = p2.qid
+JOIN pairs p3 ON p3.qid = p1.qid AND p3.nid = p2.nid
+"""
+)
+
+
+@register("near_dup_triangles", TRIANGLES_ORACLE)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup similarity graph (the
+    density signal dedup pipelines use to spot template farms): with
+    every edge stored once as qid<nid, each triangle a<b<c is found
+    exactly once by chaining AB->BC on the shared middle node and
+    semi-joining the closing edge AC — two keyed hash joins, no
+    per-node fanout beyond true degree. The shared pair set is
+    persisted so the three join branches don't recompute the LSH
+    lineage (CLAUDE.md self-join gotcha)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    e1 = pairs.select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"))
+    e2 = pairs.select(F.col("qid").alias("id_b"), F.col("nid").alias("id_c"))
+    e3 = pairs.select(F.col("qid").alias("id_a"), F.col("nid").alias("id_c"))
+    return e1.join(e2, "id_b").join(e3, ["id_a", "id_c"], "left_semi").select(
+        "id_a", "id_b", "id_c"
+    )

@@ -219,3 +219,116 @@ def q_daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "days_present",
         (F.col("rev7").cast("double") / F.col("days_present")).alias("ma_7d"),
     )
+
+
+# --- mergeable histogram quantile (the 100 TB median) ----------------------
+
+HIST_MEDIAN_ORACLE = """
+WITH hist AS (
+    SELECT l_returnflag,
+           CAST(LEAST(FLOOR(l_extendedprice / 10000.0), 10) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, bin
+),
+cum AS (
+    SELECT h1.l_returnflag, h1.bin, SUM(h2.n) AS cum_n
+    FROM hist h1 JOIN hist h2
+      ON h1.l_returnflag = h2.l_returnflag AND h2.bin <= h1.bin
+    GROUP BY h1.l_returnflag, h1.bin
+),
+tot AS (
+    SELECT l_returnflag, SUM(n) AS total FROM hist GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       MIN(c.bin) AS median_bin,
+       CAST(MIN(c.bin) * 10000 + 5000 AS DOUBLE) AS approx_median,
+       CAST(MIN(t.total) AS BIGINT) AS total
+FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+WHERE 2 * c.cum_n >= t.total
+GROUP BY c.l_returnflag
+"""
+
+
+@register("approx_median_hist", HIST_MEDIAN_ORACLE)
+def q_approx_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch median: one hash aggregation builds fixed-width
+    bucket counts (a mergeable sketch — partial aggs combine by adding
+    counts, so the 100 TB plan is a single map-side-combined pass, no
+    global sort like the exact percentile path); the cumulative
+    distribution is recovered by a self-join KEYED ON l_returnflag
+    (bin inequality is a residual on an equi-join over <=11-row
+    groups). Median = first bin where 2*cum >= total; the estimate is
+    the bin midpoint, exact integer arithmetic end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(10000.0)), F.lit(10)
+    ).cast("long")
+    hist = (
+        li.groupBy("l_returnflag", bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    h2 = hist.select(
+        F.col("l_returnflag").alias("flag2"),
+        F.col("bin").alias("bin2"),
+        F.col("n").alias("n2"),
+    )
+    cum = (
+        hist.join(
+            h2,
+            (F.col("l_returnflag") == F.col("flag2"))
+            & (F.col("bin2") <= F.col("bin")),
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(F.sum("n2").alias("cum_n"))
+    )
+    tot = hist.groupBy("l_returnflag").agg(F.sum("n").alias("total"))
+    return (
+        cum.join(tot, "l_returnflag")
+        .filter(2 * F.col("cum_n") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("bin").alias("median_bin"),
+            (F.min("bin") * 10000 + 5000).cast("double").alias("approx_median"),
+            F.min("total").cast("long").alias("total"),
+        )
+    )
+
+
+# --- day-over-day delta via keyed self-join (no global lag window) ---------
+
+DELTA_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS ddate,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY ddate
+)
+SELECT CAST(d.ddate AS TIMESTAMP) AS ddate,
+       CAST(d.rev AS DOUBLE) AS day_revenue,
+       CAST(p.rev AS DOUBLE) AS prev_revenue,
+       CAST(d.rev - p.rev AS DOUBLE) AS delta
+FROM daily d LEFT JOIN daily p ON p.ddate = d.ddate - 1
+"""
+
+
+@register("daily_revenue_delta", DELTA_ORACLE)
+def q_daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta via a keyed self-join on the previous
+    calendar day instead of LAG over an unpartitioned ordered window —
+    the delta survives any partitioning and parallelises freely (the
+    same explode/shift trick as the moving average, specialised to
+    shift=1). Missing previous day yields NULL, matching LAG
+    semantics over a date spine. Subtraction stays decimal."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("ddate")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev")).persist()
+    prev = daily.select(
+        F.expr("date_add(ddate, 1)").alias("ddate"), F.col("rev").alias("prev")
+    )
+    return daily.join(prev, "ddate", "left").select(
+        F.col("ddate").cast("timestamp").alias("ddate"),
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.col("prev").cast("double").alias("prev_revenue"),
+        (F.col("rev") - F.col("prev")).cast("double").alias("delta"),
+    )
