@@ -332,3 +332,200 @@ def q_daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev").cast("double").alias("prev_revenue"),
         (F.col("rev") - F.col("prev")).cast("double").alias("delta"),
     )
+
+
+# --- referential-integrity audit (orphan detection) ------------------------
+
+FK_AUDIT_ORACLE = """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+"""
+
+
+@register("fk_integrity_audit", FK_AUDIT_ORACLE)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: orphan counts for every foreign-key edge of
+    the star schema (the audit a warehouse runs before publishing a
+    snapshot). Each relation is one ANTI join on its key followed by a
+    scalar count — dimension sides broadcast, the fact side streams
+    once per edge; nothing materialises the orphan rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def orphans(name, fact, fk, dim, pk):
+        missing = fact.join(
+            F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti"
+        )
+        return missing.agg(F.count("*").alias("n_orphans")).select(
+            F.lit(name).alias("relation"), "n_orphans"
+        )
+
+    return (
+        orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(
+            orphans(
+                "lineitem->part", li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"
+            )
+        )
+        .unionByName(
+            orphans(
+                "lineitem->supplier",
+                li,
+                "l_suppkey",
+                _t(spark, sf_dir, "supplier"),
+                "s_suppkey",
+            )
+        )
+        .unionByName(
+            orphans(
+                "orders->customer",
+                orders,
+                "o_custkey",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            )
+        )
+    )
+
+
+# --- explicit GROUPING SETS (completes the cube/rollup lattice family) -----
+
+GSETS_ORACLE = """
+SELECT COALESCE(p_brand, 'ALL') AS brand,
+       COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY GROUPING SETS ((p_brand), (l_returnflag), ())
+"""
+
+
+@register("sales_grouping_sets", GSETS_ORACLE)
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two marginal rollups plus the grand
+    total WITHOUT the full cross-product a CUBE would compute (at 100 TB
+    the expand operator emits one replica per grouping set, so asking
+    for 3 sets instead of CUBE's 4 is a 25% shuffle saving). Rolled-up
+    dimensions surface as 'ALL', matching the cube query's convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupingSets(
+            [["p_brand"], ["l_returnflag"], []], "p_brand", "l_returnflag"
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_extendedprice", "decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+# --- percent_rank / cume_dist (keyed rank-statistics windows) --------------
+
+PRANK_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER w AS spend_pr,
+       cume_dist() OVER w AS spend_cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("customer_percent_rank", PRANK_ORACLE)
+def q_customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank statistics per nation: percent_rank and cume_dist over the
+    customer balance, windows PARTITIONED BY the nation key (keyed sort,
+    never global) with a total-order tie-break. Both functions are
+    rank/count ratios of identical integers, so the doubles match the
+    oracle bit-for-bit."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("spend_pr"),
+        F.cume_dist().over(w).alias("spend_cd"),
+    )
+
+
+# --- incremental rollup maintenance (mergeable partial state) --------------
+
+INCR_ORACLE = """
+WITH base AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum6, COUNT(*) AS cnt
+    FROM events WHERE event_id % 2 = 0 GROUP BY day
+),
+delta AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum6, COUNT(*) AS cnt
+    FROM events WHERE event_id % 2 = 1 GROUP BY day
+),
+merged AS (
+    SELECT day, sum6, cnt FROM base
+    UNION ALL SELECT day, sum6, cnt FROM delta
+)
+SELECT day, CAST(SUM(sum6) AS DOUBLE) AS sum_value,
+       CAST(SUM(cnt) AS BIGINT) AS n_events
+FROM merged GROUP BY day
+"""
+
+
+@register("incremental_daily_rollup", INCR_ORACLE)
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a daily rollup kept as mergeable
+    partial state (decimal sum + count per day). The 'base' snapshot and
+    a 'late-arriving' delta batch are aggregated independently and then
+    MERGED by adding states — the algebraic-aggregate property that lets
+    a 100 TB rollup absorb new partitions without rescanning history
+    (and the batch twin of the streaming sink's state update). Split is
+    simulated by event-id parity; merged result equals a full recompute
+    because decimal addition is associative."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("timestamp").alias("day"),
+        (F.col("event_id") % 2).alias("parity"),
+        dec("value", "decimal(18,6)").alias("v6"),
+    )
+
+    def state(df):
+        return df.groupBy("day").agg(
+            F.sum("v6").alias("sum6"), F.count("*").alias("cnt")
+        )
+
+    base = state(ev.filter(F.col("parity") == 0))
+    delta = state(ev.filter(F.col("parity") == 1))
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("sum6").cast("double").alias("sum_value"),
+            F.sum("cnt").cast("long").alias("n_events"),
+        )
+    )
