@@ -52,6 +52,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     relational_queries,
     similarity_queries,
     sketch_queries,
+    source_queries,
     streaming_queries,
     subquery_queries,
     temporal_queries,
