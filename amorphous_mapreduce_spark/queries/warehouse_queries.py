@@ -529,3 +529,99 @@ def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("long").alias("n_events"),
         )
     )
+
+
+# --- peak concurrent sessions (interval analytics, two-phase scan) ---------
+
+PEAK_ORACLE = """
+WITH lagged AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, us, event_id,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sess AS (
+    SELECT user_id, us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), spans AS (
+    SELECT user_id, session_id, MIN(us) AS s_us, MAX(us) + 1 AS e_us
+    FROM sess GROUP BY user_id, session_id
+), bounds AS (
+    SELECT s_us AS us, 1 AS delta FROM spans
+    UNION ALL
+    SELECT e_us AS us, -1 AS delta FROM spans
+), pre AS (
+    SELECT us // 86400000000 AS day_idx, delta,
+           SUM(delta) OVER (PARTITION BY us // 86400000000
+                            ORDER BY us, delta DESC
+                            ROWS UNBOUNDED PRECEDING) AS prefix
+    FROM bounds
+), daily AS (
+    SELECT day_idx, SUM(delta) AS net, MAX(prefix) AS dmax
+    FROM pre GROUP BY day_idx
+), carry AS (
+    SELECT d1.day_idx, COALESCE(SUM(d2.net), 0) AS c
+    FROM daily d1 LEFT JOIN daily d2 ON d2.day_idx < d1.day_idx
+    GROUP BY d1.day_idx
+)
+SELECT d.day_idx,
+       CAST(c.c + GREATEST(d.dmax, 0) AS BIGINT) AS peak_concurrency
+FROM daily d JOIN carry c ON d.day_idx = c.day_idx
+"""
+
+
+@register("peak_concurrent_sessions", PEAK_ORACLE)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval analytics: max concurrent 30-min-gap sessions per day,
+    via the distributed two-phase sweep — +1/-1 boundary events get a
+    prefix sum KEYED BY DAY (parallel), then each day's carried-in
+    level is the sum of prior days' nets (a join over the calendar
+    frame, whose size is bounded by the date domain, not the data).
+    Peak = carry + max(prefix, 0) — the 0 covers a day whose level
+    only falls, where the peak is the level standing at day start.
+    This replaces the textbook single global sort of all boundaries,
+    which would funnel 100 TB of events through one task."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("us") - F.lag("us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = ev.select("user_id", "us", F.sum(is_new).over(wrun).alias("session_id"))
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("s_us"), (F.max("us") + 1).alias("e_us")
+    )
+    bounds = spans.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    day = F.expr("us div 86400000000")
+    wpre = (
+        Window.partitionBy("day_idx")
+        .orderBy(F.col("us"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = bounds.select(
+        day.alias("day_idx"), "us", "delta"
+    ).select("day_idx", "delta", F.sum("delta").over(wpre).alias("prefix"))
+    daily = pre.groupBy("day_idx").agg(
+        F.sum("delta").alias("net"), F.max("prefix").alias("dmax")
+    ).persist()
+    d2 = daily.select(F.col("day_idx").alias("day2"), F.col("net").alias("net2"))
+    carry = (
+        daily.join(d2, F.col("day2") < F.col("day_idx"), "left")
+        .groupBy("day_idx", "dmax")
+        .agg(F.coalesce(F.sum("net2"), F.lit(0)).alias("c"))
+    )
+    return carry.select(
+        "day_idx",
+        (F.col("c") + F.greatest(F.col("dmax"), F.lit(0)))
+        .cast("long")
+        .alias("peak_concurrency"),
+    )

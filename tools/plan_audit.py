@@ -57,6 +57,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-size scalar (N for idf) "
         "crossed onto term frequencies",
     },
+    "peak_concurrent_sessions": {
+        "BroadcastNestedLoopJoin": "day-level carry join: both sides are "
+        "the per-day aggregate whose cardinality is bounded by the "
+        "calendar domain (#days), not by data volume — the boundary-event "
+        "prefix sums themselves are keyed by day",
+    },
     "above_avg_customers": {
         "BroadcastNestedLoopJoin": "1-row global-average scalar from an "
         "uncorrelated subquery",
