@@ -1,0 +1,132 @@
+"""Warehouse battery invariants (queries/warehouse_queries.py) —
+semantic properties the oracle hash can't express, cross-checked by
+brute force at sf0.001."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import QUERIES
+from amorphous_mapreduce_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    out = QUERIES["scd2_user_state"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    counts = ev.groupby("user_id").size()
+    got = out.groupby("user_id").n_events.sum()
+    assert got.to_dict() == counts.to_dict()
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("valid_from_us")
+        # exactly one open interval per user, and it is the last one
+        assert g.valid_to_us.isna().sum() == 1
+        assert pd.isna(g.valid_to_us.iloc[-1])
+        # intervals chain: each valid_to equals the next valid_from
+        closed = g.valid_to_us.iloc[:-1].astype("int64").tolist()
+        nxt = g.valid_from_us.iloc[1:].astype("int64").tolist()
+        assert closed == nxt
+        # consecutive intervals never share a state (else they'd merge)
+        states = g.event_type.tolist()
+        assert all(a != b for a, b in zip(states, states[1:]))
+
+
+def test_skyline_is_a_true_pareto_frontier(spark):
+    sky = QUERIES["part_skyline"](spark, SF).toPandas()
+    parts = load_table(spark, SF, "part").toPandas()
+
+    def dominates(a, b):
+        return (
+            a.p_retailprice <= b.p_retailprice
+            and a.p_size >= b.p_size
+            and (a.p_retailprice < b.p_retailprice or a.p_size > b.p_size)
+        )
+
+    for brand, g in parts.groupby("p_brand"):
+        fr = sky[sky.p_brand == brand]
+        assert len(fr) >= 1
+        rows = list(g.itertuples())
+        fr_rows = list(fr.itertuples())
+        # no frontier point dominates another
+        for a in fr_rows:
+            assert not any(dominates(b, a) for b in fr_rows if b.p_partkey != a.p_partkey)
+        # every part is on the frontier or dominated by a frontier part
+        fr_keys = set(fr.p_partkey)
+        for b in rows:
+            if b.p_partkey not in fr_keys:
+                assert any(dominates(a, b) for a in fr_rows)
+
+
+def test_ma7_equals_window_formulation(spark):
+    out = QUERIES["daily_revenue_ma7"](spark, SF).toPandas()
+    daily = (
+        out[["ddate", "day_revenue"]]
+        .sort_values("ddate")
+        .reset_index(drop=True)
+        .set_index("ddate")
+    )
+    rolling = daily.day_revenue.rolling("7D").sum()
+    got = out.set_index("ddate").rev_7d
+    assert (rolling - got.reindex(rolling.index)).abs().max() < 1e-6
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    out = QUERIES["incremental_daily_rollup"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events")
+    full = (
+        ev.groupBy(F.col("ts").cast("date").cast("timestamp").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .toPandas()
+    )
+    merged = out.sort_values("day").reset_index(drop=True)
+    full = full.sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged[["day", "sum_value", "n_events"]],
+        full[["day", "sum_value", "n_events"]],
+        check_dtype=False,
+    )
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    out = {
+        r.day_idx: r.peak_concurrency
+        for r in QUERIES["peak_concurrent_sessions"](spark, SF).collect()
+    }
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    # brute-force sessionize + sweep
+    spans = []
+    for _, g in ev.groupby("user_id"):
+        start = prev = None
+        for us in g.us:
+            if prev is None or us - prev > 1_800_000_000:
+                if start is not None:
+                    spans.append((start, prev + 1))
+                start = us
+            prev = us
+        spans.append((start, prev + 1))
+    bounds = sorted(
+        [(s, -1) for s, _ in spans] + [(e, 1) for _, e in spans]
+    )  # delta encoded so starts (-1 flag) sort before ends at equal time
+    level = 0
+    peak_by_day = {}
+    for us, tag in bounds:
+        day = us // 86_400_000_000
+        if day not in peak_by_day:
+            # level standing since the previous event spans this day's
+            # start — the query's carry term
+            peak_by_day[day] = level
+        level += 1 if tag == -1 else -1
+        peak_by_day[day] = max(peak_by_day[day], level)
+    # query only reports days with boundary events; compare those
+    for day, peak in out.items():
+        assert peak_by_day.get(day) == peak, (day, peak, peak_by_day.get(day))
