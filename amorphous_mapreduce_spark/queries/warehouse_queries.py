@@ -625,3 +625,128 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("peak_concurrency"),
     )
+
+
+# --- median absolute deviation (robust dispersion) -------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       MIN(m.p50) AS p50,
+       quantile_cont(ABS(l.l_extendedprice - m.p50), 0.5) AS mad
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@register("price_mad", MAD_ORACLE)
+def q_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per returnflag — the robust dispersion
+    statistic outlier monitoring wants when variance is poisoned by the
+    outliers themselves. Two keyed aggregations with a broadcast of the
+    tiny per-group medians between them; |x - median| is one double
+    subtraction (bit-identical on both engines) and both engines share
+    the same interpolated-percentile formula (proven by the
+    price_percentiles query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p50").alias("p50"),
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("p50")), 0.5
+            ).alias("mad"),
+        )
+    )
+
+
+# --- multi-granularity rollup reuse (month FROM day partials) --------------
+
+GRAIN_ORACLE = """
+WITH day_state AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum6, COUNT(*) AS cnt
+    FROM events GROUP BY day
+)
+SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+       CAST(SUM(sum6) AS DOUBLE) AS sum_value,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       COUNT(*) AS n_days
+FROM day_state GROUP BY month
+"""
+
+
+@register("multi_grain_rollup", GRAIN_ORACLE)
+def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granularity chaining: the month rollup is computed FROM the
+    day-level partial states, never from raw events — at 100 TB the
+    coarse grains cost O(#days), not a second full scan (the same
+    algebraic-merge property the incremental rollup exploits, applied
+    up the time hierarchy day -> month)."""
+    ev = _t(spark, sf_dir, "events")
+    day_state = ev.groupBy(
+        F.col("ts").cast("date").cast("timestamp").alias("day")
+    ).agg(
+        F.sum(dec("value", "decimal(18,6)")).alias("sum6"),
+        F.count("*").alias("cnt"),
+    )
+    return day_state.groupBy(
+        F.date_trunc("month", F.col("day")).alias("month")
+    ).agg(
+        F.sum("sum6").cast("double").alias("sum_value"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+
+
+# --- user event-path analysis ---------------------------------------------
+
+PATHS_ORACLE = """
+WITH paths AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+    FROM events GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
+@register("user_event_paths", PATHS_ORACLE)
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's full ordered event-type sequence as a
+    '>'-joined string, ranked by frequency (the product-analytics
+    'what journeys happen most' query). Ordering inside each path comes
+    from array_sort over (us, event_id, type) structs — a total order,
+    so the aggregation is deterministic under any shuffle; the final
+    top-20 is a TakeOrderedAndProject with the path itself as
+    tie-break."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("etype"),
+        ).alias("s"),
+    )
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x.etype),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
