@@ -84,3 +84,57 @@ def test_stream_replay_availablenow(spark):
         out = spark.sql("SELECT COUNT(*) AS n, SUM(event_id) AS s FROM synth_replay").first()
         assert out.n == 3000
         assert out.s == 3000 * 2999 // 2
+
+
+def test_stream_windowed_agg_matches_batch(spark):
+    """Watermarked tumbling-window agg over the replayed stream equals
+    the same aggregation over the batch read of the identical rows."""
+    register_synthetic_source(spark)
+    opts = {"rows": 5000, "rowsPerBatch": 1300}
+
+    def with_ts(df):
+        # deterministic event-time: one second per id from a fixed epoch
+        return df.withColumn(
+            "etime", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id"))
+        )
+
+    stream = spark.readStream.format("synthetic_events").options(**opts).load()
+    agg = (
+        with_ts(stream)
+        .withWatermark("etime", "10 minutes")
+        .groupBy(F.window("etime", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("synth_win")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["window"].start, r.event_type): (r.n, r.sv)
+            for r in spark.sql("SELECT * FROM synth_win").collect()
+        }
+    batch = (
+        with_ts(spark.read.format("synthetic_events").options(**opts).load())
+        .groupBy(F.window("etime", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    want = {
+        (r["window"].start, r.event_type): (r.n, r.sv) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
