@@ -160,3 +160,113 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.join(e2, "id_b").join(e3, ["id_a", "id_c"], "left_semi").select(
         "id_a", "id_b", "id_c"
     )
+
+
+# Oracle: doc_stats quality formula + the LSH pairs CTE + recursive
+# closure; survivor per cluster = highest quality, doc_id tie-break.
+from pyspark.sql import Window  # noqa: E402
+from amorphous_mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    STOPWORDS,
+    doc_stats,
+)
+from amorphous_mapreduce_spark.queries.dedup_queries import NORM  # noqa: E402
+
+
+def _sql_words(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+BEST_QUALITY_ORACLE = (
+    """
+WITH RECURSIVE stats AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE least(1.0, n_tokens / 100) * (1 - punct_ratio)
+                     * (0.5 + stopword_ratio) END AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+               (length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')))
+                   / length(norm) AS punct_ratio,
+               len(list_filter(string_split(norm, ' '),
+                               w -> w IN ("""
+    + _sql_words(STOPWORDS)
+    + f""")))
+                   / len(string_split(norm, ' ')) AS stopword_ratio
+        FROM (SELECT doc_id, {NORM} AS norm FROM documents)
+    )
+),
+"""
+    + SHINGLES_CTE.strip()
+    + """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+), pairs AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+), edges AS (
+    SELECT qid AS a, nid AS b FROM pairs
+    UNION
+    SELECT nid AS a, qid AS b FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), clusters AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+), labeled AS (
+    SELECT c.doc_id, c.cluster, s.quality,
+           COUNT(*) OVER (PARTITION BY c.cluster) AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster
+                              ORDER BY s.quality DESC, c.doc_id) AS rn
+    FROM clusters c JOIN stats s USING (doc_id)
+)
+SELECT cluster, doc_id AS survivor_id, quality AS survivor_quality,
+       n_members
+FROM labeled WHERE rn = 1
+"""
+)
+
+
+@register("near_dup_best_quality", BEST_QUALITY_ORACLE)
+def q_best_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (the RefinedWeb /
+    FineWeb policy): instead of keeping the smallest id per cluster,
+    keep the HIGHEST-QUALITY member — clusters from minhash-LSH +
+    connected components, quality from the deterministic doc_stats
+    formula, survivor chosen by a window PARTITIONED BY cluster with a
+    doc_id tie-break. Everything is keyed: the only new shuffle over
+    the clustering itself is one hash join on doc_id plus the
+    per-cluster window."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    clusters = dedup_clusters(docs, pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    quality = doc_stats(docs).select(F.col("id").alias("doc_id"), "quality")
+    labeled = clusters.join(quality, "doc_id")
+    wc = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = labeled.select(
+        "doc_id",
+        "cluster",
+        "quality",
+        F.count("*").over(wc).alias("n_members"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("quality").alias("survivor_quality"),
+        "n_members",
+    )
