@@ -265,3 +265,50 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF ANN vs the exact top-5, in-plan, hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _recall(spark, sf_dir, ivf_topk(emb, k=5, n_cells=16, n_probe=4))
+
+
+KNN_LABEL_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id <> b.vec_id
+),
+top1 AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM pairs
+    ) WHERE rnk = 1
+)
+SELECT a.label AS label, COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN b.label = a.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM top1
+JOIN embeddings a ON top1.qid = a.vec_id
+JOIN embeddings b ON top1.nid = b.vec_id
+GROUP BY a.label
+"""
+
+
+@register("knn_label_agreement", KNN_LABEL_ORACLE)
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval: 1-NN label agreement per class (leave-one-
+    out nearest neighbour, cosine) — the 'does my embedding space
+    cluster its labels' check an embedding pipeline runs after every
+    retrain. Reuses the blocked exact top-k kernel (k=1), then two
+    broadcast label joins and one keyed agg; counts are integer-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    top1 = cosine_topk_blocked(emb, k=1, n_blocks=16).select("qid", "nid")
+    qlab = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("label"))
+    nlab = emb.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"))
+    return (
+        top1.join(F.broadcast(qlab), "qid")
+        .join(F.broadcast(nlab), "nid")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )

@@ -72,6 +72,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "O(n/block_size)^2) block-id frames, not row-level data; rows move "
         "via the keyed block join",
     },
+    "knn_label_agreement": {
+        "BroadcastNestedLoopJoin": "inherits cosine_topk_blocked's (tiny, "
+        "O(n/block_size)^2) block-id pair frame; rows move via the keyed "
+        "block join",
+    },
     "similarity_lsh_recall": {
         "BroadcastNestedLoopJoin": "inherits similarity_topk's block-id "
         "pair frame (the exact side of the recall join)",
