@@ -45,6 +45,10 @@ HEADLINE = [
     "cms_heavy_hitters",
     "events_gap_fill",
     "fuzzy_part_names",
+    # warehouse / scan-layer / eval families (added end of round 2)
+    "scd2_user_state",
+    "peak_concurrent_sessions",
+    "synthetic_source_rollup",
 ]
 
 
