@@ -233,6 +233,78 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via LOSSLESS prefix filtering
+    (the AllPairs/PPJoin candidate scheme): [qid, nid, inter, union_sz,
+    jaccard].
+
+    Global shingle order = (document frequency asc, shingle asc) — rare
+    shingles first. Each doc keeps only its first
+    ``L = sz - ceil(threshold*sz) + 1`` shingles under that order; by the
+    pigeonhole prefix property, two sets with Jaccard >= threshold MUST
+    share at least one prefix shingle, so the equi-join on prefix
+    shingles misses no qualifying pair. Candidates are then verified with
+    an exact intersection count, making the result identical to the
+    brute-force all-pairs join.
+
+    Scale: this is the lossless counterpart of ``jaccard_pairs``'
+    ``max_df`` cap. Stopword-like shingles have maximal df, sort LAST in
+    the global order, and drop out of every prefix — so the candidate
+    join's per-key fanout is bounded by rare-shingle df instead of
+    corpus-wide df, with no vocabulary truncation. All windows are keyed
+    by doc id (no global rank materialisation: the order (df, sh) is
+    used directly as a sort key inside each doc's partition).
+    """
+    sh = shingles(docs, shingle_size, id_col, text_col)
+    # Read by the df count, the prefix build, and both verify sides —
+    # persist so tokenize+shingle runs once (self-join lineage gotcha).
+    sh = sh.persist()
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    # Both window columns in ONE select, filter afterwards (CLAUDE.md
+    # gotcha: window exprs after a filter recompute over filtered rows).
+    wdoc = Window.partitionBy("id").orderBy("_df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .select(
+            "id",
+            "sh",
+            F.row_number().over(wdoc).alias("_r"),
+            F.count("*").over(Window.partitionBy("id")).alias("_sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("id", "sh")
+    cand = (
+        prefix.select(F.col("id").alias("qid"), "sh")
+        .join(prefix.select(F.col("id").alias("nid"), "sh"), "sh")
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("qid"), "sh"), "qid")
+        .join(sh.select(F.col("id").alias("nid"), "sh"), ["nid", "sh"])
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("qid"), F.col("sz").alias("qsz")), "qid")
+        .join(sizes.select(F.col("id").alias("nid"), F.col("sz").alias("nsz")), "nid")
+        .withColumn("union_sz", F.col("qsz") + F.col("nsz") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("qid", "nid", "inter", "union_sz", "jaccard")
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 64,

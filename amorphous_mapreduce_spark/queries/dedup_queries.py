@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from amorphous_mapreduce_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     simhash,
     simhash_near_pairs,
@@ -143,6 +144,40 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-shingle df cap mirrored in the oracle (both sides compute
     Jaccard over the df<=1000 vocabulary — identical results at any SF)."""
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.05, max_df=JACCARD_MAX_DF)
+
+
+PREFIX_JACCARD_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+inters AS (
+    SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
+    FROM shingles a JOIN shingles b USING (sh)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT qid, nid, inter,
+       qs.sz + ns.sz - inter AS union_sz,
+       CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) AS jaccard
+FROM inters
+JOIN sizes qs ON qs.id = qid
+JOIN sizes ns ON ns.id = nid
+WHERE CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) >= 0.5
+"""
+)
+
+
+@register("jaccard_prefix_pairs", PREFIX_JACCARD_ORACLE)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 via LOSSLESS prefix filtering (AllPairs/
+    PPJoin): docs keep only their sz-ceil(t*sz)+1 rarest shingles, the
+    candidate join runs on those prefixes, then exact verification. The
+    oracle is the BRUTE-FORCE all-pairs join — hash equality proves the
+    prefix filter loses nothing. Hot shingles sort last in the (df, sh)
+    order and fall out of every prefix, bounding the join fanout without
+    the max_df vocabulary truncation ngram_jaccard uses."""
+    return jaccard_prefix_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 SIMHASH_CTE = (

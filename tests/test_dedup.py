@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from amorphous_mapreduce_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     shingles,
@@ -119,3 +120,39 @@ def test_jaccard_cap_above_max_df_is_identity(docs):
         for r in jaccard_pairs(docs, threshold=0.0, max_df=1000).collect()
     }
     assert base == capped
+
+
+def test_prefix_pairs_match_brute_force(spark):
+    # Lossless guarantee: prefix-filtered result == brute-force all-pairs
+    # result at the same threshold, on a corpus with real near-dups AND a
+    # hot shingle shared by everything.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),     # exact dup of 1
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),       # near-dup of 4
+        (6, "totally unrelated content goes right here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    brute = {
+        (r["qid"], r["nid"]): (r["inter"], r["union_sz"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r["qid"], r["nid"]): (r["inter"], r["union_sz"])
+        for r in jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    assert pref == brute
+    assert (1, 3) in pref  # exact dup survives at any threshold
+
+
+def test_prefix_pairs_prunes_hot_shingle(spark):
+    # Ten docs sharing ONE stopword-like shingle with pairwise-disjoint
+    # tails: no pair reaches Jaccard 0.5, and the hot shingle (df=10)
+    # sorts last in the (df, sh) order so prefixes exclude it — the
+    # candidate join generates nothing, unlike the uncapped inverted
+    # index which fans out to C(10,2) candidates.
+    rows = [(i, f"common stop word u{i}x u{i}y") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert jaccard_prefix_pairs(docs, threshold=0.5).count() == 0
