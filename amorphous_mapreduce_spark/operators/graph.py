@@ -226,3 +226,60 @@ def pagerank(
     finally:
         spark.conf.set(pf_key, pf_old)
     return state.select("id", "deg", "rank_fp")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "qid",
+    dst: str = "nid",
+) -> DataFrame:
+    """[id, hop] — minimum hop distance from the seed set, capped at
+    ``max_hops`` (multi-source BFS by frontier expansion).
+
+    Each round joins ONLY the current frontier (not all visited nodes)
+    against the edge list, anti-joins the already-visited set, and stops
+    early when the frontier empties — per-round work is proportional to
+    the frontier, the shuffle key is the node id, and the driver holds a
+    single counter (the bounded-iteration convention, cf.
+    connected_components). Seeds not present in the graph remain
+    hop-0 singletons.
+    """
+    spark = edges.sparkSession
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_old = spark.conf.get(pf_key, "true")
+    spark.conf.set(pf_key, "false")
+    try:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            )
+            .distinct()
+            .persist()
+        )
+        visited = (
+            seeds.select(F.col("id"))
+            .distinct()
+            .withColumn("hop", F.lit(0))
+            .localCheckpoint()
+        )
+        frontier = visited.select("id")
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(sym, frontier.id == sym.a)
+                .select(F.col("b").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("hop", F.lit(h))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt.select("id")
+    finally:
+        spark.conf.set(pf_key, pf_old)
+    sym.unpersist()
+    return visited

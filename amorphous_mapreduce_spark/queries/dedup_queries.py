@@ -9,6 +9,7 @@ the single division, Jaccard, is a deterministic double division).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.dedup import (
     exact_dedup,
@@ -230,6 +231,61 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline remains available as banded=False.
     """
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=True)
+
+
+MINHASH_EDGES_CTE = """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+), pairs AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+), edges AS (
+    SELECT qid AS a, nid AS b FROM pairs
+    UNION
+    SELECT nid AS a, qid AS b FROM pairs
+)"""
+
+BFS_ORACLE = (
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 20 = 0),
+walk(id, hop) AS (
+    SELECT id, 0 FROM seeds
+    UNION
+    SELECT e.b, w.hop + 1 FROM walk w JOIN edges e ON e.a = w.id
+    WHERE w.hop < 6
+)
+SELECT id, MIN(hop) AS hop FROM walk GROUP BY id
+"""
+)
+
+
+@register("near_dup_bfs_hops", BFS_ORACLE)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the MinHash-LSH near-dup graph: minimum hop
+    distance from a seed set (every 20th doc) capped at 6 — the
+    'contamination radius' question (which docs sit within k dedup hops
+    of a flagged set). Frontier-expansion loop joins only the frontier
+    per round and stops when it empties; oracle is a depth-capped
+    recursive CTE taking MIN(hop)."""
+    from amorphous_mapreduce_spark.operators.graph import bfs_hops
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    seeds = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return bfs_hops(pairs, seeds, max_hops=6)
 
 
 def _pr_iter(prev: str, cur: str) -> str:

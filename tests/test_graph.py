@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.graph import (
+    bfs_hops,
     connected_components,
     dedup_clusters,
 )
@@ -73,3 +74,24 @@ def test_pagerank_symmetric_two_nodes_is_fixed_point(spark):
     edges = spark.createDataFrame([(7, 9)], ["qid", "nid"])
     out = {r.id: r.rank_fp for r in pagerank(edges, n_iter=3).collect()}
     assert out == {7: 500_000_000_000, 9: 500_000_000_000}
+
+
+def test_bfs_hops_chain_cap_and_isolated_seed(spark):
+    # Chain 1-2-3-4-5-6 plus isolated pair 10-11. Seeds {1, 20}:
+    # hops along the chain are exact, the cap at 3 excludes nodes 5,6's
+    # true distances beyond it, node 20 is graph-absent (hop-0
+    # singleton), and 10/11 are unreachable (absent from the result).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)], ["qid", "nid"]
+    )
+    seeds = spark.createDataFrame([(1,), (20,)], ["id"])
+    got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 20: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    # Two seeds at both ends of a path: every node takes the MIN hop.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["qid", "nid"])
+    seeds = spark.createDataFrame([(1,), (4,)], ["id"])
+    got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
