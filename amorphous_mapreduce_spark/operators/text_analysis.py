@@ -218,3 +218,80 @@ def quality_scores_pandas(
     return docs.select(
         F.col(id_col).alias("id"), _quality(F.col(text_col)).alias("quality")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed bag-of-terms
+    query: [id, dl, tf_0.., score] for docs matching >= 1 term.
+
+    Engine-exact discipline (cf. tfidf_top_terms): IDF uses the
+    RATIONAL Robertson form (N - df + 0.5)/(df + 0.5) without the log —
+    libm log differs in the last ulp across engines, while this is a
+    fixed IEEE expression tree; it is rank-equivalent per term. The
+    per-term scores are summed in literal term order (fixed
+    left-association), so every double on both engines goes through the
+    identical op sequence.
+
+    Scale: one tokenize pass -> per-(id, word) counts; the per-term
+    document frequencies, corpus size and total token count are ONE
+    1-row scalar aggregate broadcast-crossed back (no global window);
+    per-doc scoring is then a narrow projection. The only data shuffle
+    is the (id, word) aggregation.
+    """
+    toks = tokenized(docs, id_col, text_col)
+    # Per-doc bag counts for query terms + document length in one pass:
+    # conditional sums avoid a words-filter join (terms are literals).
+    per_doc = toks.groupBy("id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # 1-row scalars: corpus size, total tokens, per-term doc frequencies.
+    scalars = per_doc.agg(
+        F.count("*").alias("_n_doc"),
+        F.sum("dl").alias("_n_tok"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(scalars))
+    dl_norm = (
+        F.col("dl").cast("double")
+        * F.col("_n_doc").cast("double")
+        / F.col("_n_tok").cast("double")
+    )
+    denom_base = F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * dl_norm
+    )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        df_ = F.col(f"_df_{i}").cast("double")
+        idf = (F.col("_n_doc").cast("double") - df_ + F.lit(0.5)) / (
+            df_ + F.lit(0.5)
+        )
+        return idf * (tf * F.lit(float(k1) + 1.0)) / (tf + denom_base)
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    any_term = F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
+    return (
+        scored.filter(any_term)
+        .select(
+            "id",
+            "dl",
+            *[f"tf_{i}" for i in range(len(terms))],
+            score.alias("score"),
+        )
+    )

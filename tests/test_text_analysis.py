@@ -86,3 +86,27 @@ def test_quality_pandas_udf_matches_expression(spark, sf_dir):
     udf = {r["id"]: r["quality"] for r in quality_scores_pandas(docs).collect()}
     assert set(expr) == set(udf)
     assert all(abs(expr[i] - udf[i]) < 1e-12 for i in expr)
+
+
+def test_bm25_ranks_and_rarity(spark):
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+
+    rows = [
+        (1, "apple apple apple banana x y z"),   # heavy on 'apple'
+        (2, "apple banana q r s t u"),           # one of each
+        (3, "banana banana banana m n o p"),     # heavy on 'banana'
+        (4, "nothing relevant here at all ok"),  # no query terms
+        (5, "cherry w v u t s r"),               # rare term (df=1)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r
+        for r in bm25_scores(docs, ("apple", "banana", "cherry")).collect()
+    }
+    assert 4 not in got  # no-term docs are filtered out
+    assert got[1]["tf_0"] == 3 and got[1]["tf_1"] == 1 and got[1]["tf_2"] == 0
+    # Same length, higher tf of the same term -> higher score.
+    assert got[1]["score"] > got[2]["score"]
+    # df=1 'cherry' out-scores a single occurrence of df=3 'apple'
+    # at equal document length (rarity premium of the rational IDF).
+    assert got[5]["score"] > got[2]["score"]
