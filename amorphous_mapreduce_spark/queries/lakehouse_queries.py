@@ -1,0 +1,231 @@
+"""Lakehouse maintenance battery: snapshot reconciliation (CDC diff),
+single-pass column profiling, and Z-order layout statistics.
+
+The operational shapes a table-format maintenance job runs against a
+large warehouse: diff two snapshots of a keyed table into
+insert/update/delete change rows, profile every column's null/distinct/
+extent stats in one scan, and summarise a Z-order (Morton) curve over
+two dimensions — the layout that makes multi-dimensional min/max data
+skipping work at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- snapshot diff (CDC reconciliation) -----------------------------------
+
+ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_SNAP_CTE = """
+snap AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 5
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderkey % 97 NOT IN (3, 5)
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 7
+)
+"""
+
+SNAPSHOT_DIFF_ORACLE = (
+    "WITH "
+    + _SNAP_CTE
+    + """
+SELECT COALESCE(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       b.o_totalprice AS old_totalprice,
+       s.o_totalprice AS new_totalprice
+FROM orders b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey
+WHERE b.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR (b.o_custkey IS DISTINCT FROM s.o_custkey)
+   OR (b.o_orderstatus IS DISTINCT FROM s.o_orderstatus)
+   OR (b.o_totalprice IS DISTINCT FROM s.o_totalprice)
+   OR (b.o_orderdate IS DISTINCT FROM s.o_orderdate)
+   OR (b.o_orderpriority IS DISTINCT FROM s.o_orderpriority)
+"""
+)
+
+
+@register("snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a keyed table into
+    insert/update/delete change rows — the CDC extraction every
+    lakehouse MERGE/audit pipeline starts from. The 'next' snapshot is
+    simulated deterministically from orders (every 97th key deleted /
+    price-bumped / re-keyed as an insert); the diff itself is ONE full
+    outer join on the unique key with null-safe per-column comparison —
+    unchanged rows are dropped, so the output is proportional to the
+    churn, not the table. At scale both sides shuffle once on the key
+    (or zero times if both snapshots are bucketed on it); no row hash
+    is materialised, so no cross-engine string-format hazard."""
+    base = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = base.filter(key % 97 == 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    keep = base.filter((key % 97 != 3) & (key % 97 != 5))
+    ins = base.filter(key % 97 == 7).withColumn(
+        "o_orderkey", key + F.lit(100000000)
+    )
+    snap = keep.unionByName(upd).unionByName(ins)
+
+    b = base.alias("b")
+    s = snap.alias("s")
+    bkey, skey = F.col("b.o_orderkey"), F.col("s.o_orderkey")
+    col_changed: Column = F.lit(False)
+    for c in ORDER_COLS[1:]:
+        col_changed = col_changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"s.{c}"))
+    return (
+        b.join(s, bkey == skey, "full_outer")
+        .filter(bkey.isNull() | skey.isNull() | col_changed)
+        .select(
+            F.coalesce(bkey, skey).alias("o_orderkey"),
+            F.when(bkey.isNull(), "insert")
+            .when(skey.isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("b.o_totalprice").alias("old_totalprice"),
+            F.col("s.o_totalprice").alias("new_totalprice"),
+        )
+    )
+
+
+# --- single-pass column profile -------------------------------------------
+
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+@register("table_profile", TABLE_PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE table scan: rows / nulls / exact distinct
+    / min / max per column, unpivoted to long format. All per-column
+    aggregates ride a single aggregation (Catalyst plans the
+    multi-distinct via one Expand + partial aggs — one scan, one
+    shuffle), and the wide 1-row result is unpivoted driver-free with
+    stack(). Extents are stringified AFTER aggregating on the native
+    type, so min/max semantics are the column's own ordering. The doubles
+    (l_quantity etc.) are deliberately excluded: profile extents are
+    strings, and double->string formatting is not portable across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+# --- Z-order layout statistics --------------------------------------------
+
+ZORDER_BITS = 4  # 16 buckets per dimension -> 8-bit Morton code
+
+_Z_EXPR_SQL = " + ".join(
+    f"((cb // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((pb // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(ZORDER_BITS)
+)
+
+ZORDER_ORACLE = f"""
+WITH dims AS (
+    SELECT least(15, o_custkey // 100) AS cb,
+           least(15, CAST(FLOOR(o_totalprice / 40000.0) AS BIGINT)) AS pb
+    FROM orders
+),
+z AS (SELECT cb, pb, {_Z_EXPR_SQL} AS zval FROM dims)
+SELECT zval, COUNT(*) AS n_rows,
+       MIN(cb) AS cb_min, MAX(cb) AS cb_max,
+       MIN(pb) AS pb_min, MAX(pb) AS pb_max
+FROM z GROUP BY zval
+"""
+
+
+@register("zorder_layout", ZORDER_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics over two order dimensions:
+    interleave 4 quantised bits of customer and price into an 8-bit
+    curve position, then report per-position extents. Each zval's
+    (cb, pb) extent collapses to a single cell — the property that makes
+    range-partitioning by zval + parquet min/max footers prune BOTH
+    dimensions at 100 TB (sort/cluster by the curve, skip files by
+    either predicate). The bit interleave is plain integer arithmetic
+    (shiftleft needs literal amounts — CLAUDE.md gotcha — so // and %
+    keep it portable); per-row narrow projection, one aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    cb = F.least(F.lit(15), F.floor(F.col("o_custkey") / F.lit(100)))
+    pb = F.least(
+        F.lit(15), F.floor(F.col("o_totalprice") / F.lit(40000.0)).cast("bigint")
+    )
+    dims = o.select(cb.alias("cb"), pb.alias("pb"))
+    zval = None
+    for i in range(ZORDER_BITS):
+        bit_c = (F.col("cb") / F.lit(1 << i)).cast("bigint") % 2 * F.lit(1 << (2 * i))
+        bit_p = (
+            (F.col("pb") / F.lit(1 << i)).cast("bigint") % 2 * F.lit(1 << (2 * i + 1))
+        )
+        term = bit_c + bit_p
+        zval = term if zval is None else zval + term
+    return (
+        dims.withColumn("zval", zval)
+        .groupBy("zval")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cb").alias("cb_min"),
+            F.max("cb").alias("cb_max"),
+            F.min("pb").alias("pb_min"),
+            F.max("pb").alias("pb_max"),
+        )
+    )

@@ -46,6 +46,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     dedup_queries,
     gemm_queries,
     kmeans_queries,
+    lakehouse_queries,
     misc_queries,
     multimodal_queries,
     pipeline_queries,

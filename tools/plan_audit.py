@@ -57,6 +57,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-size scalar (N for idf) "
         "crossed onto term frequencies",
     },
+    "bm25_ranking": {
+        "BroadcastNestedLoopJoin": "1-row scalar frame (N, total tokens, "
+        "per-term df) crossed onto per-doc term counts",
+    },
     "peak_concurrent_sessions": {
         "BroadcastNestedLoopJoin": "day-level carry join: both sides are "
         "the per-day aggregate whose cardinality is bounded by the "
