@@ -9,7 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from amorphous_mapreduce_spark.operators.wordcount import word_counts
+from amorphous_mapreduce_spark.queries.dedup_queries import toks_cte
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -93,3 +96,120 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = bm25_scores(docs, BM25_TERMS)
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(15)
+
+
+POSTINGS_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + """
+, tf AS (SELECT word, id, COUNT(*) AS tf FROM toks GROUP BY word, id),
+ranked AS (
+    SELECT word, id, tf,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY tf DESC, id) AS rn,
+           COUNT(*) OVER (PARTITION BY word) AS df
+    FROM tf
+)
+SELECT word, df,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY tf DESC, id) AS top_docs
+FROM ranked WHERE rn <= 10
+GROUP BY word, df
+"""
+)
+
+
+@register("term_postings", POSTINGS_ORACLE)
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: per term, its document frequency and the
+    top-10 posting docs by term frequency (id tie-break), serialised as
+    a comma-joined string (registered outputs stay scalar — array
+    stringification differs across engines). Rank-filter BEFORE the
+    collect bounds every postings list at 10 entries regardless of how
+    hot the term is — the per-key memory cap that keeps a 100 TB
+    vocabulary build safe; df rides the same keyed window. Ordering
+    inside the list comes from array_sort over (-tf, id) structs — a
+    total order, deterministic under any shuffle."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    toks = tokenized(load_table(spark, sf_dir, "documents"))
+    tf = toks.groupBy("word", "id").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("word")
+    ranked = tf.select(
+        "word",
+        "id",
+        "tf",
+        F.row_number().over(w.orderBy(F.desc("tf"), F.asc("id"))).alias("_rn"),
+        F.count("*").over(w).alias("df"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= 10)
+        .groupBy("word", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("tf")).alias("ntf"),
+                                F.col("id").alias("id"),
+                            )
+                        )
+                    ),
+                    lambda x: x["id"].cast("string"),
+                ),
+                ",",
+            ).alias("top_docs")
+        )
+    )
+
+
+CONTINGENCY_ORACLE = """
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS observed
+    FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, COUNT(*) AS row_tot FROM documents GROUP BY lang),
+ct AS (SELECT source, COUNT(*) AS col_tot FROM documents GROUP BY source),
+nn AS (SELECT COUNT(*) AS _n FROM documents)
+SELECT o.lang, o.source, o.observed, r.row_tot, c.col_tot,
+       CAST(r.row_tot * c.col_tot AS DOUBLE) / CAST(_n AS DOUBLE) AS expected,
+       CAST(o.observed * _n AS DOUBLE)
+           / CAST(r.row_tot * c.col_tot AS DOUBLE) AS lift
+FROM obs o
+JOIN rt r ON r.lang = o.lang
+JOIN ct c ON c.source = o.source
+CROSS JOIN nn
+"""
+
+
+@register("lang_source_contingency", CONTINGENCY_ORACLE)
+def q_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang x source contingency table with independence expectations and
+    lift — 'is a language over-represented in a source' (the mixture
+    audit run before source reweighting). Marginals are COUNT aggregates
+    (never SUM — the DuckDB HUGEINT trap), joined back broadcast; the
+    only doubles are two single divisions of integer products, identical
+    IEEE ops on both engines. Per-cell statistics only — no cross-cell
+    sum, so no accumulation-order hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    rt = docs.groupBy("lang").agg(F.count("*").alias("row_tot"))
+    ct = docs.groupBy("source").agg(F.count("*").alias("col_tot"))
+    nn = docs.agg(F.count("*").alias("_n"))
+    prod = F.col("row_tot") * F.col("col_tot")
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            "row_tot",
+            "col_tot",
+            (prod.cast("double") / F.col("_n").cast("double")).alias("expected"),
+            (
+                (F.col("observed") * F.col("_n")).cast("double")
+                / prod.cast("double")
+            ).alias("lift"),
+        )
+    )

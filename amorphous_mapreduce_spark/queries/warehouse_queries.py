@@ -750,3 +750,68 @@ def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+# --- rolling 7-day median (exact order statistic, full frames only) --------
+
+ROLLMED_ORACLE = """
+WITH daily AS (
+    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ddate,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+    FROM lineitem GROUP BY l_returnflag, ddate
+),
+d AS (SELECT l_returnflag, ddate, CAST(rev AS DOUBLE) AS revd FROM daily),
+wmed AS (
+    SELECT l_returnflag, ddate, revd,
+           median(revd) OVER (PARTITION BY l_returnflag ORDER BY ddate
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS med_7d,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY ddate)
+               AS rn
+    FROM d
+)
+SELECT l_returnflag, CAST(ddate AS TIMESTAMP) AS ddate,
+       revd AS day_revenue, med_7d
+FROM wmed WHERE rn >= 7
+"""
+
+
+@register("rolling_median_7d", ROLLMED_ORACLE)
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day MEDIAN of daily revenue per return flag — the
+    robust cousin of daily_revenue_ma7. Median is not decomposable, so
+    the explode-shift trick doesn't apply; instead the window runs over
+    the already-aggregated per-day frame (tiny: one row per key-day —
+    aggregate first, window the compact frame). Only FULL 7-row frames
+    are emitted (rn >= 7): an odd-count median is an exact order
+    statistic — one of the input doubles, never an interpolated value —
+    so both engines return the identical bit pattern (Spark's
+    percentile and DuckDB's median interpolate even counts with
+    different IEEE expression shapes). Both window columns are built in
+    one select before the filter (CLAUDE.md gotcha)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").cast("date").alias("ddate")
+    ).agg(F.sum(dec("l_extendedprice")).alias("rev"))
+    d = daily.select(
+        "l_returnflag", "ddate", F.col("rev").cast("double").alias("revd")
+    )
+    wf = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("ddate")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("ddate")
+    out = d.select(
+        "l_returnflag",
+        "ddate",
+        "revd",
+        F.expr("percentile(revd, 0.5)").over(wf).alias("med_7d"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return out.filter(F.col("rn") >= 7).select(
+        "l_returnflag",
+        F.col("ddate").cast("timestamp").alias("ddate"),
+        F.col("revd").alias("day_revenue"),
+        "med_7d",
+    )

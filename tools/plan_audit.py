@@ -61,6 +61,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row scalar frame (N, total tokens, "
         "per-term df) crossed onto per-doc term counts",
     },
+    "lang_source_contingency": {
+        "BroadcastNestedLoopJoin": "1-row corpus-count scalar crossed onto "
+        "the (lang, source) cell frame",
+    },
     "peak_concurrent_sessions": {
         "BroadcastNestedLoopJoin": "day-level carry join: both sides are "
         "the per-day aggregate whose cardinality is bounded by the "
