@@ -347,3 +347,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
     return pagerank(pairs, n_iter=3)
+
+
+# --- duplicate passages (substring-style dedup; operators/spans.py) -------
+
+PASSAGE_K = 6
+PASSAGE_MIN_TOKENS = 12
+PASSAGE_MAX_DF = 64
+
+PASSAGES_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, pgrams AS (
+    SELECT id, pos - 1 AS pos0,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w
+                || ' ' || lead(word, 5) OVER w AS gram,
+           lead(word, {PASSAGE_K - 1}) OVER w AS lastw
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+), ps AS (
+    SELECT id, pos0 AS pos,
+           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS sh
+    FROM pgrams WHERE lastw IS NOT NULL
+), m AS (
+    SELECT a.id AS id1, b.id AS id2, a.pos AS pos1, b.pos AS pos2,
+           a.pos - b.pos AS diag
+    FROM ps a JOIN ps b ON a.sh = b.sh AND a.id < b.id
+    WHERE a.sh IN (SELECT sh FROM ps GROUP BY sh
+                   HAVING COUNT(DISTINCT id) BETWEEN 2 AND {PASSAGE_MAX_DF})
+), runs AS (
+    SELECT id1, id2, diag, pos1, pos2,
+           pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, diag
+                                     ORDER BY pos1) AS grp
+    FROM m
+)
+SELECT id1, id2, MIN(pos1) AS start1, MIN(pos2) AS start2,
+       CAST(COUNT(*) + {PASSAGE_K - 1} AS BIGINT) AS span_tokens
+FROM runs GROUP BY id1, id2, diag, grp
+HAVING COUNT(*) + {PASSAGE_K - 1} >= {PASSAGE_MIN_TOKENS}
+"""
+)
+
+
+@register("duplicate_passages", PASSAGES_ORACLE)
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim shared token spans between document pairs — the
+    substring-dedup pass of LLM pipelines (positioned shingles ->
+    capped inverted-index join -> per-diagonal islands-and-gaps)."""
+    from amorphous_mapreduce_spark.operators.spans import duplicate_passages
+
+    return duplicate_passages(
+        _docs(spark, sf_dir),
+        shingle_size=PASSAGE_K,
+        min_tokens=PASSAGE_MIN_TOKENS,
+        max_df=PASSAGE_MAX_DF,
+    )
