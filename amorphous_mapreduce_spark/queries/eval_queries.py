@@ -1,0 +1,296 @@
+"""Model-eval + trend analytics: keyed RANGE frames, bucket-exact ROC
+AUC / KS separability, Markov transition matrices, per-group OLS trends.
+
+These are the evaluation-side operators of a training-data pipeline:
+once quality scores / classifiers exist (operators.text_analysis,
+operators.curation), the pipeline needs to MEASURE them — AUC/KS of a
+score against an outcome, transition structure of behavioural streams,
+and trend fits over time — all expressed as exact integer/decimal
+dataflow so the DuckDB oracle hash-matches bit-for-bit.
+
+Reference tie-in: every query is the reference's VecOp per-key
+reduction capability (src/op.rs:100-130, src/word_count.rs:121-127)
+over derived keys; no new physical primitive is required.
+
+Scale notes: AUC/KS run on the *distinct-score histogram* (score
+quantization is the standard trick — here l_discount is already
+11-valued; a continuous score would be binned first exactly like
+approx_median_hist). The cumulative inequality self-join therefore
+touches O(#buckets^2) rows, independent of data volume. The RANGE
+window and the transition lead() are keyed (customer / user). The OLS
+sums are plain decimal aggregates; the final slope arithmetic is a
+fixed double expression evaluated identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.agg import dec
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- keyed RANGE frame: orders in the customer's prior 90 days ------------
+
+PRIOR_90D_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(datediff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS INT) AS day
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, day,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                           RANGE BETWEEN 90 PRECEDING
+                                     AND 1 PRECEDING) AS BIGINT)
+           AS prior_orders
+FROM o
+"""
+
+
+@register("orders_prior_90d", PRIOR_90D_ORACLE)
+def q_orders_prior_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order count of the same customer's orders in the preceding
+    90 days — a keyed RANGE window frame on integer day numbers (the
+    purchase-frequency feature shape). Keyed by customer: no global
+    sort, partition cardinality bounded by per-customer order count."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-90, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w).alias("prior_orders"),
+    )
+
+
+# --- bucket-exact ROC AUC + KS: does discount predict returns? ------------
+
+SEPARABILITY_ORACLE = """
+WITH scored AS (
+    SELECT l_discount AS score,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_pos
+    FROM lineitem
+), hist AS (
+    SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_pos) AS BIGINT) AS pos_n
+    FROM scored GROUP BY score
+), cum AS (
+    SELECT h.score, h.n, h.pos_n,
+           CAST(COALESCE(SUM(h2.n), 0) AS BIGINT) AS cum_b,
+           CAST(COALESCE(SUM(h2.pos_n), 0) AS BIGINT) AS cum_pos_b
+    FROM hist h LEFT JOIN hist h2 ON h2.score < h.score
+    GROUP BY h.score, h.n, h.pos_n
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS ntot,
+           CAST(SUM(pos_n) AS BIGINT) AS np
+    FROM hist
+), cells AS (
+    SELECT c.pos_n * (2 * c.cum_b + c.n + 1) AS s2_c,
+           ABS((c.cum_pos_b + c.pos_n) * (t.ntot - t.np)
+               - ((c.cum_b + c.n) - (c.cum_pos_b + c.pos_n)) * t.np)
+               AS d_num,
+           t.np AS np, t.ntot - t.np AS nn
+    FROM cum c CROSS JOIN tot t
+)
+SELECT np, nn,
+       CAST(SUM(s2_c) - np * (np + 1) AS BIGINT) AS u2,
+       CAST(SUM(s2_c) - np * (np + 1) AS BIGINT)
+           / CAST(2 * np * nn AS BIGINT) AS auc,
+       CAST(MAX(d_num) AS BIGINT) AS ks_num,
+       CAST(MAX(d_num) AS BIGINT) / CAST(np * nn AS BIGINT) AS ks
+FROM cells GROUP BY np, nn
+"""
+
+
+@register("discount_return_separability", SEPARABILITY_ORACLE)
+def q_discount_return_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney U with midrank ties, kept as the
+    integer 2*U) and KS statistic of l_discount as a predictor of
+    returns. Runs entirely on the distinct-score histogram: ranks come
+    from bucket cumulations (inequality self-join over O(#buckets)
+    rows), never a global row sort — the scale path for AUC at 100 TB
+    (continuous scores would be fixed-width-binned first)."""
+    scored = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_pos"),
+    )
+    hist = (
+        scored.groupBy("score")
+        .agg(F.count("*").alias("n"), F.sum("is_pos").cast("long").alias("pos_n"))
+        .persist()
+    )
+    h2 = hist.select(
+        F.col("score").alias("score2"),
+        F.col("n").alias("n2"),
+        F.col("pos_n").alias("pos2"),
+    )
+    cum = (
+        hist.join(h2, F.col("score2") < F.col("score"), "left")
+        .groupBy("score", "n", "pos_n")
+        .agg(
+            F.coalesce(F.sum("n2"), F.lit(0)).cast("long").alias("cum_b"),
+            F.coalesce(F.sum("pos2"), F.lit(0)).cast("long").alias("cum_pos_b"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum("pos_n").cast("long").alias("np"),
+    )
+    cells = cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("pos_n") * (2 * F.col("cum_b") + F.col("n") + 1)).alias("s2_c"),
+        F.abs(
+            (F.col("cum_pos_b") + F.col("pos_n")) * (F.col("ntot") - F.col("np"))
+            - ((F.col("cum_b") + F.col("n")) - (F.col("cum_pos_b") + F.col("pos_n")))
+            * F.col("np")
+        ).alias("d_num"),
+        F.col("np"),
+        (F.col("ntot") - F.col("np")).alias("nn"),
+    )
+    u2 = (F.sum("s2_c") - F.col("np") * (F.col("np") + 1)).cast("long")
+    ks_num = F.max("d_num").cast("long")
+    return cells.groupBy("np", "nn").agg(
+        u2.alias("u2"),
+        (u2 / (2 * F.col("np") * F.col("nn")).cast("long")).alias("auc"),
+        ks_num.alias("ks_num"),
+        (ks_num / (F.col("np") * F.col("nn")).cast("long")).alias("ks"),
+    )
+
+
+# --- Markov transition matrix over the event stream -----------------------
+
+TRANSITIONS_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+), seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS to_type
+    FROM ev
+), trans AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+), tot AS (
+    SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS from_total
+    FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       t.n_trans / o.from_total AS p
+FROM trans t JOIN tot o USING (from_type)
+"""
+
+
+@register("event_transitions", TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user —
+    lead() over a keyed (user) window on epoch-µs order, then two hash
+    aggregations; p is one deterministic double division. The
+    user-journey model behind next-event prediction features."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("from_total")
+    )
+    return trans.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans") / F.col("from_total")).alias("p"),
+    )
+
+
+# --- per-nation OLS trend of daily revenue --------------------------------
+
+TREND_ORACLE = """
+WITH daily AS (
+    SELECT n_name AS nation,
+           CAST(datediff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, day
+), sums AS (
+    SELECT nation,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(CAST(SUM(day) AS BIGINT) AS DOUBLE) AS sx,
+           CAST(SUM(rev) AS DOUBLE) AS sy,
+           CAST(CAST(SUM(day * day) AS BIGINT) AS DOUBLE) AS sxx,
+           CAST(SUM(day * rev) AS DOUBLE) AS sxy
+    FROM daily GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n_days,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS intercept
+FROM sums
+"""
+
+
+@register("nation_revenue_trend", TREND_ORACLE)
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares trend (slope + intercept) of daily order
+    revenue: decimal-exact sufficient statistics (n, Sx, Sy, Sxx, Sxy)
+    from two keyed aggregations, then a fixed double expression — the
+    closed-form distributed OLS that replaces any iterative fit. Dims
+    broadcast; no windows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+            dec("o_totalprice", "decimal(18,2)").alias("price"),
+        )
+        .groupBy("nation", "day")
+        .agg(F.sum("price").alias("rev"))
+    )
+    sums = daily.groupBy("nation").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("day").cast("double").alias("sx"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("day") * F.col("day")).cast("double").alias("sxx"),
+        F.sum(F.col("day") * F.col("rev")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "nation",
+        F.col("n").cast("long").alias("n_days"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

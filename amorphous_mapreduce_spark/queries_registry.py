@@ -44,6 +44,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     cluster_queries,
     curation_queries,
     dedup_queries,
+    eval_queries,
     gemm_queries,
     kmeans_queries,
     lakehouse_queries,

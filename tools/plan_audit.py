@@ -42,6 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "discount_return_separability": {
+        "BroadcastNestedLoopJoin": "both BNLJs operate on the "
+        "distinct-score histogram (O(#buckets) rows, 11 discount values; "
+        "continuous scores would be fixed-width-binned first): the "
+        "rank-cumulation inequality self-join and the 1-row (np, ntot) "
+        "scalar crossed back — data volume never flows through either",
+    },
     "important_suppliers": {
         "BroadcastNestedLoopJoin": "1-row global-total scalar aggregate "
         "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
