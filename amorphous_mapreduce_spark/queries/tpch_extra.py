@@ -1,16 +1,16 @@
 """Remaining TPC-H query shapes adapted to the fixture schema.
 
 Q2 (correlated MIN), Q4 (EXISTS + priority counts), Q8 (market-share
-ratio by year), Q10 (returned-item revenue top-k), Q11 (group value
-above a global-total threshold), Q12 (conditional priority tallies),
-Q13 (customer order-count distribution via left outer join), Q14
-(promo revenue share ratio), Q15 (top-revenue supplier via scalar
-MAX), Q16 (NOT LIKE / IN-list distinct counts), Q18 (large-volume
-orders via grouped HAVING), Q19 (OR-of-conjunction brackets), Q20 (IN
-over grouped HAVING), Q21 (sole-supplier NOT EXISTS).
-With these, all 22 TPC-H query shapes have a registered adaptation
-(Q1/Q3/Q5/Q6 in relational_queries, Q7/Q9 rollups + Q17/Q22 in
-subquery/misc modules).
+ratio by year), Q11 (group value above a global-total threshold),
+Q12 (conditional priority tallies), Q13 (customer order-count
+distribution via left outer join), Q15 (top-revenue supplier via scalar
+MAX), Q16 (NOT LIKE / IN-list distinct counts), Q19
+(OR-of-conjunction brackets), Q20 (IN over grouped HAVING), Q21
+(sole-supplier NOT EXISTS).
+With these, all 22 TPC-H query shapes have a registered adaptation:
+Q1/Q3/Q5/Q6/Q10 in relational_queries (q10_returned_items), Q14/Q18
+in subquery_queries (promo_revenue_share / large_quantity_orders),
+Q7/Q9 rollups + Q17/Q22 in the relational/subquery modules.
 All follow the exact-decimal discipline; thresholds/totals are computed
 in-plan (scalar aggregate broadcast back), never on the driver.
 """
@@ -359,142 +359,6 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tr") == F.col("_mx"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
-    )
-
-
-Q10_ORACLE = """
-WITH per_cust AS (
-    SELECT c_custkey, c_name, n_name,
-           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_discount AS DECIMAL(12,2))) AS drev
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-01-01'
-    GROUP BY c_custkey, c_name, n_name
-)
-SELECT c_custkey, c_name, n_name, CAST(drev AS DOUBLE) AS revenue
-FROM per_cust
-ORDER BY drev DESC, c_custkey
-LIMIT 20
-"""
-
-
-@register("returned_item_customers", Q10_ORACLE)
-def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
-    items within a year. Revenue accumulates in exact decimal; the
-    top-k orders by (decimal revenue DESC, c_custkey) — a total order,
-    and `orderBy().limit()` plans as TakeOrderedAndProject (distributed
-    per-partition top-k + driver merge of 20 rows, never a global
-    sort)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).alias("drev"))
-        .orderBy(F.col("drev").desc(), F.col("c_custkey"))
-        .limit(20)
-        .select(
-            "c_custkey",
-            "c_name",
-            "n_name",
-            F.col("drev").cast("double").alias("revenue"),
-        )
-    )
-
-
-Q14_ORACLE = """
-SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
-                          * CAST(1 - l_discount AS DECIMAL(12,2))
-                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
-           AS promo_revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-  AND l_shipdate <  TIMESTAMP '1997-10-01'
-"""
-
-
-@register("promo_revenue_share", Q14_ORACLE)
-def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promotional revenue percentage for one ship
-    month (fixture p_type is the bare category, so promo = 'PROMO').
-    Both sums stay decimal until the final scalar division; the double
-    expression order (num*100/den) is identical on both engines, so the
-    IEEE result is bit-equal. Scalar aggregate — one row, no group
-    shuffle; part joins broadcast."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
-    )
-    part = _t(spark, sf_dir, "part")
-    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(12,2)")
-    )
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        (
-            F.sum(promo).cast("double")
-            * F.lit(100).cast("double")
-            / F.sum(rev).cast("double")
-        ).alias("promo_revenue")
-    )
-
-
-Q18_ORACLE = """
-SELECT c_custkey, c_name, o.o_orderkey, o_orderdate,
-       o_totalprice, CAST(tq.tot_qty AS DOUBLE) AS tot_qty
-FROM (
-    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tot_qty
-    FROM lineitem GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
-) tq
-JOIN orders o   ON tq.l_orderkey = o.o_orderkey
-JOIN customer   ON o.o_custkey = c_custkey
-"""
-
-
-@register("large_volume_customers", Q18_ORACLE)
-def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: customers whose orders exceed 300 total units —
-    grouped HAVING over lineitem, then joins back to orders/customer.
-    The quantity sum is exact decimal so the >300 cut is engine-stable.
-    The heavy-order set shrinks ~100x before either join, and both
-    joins shuffle on uniform keys (orderkey/custkey) — scale-safe."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    heavy = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("tot_qty"))
-        .filter(F.col("tot_qty") > 300)
-    )
-    return (
-        heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            F.col("tot_qty").cast("double").alias("tot_qty"),
-        )
     )
 
 
