@@ -42,12 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate ns -> us,
-        # matching DuckDB's nanos -> TIMESTAMP(us) truncation.
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate ns -> us,
+            # matching DuckDB's nanos -> TIMESTAMP(us) truncation.
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Fixture written as timestamp[us] without isAdjustedToUTC: Spark
+            # reads TIMESTAMP_NTZ, which unix_micros/epoch arithmetic reject.
+            # System TZ is UTC (see CLAUDE.md), so NTZ -> LTZ is a no-op on
+            # the stored micros value and matches DuckDB's naive TIMESTAMP.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
