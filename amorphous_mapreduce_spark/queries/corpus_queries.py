@@ -1,0 +1,158 @@
+"""Corpus-management queries: epoch sharding, vocabulary growth, rarity
+scoring, incremental dedup, key-skew profiling (operators/corpus_stats.py).
+
+Oracle notes:
+- hex-hash sharding uses the portable 60-bit MD5 prefix (CLAUDE.md
+  convention 2); `%` on the non-negative hash agrees between engines.
+- bucket assignment is integer floor division (`div` / `//`), never a
+  float multiply, so bucket edges cannot drift.
+- DuckDB SUM(BIGINT) returns HUGEINT — every summed count is cast back
+  to BIGINT before it reaches the driver's hash (CLAUDE.md convention,
+  round-1 failure class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.corpus_stats import (
+    doc_rarity,
+    epoch_shards,
+    incremental_exact_dedup,
+    vocab_growth,
+)
+from amorphous_mapreduce_spark.queries.dedup_queries import NORM, toks_cte
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+TOKS_CTE = toks_cte()
+
+_SHARD_HASH = (
+    "CAST('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+SHARD_ORACLE = f"""
+SELECT id, shard_id,
+       ROW_NUMBER() OVER (PARTITION BY shard_id
+                          ORDER BY h ASC, id ASC) AS pos
+FROM (SELECT doc_id AS id,
+             {_SHARD_HASH} % 8 AS shard_id,
+             {_SHARD_HASH} AS h
+      FROM documents)
+"""
+
+
+@register("epoch_shard_manifest", SHARD_ORACLE)
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 shard manifest, 8 shards: deterministic hash placement +
+    per-shard order — the reference's hash partitioner (W6,
+    src/word_count.rs:110-118) applied to training-epoch layout."""
+    return epoch_shards(load_table(spark, sf_dir, "documents"), n_shards=8, epoch=0)
+
+
+VOCAB_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, n AS (SELECT MAX(doc_id) + 1 AS _n FROM documents),
+first AS (
+    SELECT word, MIN((id * 10) // _n) AS first_b
+    FROM toks CROSS JOIN n GROUP BY word
+), contrib AS (
+    SELECT first_b, unnest(range(first_b, 10)) AS bucket FROM first
+)
+SELECT bucket,
+       CAST(SUM(CASE WHEN bucket = first_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_words,
+       COUNT(*) AS vocab_size
+FROM contrib GROUP BY bucket
+"""
+)
+
+
+@register("vocab_growth", VOCAB_ORACLE)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 10 id-range buckets; cumulative
+    curve via explode-contribution (keyed agg, no running window)."""
+    return vocab_growth(load_table(spark, sf_dir, "documents"), n_buckets=10)
+
+
+RARITY_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, dfreq AS (SELECT word, COUNT(DISTINCT id) AS df FROM toks GROUP BY word)
+SELECT id, COUNT(*) AS n_tokens,
+       CAST(SUM(df) AS BIGINT) AS sum_df,
+       CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS rarity
+FROM toks JOIN dfreq USING (word)
+GROUP BY id
+"""
+)
+
+
+@register("doc_rarity", RARITY_ORACLE)
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean document-frequency rarity per doc — rational-form unigram
+    rarity signal (integer sums + one double division)."""
+    return doc_rarity(load_table(spark, sf_dir, "documents"))
+
+
+INCR_ORACLE = f"""
+WITH hashed AS (
+    SELECT doc_id AS id, md5({NORM}) AS content_hash FROM documents
+), old AS (
+    SELECT content_hash, MIN(id) AS dup_of
+    FROM hashed WHERE id % 2 = 0 GROUP BY content_hash
+)
+SELECT n.id, n.content_hash, o.dup_of,
+       CASE WHEN o.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM (SELECT * FROM hashed WHERE id % 2 = 1) n
+LEFT JOIN old o USING (content_hash)
+"""
+
+
+@register("incremental_dedup", INCR_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: odd-id docs (the 'new batch') checked
+    against even-id docs (the 'existing corpus') by content digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+SKEW_ORACLE = """
+WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _total FROM c)
+SELECT l_partkey, cnt,
+       CAST(cnt AS DOUBLE) / CAST(_total AS DOUBLE) AS share
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, l_partkey ASC LIMIT 20
+"""
+
+
+@register("key_skew_profile", SKEW_ORACLE)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest join keys with their share of rows — the skew
+    diagnostic that decides salting/AQE-skew-join (operators.skew);
+    total via 1-row scalar agg broadcast back, top-k via
+    TakeOrderedAndProject (no global sort materialised)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("_total"))
+    return (
+        cnt.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(20)
+    )

@@ -1,0 +1,78 @@
+"""Closed-form property tests for operators.corpus_stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.operators.corpus_stats import (
+    doc_rarity,
+    epoch_shards,
+    incremental_exact_dedup,
+    vocab_growth,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_epoch_shards_partition_and_order(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(100)])
+    m = epoch_shards(docs, n_shards=4, epoch=0).toPandas()
+    # every doc exactly once, shards within range
+    assert sorted(m["id"]) == list(range(100))
+    assert set(m["shard_id"]).issubset(set(range(4)))
+    # positions are contiguous 1..n within each shard
+    for sid, grp in m.groupby("shard_id"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # epoch changes the layout, same epoch reproduces it
+    m0 = epoch_shards(docs, n_shards=4, epoch=0).toPandas()
+    m1 = epoch_shards(docs, n_shards=4, epoch=1).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id", "shard_id", "pos"]].values))
+    assert key(m0) == key(m)
+    assert key(m1) != key(m)
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    docs = _docs(
+        spark,
+        [(0, "a b c"), (1, "a b"), (2, "c d"), (3, "d e f"), (4, "a f")],
+    )
+    g = vocab_growth(docs, n_buckets=5).toPandas().sort_values("bucket")
+    # each doc_id lands in its own bucket (n = 5, width 1)
+    assert list(g["bucket"]) == [0, 1, 2, 3, 4]
+    assert list(g["new_words"]) == [3, 0, 1, 2, 0]
+    # cumulative curve is the running sum of new words and ends at |vocab|
+    assert list(g["vocab_size"]) == [3, 3, 4, 6, 6]
+
+
+def test_doc_rarity_bounds(spark):
+    docs = _docs(spark, [(0, "x x y"), (1, "y z"), (2, "z z z")])
+    r = {row["id"]: row for row in doc_rarity(docs).collect()}
+    # doc 0: tokens x,x,y -> df(x)=1, df(y)=2 -> sum 1+1+2=4, n=3
+    assert r[0]["sum_df"] == 4 and r[0]["n_tokens"] == 3
+    assert abs(r[0]["rarity"] - 4 / 3) < 1e-15
+    # all-unique-token doc has rarity exactly df of its words
+    assert r[2]["sum_df"] == 3 * 2  # z appears in docs 1 and 2 -> df 2
+    for row in r.values():
+        assert 1.0 <= row["rarity"] <= 3.0
+
+
+def test_incremental_dedup_flags_planted_duplicate(spark):
+    old = _docs(spark, [(0, "the same text"), (2, "unique old")])
+    new = _docs(spark, [(1, "The  same TEXT "), (3, "brand new")])
+    out = {r["id"]: r for r in incremental_exact_dedup(new, old).collect()}
+    # normalisation (case/whitespace) makes doc 1 an exact dup of doc 0
+    assert out[1]["is_dup"] == 1 and out[1]["dup_of"] == 0
+    assert out[3]["is_dup"] == 0 and out[3]["dup_of"] is None
+
+
+def test_epoch_shards_plan_has_no_global_sort(spark):
+    docs = _docs(spark, [(i, "t") for i in range(10)])
+    plan = (
+        epoch_shards(docs, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan

@@ -82,6 +82,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row global-average scalar from an "
         "uncorrelated subquery",
     },
+    "vocab_growth": {
+        "BroadcastNestedLoopJoin": "1-row corpus-size scalar (max doc_id "
+        "for integer bucket edges) crossed onto the token stream",
+    },
+    "key_skew_profile": {
+        "BroadcastNestedLoopJoin": "1-row row-count-total scalar crossed "
+        "back onto per-key counts for the share division",
+    },
     "similarity_topk": {
         "BroadcastNestedLoopJoin": "block-pair generation joins the (tiny, "
         "O(n/block_size)^2) block-id frames, not row-level data; rows move "
