@@ -83,6 +83,7 @@ def cosine_topk_blocked(
     n_blocks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k via blocked E·Eᵀ — the reference's tiled outer-product
     GEMM (src/outer_product.rs:146-169 tiling, :194-208 rank-k update)
@@ -102,6 +103,11 @@ def cosine_topk_blocked(
     functions.vectors / DuckDB list_dot_product — a BLAS ``A @ B`` would
     drift in the last ulp and break the hash compare. Norms are computed
     once JVM-side (l2_norm) and carried into the blocks.
+
+    ``exclude_label_col``: when set, pairs whose rows share that label
+    are masked in the tile (in addition to self-pairs), turning the
+    kernel into a hard-negative miner — top-k nearest CROSS-label
+    neighbours (contrastive-training negative mining).
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -112,18 +118,23 @@ def cosine_topk_blocked(
         StructType,
     )
 
-    v = emb.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(vec_col).alias("norm"),
         F.pmod(hex_hash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias(
             "blk"
         ),
-    )
+    ]
+    item_fields = ["id", "vec", "norm"]
+    if exclude_label_col is not None:
+        cols.append(F.col(exclude_label_col).cast("long").alias("lab"))
+        item_fields.append("lab")
+    v = emb.select(*cols)
     # sort_array(collect_list(struct)) -> deterministic block member order
     # (struct ordering leads with id), so kernel output is reproducible.
     blocks = v.groupBy("blk").agg(
-        F.sort_array(F.collect_list(F.struct("id", "vec", "norm"))).alias("items")
+        F.sort_array(F.collect_list(F.struct(*item_fields))).alias("items")
     )
     pairs = blocks.select(
         F.col("blk").alias("ablk"), F.col("items").alias("a_items")
@@ -159,6 +170,10 @@ def cosine_topk_blocked(
                     acc += np.outer(A[:, d], B[:, d])
                 tile = acc / np.outer(an, bn)
                 tile[aids[:, None] == bids[None, :]] = -np.inf  # self-pairs
+                if exclude_label_col is not None:
+                    alab = np.array([x["lab"] for x in a_items], dtype=np.int64)
+                    blab = np.array([x["lab"] for x in b_items], dtype=np.int64)
+                    tile[alab[:, None] == blab[None, :]] = -np.inf
                 kk = min(k, n)
                 for i in range(m):
                     # top-k by (sim desc, nid asc): lexsort, last key primary

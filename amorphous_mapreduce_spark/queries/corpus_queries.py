@@ -156,3 +156,114 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+FERTILITY_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, ntok AS (SELECT id, COUNT(*) AS n_tokens FROM toks GROUP BY id)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) AS chars_per_token
+FROM documents JOIN ntok ON doc_id = id
+GROUP BY lang
+"""
+)
+
+
+@register("token_fertility", FERTILITY_ORACLE)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (chars per token) — the
+    compression stat that drives per-language token budgets. Integer
+    sums + one double division (engine-exact)."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = tokenized(docs).groupBy("id").agg(F.count("*").alias("n_tokens"))
+    return (
+        docs.join(ntok, docs.doc_id == ntok.id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+PADDING_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, ntok AS (SELECT id, COUNT(*) AS n_tokens FROM toks GROUP BY id),
+bucketed AS (
+    SELECT id, n_tokens,
+           CASE WHEN n_tokens <= 1 THEN 1
+                ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1)))
+           END AS bucket
+    FROM ntok
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket - n_tokens) AS BIGINT) AS total_pad,
+       CAST(CAST(SUM(bucket - n_tokens) AS BIGINT) AS DOUBLE)
+           / CAST(bucket * COUNT(*) AS DOUBLE) AS pad_ratio
+FROM bucketed
+GROUP BY bucket
+"""
+)
+
+
+@register("length_bucket_padding", PADDING_ORACLE)
+def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: docs grouped into power-of-two
+    token-length buckets with the padding waste each bucket pays —
+    the stat behind bucketed batching / packing decisions. The
+    power-of-two cap is computed with integer bit ops (length of the
+    binary string), never float log2, so bucket edges are exact on
+    both engines."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = tokenized(docs).groupBy("id").agg(F.count("*").alias("n_tokens"))
+    bucketed = ntok.withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) "
+            "AS BIGINT) END"
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens")).alias("total_pad"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "total_pad",
+            (
+                F.col("total_pad").cast("double")
+                / (F.col("bucket") * F.col("n_docs")).cast("double")
+            ).alias("pad_ratio"),
+        )
+    )

@@ -312,3 +312,41 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+HARD_NEG_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           a.label AS qlabel, b.label AS nlabel,
+           {_COS} AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.label <> b.label
+)
+SELECT qid, nid, qlabel, nlabel, sim FROM (
+    SELECT qid, nid, qlabel, nlabel, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC)
+               AS rnk
+    FROM pairs
+) WHERE rnk = 1
+"""
+
+
+@register("hard_negative_mining", HARD_NEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: each vector's nearest
+    CROSS-label neighbour (the confusable example a contrastive loss
+    should push away). Same blocked E·Eᵀ kernel as the exact top-k
+    (tiled outer product, src/outer_product.rs:146-169) with same-label
+    pairs masked in-tile — no second pass, no row-level cartesian; the
+    oracle is the brute-force cross-label top-1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    top1 = cosine_topk_blocked(
+        emb, k=1, n_blocks=16, exclude_label_col="label"
+    ).select("qid", "nid", "sim")
+    qlab = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    nlab = emb.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"))
+    return (
+        top1.join(F.broadcast(qlab), "qid")
+        .join(F.broadcast(nlab), "nid")
+        .select("qid", "nid", "qlabel", "nlabel", "sim")
+    )

@@ -66,3 +66,30 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in session_window (gap 30m) cross-checked against the
     relational lag+cumsum sessionisation: session_end = last event + gap."""
     return sessionized_event_counts(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+SLIDING_ORACLE = """
+WITH e AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
+           event_type, value,
+           unnest([0, 1]) AS k
+    FROM events
+)
+SELECT b - k * INTERVAL '30 minutes' AS window_start,
+       b - k * INTERVAL '30 minutes' + INTERVAL '60 minutes' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM e
+GROUP BY window_start, window_end, event_type
+"""
+
+
+@register("events_sliding_windows", SLIDING_ORACLE)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30m (each event lands in 2 overlapping
+    windows) — the hopping-window streaming aggregate in batch mode;
+    oracle expands the overlap with an unnest of the two slide offsets."""
+    return windowed_event_stats(
+        load_table(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )

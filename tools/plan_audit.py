@@ -95,6 +95,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "O(n/block_size)^2) block-id frames, not row-level data; rows move "
         "via the keyed block join",
     },
+    "hard_negative_mining": {
+        "BroadcastNestedLoopJoin": "same blocked E·Eᵀ kernel as "
+        "similarity_topk: the BNLJ pairs the O(n_blocks²) block frames, "
+        "not row-level data",
+    },
     "knn_label_agreement": {
         "BroadcastNestedLoopJoin": "inherits cosine_topk_blocked's (tiny, "
         "O(n/block_size)^2) block-id pair frame; rows move via the keyed "
