@@ -72,6 +72,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-count scalar crossed onto "
         "the (lang, source) cell frame",
     },
+    "watermark_lateness": {
+        "BroadcastNestedLoopJoin": "block-sweep carry join over the "
+        "arrival-block maxima frame (O(n/block_size) rows, block size "
+        "scales with volume) — row-level events flow only through keyed "
+        "windows",
+    },
     "peak_concurrent_sessions": {
         "BroadcastNestedLoopJoin": "day-level carry join: both sides are "
         "the per-day aggregate whose cardinality is bounded by the "
