@@ -49,6 +49,11 @@ HEADLINE = [
     "scd2_user_state",
     "peak_concurrent_sessions",
     "synthetic_source_rollup",
+    # corpus-management / contrastive-mining / stream-diagnostic families
+    # (round 3)
+    "epoch_shard_manifest",
+    "hard_negative_mining",
+    "watermark_lateness",
 ]
 
 
