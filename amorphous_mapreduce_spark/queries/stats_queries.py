@@ -1,0 +1,204 @@
+"""Statistical-rigour queries: near-dup split-leakage audit and a
+deterministic Poisson bootstrap confidence interval.
+
+Both are "is my pipeline statistically sound" checks a training-data
+platform runs continuously:
+- split_leakage_audit — decontaminate (queries/pipeline_queries.py)
+  catches EXACT n-gram contamination between train and eval; this
+  catches NEAR-duplicate leakage across a train/test split (the pairs
+  the MinHash-LSH dedup path finds).
+- bootstrap_revenue_ci — the Poisson bootstrap (the scalable bootstrap:
+  each row draws an independent Poisson(1) replication count per
+  resample, so no global resampling pass exists) made deterministic by
+  driving the draw from the portable 60-bit MD5 hash against integer
+  CDF thresholds.
+
+Oracle notes:
+- Poisson thresholds are precomputed integer literals
+  (floor(cdf_k * 2^60)) — the comparison h < t_k is pure int64 on both
+  engines; no float CDF evaluation at query time.
+- resample means accumulate in DECIMAL (CLAUDE.md convention 1);
+  SUM(int) casts back from HUGEINT before the double division.
+- the 2.5%/97.5% quantiles over the 100 resample means use the shared
+  interpolated-percentile formula (parity proven by price_percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+from amorphous_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+from amorphous_mapreduce_spark.queries.dedup_queries import SHINGLES_CTE
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+_SPLIT_HASH = (
+    "CAST('0x' || substr(md5('split:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+LEAKAGE_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+), pairs AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+), split AS (
+    SELECT doc_id AS id,
+           CASE WHEN """
+    + _SPLIT_HASH
+    + """ % 10 >= 8 THEN 1 ELSE 0 END AS is_test
+    FROM documents
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN sq.is_test <> sn.is_test THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross_split,
+       CAST(CAST(SUM(CASE WHEN sq.is_test <> sn.is_test THEN 1 ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS leak_share
+FROM pairs
+JOIN split sq ON sq.id = qid
+JOIN split sn ON sn.id = nid
+"""
+)
+
+
+@register("split_leakage_audit", LEAKAGE_ORACLE)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across a deterministic 80/20 train/test
+    split: MinHash-LSH near-dup pairs whose endpoints land on opposite
+    sides of the split are eval contamination that exact-match
+    decontamination cannot see. Reuses the banded LSH pair generation
+    (sub-quadratic, bucketed) + two broadcast-able split joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    split_hash = hex_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(split_hash % 10 >= 8, 1).otherwise(0).alias("is_test"),
+    )
+    sq = split.select(F.col("id").alias("qid"), F.col("is_test").alias("q_test"))
+    sn = split.select(F.col("id").alias("nid"), F.col("is_test").alias("n_test"))
+    joined = pairs.join(F.broadcast(sq), "qid").join(F.broadcast(sn), "nid")
+    cross = F.when(F.col("q_test") != F.col("n_test"), 1).otherwise(0)
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(cross).alias("n_cross_split"),
+        (F.sum(cross).cast("double") / F.count("*").cast("double")).alias(
+            "leak_share"
+        ),
+    )
+
+
+# floor(cdf_k(Poisson(1)) * 2^60) for k = 0..6; k=7 is the tail.
+_POIS_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+]
+
+
+def _pois_case(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+_BS_HASH = (
+    "CAST('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':' "
+    "|| CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+BOOTSTRAP_ORACLE = f"""
+WITH draws AS (
+    SELECT h.range AS b, o_totalprice,
+           {_pois_case(_BS_HASH.replace('CAST(b AS VARCHAR)', 'CAST(h.range AS VARCHAR)'))} AS k
+    FROM orders, range(100) h
+), means AS (
+    SELECT b,
+           CAST(SUM(CAST(k AS DECIMAL(4,0)) * CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DOUBLE)
+               / CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS mean_b
+    FROM draws GROUP BY b
+), point AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mean_price
+    FROM orders
+)
+SELECT point.mean_price AS mean_price,
+       quantile_cont(mean_b, 0.025) AS ci_lo,
+       quantile_cont(mean_b, 0.975) AS ci_hi,
+       COUNT(*) AS n_resamples
+FROM means CROSS JOIN point
+GROUP BY point.mean_price
+"""
+
+
+@register("bootstrap_revenue_ci", BOOTSTRAP_ORACLE)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean order value, 100 resamples.
+
+    The Poisson bootstrap is the bootstrap that scales: each row draws
+    its per-resample replication count independently (Poisson(1)), so
+    resampling is a stateless per-row explode — no global sampling
+    pass, no coordination. Draws are MD5-hash-driven against integer
+    CDF thresholds, so both engines replicate the identical resamples;
+    means accumulate in decimal; the final quantile runs over the
+    100-row resample frame (constant size, not data-bound)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
+    rows = orders.select("o_orderkey", "o_totalprice", b)
+    h = hex_hash64(
+        F.concat(
+            F.lit("bs:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        )
+    )
+    k = F.lit(7)
+    for kk in range(6, -1, -1):
+        k = F.when(h < F.lit(_POIS_T[kk]), F.lit(kk)).otherwise(k)
+    draws = rows.select("b", "o_totalprice", k.alias("k"))
+    means = draws.groupBy("b").agg(
+        (
+            F.sum(
+                F.col("k").cast("decimal(4,0)")
+                * F.col("o_totalprice").cast("decimal(18,6)")
+            ).cast("double")
+            / F.sum("k").cast("double")
+        ).alias("mean_b")
+    )
+    point = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_price")
+    )
+    return (
+        means.crossJoin(F.broadcast(point))
+        .groupBy("mean_price")
+        .agg(
+            F.percentile("mean_b", 0.025).alias("ci_lo"),
+            F.percentile("mean_b", 0.975).alias("ci_hi"),
+            F.count("*").alias("n_resamples"),
+        )
+        .select("mean_price", "ci_lo", "ci_hi", "n_resamples")
+    )

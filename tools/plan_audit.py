@@ -72,6 +72,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-count scalar crossed onto "
         "the (lang, source) cell frame",
     },
+    "bootstrap_revenue_ci": {
+        "BroadcastNestedLoopJoin": "1-row full-sample-mean scalar crossed "
+        "onto the constant-size (100-row) resample-mean frame",
+    },
     "watermark_lateness": {
         "BroadcastNestedLoopJoin": "block-sweep carry join over the "
         "arrival-block maxima frame (O(n/block_size) rows, block size "
