@@ -76,3 +76,16 @@ def test_epoch_shards_plan_has_no_global_sort(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_stats_queries_properties(spark):
+    """Bootstrap CI brackets the point estimate; leak share is a valid
+    fraction bounded by the pair count."""
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    ci = QUERIES["bootstrap_revenue_ci"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert ci["ci_lo"] <= ci["mean_price"] <= ci["ci_hi"]
+    assert ci["n_resamples"] == 100
+    leak = QUERIES["split_leakage_audit"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= leak["n_cross_split"] <= leak["n_pairs"]
+    assert 0.0 <= leak["leak_share"] <= 1.0

@@ -195,3 +195,24 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         for r in interval_join_streams(left, right, max_delay="30 minutes").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_sliding_window_stats_batch_stream_parity(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    batch = windowed_event_stats(
+        events, window="1 hour", slide="30 minutes"
+    ).toPandas()
+    streamed = _run_stream_over_parquet(
+        spark,
+        events,
+        lambda s: windowed_event_stats(s, window="1 hour", slide="30 minutes"),
+        tmp_path,
+        "slide_stats",
+    ).toPandas()
+    key = ["window_start", "event_type"]
+    b = batch.sort_values(key, ignore_index=True)
+    s = streamed.sort_values(key, ignore_index=True)
+    assert len(s) >= 0.8 * len(b)
+    merged = s.merge(b, on=key, suffixes=("_s", "_b"))
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
