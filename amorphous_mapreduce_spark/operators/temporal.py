@@ -28,15 +28,28 @@ def asof_join(
     on: str = "ts",
     by: str = "user_id",
     right_cols: tuple[str, ...] = (),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.on <= left.on`` within the same ``by`` key.
+    """For each left row, attach the nearest right row within the same
+    ``by`` key: the latest with ``right.on <= left.on`` (backward,
+    default) or the earliest with ``right.on >= left.on`` (forward).
 
     Returns left columns + ``asof_<on>`` + ``asof_<c>`` for each
-    ``right_cols``. Left rows with no prior right row keep NULLs
+    ``right_cols``. Left rows with no matching right row keep NULLs
     (left-outer as-of semantics). At equal timestamps the right row is
-    considered visible (<=), matching DuckDB's ASOF JOIN.
+    considered visible (<=/>=), matching DuckDB's ASOF JOIN. With
+    ``tolerance_us``, matches farther than that many microseconds from
+    the left timestamp are nulled out (pandas merge_asof ``tolerance``
+    semantics) — the mask is applied AFTER the carry, so it is one
+    scalar comparison per row, not a second join.
+
+    Duplicate right (by, on) pairs resolve deterministically: backward
+    carries the greatest payload tuple, forward the smallest (each is
+    the payload adjacent to the left row in the total window order).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
     r = right.select(
@@ -57,13 +70,19 @@ def asof_join(
     # (by, on) the payload struct ascending makes the ordering total, so
     # F.last deterministically carries the greatest payload tuple —
     # without it the carried right row is arbitrary run-to-run.
-    order_exprs = [F.col(on).asc(), F.col("_side").asc()]
+    fwd = direction == "forward"
+    order_exprs = [
+        F.col(on).desc() if fwd else F.col(on).asc(),
+        F.col("_side").asc(),
+    ]
     if right_cols:
-        order_exprs.append(
-            F.when(
-                F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
-            ).asc_nulls_first()
+        payload = F.when(
+            F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
         )
+        # Walking the window order, F.last carries the right row closest
+        # to the left row; ordering the same-(by, on) payloads so the
+        # carried one is greatest (backward) / smallest (forward).
+        order_exprs.append(payload.desc_nulls_first() if fwd else payload.asc_nulls_first())
     w = (
         Window.partitionBy(by)
         .orderBy(*order_exprs)
@@ -82,7 +101,22 @@ def asof_join(
         ],
     )
     out_cols = lcols + [f"asof_{on}"] + [f"asof_{c}" for c in right_cols]
-    return carried.filter(F.col("_side") == 1).select(*out_cols)
+    result = carried.filter(F.col("_side") == 1).select(*out_cols)
+    if tolerance_us is not None:
+        gap = (
+            F.unix_micros(F.col(f"asof_{on}")) - F.unix_micros(F.col(on))
+            if fwd
+            else F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"asof_{on}"))
+        )
+        in_tol = F.col(f"asof_{on}").isNotNull() & (gap <= F.lit(tolerance_us))
+        result = result.select(
+            *lcols,
+            *[
+                F.when(in_tol, F.col(c)).alias(c)
+                for c in [f"asof_{on}"] + [f"asof_{c}" for c in right_cols]
+            ],
+        )
+    return result
 
 
 def range_join(

@@ -109,3 +109,53 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.temporal import gap_fill_daily
 
     return gap_fill_daily(load_table(spark, sf_dir, "events"))
+
+
+FWD_ASOF_ORACLE = """
+WITH views AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), ranked AS (
+    SELECT v.event_id, v.user_id, v.ts,
+           p.ts AS p_ts, p.value AS p_value,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.event_id
+               ORDER BY p.ts ASC, p.value ASC) AS rnk
+    FROM views v JOIN purchases p
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT v.event_id, v.user_id, v.ts,
+       CASE WHEN epoch_us(r.p_ts) - epoch_us(v.ts) <= 86400000000
+            THEN r.p_ts END AS asof_ts,
+       CASE WHEN epoch_us(r.p_ts) - epoch_us(v.ts) <= 86400000000
+            THEN r.p_value END AS asof_value
+FROM views v
+LEFT JOIN (SELECT * FROM ranked WHERE rnk = 1) r USING (event_id)
+"""
+
+
+@register("asof_view_next_purchase", FWD_ASOF_ORACLE)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance — conversion attribution: each view
+    annotated with the user's NEXT purchase, nulled when it is more
+    than 24h later. Same union+keyed-carry plan as the backward as-of
+    (one shuffle on user_id, no row-pair blowup); the tolerance is a
+    post-carry scalar mask, not a second join. Oracle is the explicit
+    future-rank formulation (pair + rank + tolerance CASE)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=("value",),
+        direction="forward",
+        tolerance_us=86_400_000_000,
+    )

@@ -233,3 +233,60 @@ def test_gap_fill_daily_fills_missing_days(spark):
     assert out[("b", 1)] == (0, None)  # before first observation
     assert out[("b", 2)] == (1, 3.0)
     assert out[("b", 4)] == (0, 3.0)
+
+
+def test_asof_forward_with_tolerance_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from amorphous_mapreduce_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(13)
+    n_l, n_r = 100, 70
+    left = pd.DataFrame(
+        {
+            "event_id": range(n_l),
+            "user_id": rng.integers(0, 5, n_l),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+        }
+    ).sort_values("ts", ignore_index=True)
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n_r),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+            "value": rng.normal(size=n_r).round(3),
+        }
+    ).sort_values("ts", ignore_index=True)
+    right = right.drop_duplicates(["user_id", "ts"], keep="first")
+
+    tol_s = 1800
+    want = pd.merge_asof(
+        left,
+        right.rename(columns={"ts": "ts_r", "value": "value_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="user_id",
+        direction="forward",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    ).sort_values("event_id", ignore_index=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="user_id",
+            right_cols=("value",),
+            direction="forward",
+            tolerance_us=tol_s * 1_000_000,
+        )
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert (got["asof_ts"].isna() == want["ts_r"].isna()).all()
+    mask = ~want["ts_r"].isna()
+    assert (got.loc[mask, "asof_ts"].values == want.loc[mask, "ts_r"].values).all()
+    assert (
+        got.loc[mask, "asof_value"].values == want.loc[mask, "value_r"].values
+    ).all()
