@@ -1,0 +1,229 @@
+"""Data-quality expectation suite (Deequ-style) over the star schema.
+
+One registered query evaluates every expectation — row presence, primary
+key uniqueness, null-free keys, domain ranges, and internal consistency
+(n_chars == length(text), fixed embedding dimensionality) — and emits one
+row per check: [table_name, check_name, observed, passed].
+
+`observed` is always the VIOLATION count (0 = healthy) except for the
+row_count checks, where it is the row count itself; `passed` is an int
+flag. Every check is a scalar aggregate over one table scan — at 100 TB
+each check is a single pushed-down column scan + partial agg, and the
+union of 1-row frames is free. A platform runs this after every load;
+registering it makes the whole suite one oracle-checked artifact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+# (table, check, duckdb observed-expression); observed is a BIGINT.
+_CHECKS: list[tuple[str, str, str]] = [
+    ("region", "row_count", "SELECT COUNT(*) FROM region"),
+    (
+        "region",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT r_regionkey) FROM region",
+    ),
+    ("nation", "row_count", "SELECT COUNT(*) FROM nation"),
+    (
+        "nation",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT n_nationkey) FROM nation",
+    ),
+    (
+        "nation",
+        "fk_not_null",
+        "SELECT COUNT(*) FILTER (n_regionkey IS NULL) FROM nation",
+    ),
+    ("customer", "row_count", "SELECT COUNT(*) FROM customer"),
+    (
+        "customer",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer",
+    ),
+    ("supplier", "row_count", "SELECT COUNT(*) FROM supplier"),
+    (
+        "supplier",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier",
+    ),
+    ("part", "row_count", "SELECT COUNT(*) FROM part"),
+    (
+        "part",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT p_partkey) FROM part",
+    ),
+    (
+        "part",
+        "price_positive",
+        "SELECT COUNT(*) FILTER (p_retailprice <= 0) FROM part",
+    ),
+    ("orders", "row_count", "SELECT COUNT(*) FROM orders"),
+    (
+        "orders",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders",
+    ),
+    (
+        "orders",
+        "date_not_null",
+        "SELECT COUNT(*) FILTER (o_orderdate IS NULL) FROM orders",
+    ),
+    ("lineitem", "row_count", "SELECT COUNT(*) FROM lineitem"),
+    (
+        "lineitem",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) "
+        "FROM lineitem",
+    ),
+    (
+        "lineitem",
+        "quantity_positive",
+        "SELECT COUNT(*) FILTER (l_quantity <= 0) FROM lineitem",
+    ),
+    (
+        "lineitem",
+        "discount_in_unit_range",
+        "SELECT COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) "
+        "FROM lineitem",
+    ),
+    ("events", "row_count", "SELECT COUNT(*) FROM events"),
+    (
+        "events",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events",
+    ),
+    ("events", "ts_not_null", "SELECT COUNT(*) FILTER (ts IS NULL) FROM events"),
+    ("documents", "row_count", "SELECT COUNT(*) FROM documents"),
+    (
+        "documents",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents",
+    ),
+    (
+        "documents",
+        "n_chars_consistent",
+        "SELECT COUNT(*) FILTER (n_chars <> length(text)) FROM documents",
+    ),
+    ("embeddings", "row_count", "SELECT COUNT(*) FROM embeddings"),
+    (
+        "embeddings",
+        "pk_unique",
+        "SELECT COUNT(*) - COUNT(DISTINCT vec_id) FROM embeddings",
+    ),
+    (
+        "embeddings",
+        "fixed_dim",
+        "SELECT COUNT(DISTINCT len(embedding)) - 1 FROM embeddings",
+    ),
+]
+
+DQ_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, '{c}' AS check_name, "
+    f"CAST(({sql}) AS BIGINT) AS observed, "
+    f"CASE WHEN ({sql}) {'> 0' if c == 'row_count' else '= 0'} "
+    f"THEN 1 ELSE 0 END AS passed"
+    for t, c, sql in _CHECKS
+)
+
+
+def _check_frame(
+    spark: SparkSession, sf_dir: str, table: str, check: str
+) -> DataFrame:
+    df = load_table(spark, sf_dir, table)
+    if check == "row_count":
+        obs = df.agg(F.count("*").cast("long").alias("observed"))
+    elif check == "pk_unique":
+        pk = {
+            "region": ["r_regionkey"],
+            "nation": ["n_nationkey"],
+            "customer": ["c_custkey"],
+            "supplier": ["s_suppkey"],
+            "part": ["p_partkey"],
+            "orders": ["o_orderkey"],
+            "lineitem": ["l_orderkey", "l_linenumber"],
+            "events": ["event_id"],
+            "documents": ["doc_id"],
+            "embeddings": ["vec_id"],
+        }[table]
+        obs = df.agg(
+            (F.count("*") - F.count_distinct(*[F.col(c) for c in pk]))
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "fk_not_null":
+        obs = df.agg(
+            F.count(F.when(F.col("n_regionkey").isNull(), 1))
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "price_positive":
+        obs = df.agg(
+            F.count(F.when(F.col("p_retailprice") <= 0, 1))
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "date_not_null":
+        obs = df.agg(
+            F.count(F.when(F.col("o_orderdate").isNull(), 1))
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "quantity_positive":
+        obs = df.agg(
+            F.count(F.when(F.col("l_quantity") <= 0, 1))
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "discount_in_unit_range":
+        obs = df.agg(
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            )
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "ts_not_null":
+        obs = df.agg(
+            F.count(F.when(F.col("ts").isNull(), 1)).cast("long").alias("observed")
+        )
+    elif check == "n_chars_consistent":
+        obs = df.agg(
+            F.count(F.when(F.col("n_chars") != F.length("text"), 1))
+            .cast("long")
+            .alias("observed")
+        )
+    elif check == "fixed_dim":
+        obs = df.agg(
+            (F.count_distinct(F.size("embedding")) - F.lit(1))
+            .cast("long")
+            .alias("observed")
+        )
+    else:  # pragma: no cover
+        raise ValueError(check)
+    passed = (
+        (F.col("observed") > 0) if check == "row_count" else (F.col("observed") == 0)
+    )
+    return obs.select(
+        F.lit(table).alias("table_name"),
+        F.lit(check).alias("check_name"),
+        "observed",
+        F.when(passed, 1).otherwise(0).alias("passed"),
+    )
+
+
+@register("dq_expectations", DQ_ORACLE)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full expectation suite: 28 checks over 10 tables, one row
+    each. Every check compiles to a pushed-down scalar aggregate; the
+    suite is their union — the post-load verification a warehouse runs
+    unconditionally."""
+    frames = [_check_frame(spark, sf_dir, t, c) for t, c, _ in _CHECKS]
+    return reduce(DataFrame.unionByName, frames)

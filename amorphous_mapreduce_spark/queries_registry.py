@@ -50,6 +50,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     corpus_queries,
     curation_queries,
     dedup_queries,
+    dq_queries,
     eval_queries,
     gemm_queries,
     kmeans_queries,
