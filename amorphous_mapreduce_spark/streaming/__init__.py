@@ -6,6 +6,10 @@ ancestor of micro-batching; here it's done natively: readStream ->
 watermarked event-time windows -> writeStream.
 """
 
+from amorphous_mapreduce_spark.streaming.stateful import (
+    streaming_exact_dedup,
+    streaming_sessionize,
+)
 from amorphous_mapreduce_spark.streaming.windows import (
     interval_join_streams,
     sessionized_event_counts,
@@ -15,6 +19,8 @@ from amorphous_mapreduce_spark.streaming.windows import (
 
 __all__ = [
     "interval_join_streams",
+    "streaming_exact_dedup",
+    "streaming_sessionize",
     "sessionized_event_counts",
     "streaming_word_counts",
     "windowed_event_stats",

@@ -71,3 +71,93 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+SESS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Cross-batch sessionization with keyed state + event-time timeout:
+    [user_id, session_start_us, session_end_us, n_events].
+
+    The custom-stateful twin of the built-in ``session_window`` path
+    (streaming.windows.sessionized_event_counts): per-user state holds
+    the open session (start, last, count); events extend it or close it
+    (gap exceeded -> the closed session is emitted and a new one
+    opens); when the event-time timeout fires (watermark passed
+    last + gap) the final open session is emitted and state cleared.
+    session_end = last event + gap, matching the batch form. State is
+    per-key in the state store — partitioned and checkpointable; a
+    micro-batch's events for one user are processed in one Arrow batch.
+    """
+    gap_us = gap_minutes * 60_000_000
+    ev = events.withWatermark("ts", watermark).select("user_id", "ts")
+
+    def sess_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+
+        def emit(s: int, l: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start_us": [s],
+                    "session_end_us": [l + gap_us],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield emit(s, l, n)
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us.extend(
+                    (pdf["ts"].astype("int64") // 1000).tolist()
+                )
+        if not ts_us:
+            return
+        ts_us.sort()
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        assert cur is not None
+        state.update(cur)
+        # fire once the watermark passes the open session's close point
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        sess_fn,
+        outputStructType=SESS_OUT,
+        stateStructType=SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -216,3 +216,38 @@ def test_sliding_window_stats_batch_stream_parity(spark, sf_dir, tmp_path):
     merged = s.merge(b, on=key, suffixes=("_s", "_b"))
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+
+
+def test_streaming_sessionize_closed_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Custom-stateful sessionization (applyInPandasWithState) emits the
+    same closed sessions as the batch session_window path; each user's
+    final session stays open pending the event-time timeout."""
+    from amorphous_mapreduce_spark.streaming import streaming_sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        sessionized_event_counts(events, gap="30 minutes")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    streamed = _run_stream_over_parquet(
+        spark,
+        events,
+        lambda s: streaming_sessionize(s, gap_minutes=30),
+        tmp_path,
+        "stateful_sessions",
+    ).toPandas()
+    # drop each user's final (possibly-open) session from the batch view
+    last = batch.groupby("user_id")["session_start_us"].transform("max")
+    closed = batch[batch["session_start_us"] < last]
+    key = ["user_id", "session_start_us"]
+    merged = streamed.merge(closed, on=key, suffixes=("_s", "_b"))
+    # every closed batch session appears in the stream output, identically
+    assert len(merged) == len(closed)
+    assert (merged["session_end_us_s"] == merged["session_end_us_b"]).all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
