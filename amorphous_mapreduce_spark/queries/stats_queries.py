@@ -15,8 +15,8 @@ platform runs continuously:
 
 Oracle notes:
 - Poisson thresholds are precomputed integer literals
-  (floor(cdf_k * 2^60)) — the comparison h < t_k is pure int64 on both
-  engines; no float CDF evaluation at query time.
+  (floor(cdf_k * (2^31-1))) — the comparison u < t_k is pure int64 on
+  both engines; no float CDF evaluation at query time.
 - resample means accumulate in DECIMAL (CLAUDE.md convention 1);
   SUM(int) casts back from HUGEINT before the double division.
 - the 2.5%/97.5% quantiles over the 100 resample means use the shared
@@ -102,35 +102,44 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# floor(cdf_k(Poisson(1)) * 2^60) for k = 0..6; k=7 is the tail.
+# floor(cdf_k(Poisson(1)) * (2^31 - 1)) for k = 0..6; k = 7 is the tail.
+# The uniform driving each draw lives in [0, 2^31-1): ONE md5 per row,
+# then per-resample affine mixes (h*(2b+1) + b*12345) mod (2^31-1) — the
+# same one-digest/many-functions trick as the MinHash family; 2^31-1 is
+# prime, so every odd multiplier is invertible and each resample's draw
+# stays exactly uniform. (Draws across resamples of one row are affine
+# images of one uniform — each resample's Poisson marginal is exact,
+# which is what the bootstrap needs; this trades a negligible cross-
+# resample correlation for 100x fewer digest evaluations.)
+_POIS_P = 2147483647
 _POIS_T = [
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
-    1148701988496035328,
-    1152236456152946176,
-    1152825534095764608,
+    790015083,
+    1580030167,
+    1975037709,
+    2106706890,
+    2139624185,
+    2146207644,
+    2147304887,
 ]
 
 
-def _pois_case(h: str) -> str:
-    branches = " ".join(
-        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
-    )
+def _pois_case(u: str) -> str:
+    branches = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
     return f"CASE {branches} ELSE 7 END"
 
 
-_BS_HASH = (
-    "CAST('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':' "
-    "|| CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
-)
+_BS_U = f"((hp * (b * 2 + 1)) + b * 12345) % {_POIS_P}"
 
 BOOTSTRAP_ORACLE = f"""
-WITH draws AS (
+WITH hashed AS (
+    SELECT o_totalprice,
+           CAST('0x' || substr(md5('bs:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) % {_POIS_P} AS hp
+    FROM orders
+), draws AS (
     SELECT h.range AS b, o_totalprice,
-           {_pois_case(_BS_HASH.replace('CAST(b AS VARCHAR)', 'CAST(h.range AS VARCHAR)'))} AS k
-    FROM orders, range(100) h
+           {_pois_case(_BS_U.replace('+ b *', '+ h.range *').replace('(b * 2 + 1)', '(h.range * 2 + 1)'))} AS k
+    FROM hashed, range(100) h
 ), means AS (
     SELECT b,
            CAST(SUM(CAST(k AS DECIMAL(4,0)) * CAST(o_totalprice AS DECIMAL(18,6)))
@@ -158,24 +167,30 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Poisson bootstrap is the bootstrap that scales: each row draws
     its per-resample replication count independently (Poisson(1)), so
     resampling is a stateless per-row explode — no global sampling
-    pass, no coordination. Draws are MD5-hash-driven against integer
-    CDF thresholds, so both engines replicate the identical resamples;
-    means accumulate in decimal; the final quantile runs over the
-    100-row resample frame (constant size, not data-bound)."""
+    pass, no coordination. One MD5 digest per row drives all 100 draws
+    via prime-modulus affine mixing against integer CDF thresholds, so
+    both engines replicate the identical resamples; means accumulate in
+    decimal; the final quantile runs over the 100-row resample frame
+    (constant size, not data-bound). The repartition pins the digest
+    below the explode (CLAUDE.md: projection collapse would otherwise
+    re-evaluate it per exploded row)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    b = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
-    rows = orders.select("o_orderkey", "o_totalprice", b)
-    h = hex_hash64(
-        F.concat(
-            F.lit("bs:"),
-            F.col("b").cast("string"),
-            F.lit(":"),
-            F.col("o_orderkey").cast("string"),
-        )
+    hp = hex_hash64(
+        F.concat(F.lit("bs:"), F.col("o_orderkey").cast("string"))
+    ) % F.lit(_POIS_P)
+    nparts = int(
+        orders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    hashed = orders.select("o_totalprice", hp.alias("hp")).repartition(nparts)
+    rows = hashed.select(
+        "o_totalprice",
+        "hp",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+    )
+    u = (F.col("hp") * (F.col("b") * 2 + 1) + F.col("b") * 12345) % F.lit(_POIS_P)
     k = F.lit(7)
     for kk in range(6, -1, -1):
-        k = F.when(h < F.lit(_POIS_T[kk]), F.lit(kk)).otherwise(k)
+        k = F.when(u < F.lit(_POIS_T[kk]), F.lit(kk)).otherwise(k)
     draws = rows.select("b", "o_totalprice", k.alias("k"))
     means = draws.groupBy("b").agg(
         (
