@@ -126,3 +126,40 @@ def upsert_parquet(
         os.path.join(table_path, f"v={new_v}")
     )
     return new_v
+
+
+def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep_last`` committed
+    snapshots (plus any uncommitted crash leftovers older than the
+    latest commit). Returns the removed version numbers.
+
+    Readers of a removed version lose time travel to it — same contract
+    as Delta/Iceberg VACUUM / expire_snapshots; the latest snapshot is
+    never removable (keep_last is clamped to >= 1). Deletion order is
+    oldest-first so a crash mid-vacuum leaves a contiguous recent
+    window.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
+    committed = _versions(table_path)
+    if not committed:
+        return []
+    cutoff = committed[-keep_last:] if keep_last < len(committed) else committed
+    keep = set(cutoff)
+    removed: list[int] = []
+    # uncommitted leftovers (no _SUCCESS) below the latest commit are
+    # crashed writes that can never become latest — reap them too
+    latest = committed[-1]
+    for name in sorted(os.listdir(table_path)):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        is_committed = v in committed
+        if (is_committed and v not in keep) or (not is_committed and v < latest):
+            shutil.rmtree(os.path.join(table_path, name))
+            if is_committed:
+                removed.append(v)
+    return removed

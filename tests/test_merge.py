@@ -117,3 +117,58 @@ def test_upsert_parquet_first_version_dedupes(spark, tmp_path):
     upsert_parquet(spark, table, b0, ["id"], order_cols=["seq"])
     rows = read_latest(spark, table).collect()
     assert len(rows) == 1 and rows[0]["v"] == 2.0
+
+
+def test_vacuum_retention(spark, tmp_path):
+    import os
+
+    from amorphous_mapreduce_spark.sources.merge import vacuum
+
+    table = str(tmp_path / "vtbl")
+    for i in range(4):
+        upsert_parquet(
+            spark,
+            table,
+            spark.createDataFrame([(1, float(i))], ["id", "v"]),
+            ["id"],
+        )
+    # a non-version directory must be ignored by the vacuum sweep
+    os.makedirs(os.path.join(table, "v=1_tmp"), exist_ok=False)
+    removed = vacuum(table, keep_last=2)
+    assert removed == [0, 1]
+    assert sorted(
+        d for d in os.listdir(table) if d.startswith("v=") and "_tmp" not in d
+    ) == ["v=2", "v=3"]
+    # latest still reads, kept versions still time-travel
+    assert {r["v"] for r in read_latest(spark, table).collect()} == {3.0}
+    assert {r["v"] for r in read_version(spark, table, 2).collect()} == {2.0}
+    # latest never removable
+    assert vacuum(table, keep_last=1) == [2]
+    with pytest.raises(ValueError):
+        vacuum(table, keep_last=0)
+    # idempotent on an already-clean table
+    assert vacuum(table, keep_last=1) == []
+
+
+def test_vacuum_reaps_crashed_writes(spark, tmp_path):
+    import os
+
+    from amorphous_mapreduce_spark.sources.merge import vacuum
+
+    table = str(tmp_path / "ctbl")
+    for i in range(2):
+        upsert_parquet(
+            spark,
+            table,
+            spark.createDataFrame([(1, float(i))], ["id", "v"]),
+            ["id"],
+        )
+    # crashed write: directory without _SUCCESS, below the latest commit
+    os.makedirs(os.path.join(table, "v=0"), exist_ok=True)  # already committed
+    crash = os.path.join(table, "v=5")
+    # a crashed FUTURE write (above latest) must be left alone — it may
+    # be an in-flight writer about to commit
+    os.makedirs(crash)
+    removed = vacuum(table, keep_last=2)
+    assert removed == []
+    assert os.path.isdir(crash)
