@@ -163,3 +163,28 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
             if is_committed:
                 removed.append(v)
     return removed
+
+
+def compact(
+    spark: SparkSession, table_path: str, target_partitions: int = 8
+) -> int:
+    """Small-files compaction: rewrite the latest snapshot as a new
+    version with ``target_partitions`` output files. Returns the new
+    version number.
+
+    The content is byte-identical (same rows); only the file layout
+    changes — the OPTIMIZE/rewrite_data_files contract. Because the
+    rewrite is just another committed version, readers pinned to the
+    old snapshot are undisturbed and a crash mid-compaction is
+    invisible (_SUCCESS gating); pair with ``vacuum`` to reclaim the
+    fragmented snapshot afterwards.
+    """
+    v = latest_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    new_v = v + 1
+    df = read_version(spark, table_path, v)
+    df.repartition(target_partitions).write.mode("errorifexists").parquet(
+        os.path.join(table_path, f"v={new_v}")
+    )
+    return new_v

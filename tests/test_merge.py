@@ -172,3 +172,28 @@ def test_vacuum_reaps_crashed_writes(spark, tmp_path):
     removed = vacuum(table, keep_last=2)
     assert removed == []
     assert os.path.isdir(crash)
+
+
+def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
+    import glob
+    import os
+
+    from amorphous_mapreduce_spark.sources.merge import compact, vacuum
+
+    table = str(tmp_path / "frag")
+    # fragmented snapshot written directly: explicit repartition(32) is
+    # not AQE-coalescible, so v=0 really lands as many small files
+    frag = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "v"]
+    ).repartition(32)
+    frag.write.parquet(os.path.join(table, "v=0"))
+    n_before = len(glob.glob(os.path.join(table, "v=0", "*.parquet")))
+    assert n_before > 8
+    new_v = compact(spark, table, target_partitions=4)
+    assert new_v == 1
+    n_after = len(glob.glob(os.path.join(table, f"v={new_v}", "*.parquet")))
+    assert n_after <= 4
+    got = {(r["id"], r["v"]) for r in read_latest(spark, table).collect()}
+    assert got == {(i, float(i)) for i in range(100)}
+    # reclaim the fragmented snapshot
+    assert vacuum(table, keep_last=1) == [0]
