@@ -1,0 +1,132 @@
+"""Hypertable-style time-series queries: OHLC bars and TWAP.
+
+Both are keyed-window shapes (the only windows are PARTITION BY a data
+key), so they scale as one shuffle on the key:
+- OHLC uses the struct-extremum trick for open/close: MIN/MAX over a
+  (ts, event_id, value) tuple is lexicographic on BOTH engines, so the
+  bar's opening/closing trade is total-order deterministic even with
+  simultaneous events — no arg_min tie ambiguity.
+- TWAP holds each observation until the next one (keyed LEAD), the last
+  until the bucket edge; value x duration accumulates in DECIMAL
+  (integer microsecond durations, CLAUDE.md convention 1). The operand
+  precisions are chosen so the product lands EXACTLY at (38,6) —
+  (17,6) x (20,0) -> 17+20+1 = 38 — because a 39-wide product would be
+  silently rescaled to (38,5) by Spark. The decimal SUMS are identical
+  on both engines, but a (38,6) sum above 2^53 x 10^-6 double-rounds in
+  DuckDB's int128->double cast (Spark's BigDecimal cast is correctly
+  rounded), so the final ratio is ROUNDed to 6 dp — the ulp noise is
+  ~1e-15 relative, twelve orders below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+OHLC_ORACLE = """
+WITH e AS (
+    SELECT date_trunc('hour', ts) AS bar_start, epoch_us(ts) AS us,
+           event_id, event_type, value
+    FROM events
+)
+SELECT bar_start, event_type,
+       (MIN({'u': us, 'i': event_id, 'v': value})).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX({'u': us, 'i': event_id, 'v': value})).v AS close,
+       COUNT(*) AS n_events
+FROM e
+GROUP BY bar_start, event_type
+"""
+
+
+@register("ohlc_hourly_bars", OHLC_ORACLE)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the candlestick rollup of a
+    metrics hypertable. Open/close via lexicographic struct extrema
+    over (ts, event_id, value): deterministic under simultaneous
+    events, one keyed aggregate, no window at all."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bar_start"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    tup = F.struct(
+        F.col("us").alias("u"), F.col("event_id").alias("i"), F.col("value").alias("v")
+    )
+    return ev.groupBy("bar_start", "event_type").agg(
+        F.min(tup)["v"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(tup)["v"].alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+TWAP_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id, value,
+           epoch_us(ts) // 86400000000 AS day_idx
+    FROM events
+), held AS (
+    SELECT user_id, day_idx, value,
+           COALESCE(
+               LEAD(us) OVER (PARTITION BY user_id, day_idx
+                              ORDER BY us, event_id),
+               (day_idx + 1) * 86400000000) - us AS dur_us
+    FROM e
+)
+SELECT user_id, day_idx,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(17,6))
+                      * CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE)
+             / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE), 6) AS twap,
+       COUNT(*) AS n_events,
+       CAST(SUM(dur_us) AS BIGINT) AS held_us
+FROM held
+GROUP BY user_id, day_idx
+"""
+
+
+@register("twap_user_daily", TWAP_ORACLE)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day: each observation is
+    held until the next (keyed LEAD), the day's last until midnight.
+    value x microsecond-duration products accumulate in decimal, so
+    the integral is order-insensitive; one keyed window + one keyed
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "value",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+    )
+    w = Window.partitionBy("user_id", "day_idx").orderBy("us", "event_id")
+    held = ev.select(
+        "user_id",
+        "day_idx",
+        "value",
+        (
+            F.coalesce(
+                F.lead("us").over(w), (F.col("day_idx") + 1) * F.lit(86_400_000_000)
+            )
+            - F.col("us")
+        ).alias("dur_us"),
+    )
+    return held.groupBy("user_id", "day_idx").agg(
+        F.round(
+            F.sum(
+                F.col("value").cast("decimal(17,6)")
+                * F.col("dur_us").cast("decimal(20,0)")
+            ).cast("double")
+            / F.sum("dur_us").cast("double"),
+            6,
+        ).alias("twap"),
+        F.count("*").alias("n_events"),
+        F.sum("dur_us").alias("held_us"),
+    )

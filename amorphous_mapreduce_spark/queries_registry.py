@@ -67,6 +67,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     subquery_queries,
     temporal_queries,
     text_queries,
+    timeseries_queries,
     tpch_extra,
     warehouse_queries,
 )
