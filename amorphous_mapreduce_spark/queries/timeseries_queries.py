@@ -130,3 +130,48 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("dur_us").alias("held_us"),
     )
+
+
+STICKINESS_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx
+    FROM events
+), dau AS (
+    SELECT day_idx, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY day_idx
+), wau AS (
+    SELECT day_idx // 7 AS week_idx, COUNT(DISTINCT user_id) AS wau
+    FROM e GROUP BY day_idx // 7
+)
+SELECT d.day_idx, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w ON d.day_idx // 7 = w.week_idx
+"""
+
+
+@register("dau_wau_stickiness", STICKINESS_ORACLE)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: daily actives over the containing
+    epoch-week's actives (DAU/WAU). Two keyed distinct aggregates and
+    a broadcast-able join on the calendar-bounded week frame; integer
+    bucketing throughout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+    )
+    dau = ev.groupBy("day_idx").agg(F.count_distinct("user_id").alias("dau"))
+    wau = (
+        ev.select(F.expr("day_idx div 7").alias("week_idx"), "user_id")
+        .groupBy("week_idx")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.withColumn("week_idx", F.expr("day_idx div 7"))
+        .join(F.broadcast(wau), "week_idx")
+        .select(
+            "day_idx",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
