@@ -175,3 +175,48 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ROLLING_WAU_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+    FROM events
+), days AS (
+    SELECT DISTINCT day_idx FROM e
+), contrib AS (
+    SELECT user_id, day_idx + k.range AS target_day
+    FROM e, range(7) k
+)
+SELECT d.day_idx,
+       COUNT(DISTINCT c.user_id) AS wau7
+FROM days d JOIN contrib c ON c.target_day = d.day_idx
+GROUP BY d.day_idx
+"""
+
+
+@register("rolling_wau_7d", ROLLING_WAU_ORACLE)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users per day. Rolling
+    COUNT(DISTINCT) does not decompose into mergeable partials, so the
+    textbook form is a per-day re-scan; instead each (user, active-day)
+    pair contributes itself to the 7 calendar days it stays visible
+    (bounded x7 explode) and the answer is one keyed distinct aggregate
+    per target day — the same contribution-explode pattern as the
+    7-day moving average, applied to a distinct count."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .distinct()
+    )
+    days = ev.select(F.col("day_idx").alias("obs_day")).distinct()
+    contrib = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + F.lit(6))
+        ).alias("target_day"),
+    )
+    return (
+        contrib.join(days, contrib.target_day == days.obs_day)
+        .groupBy(F.col("obs_day").alias("day_idx"))
+        .agg(F.count_distinct("user_id").alias("wau7"))
+    )
