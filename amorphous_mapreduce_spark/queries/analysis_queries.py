@@ -184,3 +184,77 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.pipeline import importance_sample
 
     return importance_sample(_docs(spark, sf_dir), base_rate=0.5)
+
+
+SCORECARD_ORACLE = f"""
+WITH qual AS (
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+           (length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')))
+               / length(norm) AS punct_ratio,
+           len(list_filter(string_split(norm, ' '),
+                           w -> w IN ({_sql_list(STOPWORDS)})))
+               / len(string_split(norm, ' ')) AS stopword_ratio
+    FROM (SELECT doc_id, {NORM} AS norm FROM documents)
+), scored AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE least(1.0, n_tokens / 100) * (1 - punct_ratio)
+                     * (0.5 + stopword_ratio) END AS quality
+    FROM qual
+), hashed AS (
+    SELECT doc_id AS id, source, md5({NORM}) AS h FROM documents
+), keep AS (
+    SELECT h, MIN(id) AS kid FROM hashed GROUP BY h
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN id <> kid THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(CAST(SUM(CASE WHEN id <> kid THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_share,
+       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM hashed
+JOIN keep USING (h)
+JOIN scored ON scored.doc_id = id
+GROUP BY source
+"""
+
+
+@register("source_scorecard", SCORECARD_ORACLE)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per source: doc counts, exact-duplicate rate
+    (non-keepers of each content-digest group), decimal-exact mean
+    quality, and total tokens — the per-source summary a data-mixture
+    decision reads. One digest groupBy + two broadcast-able joins +
+    one keyed aggregate."""
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.functions.hashing import md5_hex
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    stats = doc_stats(docs).select("id", "n_tokens", "quality")
+    hashed = docs.select(
+        F.col("doc_id").alias("id"), "source", md5_hex(normalize_text("text")).alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("id").alias("kid"))
+    dup = F.when(F.col("id") != F.col("kid"), 1).otherwise(0)
+    return (
+        hashed.join(keep, "h")
+        .join(stats, "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).alias("n_dups"),
+            (F.sum(dup).cast("double") / F.count("*").cast("double")).alias(
+                "dup_share"
+            ),
+            (
+                F.sum(F.col("quality").cast("decimal(18,9)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
