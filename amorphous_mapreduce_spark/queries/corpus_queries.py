@@ -267,3 +267,58 @@ def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_ratio"),
         )
     )
+
+
+_SPLIT3 = (
+    "CAST('0x' || substr(md5('3way:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 100"
+)
+
+SPLIT3_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, ntok AS (SELECT id, COUNT(*) AS n_tokens FROM toks GROUP BY id),
+assigned AS (
+    SELECT doc_id, lang,
+           CASE WHEN {_SPLIT3} < 80 THEN 'train'
+                WHEN {_SPLIT3} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned JOIN ntok ON id = doc_id
+GROUP BY lang, split
+"""
+)
+
+
+@register("three_way_split_stats", SPLIT3_ORACLE)
+def q_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test manifest summarised per
+    (lang, split) — the split is a stateless hash of the doc id alone,
+    so it is reproducible, order-independent, and consistent across
+    reruns and cluster sizes (the property that makes the split safe to
+    recompute instead of storing)."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    bucket = hex_hash64(
+        F.concat(F.lit("3way:"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    assigned = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    ntok = tokenized(docs).groupBy("id").agg(F.count("*").alias("n_tokens"))
+    return (
+        assigned.join(ntok, "id")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
