@@ -220,3 +220,132 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("obs_day").alias("day_idx"))
         .agg(F.count_distinct("user_id").alias("wau7"))
     )
+
+
+CHURN_ORACLE = """
+WITH wk AS (
+    SELECT DISTINCT user_id,
+           (epoch_us(ts) // 86400000000) // 7 AS week_idx
+    FROM events
+), weeks AS (
+    SELECT DISTINCT week_idx FROM wk WHERE week_idx > (SELECT MIN(week_idx) FROM wk)
+)
+SELECT w.week_idx,
+       CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(SUM(CASE WHEN p.user_id IS NOT NULL AND c.user_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+FROM weeks w
+JOIN (SELECT user_id, week_idx FROM wk
+      UNION
+      SELECT user_id, week_idx + 1 FROM wk) u ON u.week_idx = w.week_idx
+LEFT JOIN wk c ON c.user_id = u.user_id AND c.week_idx = w.week_idx
+LEFT JOIN wk p ON p.user_id = u.user_id AND p.week_idx = w.week_idx - 1
+GROUP BY w.week_idx
+"""
+
+
+@register("weekly_churn", CHURN_ORACLE)
+def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user accounting: new (active now, not last week),
+    retained (both), churned (last week, not now) — three keyed
+    anti/semi joins expressed as one outer join over the union of each
+    user's (week, week+1) visibility, so every user-week pair shuffles
+    once. Weeks after the first observed week only (the first has no
+    prior to compare)."""
+    wk = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("(unix_micros(ts) div 86400000000) div 7").alias("week_idx"),
+        )
+        .distinct()
+        .persist()
+    )
+    first_week = wk.agg(F.min("week_idx").alias("_w0"))
+    observed = wk.select("week_idx").distinct()
+    universe = (
+        wk.select("user_id", "week_idx")
+        .unionByName(
+            wk.select("user_id", (F.col("week_idx") + 1).alias("week_idx"))
+        )
+        .distinct()
+        .join(observed, "week_idx", "left_semi")
+    )
+    cur = wk.select(F.col("user_id").alias("cu"), F.col("week_idx").alias("cw"))
+    prv = wk.select(F.col("user_id").alias("pu"), (F.col("week_idx") + 1).alias("pw"))
+    lab = (
+        universe.join(
+            cur,
+            (F.col("user_id") == F.col("cu")) & (F.col("week_idx") == F.col("cw")),
+            "left",
+        )
+        .join(
+            prv,
+            (F.col("user_id") == F.col("pu")) & (F.col("week_idx") == F.col("pw")),
+            "left",
+        )
+    )
+    out = (
+        lab.groupBy("week_idx")
+        .agg(
+            F.sum(F.when(F.col("pu").isNull(), 1).otherwise(0)).alias("n_new"),
+            F.sum(
+                F.when(F.col("pu").isNotNull() & F.col("cu").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_retained"),
+            F.sum(F.when(F.col("cu").isNull(), 1).otherwise(0)).alias("n_churned"),
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(first_week))
+        .filter(F.col("week_idx") > F.col("_w0"))
+        .select("week_idx", "n_new", "n_retained", "n_churned")
+    )
+
+
+GAP_HIST_ORACLE = """
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), bucketed AS (
+    SELECT event_type,
+           CASE WHEN gap_us <= 1 THEN 1
+                ELSE (CAST(1 AS BIGINT) << length(bin(gap_us - 1)))
+           END AS bucket_us
+    FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT event_type, bucket_us, COUNT(*) AS n_gaps
+FROM bucketed GROUP BY event_type, bucket_us
+"""
+
+
+@register("event_gap_histogram", GAP_HIST_ORACLE)
+def q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-histogram of inter-event gaps per event type in
+    power-of-two microsecond buckets — the log2 latency histogram every
+    monitoring stack keeps, with bucket caps from integer bit ops
+    (length of the binary string), never float log2. One keyed lag
+    window + one keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucketed = gaps.withColumn(
+        "bucket_us",
+        F.expr(
+            "CASE WHEN gap_us <= 1 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(shiftleft(CAST(1 AS BIGINT), length(bin(gap_us - 1))) "
+            "AS BIGINT) END"
+        ),
+    )
+    return bucketed.groupBy("event_type", "bucket_us").agg(
+        F.count("*").alias("n_gaps")
+    )

@@ -72,6 +72,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-count scalar crossed onto "
         "the (lang, source) cell frame",
     },
+    "weekly_churn": {
+        "BroadcastNestedLoopJoin": "1-row first-week scalar crossed back "
+        "to exclude the week with no prior comparison",
+    },
     "bootstrap_revenue_ci": {
         "BroadcastNestedLoopJoin": "1-row full-sample-mean scalar crossed "
         "onto the constant-size (100-row) resample-mean frame",
