@@ -251,3 +251,43 @@ def test_streaming_sessionize_closed_sessions_match_batch(spark, sf_dir, tmp_pat
     assert len(merged) == len(closed)
     assert (merged["session_end_us_s"] == merged["session_end_us_b"]).all()
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_streaming_cms_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Count-min grids are mergeable: per-micro-batch partial sketches
+    summed cell-wise equal the one-shot batch sketch over the full
+    corpus — the property that lets a stream maintain heavy hitters
+    without reprocessing history."""
+    from collections import defaultdict
+
+    from amorphous_mapreduce_spark.operators.sketches import cms_cells
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "cms_src")
+    # two physical files -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+
+    merged: dict[tuple[int, int], int] = defaultdict(int)
+    n_batches = [0]
+
+    def merge_batch(bdf, _bid):
+        n_batches[0] += 1
+        for row in cms_cells(bdf).collect():
+            merged[(row["depth"], row["bucket"])] += row["cell"]
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2
+
+    want = {
+        (r["depth"], r["bucket"]): r["cell"] for r in cms_cells(docs).collect()
+    }
+    assert dict(merged) == want
