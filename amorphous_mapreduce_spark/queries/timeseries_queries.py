@@ -349,3 +349,60 @@ def q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("event_type", "bucket_us").agg(
         F.count("*").alias("n_gaps")
     )
+
+
+SURVIVAL_ORACLE = """
+WITH lagged AS (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sessions AS (
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+           ts
+    FROM flagged
+), spans AS (
+    SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS dur_min
+    FROM sessions GROUP BY user_id, session_id
+), contrib AS (
+    SELECT unnest(range(0, LEAST(dur_min, 120) + 1)) AS minute_mark
+    FROM spans
+)
+SELECT minute_mark, COUNT(*) AS n_surviving
+FROM contrib GROUP BY minute_mark
+"""
+
+
+@register("session_survival_curve", SURVIVAL_ORACLE)
+def q_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session survival: how many 30m-gap sessions last at least m
+    minutes, for m = 0..120. 'Sessions alive at >= m' is a cumulative
+    count from above — computed by exploding each session onto the
+    minute marks it survives (fanout capped at 121), so the curve is a
+    keyed aggregate, not a running window over the session list."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("us") - F.lag("us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "us", F.sum(is_new).over(wrun).alias("session_id")
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.expr("(max(us) - min(us)) div 60000000").alias("dur_min")
+    )
+    contrib = spans.select(
+        F.explode(
+            F.sequence(F.lit(0), F.least(F.col("dur_min"), F.lit(120)))
+        ).alias("minute_mark")
+    )
+    return contrib.groupBy("minute_mark").agg(F.count("*").alias("n_surviving"))
