@@ -258,3 +258,85 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+CALIB_ORACLE = f"""
+WITH qual AS (
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+           (length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')))
+               / length(norm) AS punct_ratio,
+           len(list_filter(string_split(norm, ' '),
+                           w -> w IN ({_sql_list(STOPWORDS)})))
+               / len(string_split(norm, ' ')) AS stopword_ratio
+    FROM (SELECT doc_id, {NORM} AS norm FROM documents)
+), scored AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE least(1.0, n_tokens / 100) * (1 - punct_ratio)
+                     * (0.5 + stopword_ratio) END AS quality
+    FROM qual
+), hashed AS (
+    SELECT doc_id AS id, md5({NORM}) AS h FROM documents
+), keep AS (
+    SELECT h, MIN(id) AS kid FROM hashed GROUP BY h
+), edges AS (
+    SELECT [quantile_cont(quality, 0.25), quantile_cont(quality, 0.5),
+            quantile_cont(quality, 0.75)] AS e
+    FROM scored
+)
+SELECT CAST(len(list_filter(e, x -> x <= quality)) AS BIGINT) AS q_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN id <> kid THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(CAST(SUM(CASE WHEN id <> kid THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_share
+FROM hashed
+JOIN keep USING (h)
+JOIN scored ON scored.doc_id = id
+CROSS JOIN edges
+GROUP BY q_bucket
+"""
+
+
+@register("quality_dup_calibration", CALIB_ORACLE)
+def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does low quality predict duplication? Exact-duplicate rate per
+    quality quartile. Quartile edges are ONE 3-value scalar aggregate
+    broadcast back (no global rank/ntile sort); bucket = how many edges
+    lie at-or-below the doc's quality (a counting fold over the 3-element
+    edge array — identical lexical semantics on both engines)."""
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.functions.hashing import md5_hex
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    scored = doc_stats(docs).select("id", "quality")
+    hashed = docs.select(
+        F.col("doc_id").alias("id"), md5_hex(normalize_text("text")).alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("id").alias("kid"))
+    edges = scored.agg(
+        F.array(
+            F.percentile("quality", 0.25),
+            F.percentile("quality", 0.5),
+            F.percentile("quality", 0.75),
+        ).alias("e")
+    )
+    dup = F.when(F.col("id") != F.col("kid"), 1).otherwise(0)
+    bucket = F.size(
+        F.filter(F.col("e"), lambda x: x <= F.col("quality"))
+    ).cast("long")
+    return (
+        hashed.join(keep, "h")
+        .join(scored, "id")
+        .crossJoin(F.broadcast(edges))
+        .groupBy(bucket.alias("q_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).alias("n_dups"),
+            (F.sum(dup).cast("double") / F.count("*").cast("double")).alias(
+                "dup_share"
+            ),
+        )
+    )

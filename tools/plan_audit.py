@@ -72,6 +72,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-count scalar crossed onto "
         "the (lang, source) cell frame",
     },
+    "quality_dup_calibration": {
+        "BroadcastNestedLoopJoin": "1-row quartile-edge scalar aggregate "
+        "(3-element array) crossed back for bucket assignment",
+    },
     "weekly_churn": {
         "BroadcastNestedLoopJoin": "1-row first-week scalar crossed back "
         "to exclude the week with no prior comparison",
