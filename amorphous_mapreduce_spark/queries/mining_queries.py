@@ -1,0 +1,286 @@
+"""Corpus-mining battery: collocation lift, BPE merge candidates,
+activity streaks, cross-source passage leakage.
+
+The statistical-mining shapes a training-data platform runs on top of the
+token pipeline (north-star extensions per SURVEY.md §2.5; the tokenize /
+hash-partition / per-key-count substrate is the reference word-count
+pipeline, src/word_count.rs:90-128):
+
+- ``pmi_bigrams``: PMI-style collocation ranking. The score is kept in
+  its rational form (``cnt*N / (c1*c2)``) — both factors are exact
+  BIGINTs, so the final IEEE double division is correctly rounded and
+  bit-identical across engines. At 100 TB the counts could exceed 2^53
+  and the score would move to log space (and an approximate ordering);
+  the plan shape (two keyed aggs + broadcast dims + TakeOrdered) is the
+  part that carries over.
+- ``bpe_merge_pairs``: round-0 BPE merge statistics (most frequent
+  adjacent symbol pair). One explode over char positions, one keyed agg,
+  one TakeOrdered — the inner loop of tokenizer training, distributed.
+- ``user_activity_streaks``: gaps-and-islands on integer epoch-days
+  (day - row_number constant-diff grouping), all-integer outputs.
+- ``cross_source_leakage``: which source pairs share *rare* verbatim
+  6-gram passages — the dataset-contamination / licensing-audit view of
+  duplicate_passages. Shingle -> distinct-source agg bounds the pair
+  fanout at C(max_df,2) per shingle; ubiquitous grams are dropped by the
+  df cap (same hot-key discipline as operators/dedup.py jaccard_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+from amorphous_mapreduce_spark.operators.dedup import normalize_text, tokenized
+from amorphous_mapreduce_spark.queries.dedup_queries import TOKS_CTE
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- PMI-style collocations ------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+PMI_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, bg AS (
+    SELECT word AS w1,
+           lead(word) OVER (PARTITION BY id ORDER BY pos) AS w2
+    FROM toks
+), bc AS (
+    SELECT w1, w2, COUNT(*) AS cnt FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+), f AS (
+    SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM bc GROUP BY w1
+), s AS (
+    SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM bc GROUP BY w2
+), n AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM bc
+)
+SELECT w1 || ' ' || w2 AS bigram, cnt,
+       CAST(cnt * n_total AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS lift
+FROM bc JOIN f USING (w1) JOIN s USING (w2) CROSS JOIN n
+WHERE cnt >= {PMI_MIN_COUNT}
+ORDER BY lift DESC, bigram
+LIMIT {PMI_TOP_K}
+"""
+)
+
+
+@register("pmi_bigrams", PMI_ORACLE)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise-mutual-information lift.
+
+    Margins (first-word / second-word totals) are re-aggregations of the
+    bigram-count table itself — vocab²-sized, far smaller than the token
+    stream — so the corpus is tokenised exactly once. Margins and the
+    1-row total broadcast back onto the counts; the top-k plans as
+    TakeOrderedAndProject (no single-partition window).
+    """
+    toks = tokenized(_docs(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # Three re-reads of bc (margins + total): persist the small counts
+    # table so the explode lineage runs once (CLAUDE.md self-join gotcha).
+    bc = bc.persist()
+    firsts = bc.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    seconds = bc.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    total = bc.agg(F.sum("cnt").alias("n_total"))
+    return (
+        bc.filter(F.col("cnt") >= PMI_MIN_COUNT)
+        .join(F.broadcast(firsts), "w1")
+        .join(F.broadcast(seconds), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cnt"),
+            (
+                (F.col("cnt") * F.col("n_total")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
+# --- BPE merge candidates --------------------------------------------------
+
+BPE_TOP_K = 20
+
+BPE_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, ch AS (
+    SELECT substr(word, CAST(i AS INT), 2) AS pair
+    FROM (SELECT word, unnest(range(1, length(word))) AS i
+          FROM toks WHERE length(word) >= 2)
+)
+SELECT pair, COUNT(*) AS cnt FROM ch GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+)
+
+
+@register("bpe_merge_pairs", BPE_ORACLE)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE merge candidates: most frequent adjacent char pairs.
+
+    The explode fans each word occurrence into len-1 rows — narrow,
+    pipelined work after ``tokenized``'s repartition; the only shuffle is
+    the pair-count agg (map-side combined on a tiny key space).
+    """
+    toks = tokenized(_docs(spark, sf_dir)).filter(F.length("word") >= 2)
+    pairs = toks.select(
+        "word",
+        # sequence(1, len-1) requires len >= 2 (Spark auto-reverses
+        # descending sequences instead of returning empty).
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(F.expr("substr(word, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+# --- Gaps-and-islands activity streaks -------------------------------------
+
+STREAKS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), st AS (
+    SELECT user_id, day,
+           day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM days
+), runs AS (
+    SELECT user_id, grp, COUNT(*) AS len FROM st GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(len) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+@register("user_activity_streaks", STREAKS_ORACLE)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands:
+    day minus per-user row_number is constant within a run). Every window
+    is partitioned by user_id; outputs are all integers."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        days.select("user_id", "day", (F.col("day") - F.row_number().over(w)).alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+# --- Cross-source passage leakage ------------------------------------------
+
+LEAK_K = 6  # gram size, matches duplicate_passages
+LEAK_MAX_SOURCES = 10  # drop ubiquitous grams (hot-key cap)
+
+LEAK_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, src_of AS (
+    SELECT doc_id AS id, source AS src FROM documents
+), grams AS (
+    SELECT id,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w
+                || ' ' || lead(word, 5) OVER w AS gram,
+           lead(word, {LEAK_K - 1}) OVER w AS lastw
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+), gs AS (
+    SELECT DISTINCT CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS sh, src
+    FROM grams JOIN src_of USING (id) WHERE lastw IS NOT NULL
+), multi AS (
+    SELECT sh FROM gs GROUP BY sh
+    HAVING COUNT(*) BETWEEN 2 AND {LEAK_MAX_SOURCES}
+)
+SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared_grams
+FROM gs a JOIN gs b USING (sh)
+WHERE a.sh IN (SELECT sh FROM multi) AND a.src < b.src
+GROUP BY a.src, b.src
+"""
+)
+
+
+@register("cross_source_leakage", LEAK_ORACLE)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: count of rare verbatim 6-grams
+    shared between each pair of sources.
+
+    (sh, src) is distinct before the self-join and grams seen by more
+    than LEAK_MAX_SOURCES sources are dropped, so per-shingle fanout is
+    bounded at C(10,2); the pair matrix is #sources² at most. The
+    semi-join against `multi` and the pair join are both keyed on sh.
+    """
+    docs = _docs(spark, sf_dir)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        docs.repartition(nparts)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("source").alias("src"),
+            F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    # All window columns in one select (post-filter re-evaluation gotcha).
+    grams = base.select(
+        "src",
+        F.concat_ws(
+            " ",
+            "word",
+            *[F.lead("word", i).over(w) for i in range(1, LEAK_K)],
+        ).alias("gram"),
+        F.lead("word", LEAK_K - 1).over(w).alias("lastw"),
+    )
+    gs = (
+        grams.filter(F.col("lastw").isNotNull())
+        .select("src", hex_hash64("gram").alias("sh"))
+        .distinct()
+    )
+    gs = gs.persist()  # both branches of the self-join share this lineage
+    multi = (
+        gs.groupBy("sh")
+        .agg(F.count("*").alias("ns"))
+        .filter((F.col("ns") >= 2) & (F.col("ns") <= LEAK_MAX_SOURCES))
+        .select("sh")
+    )
+    shm = gs.join(multi, "sh")
+    a, b = shm.alias("a"), shm.alias("b")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

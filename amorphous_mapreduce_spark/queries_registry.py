@@ -55,6 +55,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     gemm_queries,
     kmeans_queries,
     lakehouse_queries,
+    mining_queries,
     misc_queries,
     multimodal_queries,
     pipeline_queries,

@@ -1,0 +1,109 @@
+"""Corpus-mining battery invariants (queries/mining_queries.py) —
+semantic properties the oracle hash can't express, cross-checked by
+brute force at sf0.001."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+# Registry first: importing a query module directly would re-enter the
+# registry's module sweep mid-initialisation (circular import).
+from amorphous_mapreduce_spark.queries_registry import QUERIES  # isort: skip
+from amorphous_mapreduce_spark.queries.mining_queries import (
+    BPE_TOP_K,
+    LEAK_MAX_SOURCES,
+    PMI_MIN_COUNT,
+    PMI_TOP_K,
+)
+from amorphous_mapreduce_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return [w for w in " ".join(text.lower().split()).split(" ") if w]
+
+
+def _doc_tokens(spark):
+    docs = load_table(spark, SF, "documents").toPandas()
+    return {r.doc_id: _norm_tokens(r.text) for r in docs.itertuples()}, docs
+
+
+def test_pmi_bigrams_matches_bruteforce(spark):
+    out = QUERIES["pmi_bigrams"](spark, SF).toPandas()
+    toks, _ = _doc_tokens(spark)
+    bc: Counter = Counter()
+    for ws in toks.values():
+        bc.update(zip(ws, ws[1:]))
+    n = sum(bc.values())
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        c2[b] += c
+    scored = [
+        (float(c * n) / float(c1[a] * c2[b]), f"{a} {b}", c)
+        for (a, b), c in bc.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = scored[:PMI_TOP_K]
+    got = sorted(
+        zip(out.lift, out.bigram, out.cnt), key=lambda t: (-t[0], t[1])
+    )
+    assert [(g[1], g[2]) for g in got] == [(w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g[0] == w[0]  # IEEE-exact: int64->double division
+
+
+def test_bpe_pairs_match_bruteforce(spark):
+    out = QUERIES["bpe_merge_pairs"](spark, SF).toPandas()
+    toks, _ = _doc_tokens(spark)
+    pc: Counter = Counter()
+    for ws in toks.values():
+        for w in ws:
+            pc.update(w[i : i + 2] for i in range(len(w) - 1))
+    want = sorted(pc.items(), key=lambda t: (-t[1], t[0]))[:BPE_TOP_K]
+    got = sorted(zip(out.pair, out.cnt), key=lambda t: (-t[1], t[0]))
+    assert got == want
+
+
+def test_streaks_are_maximal_runs(spark):
+    out = QUERIES["user_activity_streaks"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    days = {
+        uid: sorted({ts.value // 1000 // 86400000000 for ts in g.ts})
+        for uid, g in ev.groupby("user_id")
+    }
+    assert set(out.user_id) == set(days)
+    for r in out.itertuples():
+        ds = days[r.user_id]
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert r.n_active_days == len(ds)
+        assert r.n_streaks == len(runs)
+        assert r.longest_streak == max(runs)
+
+
+def test_cross_source_leakage_matches_bruteforce(spark):
+    out = QUERIES["cross_source_leakage"](spark, SF).toPandas()
+    toks, docs = _doc_tokens(spark)
+    src = dict(zip(docs.doc_id, docs.source))
+    gram_sources: dict[str, set] = {}
+    for did, ws in toks.items():
+        for i in range(len(ws) - 5):
+            gram_sources.setdefault(" ".join(ws[i : i + 6]), set()).add(src[did])
+    pairs: Counter = Counter()
+    for sources in gram_sources.values():
+        if 2 <= len(sources) <= LEAK_MAX_SOURCES:
+            for a, b in combinations(sorted(sources), 2):
+                pairs[(a, b)] += 1
+    got = {(r.src_a, r.src_b): r.n_shared_grams for r in out.itertuples()}
+    assert got == dict(pairs)

@@ -54,6 +54,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
         "whole-frame window)",
     },
+    "pmi_bigrams": {
+        "BroadcastNestedLoopJoin": "1-row bigram-total scalar (N for the "
+        "lift numerator) crossed onto the vocab²-sized bigram-count frame",
+    },
     "promo_revenue_share": {
         "BroadcastNestedLoopJoin": "1-row revenue-total scalar crossed back",
     },
