@@ -147,3 +147,91 @@ def incremental_exact_dedup(
         "dup_of",
         F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    cum_col: str = "cum",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global running sum + dense rank over a total order, WITHOUT a
+    single-partition window.
+
+    Classic two-phase scan: (1) range-sort (Spark's orderBy — a parallel
+    total sort), stamp each row with its physical partition id; (2) a
+    per-partition window computes local prefix sums; (3) per-partition
+    totals (O(#partitions) rows, bounded by the cluster not the data)
+    are offset-merged with one tiny window and broadcast back. The
+    result is invariant to where the range partitioner cuts because
+    integer addition is associative and the partition order respects the
+    sort order.
+
+    Output: input columns + [rank_col, cum_col] (both BIGINT).
+    """
+    ordered = df.orderBy(*order_cols).withColumn("_pid", F.spark_partition_id())
+    wp = Window.partitionBy("_pid").orderBy(*order_cols)
+    part = ordered.select(
+        "*",
+        F.sum(value_col)
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum_local"),
+        F.row_number().over(wp).alias("_rn_local"),
+    )
+    totals = part.groupBy("_pid").agg(
+        F.max("_cum_local").alias("_psum"), F.max("_rn_local").alias("_pcnt")
+    )
+    # Offset merge: one window over O(#partitions) rows — bounded by the
+    # cluster size, never by data volume.
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(wo), F.lit(0)).alias("_cum_off"),
+        F.coalesce(F.sum("_pcnt").over(wo), F.lit(0)).alias("_rn_off"),
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .select(
+            *[c for c in df.columns],
+            (F.col("_rn_local") + F.col("_rn_off")).cast("long").alias(rank_col),
+            (F.col("_cum_local") + F.col("_cum_off")).cast("long").alias(cum_col),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, thresholds: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """[threshold_pct, vocab_k, tokens_covered]: smallest vocabulary
+    (by corpus frequency, ties broken by word) covering each percentage
+    of all token occurrences — the tokenizer-sizing curve.
+
+    The cumulative frequency curve runs through distributed_prefix_sum
+    (range sort + partials + bounded offset merge), so the unbounded
+    vocabulary dimension never funnels through one task. Thresholds and
+    the 1-row token total are broadcast; the crossing point per
+    threshold is MIN(rank) (cum is strictly increasing, so MIN(cum) is
+    the matching coverage).
+    """
+    spark = docs.sparkSession
+    counts = tokenized(docs).groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    ranked = distributed_prefix_sum(
+        counts, "cnt", [F.desc("cnt"), F.asc("word")]
+    )
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias(
+            "threshold_pct"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * 100 >= F.col("threshold_pct") * F.col("n_total"))
+        .groupBy("threshold_pct")
+        .agg(
+            F.min("rank").alias("vocab_k"),
+            F.min("cum").alias("tokens_covered"),
+        )
+    )

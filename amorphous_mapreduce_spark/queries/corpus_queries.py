@@ -322,3 +322,38 @@ def q_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )
+
+
+COVERAGE_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, c AS (
+    SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+), n AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c
+), r AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM c
+)
+SELECT t.threshold_pct, MIN(rank) AS vocab_k,
+       CAST(MIN(cum) AS BIGINT) AS tokens_covered
+FROM r CROSS JOIN n CROSS JOIN (VALUES (50), (90), (99)) t(threshold_pct)
+WHERE cum * 100 >= threshold_pct * n_total
+GROUP BY t.threshold_pct
+"""
+)
+
+
+@register("vocab_coverage", COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: min vocab covering 50/90/99% of tokens.
+    The global cumulative sum is a distributed two-phase scan
+    (operators.corpus_stats.distributed_prefix_sum) — range sort,
+    per-partition partials, O(#partitions) offset merge — never a
+    single-partition window over the vocabulary."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))

@@ -89,3 +89,58 @@ def test_stats_queries_properties(spark):
     leak = QUERIES["split_leakage_audit"](spark, "/root/testdata/sf0.001").collect()[0]
     assert 0 <= leak["n_cross_split"] <= leak["n_pairs"]
     assert 0.0 <= leak["leak_share"] <= 1.0
+
+
+def test_vocab_coverage_matches_bruteforce(spark):
+    from collections import Counter
+
+    from amorphous_mapreduce_spark.operators.corpus_stats import vocab_coverage
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out = {
+        r.threshold_pct: (r.vocab_k, r.tokens_covered)
+        for r in vocab_coverage(docs).collect()
+    }
+    pdf = docs.toPandas()
+    cnt = Counter()
+    for t in pdf.text:
+        cnt.update(w for w in " ".join(t.lower().split()).split(" ") if w)
+    n = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for t in (50, 90, 99):
+        cum = 0
+        for k, (_, c) in enumerate(ordered, start=1):
+            cum += c
+            if cum * 100 >= t * n:
+                assert out[t] == (k, cum)
+                break
+
+
+def test_prefix_sum_partition_invariant(spark):
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    )
+    expect = None
+    for nparts in (1, 3, 32):
+        got = (
+            distributed_prefix_sum(df.repartition(nparts), "v", [F.asc("id")])
+            .orderBy("id")
+            .collect()
+        )
+        rows = [(r.id, r.rank, r.cum) for r in got]
+        if expect is None:
+            expect = rows
+            # closed form: cum at id i = sum_{j<=i} (j%7+1)
+            run = 0
+            for i, (rid, rank, cum) in enumerate(rows):
+                run += i % 7 + 1
+                assert (rid, rank, cum) == (i, i + 1, run)
+        else:
+            assert rows == expect

@@ -54,6 +54,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
         "whole-frame window)",
     },
+    "vocab_coverage": {
+        "Exchange SinglePartition": "offset-merge window of the "
+        "distributed prefix sum runs over the O(#partitions) "
+        "per-partition totals frame — bounded by cluster size, the "
+        "vocabulary itself flows through the range-sorted parallel scan",
+        "BroadcastNestedLoopJoin": "1-row token-total scalar and the "
+        "3-row thresholds frame crossed onto the ranked vocab",
+    },
     "pmi_bigrams": {
         "BroadcastNestedLoopJoin": "1-row bigram-total scalar (N for the "
         "lift numerator) crossed onto the vocab²-sized bigram-count frame",
