@@ -130,3 +130,48 @@ def duplicate_passages(
         .filter(F.col("span_tokens") >= min_tokens)
         .select("id1", "id2", "start1", "start2", "span_tokens")
     )
+
+
+def dedup_span_manifest(
+    passages: DataFrame,
+) -> DataFrame:
+    """[id, n_trim_spans, tokens_to_trim]: per-document manifest of the
+    token intervals to cut so that each shared passage survives only in
+    the earlier document (keep-first policy: id1 < id2, so only id2's
+    copy is trimmed).
+
+    Overlapping/touching intervals from different partner documents are
+    merged per doc with one keyed islands window (running max of the
+    interval end), so a passage shared with many partners is counted
+    once. All windows are partitioned by doc id; outputs are integers.
+    """
+    iv = passages.select(
+        F.col("id2").alias("id"),
+        F.col("start2").alias("s"),
+        (F.col("start2") + F.col("span_tokens")).alias("e"),  # half-open
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("id").agg(
+        F.count("*").alias("n_trim_spans"),
+        F.sum(F.col("me") - F.col("ms")).alias("tokens_to_trim"),
+    )

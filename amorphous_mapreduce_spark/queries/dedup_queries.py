@@ -403,3 +403,49 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_tokens=PASSAGE_MIN_TOKENS,
         max_df=PASSAGE_MAX_DF,
     )
+
+
+MANIFEST_ORACLE = f"""
+WITH pass AS ({PASSAGES_ORACLE}),
+iv AS (
+    SELECT id2 AS id, start2 AS s, start2 + span_tokens AS e FROM pass
+), m AS (
+    SELECT id, s, e,
+           CASE WHEN max(e) OVER pm IS NULL OR s > max(e) OVER pm
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+    WINDOW pm AS (PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+    SELECT id, s, e,
+           SUM(new_island) OVER (PARTITION BY id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM m
+), mg AS (
+    SELECT id, island, MIN(s) AS ms, MAX(e) AS me FROM isl
+    GROUP BY id, island
+)
+SELECT id, COUNT(*) AS n_trim_spans,
+       CAST(SUM(me - ms) AS BIGINT) AS tokens_to_trim
+FROM mg GROUP BY id
+"""
+
+
+@register("dedup_span_manifest", MANIFEST_ORACLE)
+def q_dedup_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trim manifest for substring dedup (keep-first policy):
+    merged intervals of every shared passage's later copy — the action
+    side of duplicate_passages (what an executor actually cuts before
+    tokenisation)."""
+    from amorphous_mapreduce_spark.operators.spans import (
+        dedup_span_manifest,
+        duplicate_passages,
+    )
+
+    passages = duplicate_passages(
+        _docs(spark, sf_dir),
+        shingle_size=PASSAGE_K,
+        min_tokens=PASSAGE_MIN_TOKENS,
+        max_df=PASSAGE_MAX_DF,
+    )
+    return dedup_span_manifest(passages)

@@ -284,3 +284,46 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+# --- word2vec-style negative-sampling table ---------------------------------
+
+NS_TOP_K = 50
+
+NS_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, c AS (
+    SELECT word, COUNT(*) AS f FROM toks GROUP BY word
+)
+SELECT word, f, sqrt(f * sqrt(f)) AS ns_weight
+FROM c
+ORDER BY f DESC, word
+LIMIT {NS_TOP_K}
+"""
+)
+
+
+@register("negative_sampling_weights", NS_ORACLE)
+def q_negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^0.75 negative-sampling table (word2vec/contrastive prep).
+
+    f^0.75 is computed as sqrt(f * sqrt(f)): IEEE-754 sqrt and multiply
+    are correctly rounded, so the double is bit-identical across engines
+    (pow(x, 0.75) carries no such guarantee). The top-k cut orders by
+    the raw integer frequency — the weight is monotone in f, so no
+    float enters the ordering.
+    """
+    counts = tokenized(_docs(spark, sf_dir)).groupBy("word").agg(
+        F.count("*").alias("f")
+    )
+    return (
+        counts.select(
+            "word",
+            "f",
+            F.sqrt(F.col("f") * F.sqrt(F.col("f"))).alias("ns_weight"),
+        )
+        .orderBy(F.desc("f"), F.asc("word"))
+        .limit(NS_TOP_K)
+    )

@@ -54,6 +54,9 @@ HEADLINE = [
     "epoch_shard_manifest",
     "hard_negative_mining",
     "watermark_lateness",
+    # corpus-mining / prefix-sum families (round 3, second half)
+    "pmi_bigrams",
+    "vocab_coverage",
 ]
 
 

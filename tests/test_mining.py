@@ -5,6 +5,8 @@ brute force at sf0.001."""
 from __future__ import annotations
 
 from collections import Counter
+
+from pyspark.sql import functions as F
 from itertools import combinations
 
 # Registry first: importing a query module directly would re-enter the
@@ -107,3 +109,55 @@ def test_cross_source_leakage_matches_bruteforce(spark):
                 pairs[(a, b)] += 1
     got = {(r.src_a, r.src_b): r.n_shared_grams for r in out.itertuples()}
     assert got == dict(pairs)
+
+
+def test_negative_sampling_weight_is_exact_f075(spark):
+    out = QUERIES["negative_sampling_weights"](spark, SF).toPandas()
+    import math
+
+    for r in out.itertuples():
+        assert r.ns_weight == math.sqrt(r.f * math.sqrt(r.f))
+        assert abs(r.ns_weight - r.f**0.75) < 1e-9 * r.ns_weight
+
+
+def test_dedup_span_manifest_merges_intervals(spark):
+    from amorphous_mapreduce_spark.operators.spans import (
+        dedup_span_manifest,
+    )
+
+    passages = spark.createDataFrame(
+        [
+            # doc 7: [0,12) and [8,20) overlap -> one island [0,20)=20;
+            # [30,42) separate
+            (1, 7, 0, 0, 12),
+            (2, 7, 0, 8, 12),
+            (3, 7, 0, 30, 12),
+            # doc 9: adjacent half-open [5,17)+[17,29) merge to 24
+            (1, 9, 0, 5, 12),
+            (2, 9, 0, 17, 12),
+        ],
+        "id1 long, id2 long, start1 long, start2 long, span_tokens long",
+    )
+    got = {
+        r.id: (r.n_trim_spans, r.tokens_to_trim)
+        for r in dedup_span_manifest(passages).collect()
+    }
+    assert got == {7: (2, 32), 9: (1, 24)}
+
+
+def test_manifest_covers_every_later_copy(spark):
+    """Every id2 of a passage appears in the manifest with at least the
+    longest single passage's tokens."""
+    from amorphous_mapreduce_spark.operators.spans import duplicate_passages
+
+    from amorphous_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    passages = duplicate_passages(docs).persist()
+    manifest = QUERIES["dedup_span_manifest"](spark, SF).toPandas()
+    got = dict(zip(manifest.id, manifest.tokens_to_trim))
+    for r in passages.groupBy("id2").agg(
+        F.max("span_tokens").alias("mx")
+    ).collect():
+        assert got.get(r.id2, 0) >= r.mx
+    passages.unpersist()
