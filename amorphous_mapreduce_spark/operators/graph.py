@@ -283,3 +283,46 @@ def bfs_hops(
         spark.conf.set(pf_key, pf_old)
     sym.unpersist()
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 8,
+    src: str = "qid",
+    dst: str = "nid",
+) -> DataFrame:
+    """[id, core_deg]: nodes surviving ``n_rounds`` of k-core peeling
+    (drop nodes with degree < k, cascade), with their in-core degree.
+
+    The round count is part of the query spec so the SQL oracle can
+    unroll the identical number of rounds; when peeling converges
+    earlier (every graph at test SFs — asserted in tests), extra rounds
+    are no-ops and the result IS the true k-core. Each round is one
+    keyed degree aggregate + two semi-joins; localCheckpoint cuts the
+    growing lineage exactly like connected_components. At 100 TB the
+    peel is the standard distributed k-core: rounds needed equal the
+    peel depth, each a linear pass.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = sym
+    for _ in range(n_rounds):
+        alive = (
+            cur.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        cur = (
+            cur.join(alive, "a", "leftsemi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "leftsemi")
+            .localCheckpoint()
+        )
+    return cur.groupBy(F.col("a").alias("id")).agg(
+        F.count("*").alias("core_deg")
+    )

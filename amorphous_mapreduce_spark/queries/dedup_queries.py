@@ -449,3 +449,51 @@ def q_dedup_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=PASSAGE_MAX_DF,
     )
     return dedup_span_manifest(passages)
+
+
+# --- k-core of the near-dup graph ------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def _kcore_round(i: int) -> str:
+    # MATERIALIZED: each round references the previous one three times —
+    # without it DuckDB inlines the chain and the base scan re-expands
+    # 3^rounds times (observed as an fd explosion).
+    return f"""
+a{i} AS MATERIALIZED (
+    SELECT a AS id FROM e{i - 1} GROUP BY a HAVING COUNT(*) >= {KCORE_K}
+), e{i} AS MATERIALIZED (
+    SELECT a, b FROM e{i - 1}
+    WHERE a IN (SELECT id FROM a{i}) AND b IN (SELECT id FROM a{i})
+)"""
+
+
+# The minhash/bands/pairs/edges CTE chain is shared with PAGERANK_ORACLE —
+# slice it off at the first pagerank-specific CTE so there is exactly one
+# SQL definition of the near-dup edge list.
+_NEARDUP_EDGES_PREFIX = PAGERANK_ORACLE.split(", deg AS")[0]
+assert _NEARDUP_EDGES_PREFIX.rstrip().endswith(")"), "edges CTE slice broke"
+
+KCORE_ORACLE = (
+    _NEARDUP_EDGES_PREFIX
+    + ", e0 AS MATERIALIZED (SELECT a, b FROM edges),"
+    + ",".join(_kcore_round(i) for i in range(1, KCORE_ROUNDS + 1))
+    + f"""
+SELECT a AS id, COUNT(*) AS core_deg FROM e{KCORE_ROUNDS} GROUP BY a
+"""
+)
+
+
+@register("kcore_near_dup", KCORE_ORACLE)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash-LSH near-dup graph: documents in genuinely
+    dense duplication structures after pendant/chain peeling — the
+    'delete the whole cluster' candidates, vs one-off pair dups.
+    Fixed 8 peel rounds (converges earlier at test SFs — asserted in
+    tests — so the result is the true 2-core); CTE-for-CTE oracle."""
+    from amorphous_mapreduce_spark.operators.graph import kcore
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
+    return kcore(pairs, k=KCORE_K, n_rounds=KCORE_ROUNDS)

@@ -327,3 +327,48 @@ def q_negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("f"), F.asc("word"))
         .limit(NS_TOP_K)
     )
+
+
+# --- Curriculum ordering with running token budget ---------------------------
+
+def _curriculum_oracle() -> str:
+    from amorphous_mapreduce_spark.queries.analysis_queries import (
+        DOC_STATS_ORACLE,
+    )
+
+    return f"""
+WITH stats AS ({DOC_STATS_ORACLE})
+SELECT id, quality,
+       ROW_NUMBER() OVER (ORDER BY quality DESC, id) AS position,
+       CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+FROM stats
+"""
+
+
+@register("curriculum_manifest", _curriculum_oracle())
+def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning manifest: every document's global training
+    position (best quality first) and the running token budget at that
+    position — 'training on the top N tokens consumes docs up to here'.
+
+    The global order + running total rides
+    operators.corpus_stats.distributed_prefix_sum: a range sort stays
+    parallel and the only single-partition step is the O(#partitions)
+    offset merge, so the manifest is buildable at full corpus scale.
+    """
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from amorphous_mapreduce_spark.operators.text_analysis import doc_stats
+
+    stats = doc_stats(_docs(spark, sf_dir)).select("id", "n_tokens", "quality")
+    ranked = distributed_prefix_sum(
+        stats,
+        "n_tokens",
+        [F.desc("quality"), F.asc("id")],
+        cum_col="cum_tokens",
+        rank_col="position",
+    )
+    return ranked.select("id", "quality", "position", "cum_tokens")

@@ -95,3 +95,44 @@ def test_bfs_hops_multi_source_min(spark):
     seeds = spark.createDataFrame([(1,), (4,)], ["id"])
     got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_kcore_is_converged_true_2core(spark):
+    """One extra peel round changes nothing at test SF, and every member
+    has >= k in-core neighbours (true k-core, not a truncated peel)."""
+    import amorphous_mapreduce_spark.queries_registry  # noqa: F401  (init first)
+    from amorphous_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+    from amorphous_mapreduce_spark.operators.graph import kcore
+    from amorphous_mapreduce_spark.queries.dedup_queries import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    got = {
+        (r.id, r.core_deg)
+        for r in kcore(pairs, k=KCORE_K, n_rounds=KCORE_ROUNDS).collect()
+    }
+    more = {
+        (r.id, r.core_deg)
+        for r in kcore(pairs, k=KCORE_K, n_rounds=KCORE_ROUNDS + 1).collect()
+    }
+    assert got == more
+    assert all(d >= KCORE_K for _, d in got)
+    # brute-force peel on the driver
+    edges = {(r.qid, r.nid) for r in pairs.collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        drop = [n for n, ns in adj.items() if len(ns) < KCORE_K]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+    assert got == {(n, len(ns)) for n, ns in adj.items()}
+    pairs.unpersist()

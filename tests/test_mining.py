@@ -161,3 +161,20 @@ def test_manifest_covers_every_later_copy(spark):
     ).collect():
         assert got.get(r.id2, 0) >= r.mx
     passages.unpersist()
+
+
+def test_curriculum_positions_and_budget(spark):
+    out = (
+        QUERIES["curriculum_manifest"](spark, SF)
+        .toPandas()
+        .sort_values("position")
+        .reset_index(drop=True)
+    )
+    # positions are 1..N, budget is the running token total in order
+    assert list(out.position) == list(range(1, len(out) + 1))
+    assert list(out.quality) == sorted(out.quality, reverse=True)
+    toks, _ = _doc_tokens(spark)
+    run = 0
+    for r in out.itertuples():
+        run += len(toks[r.id])
+        assert r.cum_tokens == run

@@ -54,6 +54,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
         "whole-frame window)",
     },
+    "curriculum_manifest": {
+        "Exchange SinglePartition": "offset-merge window of the "
+        "distributed prefix sum over the O(#partitions) per-partition "
+        "totals frame — the corpus flows through the range-sorted "
+        "parallel scan (same pattern as vocab_coverage)",
+    },
     "vocab_coverage": {
         "Exchange SinglePartition": "offset-merge window of the "
         "distributed prefix sum runs over the O(#partitions) "
