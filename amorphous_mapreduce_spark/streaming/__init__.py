@@ -7,6 +7,7 @@ watermarked event-time windows -> writeStream.
 """
 
 from amorphous_mapreduce_spark.streaming.stateful import (
+    bounded_watermark_dedup,
     streaming_exact_dedup,
     streaming_sessionize,
 )
@@ -18,6 +19,7 @@ from amorphous_mapreduce_spark.streaming.windows import (
 )
 
 __all__ = [
+    "bounded_watermark_dedup",
     "interval_join_streams",
     "streaming_exact_dedup",
     "streaming_sessionize",

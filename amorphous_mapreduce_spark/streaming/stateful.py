@@ -161,3 +161,24 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def bounded_watermark_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence dedup with BOUNDED state: the built-in
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes it, so state size tracks the watermark
+    horizon, not stream history.
+
+    Contrast with ``streaming_exact_dedup`` (applyInPandasWithState),
+    which implements exact forever-dedup and therefore grows state with
+    distinct keys; at 100 TB/day the bounded form is what runs on the
+    hot path, with a periodic batch exact-dedup reconciling history.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

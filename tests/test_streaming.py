@@ -291,3 +291,22 @@ def test_streaming_cms_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
         (r["depth"], r["bucket"]): r["cell"] for r in cms_cells(docs).collect()
     }
     assert dict(merged) == want
+
+
+def test_bounded_watermark_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """A stream carrying every event twice dedups back to the distinct
+    set with bounded (watermark-horizon) state."""
+    from amorphous_mapreduce_spark.streaming import bounded_watermark_dedup
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    doubled = events.unionByName(events)
+    got = _run_stream_over_parquet(
+        spark,
+        doubled,
+        lambda s: bounded_watermark_dedup(s, ["event_id"], "ts", "1 hour"),
+        tmp_path,
+        "wm_dedup",
+    ).toPandas()
+    want = events.toPandas()
+    assert sorted(got.event_id) == sorted(want.event_id)
+    assert got.event_id.is_unique
