@@ -63,6 +63,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     similarity_queries,
     sketch_queries,
     source_queries,
+    sql_queries,
     stats_queries,
     streaming_queries,
     subquery_queries,

@@ -69,3 +69,27 @@ def test_basket_rules_bounds(spark, sf_dir):
         assert 0.0 < r.confidence <= 1.0
         assert r.ab <= min(r.sup_a, r.sup_b)
         assert r.lift > 0.0
+
+
+def test_sql_frontend_plans_semi_join_with_pushdown(spark):
+    """The raw-SQL EXISTS query decorrelates to a semi join and pushes
+    the literal filters to the lineitem scan."""
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    df = QUERIES["sql_returned_supplier_counts"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_sql_frontend_concentration_shares_bounded(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    out = QUERIES["sql_revenue_concentration"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (out.top20_revenue <= out.total_revenue + 1e-9).all()
+    assert (out.top20_revenue >= 0).all()
+    # top-20% of customers should hold at least a proportional share
+    frac = out.top20_revenue / out.total_revenue
+    assert (frac[out.n_customers >= 5] >= 0.15).all()
