@@ -59,16 +59,24 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     order_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Rows of ``updates`` plus base rows whose key has no update.
 
     ``updates`` is deduped per key first (see ``dedupe_updates``) so the
     result never carries duplicate keys, even for direct callers that
     pass multi-row-per-key batches.
+
+    ``evolve_schema=True`` implements additive schema evolution (the
+    Delta/Iceberg ``mergeSchema`` contract): columns new in ``updates``
+    are added to the table with NULL for untouched base rows, and
+    columns the updates batch omits survive as NULL on updated rows.
+    Without the flag a schema mismatch stays a loud AnalysisException —
+    silent column drift in a 100 TB table is worse than a failed job.
     """
     updates = dedupe_updates(updates, keys, order_cols)
     survivors = base.join(updates.select(*keys).distinct(), keys, "left_anti")
-    return survivors.unionByName(updates)
+    return survivors.unionByName(updates, allowMissingColumns=evolve_schema)
 
 
 def _versions(table_path: str) -> list[int]:
@@ -106,12 +114,15 @@ def upsert_parquet(
     updates: DataFrame,
     keys: list[str],
     order_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Upsert ``updates`` into the versioned table; returns the new version.
 
     First call (no versions yet) writes the (key-deduped) updates as v=0.
     The _SUCCESS marker gates visibility: a crashed write never becomes
-    latest.
+    latest. ``evolve_schema`` adds additive column evolution (see
+    ``merge_upsert``) — each snapshot carries the union schema, so time
+    travel across the evolution boundary stays well-typed per version.
     """
     v = latest_version(table_path)
     if v is None:
@@ -120,7 +131,11 @@ def upsert_parquet(
     else:
         new_v = v + 1
         merged = merge_upsert(
-            read_version(spark, table_path, v), updates, keys, order_cols
+            read_version(spark, table_path, v),
+            updates,
+            keys,
+            order_cols,
+            evolve_schema=evolve_schema,
         )
     merged.write.mode("errorifexists").parquet(
         os.path.join(table_path, f"v={new_v}")

@@ -197,3 +197,41 @@ def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     assert got == {(i, float(i)) for i in range(100)}
     # reclaim the fragmented snapshot
     assert vacuum(table, keep_last=1) == [0]
+
+
+def test_merge_schema_evolution_additive(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    import pytest as _pytest
+
+    from amorphous_mapreduce_spark.sources.merge import (
+        read_latest,
+        read_version,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "evolving")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    )
+    upsert_parquet(spark, path, base, keys=["id"])
+
+    upd = spark.createDataFrame(
+        [(2, "b2", 0.9), (3, "c", 0.5)], "id long, payload string, score double"
+    )
+    # without the flag: loud failure, no new version
+    with _pytest.raises(AnalysisException):
+        upsert_parquet(spark, path, upd, keys=["id"])
+    assert read_latest(spark, path).columns == ["id", "payload"]
+
+    v = upsert_parquet(spark, path, upd, keys=["id"], evolve_schema=True)
+    latest = read_latest(spark, path).orderBy("id").collect()
+    assert [r.id for r in latest] == [1, 2, 3]
+    got = {r.id: (r.payload, r.score) for r in latest}
+    assert got[1] == ("a", None)  # untouched base row: NULL new column
+    assert got[2] == ("b2", 0.9)
+    assert got[3] == ("c", 0.5)
+    # time travel across the boundary keeps the per-version schema
+    assert read_version(spark, path, v - 1).columns == ["id", "payload"]
+    assert "score" in read_version(spark, path, v).columns
