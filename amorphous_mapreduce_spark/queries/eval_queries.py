@@ -294,3 +294,70 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+# --- per-label embedding centroid drift -------------------------------------
+
+DRIFT_QUANT = 1000
+
+DRIFT_ORACLE = f"""
+WITH q AS (
+    SELECT label, vec_id % 2 AS half,
+           generate_subscripts(embedding, 1) AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * {DRIFT_QUANT})
+                AS BIGINT) AS qx
+    FROM embeddings
+), s AS (
+    SELECT label, half, dim, CAST(SUM(qx) AS BIGINT) AS s, COUNT(*) AS n
+    FROM q GROUP BY label, half, dim
+)
+SELECT e.label, MAX(e.n) AS n_even, MAX(o.n) AS n_odd,
+       CAST(SUM(ABS(e.s * o.n - o.s * e.n)) AS BIGINT) AS drift_l1_scaled
+FROM s e JOIN s o ON e.label = o.label AND e.dim = o.dim
+WHERE e.half = 0 AND o.half = 1
+GROUP BY e.label
+"""
+
+
+@register("label_centroid_drift", DRIFT_ORACLE)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per label, the L1 distance between the
+    even-id and odd-id half-corpus centroids, kept exact by comparing
+    cross-multiplied sums (|s1*n2 - s2*n1| = n1*n2 * |mean1 - mean2| per
+    dim) instead of dividing — no float ever enters the pipeline.
+
+    The per-(label, half, dim) sums are one keyed aggregate over the
+    exploded (row x dim) stream — embarrassingly parallel at any scale;
+    the drift join matches |labels| x |dims| rows. Same integer
+    quantization as operators/kmeans.py (round(x*1000))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * DRIFT_QUANT).cast("long"),
+            )
+        ).alias("dim", "qx"),
+    )
+    s = q.groupBy("label", "half", "dim").agg(
+        F.sum("qx").alias("s"), F.count("*").alias("n")
+    )
+    e = s.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("s_e"), F.col("n").alias("n_e")
+    )
+    o = s.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("s_o"), F.col("n").alias("n_o")
+    )
+    return (
+        e.join(o, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_e").alias("n_even"),
+            F.max("n_o").alias("n_odd"),
+            F.sum(
+                F.abs(F.col("s_e") * F.col("n_o") - F.col("s_o") * F.col("n_e"))
+            ).alias("drift_l1_scaled"),
+        )
+    )

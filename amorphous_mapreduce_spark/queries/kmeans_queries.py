@@ -56,7 +56,9 @@ KMEANS_ORACLE = (
     f"""
 WITH q AS (
     SELECT vec_id AS id,
-           list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT)) AS qv
     FROM embeddings
 ), seeds AS (
     SELECT id AS cell,

@@ -372,3 +372,55 @@ def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="position",
     )
     return ranked.select("id", "quality", "position", "cum_tokens")
+
+
+# --- Keyword-in-context concordance ------------------------------------------
+
+KWIC_WORD = "spark"
+KWIC_TOP = 100
+
+KWIC_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, ctx AS (
+    SELECT id, pos, word,
+           concat_ws(' ', lag(word, 2) OVER w, lag(word, 1) OVER w)
+               AS left_ctx,
+           concat_ws(' ', lead(word, 1) OVER w, lead(word, 2) OVER w)
+               AS right_ctx
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+)
+SELECT id, pos - 1 AS pos, left_ctx, word AS kw, right_ctx
+FROM ctx WHERE word = '{KWIC_WORD}'
+ORDER BY id, pos LIMIT {KWIC_TOP}
+"""
+)
+
+
+@register("keyword_in_context", KWIC_ORACLE)
+def q_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance: every occurrence of the keyword with ±2 tokens
+    of context — the corpus-inspection tool behind 'show me how this
+    term is used'. Context windows are keyed by doc; the first-100 cut
+    is TakeOrdered on (id, pos). concat_ws drops boundary NULLs the same
+    way on both engines."""
+    toks = tokenized(_docs(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("pos")
+    ctx = toks.select(
+        "id",
+        "pos",
+        "word",
+        F.concat_ws(
+            " ", F.lag("word", 2).over(w), F.lag("word", 1).over(w)
+        ).alias("left_ctx"),
+        F.concat_ws(
+            " ", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+        ).alias("right_ctx"),
+    )
+    return (
+        ctx.filter(F.col("word") == KWIC_WORD)
+        .select("id", "pos", "left_ctx", F.col("word").alias("kw"), "right_ctx")
+        .orderBy("id", "pos")
+        .limit(KWIC_TOP)
+    )

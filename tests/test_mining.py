@@ -178,3 +178,41 @@ def test_curriculum_positions_and_budget(spark):
     for r in out.itertuples():
         run += len(toks[r.id])
         assert r.cum_tokens == run
+
+
+def test_kwic_contexts_match_source_tokens(spark):
+    out = QUERIES["keyword_in_context"](spark, SF).toPandas()
+    toks, _ = _doc_tokens(spark)
+    assert len(out) > 0
+    for r in out.itertuples():
+        ws = toks[r.id]
+        assert ws[r.pos] == r.kw == "spark"
+        assert r.left_ctx == " ".join(ws[max(0, r.pos - 2) : r.pos])
+        assert r.right_ctx == " ".join(ws[r.pos + 1 : r.pos + 3])
+
+
+def test_label_centroid_drift_zero_for_identical_halves(spark):
+    """A frame where even and odd ids carry identical vectors per label
+    has zero drift; a shifted half has positive drift."""
+    from amorphous_mapreduce_spark.queries.eval_queries import (
+        q_label_centroid_drift,
+    )
+
+    rows = []
+    for lbl in (0, 1):
+        for i in range(4):
+            vec = [0.1 * (lbl + 1), -0.2]
+            if lbl == 1 and i % 2 == 1:
+                vec = [vec[0] + 0.5, vec[1]]
+            rows.append((lbl * 100 + i, vec, lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r.label: r.drift_l1_scaled for r in
+           q_label_centroid_drift(spark, d).collect()}
+    assert out[0] == 0
+    assert out[1] > 0
