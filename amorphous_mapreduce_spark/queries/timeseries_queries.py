@@ -406,3 +406,69 @@ def q_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("minute_mark")
     )
     return contrib.groupBy("minute_mark").agg(F.count("*").alias("n_surviving"))
+
+
+# --- exact CUSUM change detection -------------------------------------------
+
+CUSUM_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(value AS DECIMAL(12,2)) AS v
+    FROM events
+), c AS (
+    SELECT user_id, v,
+           SUM(v) OVER w AS s,
+           ROW_NUMBER() OVER w AS i
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING)
+), t AS (
+    SELECT user_id, SUM(v) AS tot, COUNT(*) AS n FROM e GROUP BY user_id
+)
+SELECT c.user_id, MAX(t.n) AS n_events,
+       CAST(MAX(ABS(t.n * c.s - c.i * t.tot)) AS DOUBLE) AS max_abs_cusum_scaled
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""
+
+
+@register("user_value_cusum", CUSUM_ORACLE)
+def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM drift score per user: the classic change-point
+    statistic max_i |S_i - i*mean| kept integer-exact by scaling through
+    the count (n*S_i - i*T = n * CUSUM_i) — no division, so decimal
+    arithmetic stays exact and both engines agree bit-for-bit.
+
+    The running sum is a keyed window over (user, time, event_id); the
+    per-user totals join back on the key. A user whose value stream
+    shifts mid-history scores high; a stationary stream hovers near 0.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = Window.partitionBy("user_id").orderBy("us", "event_id")
+    cum = ev.select(
+        "user_id",
+        F.sum("v").over(w).alias("s"),
+        F.row_number().over(wr).alias("i"),
+    )
+    tot = ev.groupBy("user_id").agg(
+        F.sum("v").alias("tot"), F.count("*").alias("n")
+    )
+    return (
+        cum.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max(F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("tot")))
+            .cast("double")
+            .alias("max_abs_cusum_scaled"),
+        )
+    )

@@ -216,3 +216,34 @@ def test_label_centroid_drift_zero_for_identical_halves(spark):
            q_label_centroid_drift(spark, d).collect()}
     assert out[0] == 0
     assert out[1] > 0
+
+
+def test_cusum_detects_planted_shift(spark):
+    """A level shift mid-stream scores much higher than a stationary
+    stream of the same values shuffled evenly."""
+    import os, tempfile
+    from datetime import datetime, timedelta
+
+    from amorphous_mapreduce_spark.queries_registry import QUERIES as Q
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: stationary alternation; user 2: 10.0 then shift to 20.0
+    for i in range(40):
+        ts = base + timedelta(minutes=i)
+        rows.append((1000 + i, ts, 1, "t", 10.0 if i % 2 == 0 else 20.0, "{}"))
+        rows.append((2000 + i, ts, 2, "t", 10.0 if i < 20 else 20.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r.max_abs_cusum_scaled
+           for r in Q["user_value_cusum"](spark, d).collect()}
+    # scaled stat: stationary bounded by n*max_step; shifted ~ n * n/4 * step
+    assert out[2] > 10 * out[1]
+    # exact closed form for the planted shift: max at i=20,
+    # |n*S_20 - 20*T| = |40*200 - 20*600| = 4000
+    assert out[2] == 4000.0
