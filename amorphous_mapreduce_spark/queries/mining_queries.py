@@ -424,3 +424,149 @@ def q_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id", "pos")
         .limit(KWIC_TOP)
     )
+
+
+# --- per-source vocabulary divergence ----------------------------------------
+
+DIVERGENCE_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, src_of AS (
+    SELECT doc_id AS id, source AS src FROM documents
+), cnt AS (
+    SELECT src, word, COUNT(*) AS f
+    FROM toks JOIN src_of USING (id)
+    GROUP BY src, word
+), tot AS (
+    SELECT src, CAST(SUM(f) AS BIGINT) AS n FROM cnt GROUP BY src
+), g AS (
+    SELECT word, CAST(SUM(f) AS BIGINT) AS gf FROM cnt GROUP BY word
+), gn AS (
+    SELECT CAST(SUM(f) AS BIGINT) AS gn FROM cnt
+)
+SELECT t.src,
+       t.n AS n_tokens,
+       CAST(SUM(ABS(c.f * (gn.gn - t.n) - (g.gf - c.f) * t.n)) AS BIGINT)
+           AS l1_scaled
+FROM cnt c
+JOIN tot t ON c.src = t.src
+JOIN g ON c.word = g.word
+CROSS JOIN gn
+GROUP BY t.src, t.n
+"""
+)
+
+
+@register("source_unigram_divergence", DIVERGENCE_ORACLE)
+def q_source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-shift outlier detector: for each source, the scaled L1
+    distance between its unigram distribution and the REST of the
+    corpus, |f_s(w)*N_rest - f_rest(w)*N_s| summed over the source's
+    vocabulary — integer-exact (cross-multiplied, no division), so a
+    source of boilerplate or another language sticks out.
+
+    Words the source never uses contribute 0 to ITS sum by this
+    definition (sum runs over (src, word) pairs present in the source),
+    so the statistic is one keyed agg over the (src, word) count table
+    joined to the word-global margin — no vocab x sources densification.
+    """
+    toks = tokenized(_docs(spark, sf_dir))
+    src_of = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("source").alias("src")
+    )
+    cnt = (
+        toks.join(src_of, "id")
+        .groupBy("src", "word")
+        .agg(F.count("*").alias("f"))
+        .persist()  # three margin re-reads below
+    )
+    tot = cnt.groupBy("src").agg(F.sum("f").alias("n"))
+    g = cnt.groupBy("word").agg(F.sum("f").alias("gf"))
+    gn = cnt.agg(F.sum("f").alias("gn"))
+    return (
+        cnt.join(F.broadcast(tot), "src")
+        .join(g, "word")
+        .crossJoin(F.broadcast(gn))
+        .groupBy("src", F.col("n").alias("n_tokens"))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("f") * (F.col("gn") - F.col("n"))
+                    - (F.col("gf") - F.col("f")) * F.col("n")
+                )
+            ).alias("l1_scaled")
+        )
+        .select("src", "n_tokens", "l1_scaled")
+    )
+
+
+# --- Spearman rank correlation: quality vs length ----------------------------
+
+def _spearman_oracle() -> str:
+    from amorphous_mapreduce_spark.queries.analysis_queries import (
+        DOC_STATS_ORACLE,
+    )
+
+    return f"""
+WITH stats AS ({DOC_STATS_ORACLE}),
+r AS (
+    SELECT id,
+           ROW_NUMBER() OVER (ORDER BY quality, id) AS rq,
+           ROW_NUMBER() OVER (ORDER BY n_tokens, id) AS rl
+    FROM stats
+), a AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM((rq - rl) * (rq - rl)) AS BIGINT) AS sum_d2
+    FROM r
+)
+SELECT n_docs, sum_d2,
+       1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+           / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE) AS spearman
+FROM a
+"""
+
+
+@register("quality_length_rank_corr", _spearman_oracle())
+def q_quality_length_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between doc quality and length.
+
+    Ranks are total-order permutations (ties broken by id on BOTH axes,
+    so Σd² is integer-exact; with heavy ties true Spearman would
+    average ranks — the tie-broken form is the documented spec). Each
+    rank assignment is a distributed_prefix_sum (range sort, no global
+    window); the statistic itself is one scalar aggregate and a fixed
+    double expression (exact ints < 2^53 at any plausible SF of this
+    fixture).
+    """
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from amorphous_mapreduce_spark.operators.text_analysis import doc_stats
+
+    stats = (
+        doc_stats(_docs(spark, sf_dir))
+        .select("id", "n_tokens", "quality")
+        .withColumn("one", F.lit(1))
+    )
+    rq = distributed_prefix_sum(
+        stats, "one", [F.asc("quality"), F.asc("id")], rank_col="rq", cum_col="_c"
+    ).select("id", "rq")
+    rl = distributed_prefix_sum(
+        stats, "one", [F.asc("n_tokens"), F.asc("id")], rank_col="rl", cum_col="_d"
+    ).select("id", "rl")
+    d2 = (F.col("rq") - F.col("rl")) * (F.col("rq") - F.col("rl"))
+    a = (
+        rq.join(rl, "id")
+        .agg(F.count("*").alias("n_docs"), F.sum(d2).alias("sum_d2"))
+    )
+    n = F.col("n_docs")
+    return a.select(
+        "n_docs",
+        "sum_d2",
+        (
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+            / (n * (n * n - 1)).cast("double")
+        ).alias("spearman"),
+    )

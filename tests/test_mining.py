@@ -247,3 +247,48 @@ def test_cusum_detects_planted_shift(spark):
     # exact closed form for the planted shift: max at i=20,
     # |n*S_20 - 20*T| = |40*200 - 20*600| = 4000
     assert out[2] == 4000.0
+
+
+def test_source_divergence_flags_planted_outlier(spark):
+    """A source whose vocabulary is disjoint from the rest dominates the
+    scaled-L1 divergence (per token)."""
+    import os, tempfile
+
+    from amorphous_mapreduce_spark.queries.mining_queries import (
+        q_source_unigram_divergence,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta", "en", "normal_a", 22))
+        rows.append((100 + i, "alpha beta gamma epsilon", "en", "normal_b", 24))
+    for i in range(10):
+        rows.append((200 + i, "zeta eta theta iota", "xx", "weird", 19))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.src: r.l1_scaled / r.n_tokens
+           for r in q_source_unigram_divergence(spark, d).collect()}
+    assert out["weird"] > 2 * max(out["normal_a"], out["normal_b"])
+
+
+def test_spearman_bounds_and_bruteforce(spark):
+    out = QUERIES["quality_length_rank_corr"](spark, SF).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert -1.0 <= r.spearman <= 1.0
+    # brute force with the same tie-break
+    from amorphous_mapreduce_spark.operators.text_analysis import doc_stats
+    from amorphous_mapreduce_spark.sources import load_table
+
+    stats = doc_stats(load_table(spark, SF, "documents")).toPandas()
+    by_q = sorted(stats.itertuples(), key=lambda t: (t.quality, t.id))
+    by_l = sorted(stats.itertuples(), key=lambda t: (t.n_tokens, t.id))
+    rq = {t.id: i + 1 for i, t in enumerate(by_q)}
+    rl = {t.id: i + 1 for i, t in enumerate(by_l)}
+    sum_d2 = sum((rq[i] - rl[i]) ** 2 for i in rq)
+    assert r.sum_d2 == sum_d2
+    n = len(rq)
+    assert r.spearman == 1.0 - (6.0 * sum_d2) / (n * (n * n - 1))

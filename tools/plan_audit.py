@@ -54,6 +54,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
         "whole-frame window)",
     },
+    "quality_length_rank_corr": {
+        "Exchange SinglePartition": "two prefix-sum offset merges (one "
+        "per rank axis), each over the O(#partitions) per-partition "
+        "totals frame, plus the 1-row final scalar — bounded by cluster "
+        "size (same pattern as vocab_coverage)",
+    },
+    "source_unigram_divergence": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
+        "crossed onto the (source, word) count frame",
+    },
     "curriculum_manifest": {
         "Exchange SinglePartition": "offset-merge window of the "
         "distributed prefix sum over the O(#partitions) per-partition "
