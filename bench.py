@@ -57,6 +57,9 @@ HEADLINE = [
     # corpus-mining / prefix-sum families (round 3, second half)
     "pmi_bigrams",
     "vocab_coverage",
+    # SQL front-end + graph-peel families (round 3, closing)
+    "sql_revenue_concentration",
+    "kcore_near_dup",
 ]
 
 
