@@ -311,6 +311,7 @@ def kcore(
         .localCheckpoint()
     )
     cur = sym
+    prev_n = cur.count()
     for _ in range(n_rounds):
         alive = (
             cur.groupBy("a")
@@ -323,6 +324,14 @@ def kcore(
             .join(alive.withColumnRenamed("a", "b"), "b", "leftsemi")
             .localCheckpoint()
         )
+        # Convergence early-exit: a round that removes no edge is a
+        # fixpoint — every remaining round would be a no-op, so the
+        # result equals the oracle's full unroll (one driver-side
+        # counter per round, same discipline as _cc_loop).
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return cur.groupBy(F.col("a").alias("id")).agg(
         F.count("*").alias("core_deg")
     )

@@ -472,3 +472,43 @@ def q_user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_abs_cusum_scaled"),
         )
     )
+
+
+# --- day-of-week x hour seasonality profile ----------------------------------
+
+# Engine-independent integer calendar: epoch day 0 (1970-01-01) was a
+# Thursday, so (epoch_day + 4) % 7 gives 0=Sunday..6=Saturday on both
+# engines with no locale/week-start semantics in play.
+SEASONALITY_ORACLE = """
+WITH e AS (
+    SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+           CAST(value AS DECIMAL(12,2)) AS v
+    FROM events
+)
+SELECT dow, hour_utc, COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value
+FROM e GROUP BY dow, hour_utc
+"""
+
+
+@register("events_dow_hour_profile", SEASONALITY_ORACLE)
+def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: event volume and decimal-exact value stats
+    per (day-of-week, UTC hour) cell — the weekly load profile behind
+    capacity planning and anomaly baselines. One keyed aggregate over a
+    bounded 7x24 key space (map-side combine collapses it early);
+    day-of-week is pure integer epoch arithmetic, identical on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour_utc"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    return e.groupBy("dow", "hour_utc").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+        (F.sum("v").cast("double") / F.count("*")).alias("avg_value"),
+    )

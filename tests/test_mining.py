@@ -292,3 +292,16 @@ def test_spearman_bounds_and_bruteforce(spark):
     assert r.sum_d2 == sum_d2
     n = len(rq)
     assert r.spearman == 1.0 - (6.0 * sum_d2) / (n * (n * n - 1))
+
+
+def test_dow_hour_profile_covers_week_and_sums(spark):
+    out = QUERIES["events_dow_hour_profile"](spark, SF).toPandas()
+    assert set(out.dow) <= set(range(7)) and set(out.hour_utc) <= set(range(24))
+    ev = load_table(spark, SF, "events").toPandas()
+    assert out.n_events.sum() == len(ev)
+    # dow formula sanity: epoch day 0 is Thursday=4 under 0=Sunday
+    import pandas as pd
+
+    days = (ev.ts.astype("int64") // 1000 // 86400000000 + 4) % 7
+    got = out.groupby("dow").n_events.sum().to_dict()
+    assert got == days.value_counts().to_dict()
