@@ -340,3 +340,31 @@ def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({LANG_ORACLE}),
+lbl AS (SELECT doc_id AS id, lang FROM documents)
+SELECT l.lang AS lang_true, p.lang_pred, COUNT(*) AS n_docs
+FROM lbl l JOIN pred p ON l.id = p.id
+GROUP BY l.lang, p.lang_pred
+"""
+
+
+@register("langid_confusion", LANGID_CONFUSION_ORACLE)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    lang column — the eval loop that decides whether a classifier is
+    good enough to gate the corpus on. One keyed join (id) + one
+    bounded-key aggregate (langs²)."""
+    from pyspark.sql import functions as F
+
+    pred = language_id(_docs(spark, sf_dir)).select("id", "lang_pred")
+    lbl = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("lang_true")
+    )
+    return (
+        lbl.join(pred, "id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
