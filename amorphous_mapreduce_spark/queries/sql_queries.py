@@ -85,3 +85,53 @@ def q_sql_returned_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFram
     for t in ("supplier", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(RETURNED_SUPPLIERS_SQL)
+
+
+# WITH RECURSIVE through the SQL front door (Spark 4 recursive CTE):
+# BFS over the dominant event-transition graph. Nodes are
+# (event_type, value-band); only each node's top-2 outgoing transitions
+# survive (scale-free sparsification — a fixed count threshold would
+# densify as SF grows). FLOOR before CAST: Spark CAST(double AS INT)
+# truncates but DuckDB CAST rounds; FLOOR's integral result makes them
+# agree (Spark has no 1-arg numeric TRUNC). The recursion is bounded by
+# the node domain (types x bands) and the depth guard, never by volume.
+REACHABILITY_SQL = """
+WITH RECURSIVE nodes AS (
+    SELECT event_id, user_id,
+           event_type || '_' || CAST(FLOOR(value / 120) AS INT) AS node
+    FROM events
+), trans AS (
+    SELECT src, dst, COUNT(*) AS w FROM (
+        SELECT node AS src,
+               lead(node) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+        FROM nodes
+    ) WHERE dst IS NOT NULL AND dst <> src
+    GROUP BY src, dst
+), edges AS (
+    SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+        FROM trans
+    ) WHERE rk <= 2
+), reach(node, dist) AS (
+    SELECT 'signup_0', 0
+    UNION ALL
+    SELECT e.dst, r.dist + 1
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.dist < 10
+)
+SELECT node, MIN(dist) AS hops FROM reach GROUP BY node
+"""
+
+
+@register("sql_funnel_reachability", REACHABILITY_SQL)
+def q_sql_funnel_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop reachability from the signup state over the
+    dominant-transition graph — ONE recursive SQL string executed by
+    BOTH engines (Spark 4 WITH RECURSIVE; the engine's fourth entry
+    surface after DataFrame, streaming, and plain SQL). The recursive
+    step joins the frontier to a types-x-bands edge list: per-iteration
+    work is bounded by the node domain, the same loop shape as
+    operators/graph.py bfs_hops."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(REACHABILITY_SQL)

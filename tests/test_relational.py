@@ -93,3 +93,44 @@ def test_sql_frontend_concentration_shares_bounded(spark):
     # top-20% of customers should hold at least a proportional share
     frac = out.top20_revenue / out.total_revenue
     assert (frac[out.n_customers >= 5] >= 0.15).all()
+
+
+def test_recursive_sql_hops_match_bfs_bruteforce(spark):
+    """The shared recursive SQL computes true shortest hops over the
+    top-2-out-edge transition graph."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.node: r.hops
+           for r in QUERIES["sql_funnel_reachability"](spark, sf).collect()}
+
+    ev = load_table(spark, sf, "events").toPandas()
+    ev["node"] = ev.event_type + "_" + (ev.value / 120).apply(
+        lambda v: str(int(v // 1))
+    )
+    trans = {}
+    for _, g in ev.sort_values("event_id").groupby("user_id"):
+        ns = list(g.node)
+        for a, b in zip(ns, ns[1:]):
+            if a != b:
+                trans[(a, b)] = trans.get((a, b), 0) + 1
+    edges = {}
+    for (a, b), w in trans.items():
+        edges.setdefault(a, []).append((-w, b))
+    adj = {a: [b for _, b in sorted(lst)[:2]] for a, lst in edges.items()}
+    dist = {"signup_0": 0}
+    dq = deque(["signup_0"])
+    while dq:
+        cur = dq.popleft()
+        if dist[cur] >= 10:
+            continue
+        for nxt in adj.get(cur, []):
+            if nxt not in dist:
+                dist[nxt] = dist[cur] + 1
+                dq.append(nxt)
+    assert out == dist
