@@ -350,3 +350,59 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nlab), "nid")
         .select("qid", "nid", "qlabel", "nlabel", "sim")
     )
+
+
+# --- cross-modal disagreement audit -----------------------------------------
+
+DISAGREE_SIM = 0.9
+
+
+def _disagreement_oracle() -> str:
+    # Reuse the single SQL definition of the MinHash-LSH pair list
+    # (sliced from PAGERANK_ORACLE in dedup_queries) and the canonical
+    # DuckDB cosine; unused trailing CTEs (edges) are legal.
+    from amorphous_mapreduce_spark.queries.dedup_queries import (
+        _NEARDUP_EDGES_PREFIX,
+    )
+
+    return f"""{_NEARDUP_EDGES_PREFIX}
+SELECT p.qid, p.nid, {_COS_AB} AS sim,
+       CAST(CASE WHEN {_COS_AB} < {DISAGREE_SIM} THEN 1 ELSE 0 END AS INT)
+           AS disagree
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.qid
+JOIN embeddings b ON b.vec_id = p.nid
+"""
+
+
+@register("text_embedding_disagreement", _disagreement_oracle())
+def q_text_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit across modalities: textual near-dup pairs
+    (MinHash-LSH) scored by their embedding cosine — pairs the text
+    layer calls duplicates but the embedding space does not (disagree=1)
+    are exactly the rows a curation pipeline routes to review.
+
+    Joins are keyed on the pair ids (embeddings fetched twice by key);
+    the cosine is the ordered-fold double dot, bit-identical to DuckDB
+    list_dot_product. vec_id and doc_id share the id space by fixture
+    design (FIXTURES.md)."""
+    from amorphous_mapreduce_spark.functions.vectors import cosine_similarity
+    from amorphous_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+    from amorphous_mapreduce_spark.sources import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    emb = _lt(spark, sf_dir, "embeddings")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    sim = cosine_similarity("ea", "eb")
+    return (
+        pairs.join(a, "qid")
+        .join(b, "nid")
+        .select(
+            "qid",
+            "nid",
+            sim.alias("sim"),
+            (sim < DISAGREE_SIM).cast("int").alias("disagree"),
+        )
+    )
