@@ -243,3 +243,88 @@ def bloom_semi_join(
             F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
         )
     )
+
+
+def _key_cells(keys: DataFrame, salt: str, depth: int, width: int) -> DataFrame:
+    """CMS counter grid [depth, bucket, cell] over a bare key column
+    ``k`` — the join-cardinality variant of ``cms_cells`` (same salt on
+    both sides so matching keys land in matching buckets)."""
+    tf = keys.groupBy("k").agg(F.count("*").alias("c"))
+    rows = tf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        F.pmod(
+                            hex_hash64(
+                                F.concat(
+                                    F.lit(f"{salt}{d}_"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+        "c",
+    )
+    return (
+        rows.select("db.depth", "db.bucket", "c")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("cell"))
+    )
+
+
+def cms_join_size(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cmsj",
+) -> DataFrame:
+    """Sketch-based equi-join cardinality estimate next to the exact
+    count: ONE row [cms_est, exact_rows, overestimate].
+
+    The classic CMS inner-product estimator: |L ⋈ R| = Σ_k f_L(k)·f_R(k)
+    is upper-bounded by min_d Σ_b L[d,b]·R[d,b] — two d×m counter grids
+    whose dot product needs no key exchange at all. This is what a cost
+    model consults BEFORE committing to a shuffle join at 100 TB: each
+    side is summarized by one map-side-combined aggregate into d*m rows,
+    the grids join on (depth, bucket) (broadcast — the grid size is
+    data-independent), and the estimate is a 4-row MIN. The exact count
+    rides along (per-key count join) as the calibration column.
+
+    Oracle-checkable end to end: counts, buckets, products and minima
+    are MD5-derived integer arithmetic (functions.hashing.hex_hash64).
+    """
+    gl = _key_cells(left_keys, salt, depth, width)
+    gr = _key_cells(right_keys, salt, depth, width)
+    per_depth = (
+        gl.join(
+            gr.select(
+                "depth", "bucket", F.col("cell").alias("cell_r")
+            ),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("cell") * F.col("cell_r")).alias("est"))
+    )
+    est = per_depth.agg(F.min("est").alias("cms_est"))
+    fl = left_keys.groupBy("k").agg(F.count("*").alias("cl"))
+    fr = right_keys.groupBy("k").agg(F.count("*").alias("cr"))
+    exact = (
+        fl.join(fr, "k")
+        .agg(F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0)).alias("exact_rows"))
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            "cms_est",
+            "exact_rows",
+            (F.col("cms_est") - F.col("exact_rows")).alias("overestimate"),
+        )
+    )

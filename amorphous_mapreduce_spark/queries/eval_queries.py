@@ -361,3 +361,57 @@ def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_l1_scaled"),
         )
     )
+
+
+# --- exact embedding Gram matrix (PCA / covariance prep) --------------------
+
+GRAM_QUANT = 1000
+
+GRAM_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * {GRAM_QUANT})
+                AS BIGINT) AS qx
+    FROM embeddings
+)
+SELECT a.dim AS i, b.dim AS j,
+       CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram_q,
+       COUNT(*) AS n_rows
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""
+
+
+@register("embedding_gram", GRAM_ORACLE)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix EᵀE of the embedding corpus (upper triangle,
+    d(d+1)/2 rows) — the sufficient statistic for covariance/PCA/whitening
+    and the all-rows analogue of the reference's rank-k outer-product
+    accumulation (G6, src/outer_product.rs:146-169): EᵀE = Σ_rows e·eᵀ.
+
+    Integer-quantized (round(x*1000), the operators/kmeans.py convention)
+    so the cross-row sum is order-independent and bit-identical in both
+    engines — no float accumulation ever happens.
+
+    Scale: the per-row d²/2 fan-out feeds a map-side-combined hash
+    aggregate keyed on (i, j), so each partition emits at most d(d+1)/2
+    partial rows regardless of row count — the shuffle is
+    #partitions x d², never O(rows). repartition() first because the
+    single-file fixture would otherwise run the fan-out on one core."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(32)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * GRAM_QUANT).cast("long"),
+        ).alias("qarr"),
+    )
+    a = q.select("vec_id", "qarr", F.posexplode("qarr").alias("i", "qi"))
+    b = a.select(
+        "i", "qi", F.posexplode("qarr").alias("j", "qj")
+    ).filter(F.col("j") >= F.col("i"))
+    return b.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("gram_q"),
+        F.count("*").alias("n_rows"),
+    )

@@ -149,3 +149,54 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     return bloom_semi_join(fact, dim, "l_partkey", "l_returnflag")
+
+
+def _cmsj_bucket(key: str) -> str:
+    return (
+        "CAST('0x' || substr(md5('cmsj' || depth || '_' ||"
+        f" CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % 512"
+    )
+
+
+JOIN_SIZE_ORACLE = f"""
+WITH depths(depth) AS (VALUES (0), (1), (2), (3)),
+gl AS (
+    SELECT depth, {_cmsj_bucket('user_id')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cell
+    FROM events CROSS JOIN depths GROUP BY 1, 2
+),
+gr AS (
+    SELECT depth, {_cmsj_bucket('o_custkey')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cell
+    FROM orders CROSS JOIN depths GROUP BY 1, 2
+),
+per_depth AS (
+    SELECT gl.depth, CAST(SUM(gl.cell * gr.cell) AS BIGINT) AS est
+    FROM gl JOIN gr ON gl.depth = gr.depth AND gl.bucket = gr.bucket
+    GROUP BY gl.depth
+),
+est AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_est FROM per_depth),
+fl AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+fr AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+exact AS (
+    SELECT CAST(COALESCE(SUM(fl.c * fr.c), 0) AS BIGINT) AS exact_rows
+    FROM fl JOIN fr ON fl.k = fr.k
+)
+SELECT cms_est, exact_rows, cms_est - exact_rows AS overestimate
+FROM est CROSS JOIN exact
+"""
+
+
+@register("cms_join_size", JOIN_SIZE_ORACLE)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min grids (CMS inner
+    product): |events ⋈ orders ON user_id = o_custkey| estimated without
+    exchanging any keys, next to the exact join size — the sketch a cost
+    model consults before committing a 100 TB shuffle join. Grids are
+    d x m mergeable counter tables (one map-side-combined aggregate per
+    side); the estimate is a broadcast grid join + 4-row MIN."""
+    from amorphous_mapreduce_spark.operators.sketches import cms_join_size
+
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    od = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cms_join_size(ev, od)

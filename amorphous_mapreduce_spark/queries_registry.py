@@ -47,6 +47,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     analysis_queries,
     analytics_queries,
     cluster_queries,
+    compliance_queries,
     corpus_queries,
     curation_queries,
     dedup_queries,

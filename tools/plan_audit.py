@@ -49,6 +49,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "rank-cumulation inequality self-join and the 1-row (np, ntot) "
         "scalar crossed back — data volume never flows through either",
     },
+    "cms_join_size": {
+        "BroadcastNestedLoopJoin": "crossJoin of two 1-row scalar "
+        "aggregates (the 4-depth MIN estimate and the exact join count) "
+        "— both sides are single rows by construction, no data volume "
+        "flows through the BNLJ",
+    },
     "important_suppliers": {
         "BroadcastNestedLoopJoin": "1-row global-total scalar aggregate "
         "crossed back onto per-supplier rows (VERDICT r1 fix: replaced the "
