@@ -194,3 +194,130 @@ def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_row = _audit_row(o_flag, "orders", F.col("d"), F.col("o_totalprice"))
     l_row = _audit_row(l_flag, "lineitem", F.col("d"), F.col("l_extendedprice"))
     return c_row.unionAll(o_row).unionAll(l_row)
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+# Quasi-identifier tuple: (nation, market segment, account-balance band).
+# The balance band is computed in DECIMAL so band edges can't flip under
+# IEEE division (fixture doubles approximate 2-decimal values).
+_QI_SQL = (
+    "n_nationkey, c_mktsegment, "
+    "CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)"
+)
+
+KANON_ORACLE = f"""
+WITH qi AS (
+    SELECT {_QI_SQL.replace('n_nationkey', 'c_nationkey')} AS band,
+           c_nationkey, c_mktsegment
+    FROM customer
+),
+grp AS (
+    SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS k
+    FROM qi GROUP BY 1, 2, 3
+)
+SELECT k AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN k < 5 THEN SUM(k) ELSE 0 END AS BIGINT)
+           AS n_rows_below_k5
+FROM grp GROUP BY k
+"""
+
+
+@register("k_anonymity", KANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, balance band): the distribution of
+    equivalence-class sizes, plus the row mass sitting in classes smaller
+    than k=5 — the number a privacy review asks for before a dataset
+    release.
+
+    Scale: two nested keyed aggregates (QI tuple, then class size), both
+    map-side combined; the class-size histogram is tiny. Band edges are
+    decimal arithmetic so the banding is bit-stable on both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(
+        F.col("c_acctbal").cast("decimal(12,2)") / F.lit(1000)
+    ).cast("long")
+    grp = (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("k"))
+    )
+    return grp.groupBy(F.col("k").alias("group_size")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.when(F.col("group_size") < 5, F.sum("k"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_rows_below_k5"),
+    )
+
+
+# --- local-DP randomized response -------------------------------------------
+
+# Two independent hash bits per row: bit0 decides truth-vs-random, bit1 is
+# the random answer. Reported = bit0 ? truth : bit1 — the classic
+# ln(3)-DP randomized response. Unbiased estimate of the true count T from
+# the reported count R: E[R] = T/2 + n/4, so (4R - n) / 2 estimates 2T/2…
+# exported as the exact integer numerator est_numer = 4R - n with
+# denominator 2 (estimate of 2T; divide by 2n for the rate) — no float.
+_RR_H = (
+    "CAST('0x' || substr(md5('rr_' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+RR_ORACLE = f"""
+WITH bits AS (
+    SELECT c_nationkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS truth,
+           {_RR_H} % 2 AS keep,
+           ({_RR_H} >> 1) % 2 AS rnd
+    FROM customer
+),
+rep AS (
+    SELECT c_nationkey, truth,
+           CASE WHEN keep = 1 THEN truth ELSE rnd END AS reported
+    FROM bits
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(truth) AS BIGINT) AS n_true,
+       CAST(SUM(reported) AS BIGINT) AS n_reported,
+       CAST(4 * SUM(reported) - COUNT(*) AS BIGINT) AS est_numer
+FROM rep GROUP BY c_nationkey
+"""
+
+
+@register("dp_randomized_response", RR_ORACLE)
+def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP counting via randomized response (epsilon = ln 3): each
+    customer reports whether they are in the BUILDING segment truthfully
+    with probability 1/2, otherwise a random bit — per nation, the noisy
+    count, the exact debiased-estimate numerator (4R - n, denominator
+    2n for the rate), and the true count for calibration.
+
+    The per-row noise is two MD5-derived bits, so the "randomness" is a
+    deterministic function both engines replay bit-for-bit — the
+    mechanism is oracle-checkable while still being the real estimator a
+    local-DP telemetry pipeline runs. One narrow map + one keyed
+    aggregate; nothing here costs more than the scan at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = hex_hash64(F.concat(F.lit("rr_"), F.col("c_custkey").cast("string")))
+    truth = F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+    keep = F.pmod(h, F.lit(2))
+    # bit shift, not division: h is a 60-bit integer and double division
+    # (h / 2) loses low bits past the 53-bit mantissa
+    rnd = F.pmod(F.shiftright(h, 1), F.lit(2))
+    rep = cust.select(
+        "c_nationkey",
+        truth.alias("truth"),
+        F.when(keep == 1, truth).otherwise(rnd).alias("reported"),
+    )
+    return rep.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("truth").alias("n_true"),
+        F.sum("reported").alias("n_reported"),
+        (F.lit(4) * F.sum("reported") - F.count("*")).alias("est_numer"),
+    )

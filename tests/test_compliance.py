@@ -98,3 +98,37 @@ def test_embedding_gram_shape_and_diagonal(spark, sf_dir):
     for i in range(d):
         assert by_ij[(i, i)].gram_q >= 0  # diagonal = sum of squares
         assert by_ij[(i, i)].n_rows == n
+
+
+def test_k_anonymity_partitions_table(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries.compliance_queries import (
+        q_k_anonymity,
+    )
+
+    rows = q_k_anonymity(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == total  # classes partition rows
+    for r in rows:
+        assert r.n_rows == r.group_size * r.n_groups
+        if r.group_size < 5:
+            assert r.n_rows_below_k5 == r.n_rows
+        else:
+            assert r.n_rows_below_k5 == 0
+
+
+def test_dp_randomized_response_debiases(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries.compliance_queries import (
+        q_dp_randomized_response,
+    )
+
+    rows = q_dp_randomized_response(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_reported <= r.n_rows
+        assert r.est_numer == 4 * r.n_reported - r.n_rows
+    # aggregate estimate (sum of numerators / 2*sum n) should land near
+    # the aggregate true rate: |est - truth| < 4/sqrt(n) of the mass
+    n = sum(r.n_rows for r in rows)
+    t = sum(r.n_true for r in rows)
+    est = sum(r.est_numer for r in rows) / 2
+    assert abs(est - t) < 4 * n**0.5 + 8
