@@ -3,7 +3,7 @@ exact distribution statistics (TPC-H Q7/Q9 shapes + percentiles)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.agg import dec, dsum_expr
@@ -379,3 +379,124 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("dormant")
     )
     return rfm.select("custkey", "r_days", "frequency", "monetary", seg.alias("segment"))
+
+
+# --- multi-touch attribution ------------------------------------------------
+
+# 7 days in microseconds; touches are encoded as a sortable string
+# lpad(us, 20) || lpad(event_id, 12) || type, so MAX over a time-range
+# window = the latest (ts, id) touch (and MIN = the earliest) with a
+# total-order tie-break built in — one window pass, no self-join.
+_WIN_US = 7 * 24 * 3600 * 1000000
+
+_ENC_SQL = (
+    "lpad(CAST(us AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type"
+)
+
+ATTRIBUTION_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value
+    FROM events
+),
+touched AS (
+    SELECT user_id, event_type, us, value,
+        MAX(CASE WHEN event_type IN ('click', 'view') THEN {_ENC_SQL} END)
+            OVER w AS last_code,
+        MIN(CASE WHEN event_type IN ('click', 'view') THEN {_ENC_SQL} END)
+            OVER w AS first_code
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {_WIN_US} PRECEDING AND 1 PRECEDING)
+),
+credited AS (
+    SELECT value,
+           COALESCE(substr(last_code, 33), 'direct') AS last_channel,
+           COALESCE(substr(first_code, 33), 'direct') AS first_channel
+    FROM touched WHERE event_type = 'purchase'
+),
+both_models AS (
+    SELECT 'last_touch' AS model, last_channel AS channel, value
+    FROM credited
+    UNION ALL
+    SELECT 'first_touch' AS model, first_channel AS channel, value
+    FROM credited
+)
+SELECT model, channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS credited_value
+FROM both_models GROUP BY model, channel
+"""
+
+
+@register("events_attribution", ATTRIBUTION_ORACLE)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase credits its revenue to the
+    last (and, in a second model, the first) click/view touchpoint by the
+    same user within the preceding 7 days, else 'direct' — the two
+    classic single-touch models, per channel.
+
+    ONE keyed range-frame window computes both models: each touch is
+    encoded as a sortable (ts, id, type) string, so MAX over the frame is
+    the latest touch and MIN the earliest, with the total-order tie-break
+    embedded. Purchases are filtered AFTER the window (windows over the
+    full event stream — the round-1 shingle-truncation lesson), then both
+    models unpivot through one explode into a single keyed aggregate.
+
+    Scale: the window is partitioned by user_id (no global frames); the
+    explode doubles purchase rows only. At 100 TB this is a sessionize-
+    class op: one shuffle on user, one map-side-combined rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "value",
+    )
+    enc = F.concat(
+        F.lpad(F.col("us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    touch = F.when(F.col("event_type").isin("click", "view"), enc)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_WIN_US, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.max(touch).over(w).alias("last_code"),
+        F.min(touch).over(w).alias("first_code"),
+    )
+    credited = touched.filter(F.col("event_type") == "purchase").select(
+        "value",
+        F.coalesce(F.substring("last_code", 33, 10), F.lit("direct")).alias(
+            "last_channel"
+        ),
+        F.coalesce(F.substring("first_code", 33, 10), F.lit("direct")).alias(
+            "first_channel"
+        ),
+    )
+    both = credited.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_channel").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_channel").alias("channel"),
+                ),
+            )
+        ).alias("mc"),
+    )
+    return both.groupBy(
+        F.col("mc.model").alias("model"), F.col("mc.channel").alias("channel")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(dec("value")).cast("double").alias("credited_value"),
+    )

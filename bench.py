@@ -60,6 +60,13 @@ HEADLINE = [
     # SQL front-end + graph-peel families (round 3, closing)
     "sql_revenue_concentration",
     "kcore_near_dup",
+    # compliance/privacy + sketch-estimation + exact-linear-algebra +
+    # attribution families (round 3, final)
+    "pii_redaction",
+    "forget_audit",
+    "cms_join_size",
+    "embedding_gram",
+    "events_attribution",
 ]
 
 

@@ -1,0 +1,40 @@
+"""Attribution model invariants (queries/analytics_queries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries.analytics_queries import (
+    q_events_attribution,
+)
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def test_attribution_conserves_purchases_and_value(spark, sf_dir):
+    rows = q_events_attribution(spark, sf_dir).collect()
+    models = {r.model for r in rows}
+    assert models == {"last_touch", "first_touch"}
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+    )
+    n = purchases.count()
+    total = purchases.select(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+    ).collect()[0][0]
+    for m in models:
+        mrows = [r for r in rows if r.model == m]
+        # every purchase is credited exactly once per model
+        assert sum(r.n_purchases for r in mrows) == n
+        assert abs(sum(r.credited_value for r in mrows) - total) < 1e-6
+        assert {r.channel for r in mrows} <= {"click", "view", "direct"}
+
+
+def test_attribution_channels_differ_between_models(spark, sf_dir):
+    rows = q_events_attribution(spark, sf_dir).collect()
+    by = {(r.model, r.channel): r.n_purchases for r in rows}
+    # direct credit must be identical across models (no touch = no touch
+    # in both), and touched purchases split differently in general
+    assert by.get(("last_touch", "direct"), 0) == by.get(
+        ("first_touch", "direct"), 0
+    )
