@@ -217,3 +217,122 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("mean_price", "ci_lo", "ci_hi", "n_resamples")
     )
+
+
+# --- Welch A/B test ---------------------------------------------------------
+
+# Deterministic 50/50 assignment by customer hash; metric = order value
+# in integer cents. Sufficient statistics (n, S, Q) accumulate in
+# DECIMAL(38,0) (exact, mergeable, scale-proof); the final Welch t² and
+# df are ONE fixed double expression over identical exact inputs — the
+# nation_revenue_trend pattern. At the test SFs the stats fit BIGINT, so
+# both engines cast the same exact integers to double (correctly rounded
+# int64->double on both) before the shared formula.
+_AB_ARM = (
+    "CAST('0x' || substr(md5('ab_' || CAST(o_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 2"
+)
+
+AB_WELCH_ORACLE = f"""
+WITH cents AS (
+    SELECT {_AB_ARM} AS arm,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+    FROM orders
+),
+stats AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+               AS DECIMAL(38,0)) AS q
+    FROM cents GROUP BY arm
+),
+ab AS (
+    SELECT
+        CAST(a.n AS DOUBLE) AS na, CAST(a.s AS DOUBLE) AS sa,
+        CAST(a.q AS DOUBLE) AS qa,
+        CAST(b.n AS DOUBLE) AS nb, CAST(b.s AS DOUBLE) AS sb,
+        CAST(b.q AS DOUBLE) AS qb,
+        a.n AS n_a, b.n AS n_b, a.s AS sum_a_cents, b.s AS sum_b_cents
+    FROM stats a JOIN stats b ON a.arm = 0 AND b.arm = 1
+),
+terms AS (
+    SELECT n_a, n_b, sum_a_cents, sum_b_cents,
+           sa / na - sb / nb AS mean_diff_cents,
+           ((qa - sa * sa / na) / (na - 1)) / na AS va,
+           ((qb - sb * sb / nb) / (nb - 1)) / nb AS vb,
+           na, nb
+    FROM ab
+)
+SELECT n_a, n_b, sum_a_cents, sum_b_cents,
+       mean_diff_cents,
+       (mean_diff_cents * mean_diff_cents) / (va + vb) AS t2,
+       ((va + vb) * (va + vb))
+           / (va * va / (na - 1) + vb * vb / (nb - 1)) AS welch_df,
+       (mean_diff_cents * mean_diff_cents) / (va + vb) > 3.841458820694124
+           AS significant_95
+FROM terms
+"""
+
+
+@register("ab_test_welch", AB_WELCH_ORACLE)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance A/B test on order value between two
+    deterministic hash-assigned customer cohorts: exact sufficient
+    statistics (n, Σx, Σx² in integer cents, DECIMAL-accumulated), then
+    t², Welch–Satterthwaite df, and the 95% verdict as one fixed double
+    expression — the experimentation primitive every product analytics
+    stack runs, distributed as two map-side-combined aggregates.
+
+    Scale: per-arm state is three numbers — mergeable across any number
+    of partitions, files, or days; nothing downstream of the scan is
+    bigger than two rows. The double-precision envelope (Σx² up to 2^53
+    exact) is documented; beyond it the DECIMAL stats still merge
+    exactly and only the final expression sees rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    arm = F.pmod(
+        hex_hash64(F.concat(F.lit("ab_"), F.col("o_custkey").cast("string"))),
+        F.lit(2),
+    )
+    cents = orders.select(
+        arm.alias("arm"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    stats = cents.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("s"),
+        # Σx² exceeds int64 past sf0.01 — stays DECIMAL end to end; the
+        # decimal(38,0)->double cast is correctly rounded on BOTH engines
+        # (verified bit-for-bit incl. 2^65+1), so the double formula
+        # below sees identical inputs
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("q").alias("q_a")
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("q").alias("q_b")
+    )
+    ab = a.crossJoin(b)
+    na, sa, qa = [F.col(c).cast("double") for c in ("n_a", "s_a", "q_a")]
+    nb, sb, qb = [F.col(c).cast("double") for c in ("n_b", "s_b", "q_b")]
+    mean_diff = sa / na - sb / nb
+    va = ((qa - sa * sa / na) / (na - 1)) / na
+    vb = ((qb - sb * sb / nb) / (nb - 1)) / nb
+    t2 = (mean_diff * mean_diff) / (va + vb)
+    return ab.select(
+        "n_a",
+        "n_b",
+        F.col("s_a").alias("sum_a_cents"),
+        F.col("s_b").alias("sum_b_cents"),
+        mean_diff.alias("mean_diff_cents"),
+        t2.alias("t2"),
+        (
+            ((va + vb) * (va + vb))
+            / (va * va / (na - 1) + vb * vb / (nb - 1))
+        ).alias("welch_df"),
+        (t2 > F.lit(3.841458820694124)).alias("significant_95"),
+    )

@@ -512,3 +512,71 @@ def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("sum_value"),
         (F.sum("v").cast("double") / F.count("*")).alias("avg_value"),
     )
+
+
+# --- exact truncated EWMA ---------------------------------------------------
+
+# alpha = 1/2 EWMA truncated at K=20 lags: weights are dyadic rationals,
+# so scaling by 2^20 turns the whole smoother into BIGINT arithmetic —
+# ewma = ewma_scaled / denom_scaled exactly, no float ever accumulates.
+_EWMA_K = 20
+
+EWMA_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+ranked AS (
+    SELECT user_id, us, cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << ({_EWMA_K} - rn)))
+            AS BIGINT) AS ewma_scaled,
+       CAST(SUM(CAST(1 AS BIGINT) << ({_EWMA_K} - rn)) AS BIGINT)
+           AS denom_scaled,
+       MAX(CASE WHEN rn = 1 THEN us END) AS last_us
+FROM ranked WHERE rn <= {_EWMA_K}
+GROUP BY user_id
+"""
+
+
+@register("ewma_user_value", EWMA_ORACLE)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 1/2) of
+    event value over the 20 most recent events — the recency-weighted
+    engagement score a ranking feature store refreshes continuously.
+
+    The geometric weights 2^-(j+1) are dyadic, so scaling by 2^20 makes
+    the smoother exact BIGINT arithmetic: ewma_cents = ewma_scaled /
+    denom_scaled with zero float error and order-independent partial
+    sums. The recursive definition EWMA_t = αx + (1-α)EWMA_{{t-1}} — a
+    sequential scan no cluster can parallelize — becomes one keyed
+    window (row_number from the newest) plus one aggregate: the
+    closed-form distributed rewrite.
+
+    Scale: everything is keyed by user_id (no global frames); the rn <=
+    20 filter bounds per-user work regardless of history length."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "user_id", "us", "cents", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _EWMA_K)
+    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_K} - rn)")
+    return ranked.groupBy("user_id").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.col("cents") * weight).alias("ewma_scaled"),
+        F.sum(weight).alias("denom_scaled"),
+        F.max(F.when(F.col("rn") == 1, F.col("us"))).alias("last_us"),
+    )

@@ -67,6 +67,9 @@ HEADLINE = [
     "cms_join_size",
     "embedding_gram",
     "events_attribution",
+    # experimentation + recency-feature families (round 3, final)
+    "ab_test_welch",
+    "ewma_user_value",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Welch A/B + exact EWMA invariants (stats/timeseries queries)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import QUERIES
+from amorphous_mapreduce_spark.sources import load_table
+
+q_ab_test_welch = QUERIES["ab_test_welch"]
+q_ewma_user_value = QUERIES["ewma_user_value"]
+
+
+def test_welch_matches_scipy_free_reference(spark, sf_dir):
+    r = q_ab_test_welch(spark, sf_dir).collect()[0]
+    # recompute from raw data in python (float) — t2 must agree closely
+    import collections
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    arms = collections.defaultdict(list)
+    import hashlib
+
+    for row in rows:
+        h = int(hashlib.md5(f"ab_{row.o_custkey}".encode()).hexdigest()[:15], 16)
+        arms[h % 2].append(round(row.o_totalprice * 100))
+    a, b = arms[0], arms[1]
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert r.sum_a_cents == sum(a) and r.sum_b_cents == sum(b)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1) / len(a)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1) / len(b)
+    t2 = (ma - mb) ** 2 / (va + vb)
+    assert math.isfinite(r.t2) and abs(r.t2 - t2) < 1e-6 * max(1.0, t2)
+    assert r.welch_df > min(len(a), len(b)) - 1  # Welch df >= min(n)-1
+    assert r.significant_95 == (r.t2 > 3.841458820694124)
+
+
+def test_ewma_weights_are_geometric(spark, sf_dir):
+    rows = q_ewma_user_value(spark, sf_dir).collect()
+    assert rows
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_users = load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        assert 1 <= r.n_used <= 20
+        # denom = 2^20 - 2^(20-n)  (geometric partial sum of weights)
+        assert r.denom_scaled == (1 << 20) - (1 << (20 - r.n_used))
+        # ewma lies within [min, max] * denom of contributing values:
+        # cheap sanity — value range is [0, ~100] dollars in fixtures
+        assert 0 <= r.ewma_scaled <= 100000 * 100 * r.denom_scaled
+    assert sum(r.n_used for r in rows) <= n_events

@@ -49,6 +49,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "rank-cumulation inequality self-join and the 1-row (np, ntot) "
         "scalar crossed back — data volume never flows through either",
     },
+    "ab_test_welch": {
+        "BroadcastNestedLoopJoin": "crossJoin of the two 1-row per-arm "
+        "sufficient-statistic aggregates — both sides are single rows by "
+        "construction",
+    },
     "cms_join_size": {
         "BroadcastNestedLoopJoin": "crossJoin of two 1-row scalar "
         "aggregates (the 4-depth MIN estimate and the exact join count) "
