@@ -500,3 +500,114 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.sum(dec("value")).cast("double").alias("credited_value"),
     )
+
+
+# --- item-based collaborative filtering -------------------------------------
+
+RECO_ORACLE = """
+WITH basket AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+owned AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS cust, l_partkey AS p
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cooc AS MATERIALIZED (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+    FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+sym AS (
+    SELECT pa AS p, pb AS q, cnt FROM cooc
+    UNION ALL
+    SELECT pb AS p, pa AS q, cnt FROM cooc
+),
+neighbors AS MATERIALIZED (
+    SELECT p, q, cnt FROM (
+        SELECT p, q, cnt,
+               ROW_NUMBER() OVER (PARTITION BY p
+                                  ORDER BY cnt DESC, q ASC) AS nr
+        FROM sym
+    ) WHERE nr <= 8
+),
+cand AS (
+    SELECT o.cust, n.q, CAST(SUM(n.cnt) AS BIGINT) AS score,
+           COUNT(*) AS n_paths
+    FROM owned o JOIN neighbors n ON o.p = n.p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM owned w WHERE w.cust = o.cust AND w.p = n.q
+    )
+    GROUP BY o.cust, n.q
+)
+SELECT cust, q AS rec_part, score, n_paths, rnk
+FROM (
+    SELECT cust, q, score, n_paths,
+           ROW_NUMBER() OVER (PARTITION BY cust
+                              ORDER BY score DESC, q ASC) AS rnk
+    FROM cand
+) WHERE rnk <= 3
+"""
+
+
+@register("recommend_parts", RECO_ORACLE)
+def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering: top-3 part recommendations per
+    customer from basket co-occurrence — candidate generation (owned
+    parts x top-8 co-occurrence neighbors), ownership anti-join, score
+    aggregation, and a keyed top-k. The full batch-recommender shape.
+
+    Scale: pair generation is the basket self-join (fanout k² per order,
+    k = basket size); the neighbor table is CAPPED at 8 rows per part
+    (keyed window, never global), so candidates are bounded by
+    |owned| x 8 regardless of catalog size; ownership exclusion is a
+    keyed LEFT ANTI join; final ranking is a per-customer window. Every
+    shuffle is on a uniform key (part or customer); nothing is
+    broadcast-sized-dependent except the capped neighbor table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    # persist: both sides of the pair self-join read this lineage
+    basket = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    owned = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a = basket.select("o", F.col("p").alias("pa"))
+    b = basket.select("o", F.col("p").alias("pb"))
+    cooc = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    sym = cooc.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "cnt"
+    ).unionAll(cooc.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "cnt"))
+    wn = Window.partitionBy("p").orderBy(F.desc("cnt"), F.asc("q"))
+    neighbors = (
+        sym.withColumn("nr", F.row_number().over(wn))
+        .filter(F.col("nr") <= 8)
+        .select("p", "q", "cnt")
+    )
+    cand = (
+        owned.join(neighbors, "p")
+        .join(
+            owned.select(F.col("cust"), F.col("p").alias("q")),
+            ["cust", "q"],
+            "left_anti",
+        )
+        .groupBy("cust", "q")
+        .agg(F.sum("cnt").alias("score"), F.count("*").alias("n_paths"))
+    )
+    wr = Window.partitionBy("cust").orderBy(F.desc("score"), F.asc("q"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("cust", F.col("q").alias("rec_part"), "score", "n_paths", "rnk")
+    )

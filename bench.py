@@ -70,6 +70,8 @@ HEADLINE = [
     # experimentation + recency-feature families (round 3, final)
     "ab_test_welch",
     "ewma_user_value",
+    # collaborative-filtering family (round 3, final)
+    "recommend_parts",
 ]
 
 

@@ -38,3 +38,32 @@ def test_attribution_channels_differ_between_models(spark, sf_dir):
     assert by.get(("last_touch", "direct"), 0) == by.get(
         ("first_touch", "direct"), 0
     )
+
+
+def test_recommend_parts_excludes_owned(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    recs = QUERIES["recommend_parts"](spark, sf_dir)
+    owned = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("rec_part"),
+        )
+        .distinct()
+    )
+    # no recommendation may already be owned
+    assert recs.join(owned, ["cust", "rec_part"]).count() == 0
+    rows = recs.collect()
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r.cust, []).append(r)
+    for cust, rs in per_cust.items():
+        assert len(rs) <= 3
+        ranked = sorted(rs, key=lambda r: r.rnk)
+        scores = [r.score for r in ranked]
+        assert scores == sorted(scores, reverse=True)
