@@ -1,0 +1,159 @@
+"""Data-forensics battery: Benford first-digit audit + value-proximity
+band join.
+
+Two anomaly-hunting shapes a warehouse runs over financial-ish columns:
+- benford_audit — the first-significant-digit distribution of order
+  values against Benford's law, the classic fabricated-data screen.
+- value_band_pairs — a banded theta-join (|value_a - value_b| <= 1
+  cent) turned into a hash join by integer-cent bucketing, the
+  suspicious-coincidence detector (split transactions, duplicate
+  postings) whose naive form is a quadratic nested loop.
+
+Reference tie-in: both are scan + keyed-aggregate / keyed-join
+compositions of the reference's W1/W7 primitives (src/word_count.rs);
+the band join is the same bucketize-to-equi-join rewrite the engine
+uses for time-range joins (operators/temporal.range_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, as exact double literals shared verbatim
+# with the SQL oracle (no engine evaluates a log at query time).
+_BENFORD_P = [
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829992",
+    "0.09691001300805642",
+    "0.07918124604762482",
+    "0.06694678963061322",
+    "0.05799194697768673",
+    "0.05115252244738129",
+    "0.04575749056067514",
+]
+
+_P_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P, start=1)
+) + " END"
+
+BENFORD_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM cents
+),
+obs AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+    GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+SELECT digit, n_obs,
+       CAST(n AS DOUBLE) * ({_P_CASE}) AS expected,
+       (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_P_CASE}))
+           * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_P_CASE}))
+           / (CAST(n AS DOUBLE) * ({_P_CASE})) AS chi_term
+FROM obs CROSS JOIN tot
+"""
+
+
+@register("benford_audit", BENFORD_ORACLE)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values: observed counts
+    per leading digit next to the Benford-expected count and the
+    per-digit chi-square contribution — the screen auditors run for
+    fabricated or constrained financial data.
+
+    Digits come from the exact integer-cent representation (decimal
+    cast, then string head — no float log, no engine-specific rounding);
+    expectations use shared literal probabilities, so the only float
+    math is one identical fixed expression per row. Scale: a scan, a
+    9-row aggregate, and a broadcast scalar total."""
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("c")
+        )
+    )
+    obs = (
+        cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    p = F.expr(_P_CASE)
+    nd = F.col("n").cast("double")
+    expected = nd * p
+    diff = F.col("n_obs").cast("double") - expected
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        expected.alias("expected"),
+        (diff * diff / expected).alias("chi_term"),
+    )
+
+
+# --- value-proximity band join ----------------------------------------------
+
+BAND_ORACLE = """
+WITH ev AS (
+    SELECT event_id,
+           event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_pairs,
+       CAST(MIN(a.event_id) AS BIGINT) AS min_event_a
+FROM ev a JOIN ev b
+  ON b.cents BETWEEN a.cents - 1 AND a.cents + 1
+ AND a.event_id < b.event_id
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@register("value_band_pairs", BAND_ORACLE)
+def q_value_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta-join: pairs of events whose values agree within one
+    cent (suspicious-coincidence / duplicate-posting detection), counted
+    per event-type pair.
+
+    The inequality predicate |c_a - c_b| <= 1 becomes a HASH join by
+    bucketing on integer cents and probing the three neighbor buckets
+    (explode of offsets {-1, 0, +1}) — the same rewrite the engine uses
+    for time-range joins. Fanout is bounded by per-cent-bucket
+    occupancy, never |events|²; the oracle states the naive BETWEEN
+    form, which DuckDB runs as an IEJoin at test SF."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    probe = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+    ).withColumn("bucket", F.col("cents_a") + F.col("off"))
+    build = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("cents").alias("bucket"),
+    )
+    pairs = probe.join(build, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("id_a").alias("min_event_a"),
+    )

@@ -53,6 +53,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     dedup_queries,
     dq_queries,
     eval_queries,
+    forensics_queries,
     gemm_queries,
     kmeans_queries,
     lakehouse_queries,

@@ -67,3 +67,41 @@ def test_recommend_parts_excludes_owned(spark, sf_dir):
         ranked = sorted(rs, key=lambda r: r.rnk)
         scores = [r.score for r in ranked]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_benford_chi_terms_consistent(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["benford_audit"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    n = sum(r.n_obs for r in rows)
+    assert abs(sum(r.expected for r in rows) - n) < 1e-6 * n
+    for r in rows:
+        assert r.chi_term >= 0
+
+
+def test_value_band_pairs_matches_bruteforce(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    got = {
+        (r.type_a, r.type_b): r.n_pairs
+        for r in QUERIES["value_band_pairs"](spark, sf_dir).collect()
+    }
+    ev = [
+        (r.event_id, r.event_type, round(r.value * 100))
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    ]
+    import collections
+
+    by_cents = collections.defaultdict(list)
+    for eid, et, c in ev:
+        by_cents[c].append((eid, et))
+    want = collections.Counter()
+    for eid, et, c in ev:
+        for cb in (c - 1, c, c + 1):
+            for oid, ot in by_cents.get(cb, ()):
+                if eid < oid:
+                    want[(et, ot)] += 1
+    assert got == dict(want)

@@ -54,6 +54,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "sufficient-statistic aggregates — both sides are single rows by "
         "construction",
     },
+    "benford_audit": {
+        "BroadcastNestedLoopJoin": "1-row scalar total (9-row digit "
+        "frame aggregated) broadcast-crossed back onto the 9 digit rows "
+        "— constant-size both sides",
+    },
     "cms_join_size": {
         "BroadcastNestedLoopJoin": "crossJoin of two 1-row scalar "
         "aggregates (the 4-depth MIN estimate and the exact join count) "
