@@ -415,3 +415,94 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qi") * F.col("qj")).alias("gram_q"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --- exact rank-biased overlap between two rankings -------------------------
+
+# RBO@20 with dyadic weights, made exact: metric = Σ_d 2^(20-d)·L·ov_d/d
+# with L = lcm(1..20), so every term is an integer. Each item common to
+# both top-20 lists contributes W(max(rank_a, rank_b)) where
+# W(m) = Σ_{d=m..20} 2^(20-d)·L/d — 20 precomputed integer literals.
+# Perfect agreement sums to _RBO_DENOM; rbo = rbo_scaled / denom in [0,1].
+_RBO_K = 20
+_RBO_L = 232792560  # lcm(1..20)
+_RBO_W = {
+    m: sum((1 << (_RBO_K - d)) * (_RBO_L // d) for d in range(m, _RBO_K + 1))
+    for m in range(1, _RBO_K + 1)
+}
+_RBO_DENOM = sum((1 << (_RBO_K - d)) * _RBO_L for d in range(1, _RBO_K + 1))
+
+_W_CASE = "CASE m " + " ".join(
+    f"WHEN {m} THEN {w}" for m, w in _RBO_W.items()
+) + " END"
+
+RBO_ORACLE = f"""
+WITH pr AS (
+    SELECT l_partkey AS p,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+    FROM lineitem GROUP BY l_partkey
+),
+ta AS (
+    SELECT p, ROW_NUMBER() OVER (ORDER BY rev DESC, p ASC) AS ra
+    FROM pr ORDER BY rev DESC, p ASC LIMIT {_RBO_K}
+),
+tb AS (
+    SELECT p, ROW_NUMBER() OVER (ORDER BY qty DESC, p ASC) AS rb
+    FROM pr ORDER BY qty DESC, p ASC LIMIT {_RBO_K}
+),
+common AS (
+    SELECT GREATEST(ta.ra, tb.rb) AS m FROM ta JOIN tb USING (p)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(COALESCE(SUM({_W_CASE}), 0) AS BIGINT) AS rbo_scaled,
+       CAST({_RBO_DENOM} AS BIGINT) AS rbo_denom
+FROM common
+"""
+
+
+@register("rbo_rankings", RBO_ORACLE)
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO@20, p = 1/2) between two part rankings —
+    by revenue vs by shipped quantity — the top-weighted ranking-
+    similarity metric an eval harness uses to compare retrieval or
+    scoring variants, made EXACT: dyadic weights times lcm(1..20) turn
+    every term into an integer, so rbo = rbo_scaled / rbo_denom with no
+    float anywhere.
+
+    Scale: the per-part aggregate is one keyed pass; both top-20s are
+    distributed TakeOrderedAndProject; everything after operates on
+    <= 20 rows. Deterministic total-order tie-breaks on both rankings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(dec("l_extendedprice")).alias("rev"),
+        F.sum(dec("l_quantity")).alias("qty"),
+    )
+    ta = (
+        pr.orderBy(F.desc("rev"), F.asc("p"))
+        .limit(_RBO_K)
+        .select(
+            "p",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rev"), F.asc("p")))
+            .alias("ra"),
+        )
+    )
+    tb = (
+        pr.orderBy(F.desc("qty"), F.asc("p"))
+        .limit(_RBO_K)
+        .select(
+            "p",
+            F.row_number()
+            .over(Window.orderBy(F.desc("qty"), F.asc("p")))
+            .alias("rb"),
+        )
+    )
+    common = ta.join(tb, "p").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    return common.agg(
+        F.count("*").alias("n_common"),
+        F.coalesce(F.sum(F.expr(_W_CASE)), F.lit(0)).cast("long").alias("rbo_scaled"),
+        F.lit(_RBO_DENOM).cast("long").alias("rbo_denom"),
+    )

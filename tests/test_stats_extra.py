@@ -59,3 +59,19 @@ def test_ewma_weights_are_geometric(spark, sf_dir):
         # cheap sanity — value range is [0, ~100] dollars in fixtures
         assert 0 <= r.ewma_scaled <= 100000 * 100 * r.denom_scaled
     assert sum(r.n_used for r in rows) <= n_events
+
+
+def test_rbo_bounds_and_perfect_self_overlap(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["rbo_rankings"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_common <= 20
+    assert 0 <= r.rbo_scaled <= r.rbo_denom
+    # weight table consistency: perfect agreement would sum the full
+    # denominator (sum over d of W(d) == denom)
+    from amorphous_mapreduce_spark.queries.eval_queries import (
+        _RBO_DENOM,
+        _RBO_W,
+    )
+
+    assert sum(_RBO_W.values()) == _RBO_DENOM
