@@ -611,3 +611,83 @@ def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("cust", F.col("q").alias("rec_part"), "score", "n_paths", "rnk")
     )
+
+
+# --- cohort lifetime value --------------------------------------------------
+
+LTV_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY user_id
+),
+wk AS (
+    SELECT f.cohort_week,
+           CAST((epoch_us(date_trunc('week', e.ts))
+                 - epoch_us(f.cohort_week)) / 604800000000 AS BIGINT)
+               AS weeks_since,
+           COUNT(DISTINCT e.user_id) AS n_buyers,
+           SUM(CAST(e.value AS DECIMAL(12,2))) AS rev
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY f.cohort_week, weeks_since
+)
+SELECT cohort_week, weeks_since, n_buyers,
+       CAST(rev AS DOUBLE) AS wk_revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_revenue
+FROM wk
+"""
+
+
+@register("cohort_ltv", LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per first-activity-week cohort, the
+    weekly purchase revenue and its running cumulative (the LTV curve a
+    growth team projects payback from), plus weekly distinct buyers.
+
+    Scale: the heavy work is two keyed aggregates (first-week per user —
+    broadcastable; the cohort x week grid). The cumulative window runs
+    on the AGGREGATED grid (|cohorts| x |weeks| rows, data-size
+    independent), partitioned by cohort — never a window over raw
+    events. Decimal accumulation end to end; doubles only at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                (
+                    F.unix_micros(F.date_trunc("week", F.col("ts")))
+                    - F.unix_micros(F.col("cohort_week"))
+                )
+                / F.lit(604800000000)
+            )
+            .cast("long")
+            .alias("weeks_since"),
+            "user_id",
+            dec("value").alias("v"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum("v").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_week",
+        "weeks_since",
+        "n_buyers",
+        F.col("rev").cast("double").alias("wk_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
