@@ -580,3 +580,112 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(weight).alias("denom_scaled"),
         F.max(F.when(F.col("rn") == 1, F.col("us"))).alias("last_us"),
     )
+
+
+# --- rolling correlation (explode-shift, no global windows) -----------------
+
+ROLLCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                AS BIGINT) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_c,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+),
+contrib AS (
+    SELECT day + o.range AS tday, rev_c, cnt
+    FROM daily CROSS JOIN range(14) o
+),
+win AS (
+    SELECT tday, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rev_c) AS BIGINT) AS sx_i,
+           CAST(SUM(cnt) AS BIGINT) AS sy_i,
+           CAST((SUM(CAST(rev_c AS HUGEINT) * rev_c) // 1048576) AS BIGINT)
+               AS sxx_hi,
+           CAST((SUM(CAST(rev_c AS HUGEINT) * rev_c) % 1048576) AS BIGINT)
+               AS sxx_lo,
+           CAST(SUM(rev_c * cnt) AS BIGINT) AS sxy_i,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS syy_i
+    FROM contrib GROUP BY tday
+)
+SELECT tday AS day, n,
+       (CAST(n AS DOUBLE) * CAST(sxy_i AS DOUBLE)
+        - CAST(sx_i AS DOUBLE) * CAST(sy_i AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE)
+                 * (CAST(sxx_hi AS DOUBLE) * 1048576.0
+                    + CAST(sxx_lo AS DOUBLE))
+               - CAST(sx_i AS DOUBLE) * CAST(sx_i AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy_i AS DOUBLE)
+                 - CAST(sy_i AS DOUBLE) * CAST(sy_i AS DOUBLE)))
+           AS corr_14d
+FROM win WHERE n = 14
+"""
+
+@register("rolling_correlation_14d", ROLLCORR_ORACLE)
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily revenue and
+    daily order volume — the co-movement monitor a quant/finance stack
+    keeps per pair of series.
+
+    No global window anywhere: each day's (rev, cnt) point explodes into
+    the 14 trailing windows it contributes to (the explode-shift pattern
+    from daily_revenue_ma7), so the rolling sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) come from ONE keyed aggregate over a
+    bounded 14x fanout of the tiny daily grid. The correlation itself is
+    a fixed double expression (sqrt is correctly rounded IEEE on both
+    engines) over exact decimal/integer inputs."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp"))
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_c"), F.count("*").alias("cnt"))
+    )
+    contrib = daily.select(
+        "day",
+        "rev_c",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("off"),
+    ).select((F.col("day") + F.col("off")).alias("tday"), "rev_c", "cnt")
+    win = contrib.groupBy("tday").agg(
+        F.count("*").alias("n"),
+        F.sum("rev_c").alias("sx_i"),
+        F.sum("cnt").alias("sy_i"),
+        # Σx² exceeds int64, and DuckDB's int128->double cast mis-rounds
+        # by 1 ulp past 2^63 — so split the exact decimal into hi/lo
+        # int64 halves (hi*2^20 + lo) and reconstruct in double: the
+        # scale-by-2^20 is exact, the one rounding is identical on both
+        F.sum(F.col("rev_c").cast("decimal(19,0)") * F.col("rev_c"))
+        .cast("decimal(38,0)")
+        .alias("_sxx"),
+        F.sum(F.col("rev_c") * F.col("cnt")).alias("sxy_i"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("syy_i"),
+    )
+    win = win.withColumn(
+        "sxx_lo", F.pmod(F.col("_sxx"), F.lit(1048576)).cast("long")
+    ).withColumn(
+        "sxx_hi",
+        ((F.col("_sxx") - F.pmod(F.col("_sxx"), F.lit(1048576))) / F.lit(1048576))
+        .cast("long"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx_i").cast("double")
+    sy = F.col("sy_i").cast("double")
+    sxx = F.col("sxx_hi").cast("double") * F.lit(1048576.0) + F.col(
+        "sxx_lo"
+    ).cast("double")
+    corr = (nd * F.col("sxy_i").cast("double") - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx)
+        * (nd * F.col("syy_i").cast("double") - sy * sy)
+    )
+    return (
+        win.filter(F.col("n") == 14)
+        .select(F.col("tday").alias("day"), "n", corr.alias("corr_14d"))
+    )

@@ -75,3 +75,15 @@ def test_rbo_bounds_and_perfect_self_overlap(spark, sf_dir):
     )
 
     assert sum(_RBO_W.values()) == _RBO_DENOM
+
+
+def test_rolling_correlation_bounds(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["rolling_correlation_14d"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n == 14
+        assert -1.0 - 1e-12 <= r.corr_14d <= 1.0 + 1e-12
