@@ -8,7 +8,7 @@ membership is deterministic (tie-break nid).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.vectors import l2_norm
@@ -406,3 +406,156 @@ def q_text_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame
             (sim < DISAGREE_SIM).cast("int").alias("disagree"),
         )
     )
+
+
+# --- quantization recall audit ----------------------------------------------
+
+_QHASH = "CAST('0x' || substr(md5('qpanel_' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+# int8 scalar quantization, the operators/pipeline.quantize_embeddings
+# scheme: q[i] = trunc(v[i] / max|v| * 127), truncation toward zero
+# (Spark CAST(long) truncates; DuckDB needs explicit trunc()).
+_Q_SQL = (
+    "list_transform({v}::DOUBLE[], x -> CAST(trunc("
+    "x / list_max(list_transform({v}::DOUBLE[], y -> abs(y))) * 127"
+    ") AS BIGINT))"
+)
+
+QUANT_RECALL_ORACLE = f"""
+WITH panel AS (
+    SELECT vec_id AS qid, embedding AS qv,
+           {_Q_SQL.format(v='embedding')} AS qq,
+           list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+               AS qscale
+    FROM embeddings ORDER BY {_QHASH}, vec_id LIMIT 32
+),
+scored AS (
+    SELECT p.qid, g.vec_id AS nid,
+           list_dot_product(p.qv::DOUBLE[], g.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding::DOUBLE[],
+                                      g.embedding::DOUBLE[]))) AS cos_exact,
+           CAST(list_dot_product(p.qq, {_Q_SQL.format(v='g.embedding')})
+                AS DOUBLE)
+           * p.qscale
+           * list_max(list_transform(g.embedding::DOUBLE[], y -> abs(y)))
+           / 16129.0
+           / (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding::DOUBLE[],
+                                      g.embedding::DOUBLE[]))) AS cos_quant
+    FROM panel p JOIN embeddings g ON g.vec_id <> p.qid
+),
+re AS (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_exact DESC, nid) AS r_exact
+    FROM scored
+),
+rq AS (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_quant DESC, nid) AS r_quant
+    FROM scored
+),
+ov AS (
+    SELECT re.qid, COUNT(rq.nid) AS n_overlap
+    FROM re LEFT JOIN rq ON re.qid = rq.qid AND re.nid = rq.nid
+                         AND rq.r_quant <= 5
+    WHERE re.r_exact <= 5
+    GROUP BY re.qid
+)
+SELECT n_overlap AS overlap_at_5, CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM ov GROUP BY n_overlap
+"""
+
+
+@register("quantization_recall", QUANT_RECALL_ORACLE)
+def q_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-impact audit: for a fixed 32-query hash-sampled
+    panel, the overlap@5 histogram between exact-cosine top-5 neighbors
+    and int8-quantized-cosine top-5 (the operators/pipeline scalar
+    quantization scheme) — the recall evidence an ANN/storage team
+    demands before switching an index to int8.
+
+    Scale: the panel is CONSTANT-SIZE by construction (TakeOrdered over
+    the hash, limit 32), so the scored frame is 32 x |gallery| — linear
+    in the corpus, embarrassingly parallel, with the panel broadcast.
+    Both rankings come from the same single scored frame (one pass);
+    int dot products are exact integers; the rescale to quantized
+    cosine is one fixed double expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qpanel_"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    absv = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(absv)
+    q8 = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") / F.array_max(
+            F.transform("embedding", lambda y: F.abs(y.cast("double")))
+        ) * 127).cast("long"),
+    )
+    panel = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            q8.alias("qq"),
+            scale.alias("qscale"),
+            qh.alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(32)
+        .drop("_h")
+    )
+    gal = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("gv"),
+        q8.alias("gq"),
+        scale.alias("gscale"),
+    )
+    from amorphous_mapreduce_spark.functions.vectors import dot_product, l2_norm
+
+    qdot = F.aggregate(
+        F.zip_with("qq", "gq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(panel)
+        .crossJoin(gal)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                dot_product("qv", "gv") / (l2_norm("qv") * l2_norm("gv"))
+            ).alias("cos_exact"),
+            (
+                qdot.cast("double")
+                * F.col("qscale")
+                * F.col("gscale")
+                / F.lit(16129.0)
+                / (l2_norm("qv") * l2_norm("gv"))
+            ).alias("cos_quant"),
+        )
+        .persist()
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("cos_exact"), F.asc("nid"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos_quant"), F.asc("nid"))
+    re = scored.select("qid", "nid", F.row_number().over(we).alias("r_exact"))
+    rq = scored.select("qid", "nid", F.row_number().over(wq).alias("r_quant"))
+    ov = (
+        re.filter(F.col("r_exact") <= 5)
+        .join(
+            rq.filter(F.col("r_quant") <= 5).withColumn("hit", F.lit(1)),
+            ["qid", "nid"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("overlap_at_5"))
+    )
+    return ov.groupBy("overlap_at_5").agg(F.count("*").alias("n_queries"))

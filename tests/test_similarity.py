@@ -192,3 +192,17 @@ def test_blocked_topk_small_blocks(spark):
         for r in cosine_topk_blocked(df, k=3, n_blocks=16).collect()
     }
     assert a == b
+
+
+def test_quantization_recall_histogram(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["quantization_recall"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_queries for r in rows)
+    assert total == 32  # the fixed panel size
+    for r in rows:
+        assert 0 <= r.overlap_at_5 <= 5
+    # int8 quantization should preserve most of the top-5 neighborhood
+    weighted = sum(r.overlap_at_5 * r.n_queries for r in rows) / (5 * total)
+    assert weighted > 0.5

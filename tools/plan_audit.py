@@ -54,6 +54,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "sufficient-statistic aggregates — both sides are single rows by "
         "construction",
     },
+    "quantization_recall": {
+        "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
+        "(TakeOrdered limit 32) broadcast-crossed over the gallery with a "
+        "non-equi self-exclusion filter — fanout is 32 x |gallery|, "
+        "linear in the corpus by construction",
+    },
     "benford_audit": {
         "BroadcastNestedLoopJoin": "1-row scalar total (9-row digit "
         "frame aggregated) broadcast-crossed back onto the 9 digit rows "
