@@ -815,3 +815,83 @@ def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revd").alias("day_revenue"),
         "med_7d",
     )
+
+
+# --- price-volume-mix revenue waterfall -------------------------------------
+
+WATERFALL_ORACLE = """
+WITH bm AS (
+    SELECT p_brand AS brand,
+           CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+               AS midx,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY brand, midx
+)
+SELECT c.brand, c.midx,
+       CAST(c.rev AS DOUBLE) AS revenue,
+       CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE) AS delta,
+       (CAST(c.qty AS DOUBLE) - CAST(p.qty AS DOUBLE))
+           * (CAST(p.rev AS DOUBLE) / CAST(p.qty AS DOUBLE)) AS volume_effect,
+       (CAST(c.rev AS DOUBLE) / CAST(c.qty AS DOUBLE)
+        - CAST(p.rev AS DOUBLE) / CAST(p.qty AS DOUBLE))
+           * CAST(c.qty AS DOUBLE) AS price_effect
+FROM bm c JOIN bm p ON c.brand = p.brand AND c.midx = p.midx + 1
+"""
+
+
+@register("revenue_waterfall", WATERFALL_ORACLE)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume revenue waterfall: month-over-month revenue change
+    per brand decomposed into a volume effect ((Δqty)·p_prev) and a
+    price effect ((Δavg_price)·qty) — the FP&A bridge chart, and an
+    identity: volume_effect + price_effect == delta algebraically, so
+    the decomposition is self-auditing.
+
+    Scale: one keyed aggregate to the brand x month grid (exact decimal
+    sums), then a keyed self-join on (brand, month-1) over that tiny
+    grid. All divisions are one fixed double expression over exact
+    decimal inputs (the ab_test_welch discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bm = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("long")
+            .alias("midx"),
+            dec("l_quantity").alias("q"),
+            dec("l_extendedprice").alias("r"),
+        )
+        .groupBy("brand", "midx")
+        .agg(F.sum("q").alias("qty"), F.sum("r").alias("rev"))
+        .persist()  # both sides of the month self-join share this lineage
+    )
+    cur = bm.select(
+        "brand",
+        "midx",
+        F.col("qty").cast("double").alias("q1"),
+        F.col("rev").cast("double").alias("r1"),
+    )
+    prev = bm.select(
+        "brand",
+        (F.col("midx") + 1).alias("midx"),
+        F.col("qty").cast("double").alias("q0"),
+        F.col("rev").cast("double").alias("r0"),
+    )
+    j = cur.join(prev, ["brand", "midx"])
+    return j.select(
+        "brand",
+        "midx",
+        F.col("r1").alias("revenue"),
+        (F.col("r1") - F.col("r0")).alias("delta"),
+        ((F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0"))).alias(
+            "volume_effect"
+        ),
+        (
+            (F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0"))
+            * F.col("q1")
+        ).alias("price_effect"),
+    )

@@ -72,6 +72,11 @@ HEADLINE = [
     "ewma_user_value",
     # collaborative-filtering family (round 3, final)
     "recommend_parts",
+    # forensics / analytics-grid / quant-eval families (round 3, final)
+    "value_band_pairs",
+    "cohort_ltv",
+    "rolling_correlation_14d",
+    "quantization_recall",
 ]
 
 

@@ -130,3 +130,15 @@ def test_peak_concurrency_matches_bruteforce(spark):
     # query only reports days with boundary events; compare those
     for day, peak in out.items():
         assert peak_by_day.get(day) == peak, (day, peak, peak_by_day.get(day))
+
+
+def test_revenue_waterfall_identity(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["revenue_waterfall"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the PVM bridge is an algebraic identity: vol + price == delta
+        assert abs(r.volume_effect + r.price_effect - r.delta) <= 1e-6 * max(
+            1.0, abs(r.delta)
+        )
