@@ -497,3 +497,67 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
     return kcore(pairs, k=KCORE_K, n_rounds=KCORE_ROUNDS)
+
+
+# --- normalization sensitivity sweep ----------------------------------------
+
+_VARIANTS_SQL = {
+    "raw": "text",
+    "lower_ws": r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')",
+    "lower_ws_punct": (
+        r"regexp_replace(trim(regexp_replace(lower(text), '[,.]', '', 'g')),"
+        r" '\s+', ' ', 'g')"
+    ),
+}
+
+NORM_SWEEP_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(c - 1) AS BIGINT) AS n_removable,
+       CAST(MAX(c) AS BIGINT) AS max_group
+FROM (SELECT md5({expr}) AS h, COUNT(*) AS c FROM documents GROUP BY h)
+"""
+    for name, expr in _VARIANTS_SQL.items()
+)
+
+
+@register("normalization_sensitivity", NORM_SWEEP_ORACLE)
+def q_normalization_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-normalization sensitivity sweep: exact-duplicate statistics
+    (group count, removable rows, largest group) under three text
+    canonicalizations — raw bytes, lowercase+whitespace, and the full
+    punctuation-stripping normalizer (the reference's W4/W5 chain,
+    src/word_count.rs:99-103) — the tuning table that decides how
+    aggressive a 100 TB dedup pass should be.
+
+    ONE scan serves every variant: each row emits (variant, digest)
+    through a single explode, and one keyed aggregate per level does the
+    rest — the hyperparameter sweep AS data parallelism, instead of one
+    job per config."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower_ws = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    lower_ws_punct = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[,.]", "")),
+        r"\s+",
+        " ",
+    )
+    variants = F.array(
+        F.struct(F.lit("raw").alias("variant"), F.md5("text").alias("h")),
+        F.struct(
+            F.lit("lower_ws").alias("variant"), F.md5(lower_ws).alias("h")
+        ),
+        F.struct(
+            F.lit("lower_ws_punct").alias("variant"),
+            F.md5(lower_ws_punct).alias("h"),
+        ),
+    )
+    hashed = docs.select(F.explode(variants).alias("vh")).select(
+        "vh.variant", "vh.h"
+    )
+    groups = hashed.groupBy("variant", "h").agg(F.count("*").alias("c"))
+    return groups.groupBy("variant").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.col("c") - 1).alias("n_removable"),
+        F.max("c").alias("max_group"),
+    )
