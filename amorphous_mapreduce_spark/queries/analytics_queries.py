@@ -691,3 +691,157 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("wk_revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+# --- temporal-holdout recommender backtest ----------------------------------
+
+# lcm(1..10) = 2520: reciprocal ranks as exact integers (2520 / rank).
+_MRR_L = 2520
+_SPLIT = "1996-01-01"
+
+BACKTEST_ORACLE = f"""
+WITH train_orders AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+),
+test_orders AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_SPLIT}'
+),
+basket AS MATERIALIZED (
+    SELECT DISTINCT t.o_orderkey AS o, l_partkey AS p
+    FROM lineitem JOIN train_orders t ON l_orderkey = t.o_orderkey
+),
+owned AS MATERIALIZED (
+    SELECT DISTINCT t.o_custkey AS cust, l_partkey AS p
+    FROM lineitem JOIN train_orders t ON l_orderkey = t.o_orderkey
+),
+cooc AS MATERIALIZED (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+    FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+sym AS (
+    SELECT pa AS p, pb AS q, cnt FROM cooc
+    UNION ALL SELECT pb, pa, cnt FROM cooc
+),
+neighbors AS MATERIALIZED (
+    SELECT p, q, cnt FROM (
+        SELECT p, q, cnt,
+               ROW_NUMBER() OVER (PARTITION BY p
+                                  ORDER BY cnt DESC, q ASC) AS nr
+        FROM sym
+    ) WHERE nr <= 8
+),
+ranked AS MATERIALIZED (
+    SELECT cust, q, ROW_NUMBER() OVER (PARTITION BY cust
+                                       ORDER BY score DESC, q ASC) AS rnk
+    FROM (
+        SELECT o.cust, n.q, CAST(SUM(n.cnt) AS BIGINT) AS score
+        FROM owned o JOIN neighbors n ON o.p = n.p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM owned w WHERE w.cust = o.cust AND w.p = n.q
+        )
+        GROUP BY o.cust, n.q
+    )
+),
+test_purchases AS (
+    SELECT DISTINCT t.o_custkey AS cust, l_partkey AS p
+    FROM lineitem JOIN test_orders t ON l_orderkey = t.o_orderkey
+),
+hits AS (
+    SELECT tp.cust, tp.p, r.rnk
+    FROM test_purchases tp
+    LEFT JOIN ranked r ON r.cust = tp.cust AND r.q = tp.p AND r.rnk <= 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test_purchases,
+       CAST(COUNT(rnk) AS BIGINT) AS n_hits_at_10,
+       CAST(COALESCE(SUM({_MRR_L} // rnk), 0) AS BIGINT) AS mrr_scaled_sum
+FROM hits
+"""
+
+
+@register("recsys_backtest_mrr", BACKTEST_ORACLE)
+def q_recsys_backtest_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout backtest of the co-occurrence recommender: train
+    the neighbor model on pre-1996 orders, score every post-1996
+    purchase by its rank in the customer's top-10 recommendations, and
+    report hits@10 plus an EXACT mean-reciprocal-rank numerator
+    (2520/rank is an integer for every rank <= 10; divide by
+    2520 * n_test for the float MRR) — offline recsys evaluation with a
+    leakage-free time split, as one declarative plan.
+
+    Scale: identical posture to recommend_parts (capped neighbor table,
+    keyed windows, anti-join exclusion) plus one keyed join of the test
+    purchases against the ranked lists. The only new state is the
+    per-customer ranked candidates, bounded by |owned| x 8."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_SPLIT).cast("timestamp")
+    train_o = orders.filter(F.col("o_orderdate") < split).select(
+        "o_orderkey", "o_custkey"
+    )
+    test_o = orders.filter(F.col("o_orderdate") >= split).select(
+        "o_orderkey", "o_custkey"
+    )
+    basket = (
+        li.join(train_o, li.l_orderkey == train_o.o_orderkey)
+        .select(F.col("o_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    owned = (
+        li.join(train_o, li.l_orderkey == train_o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a = basket.select("o", F.col("p").alias("pa"))
+    b = basket.select("o", F.col("p").alias("pb"))
+    cooc = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    sym = cooc.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "cnt"
+    ).unionAll(cooc.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "cnt"))
+    wn = Window.partitionBy("p").orderBy(F.desc("cnt"), F.asc("q"))
+    neighbors = (
+        sym.withColumn("nr", F.row_number().over(wn))
+        .filter(F.col("nr") <= 8)
+        .select("p", "q", "cnt")
+    )
+    cand = (
+        owned.join(neighbors, "p")
+        .join(
+            owned.select("cust", F.col("p").alias("q")),
+            ["cust", "q"],
+            "left_anti",
+        )
+        .groupBy("cust", "q")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    wr = Window.partitionBy("cust").orderBy(F.desc("score"), F.asc("q"))
+    ranked = (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select("cust", F.col("q").alias("p"), "rnk")
+    )
+    test_p = (
+        li.join(test_o, li.l_orderkey == test_o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    hits = test_p.join(ranked, ["cust", "p"], "left")
+    return hits.agg(
+        F.count("*").alias("n_test_purchases"),
+        F.count("rnk").alias("n_hits_at_10"),
+        # integer division on both engines (2520 is divisible by every
+        # rank <= 10, so this is exact reciprocal-rank mass)
+        F.coalesce(F.sum(F.expr(f"{_MRR_L} div rnk")), F.lit(0))
+        .cast("long")
+        .alias("mrr_scaled_sum"),
+    )

@@ -105,3 +105,13 @@ def test_value_band_pairs_matches_bruteforce(spark, sf_dir):
                 if eid < oid:
                     want[(et, ot)] += 1
     assert got == dict(want)
+
+
+def test_recsys_backtest_consistency(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["recsys_backtest_mrr"](spark, sf_dir).collect()[0]
+    assert r.n_test_purchases > 0
+    assert 0 <= r.n_hits_at_10 <= r.n_test_purchases
+    # each hit contributes between 2520/10 and 2520/1
+    assert 252 * r.n_hits_at_10 <= r.mrr_scaled_sum <= 2520 * r.n_hits_at_10
