@@ -689,3 +689,58 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.filter(F.col("n") == 14)
         .select(F.col("tday").alias("day"), "n", corr.alias("corr_14d"))
     )
+
+
+# --- seasonal-baseline anomaly flags ----------------------------------------
+
+SEASONAL_SPIKE_ORACLE = """
+WITH hourly AS (
+    SELECT epoch_us(ts) // 86400000000 AS day_idx,
+           CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2, 3
+),
+base AS (
+    SELECT dow, hour, CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM hourly GROUP BY dow, hour
+)
+SELECT h.day_idx, h.dow, h.hour, CAST(h.cnt AS BIGINT) AS cnt,
+       b.total, b.n_cells
+FROM hourly h JOIN base b ON h.dow = b.dow AND h.hour = b.hour
+WHERE h.cnt * b.n_cells * 2 > b.total * 3
+ORDER BY h.day_idx, h.hour
+"""
+
+
+@register("seasonal_spike_flags", SEASONAL_SPIKE_ORACLE)
+def q_seasonal_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly flags: hours whose event count
+    exceeds 1.5x the average for the SAME (day-of-week, hour-of-day)
+    cell — the alert rule that survives weekly rhythm, with the
+    threshold comparison cross-multiplied (cnt·n·2 > total·3) so no
+    division or float ever decides a flag.
+
+    Day-of-week from the engine-independent integer calendar
+    ((epoch_day + 4) % 7). Scale: two keyed aggregates + a broadcast
+    join of the 168-row baseline grid onto the hourly frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        F.expr("CAST((unix_micros(ts) div 86400000000 + 4) % 7 AS BIGINT)").alias(
+            "dow"
+        ),
+        F.expr(
+            "CAST((unix_micros(ts) % 86400000000) div 3600000000 AS BIGINT)"
+        ).alias("hour"),
+    )
+    hourly = ev.groupBy("day_idx", "dow", "hour").agg(F.count("*").alias("cnt"))
+    base = hourly.groupBy("dow", "hour").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_cells")
+    )
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hour"])
+        .filter(F.col("cnt") * F.col("n_cells") * 2 > F.col("total") * 3)
+        .select("day_idx", "dow", "hour", "cnt", "total", "n_cells")
+        .orderBy("day_idx", "hour")
+    )
