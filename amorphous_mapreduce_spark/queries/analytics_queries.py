@@ -845,3 +845,78 @@ def q_recsys_backtest_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mrr_scaled_sum"),
     )
+
+
+# --- Pareto / ABC inventory classification ----------------------------------
+
+ABC_ORACLE = """
+WITH pr AS (
+    SELECT l_partkey AS p,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT p, rev_c,
+           SUM(rev_c) OVER (ORDER BY rev_c DESC, p ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM pr
+),
+tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total FROM pr)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c) AS BIGINT) AS class_rev_cents
+FROM ranked CROSS JOIN tot
+GROUP BY abc_class
+"""
+
+
+@register("pareto_abc_classes", ABC_ORACLE)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by revenue,
+    classified A (first 80% of revenue mass), B (to 95%), C (tail) via
+    the EXACT global running total — integer cents, cross-multiplied
+    class edges, no division.
+
+    Scale: the running total rides operators/corpus_stats.
+    distributed_prefix_sum (range sort + partition partials +
+    O(#partitions) offset merge — never a single-partition window over
+    the parts); the grand total is a 1-row scalar broadcast-crossed
+    back. This is the vocab_coverage template applied to revenue."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = (
+        li.select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("p")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    pr = pr.persist()  # prefix-sum branch and the scalar total share it
+    ranked = distributed_prefix_sum(
+        pr, "rev_c", [F.desc("rev_c"), F.asc("p")], cum_col="cum"
+    )
+    tot = pr.agg(F.sum("rev_c").alias("total"))
+    cls = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_c",
+        )
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev_c").alias("class_rev_cents"),
+    )

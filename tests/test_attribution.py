@@ -115,3 +115,24 @@ def test_recsys_backtest_consistency(spark, sf_dir):
     assert 0 <= r.n_hits_at_10 <= r.n_test_purchases
     # each hit contributes between 2520/10 and 2520/1
     assert 252 * r.n_hits_at_10 <= r.mrr_scaled_sum <= 2520 * r.n_hits_at_10
+
+
+def test_pareto_abc_partitions_revenue(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = {r.abc_class: r for r in QUERIES["pareto_abc_classes"](
+        spark, sf_dir
+    ).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r.class_rev_cents for r in rows.values())
+    # A holds at most 80% of revenue mass (cross-multiplied edge), and
+    # A+B at most 95%; both are non-empty on any non-degenerate corpus
+    assert rows["A"].class_rev_cents * 100 <= total * 80
+    assert (rows["A"].class_rev_cents + rows["B"].class_rev_cents) * 100 <= total * 95
+    # fixture revenue is near-uniform across parts, so class sizes track
+    # the revenue edges rather than a real-world Pareto tail — just
+    # check the classes partition the catalog
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts

@@ -54,6 +54,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "sufficient-statistic aggregates — both sides are single rows by "
         "construction",
     },
+    "pareto_abc_classes": {
+        "BroadcastNestedLoopJoin": "1-row grand-total scalar "
+        "broadcast-crossed onto the classified parts frame",
+        "Exchange SinglePartition": "distributed_prefix_sum offset merge "
+        "— one window over the O(#partitions) per-partition totals frame "
+        "(bounded by cluster size, not data), same as vocab_coverage",
+    },
     "quantization_recall": {
         "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
         "(TakeOrdered limit 32) broadcast-crossed over the gallery with a "
