@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
 from amorphous_mapreduce_spark.operators.sketches import (
     bloom_semi_join,
     cms_heavy_hitters,
@@ -200,3 +201,91 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
     od = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     return cms_join_size(ev, od)
+
+
+# --- AMS F2 (self-join size) sketch -----------------------------------------
+
+_AMS_R = 16
+
+def _ams_sign(key: str, j: str) -> str:
+    """±1 from one MD5 bit — replayable in DuckDB."""
+    return (
+        "(CAST('0x' || substr(md5('ams' || " + j + " || '_' || "
+        f"CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1"
+    )
+
+
+AMS_ORACLE = f"""
+WITH f AS (
+    SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+z AS (
+    SELECT j.range AS j,
+           CAST(SUM(c * ({_ams_sign('k', 'j.range')})) AS BIGINT) AS zj
+    FROM f CROSS JOIN range({_AMS_R}) j
+    GROUP BY j.range
+),
+est AS (
+    SELECT CAST(SUM(zj * zj) AS BIGINT) AS ams_sq_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_counters
+    FROM z
+),
+exact AS (
+    SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM f
+)
+SELECT f2_exact, ams_sq_sum, n_counters,
+       ams_sq_sum - f2_exact * n_counters AS bias_scaled
+FROM est CROSS JOIN exact
+"""
+
+
+@register("ams_f2_estimate", AMS_ORACLE)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch: the self-join
+    size F2 = Σ f_k² of the events-per-user distribution estimated from
+    16 signed counters z_j = Σ f_k·s_j(k) — E[z²] = F2 — next to the
+    exact value; `bias_scaled` = Σz² − 16·F2 shows the estimator error
+    without a division. Completes the sketch family (CMS frequency, FM
+    cardinality, Bloom membership, CMS-dot join size, AMS moments).
+
+    Scale: counter state is 16 integers — mergeable across any sharding
+    (signed sums add); one keyed count, one 16-way fanout aggregate.
+    All signs are MD5-derived bits, so the sketch replays exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("c"))
+    f = f.persist()  # z-counters and the exact F2 both read this
+    rows = f.select(
+        "k",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))).alias("j"),
+    )
+    sign = (
+        F.pmod(
+            hex_hash64(
+                F.concat(
+                    F.lit("ams"),
+                    F.col("j").cast("string"),
+                    F.lit("_"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            F.lit(2),
+        )
+        * 2
+        - 1
+    )
+    z = rows.groupBy("j").agg(F.sum(F.col("c") * sign).alias("zj"))
+    est = z.agg(
+        F.sum(F.col("zj") * F.col("zj")).alias("ams_sq_sum"),
+        F.count("*").alias("n_counters"),
+    )
+    exact = f.agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    return exact.crossJoin(est).select(
+        "f2_exact",
+        "ams_sq_sum",
+        "n_counters",
+        (F.col("ams_sq_sum") - F.col("f2_exact") * F.col("n_counters")).alias(
+            "bias_scaled"
+        ),
+    )

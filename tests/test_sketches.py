@@ -142,3 +142,15 @@ def test_new_operators_handle_empty_inputs(spark):
     empty_dim = spark.createDataFrame([], StructType([StructField("k", LongType())]))
     out = bloom_semi_join(fact, empty_dim, "k", "g").collect()
     assert len(out) == 1 and out[0].n_bloom_pass == 0 and out[0].n_exact == 0
+
+
+def test_ams_f2_counters_unbiased_shape(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["ams_f2_estimate"](spark, sf_dir).collect()[0]
+    assert r.n_counters == 16
+    assert r.ams_sq_sum > 0 and r.f2_exact > 0
+    assert r.bias_scaled == r.ams_sq_sum - 16 * r.f2_exact
+    # the mean estimator should land within ~3/sqrt(8) of F2
+    est = r.ams_sq_sum / 16
+    assert abs(est - r.f2_exact) < 1.5 * r.f2_exact

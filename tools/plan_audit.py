@@ -54,6 +54,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "sufficient-statistic aggregates — both sides are single rows by "
         "construction",
     },
+    "ams_f2_estimate": {
+        "BroadcastNestedLoopJoin": "crossJoin of two 1-row scalar "
+        "aggregates (exact F2 and the 16-counter square sum)",
+    },
     "pareto_abc_classes": {
         "BroadcastNestedLoopJoin": "1-row grand-total scalar "
         "broadcast-crossed onto the classified parts frame",
