@@ -585,6 +585,8 @@ def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
+        # persisted: BOTH unionAll branches of sym re-read this lineage
+        .persist()
     )
     sym = cooc.select(
         F.col("pa").alias("p"), F.col("pb").alias("q"), "cnt"
@@ -596,7 +598,9 @@ def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "q", "cnt")
     )
     cand = (
-        owned.join(neighbors, "p")
+        # the neighbor table is capped at 8 rows/part — broadcast it so
+        # candidate generation never sort-merge-spills the owned side
+        owned.join(F.broadcast(neighbors), "p")
         .join(
             owned.select(F.col("cust"), F.col("p").alias("q")),
             ["cust", "q"],
@@ -804,6 +808,8 @@ def q_recsys_backtest_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
+        # persisted: BOTH unionAll branches of sym re-read this lineage
+        .persist()
     )
     sym = cooc.select(
         F.col("pa").alias("p"), F.col("pb").alias("q"), "cnt"
@@ -815,7 +821,9 @@ def q_recsys_backtest_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "q", "cnt")
     )
     cand = (
-        owned.join(neighbors, "p")
+        # the neighbor table is capped at 8 rows/part — broadcast it so
+        # candidate generation never sort-merge-spills the owned side
+        owned.join(F.broadcast(neighbors), "p")
         .join(
             owned.select("cust", F.col("p").alias("q")),
             ["cust", "q"],
