@@ -895,3 +895,90 @@ def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("q1")
         ).alias("price_effect"),
     )
+
+
+# --- monthly top-10 leaderboard churn ---------------------------------------
+
+CHURN_TOP_ORACLE = """
+WITH bm AS (
+    SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+               AS midx,
+           l_partkey AS p,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+    FROM lineitem GROUP BY midx, p
+),
+ranked AS (
+    SELECT midx, p, rnk FROM (
+        SELECT midx, p,
+               ROW_NUMBER() OVER (PARTITION BY midx
+                                  ORDER BY rev DESC, p ASC) AS rnk
+        FROM bm
+    ) WHERE rnk <= 10
+)
+SELECT c.midx,
+       CAST(SUM(CASE WHEN p.p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_entered,
+       CAST(SUM(CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stayed,
+       CAST(COALESCE(SUM(ABS(c.rnk - p.rnk)), 0) AS BIGINT)
+           AS rank_shift_stayed
+FROM ranked c
+LEFT JOIN ranked p ON p.midx = c.midx - 1 AND p.p = c.p
+WHERE EXISTS (SELECT 1 FROM ranked x WHERE x.midx = c.midx - 1)
+GROUP BY c.midx
+"""
+
+
+@register("leaderboard_churn", CHURN_TOP_ORACLE)
+def q_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly top-10 part-leaderboard churn: how many of this month's
+    top sellers are new vs returning, and the total rank displacement of
+    the returners — the stability metric a merchandising/ranking team
+    watches to separate durable winners from volatility.
+
+    Scale: keyed aggregate to the month x part grid, per-month top-10
+    via a window PARTITIONED BY month (never global), then a keyed
+    self-join of two 10-rows-per-month frames. Deterministic tie-break
+    on part id in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = (
+        li.select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("long")
+            .alias("midx"),
+            F.col("l_partkey").alias("p"),
+            dec("l_extendedprice").alias("r"),
+        )
+        .groupBy("midx", "p")
+        .agg(F.sum("r").alias("rev"))
+    )
+    w = Window.partitionBy("midx").orderBy(F.desc("rev"), F.asc("p"))
+    ranked = (
+        bm.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("midx", "p", "rnk")
+        .persist()  # current/previous/exists branches all read this
+    )
+    prev = ranked.select(
+        (F.col("midx") + 1).alias("midx"),
+        F.col("p").alias("p"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    months_with_prev = ranked.select(
+        (F.col("midx") + 1).alias("midx")
+    ).distinct()
+    joined = (
+        ranked.join(months_with_prev, "midx", "left_semi")
+        .join(prev, ["midx", "p"], "left")
+    )
+    return joined.groupBy("midx").agg(
+        F.sum(F.when(F.col("prev_rnk").isNull(), 1).otherwise(0)).alias(
+            "n_entered"
+        ),
+        F.sum(F.when(F.col("prev_rnk").isNotNull(), 1).otherwise(0)).alias(
+            "n_stayed"
+        ),
+        F.coalesce(
+            F.sum(F.abs(F.col("rnk") - F.col("prev_rnk"))), F.lit(0)
+        ).alias("rank_shift_stayed"),
+    )

@@ -142,3 +142,13 @@ def test_revenue_waterfall_identity(spark, sf_dir):
         assert abs(r.volume_effect + r.price_effect - r.delta) <= 1e-6 * max(
             1.0, abs(r.delta)
         )
+
+
+def test_leaderboard_churn_invariants(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["leaderboard_churn"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_entered + r.n_stayed == 10
+        assert r.rank_shift_stayed <= 9 * r.n_stayed
