@@ -928,3 +928,76 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("rev_c").alias("class_rev_cents"),
     )
+
+
+# --- signup -> first-purchase conversion lag --------------------------------
+
+LAG_ORACLE = """
+WITH s AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS s_us
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+    GROUP BY e.user_id
+),
+lags AS (
+    SELECT s.user_id,
+           CAST(date_trunc('month', to_timestamp(s.s_us / 1000000.0))
+                AS TIMESTAMP) AS cohort_month,
+           p.p_us - s.s_us AS lag_us
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+)
+SELECT cohort_month,
+       COUNT(*) AS n_signups,
+       CAST(COUNT(lag_us) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN lag_us <= 604800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted_7d,
+       quantile_cont(lag_us, 0.5) AS p50_lag_us,
+       quantile_cont(lag_us, 0.9) AS p90_lag_us
+FROM lags GROUP BY cohort_month
+"""
+
+
+@register("signup_purchase_lag", LAG_ORACLE)
+def q_signup_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase conversion lag per signup cohort month:
+    conversion counts (total / within 7 days) and exact interpolated
+    P50/P90 latency — the activation metric a growth team tracks per
+    cohort.
+
+    Scale: two keyed min-aggregates + one keyed join; percentiles run
+    per cohort-month group (bounded group count, the price_percentiles
+    parity-proven formula). Comparisons in epoch microseconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"), "ts"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"), F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s.select("user_id", "s_us"), "user_id")
+        .filter(F.col("us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    lags = s.join(p, "user_id", "left").select(
+        F.date_trunc("month", F.to_timestamp(F.col("s_us") / 1000000.0)).alias(
+            "cohort_month"
+        ),
+        (F.col("p_us") - F.col("s_us")).alias("lag_us"),
+    )
+    return lags.groupBy("cohort_month").agg(
+        F.count("*").alias("n_signups"),
+        F.count("lag_us").alias("n_converted"),
+        F.sum(
+            F.when(F.col("lag_us") <= 604800000000, 1).otherwise(0)
+        ).alias("n_converted_7d"),
+        F.percentile("lag_us", 0.5).alias("p50_lag_us"),
+        F.percentile("lag_us", 0.9).alias("p90_lag_us"),
+    )
