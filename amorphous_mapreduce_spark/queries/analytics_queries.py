@@ -1001,3 +1001,90 @@ def q_signup_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lag_us", 0.5).alias("p50_lag_us"),
         F.percentile("lag_us", 0.9).alias("p90_lag_us"),
     )
+
+
+# --- revenue Gini coefficient -----------------------------------------------
+
+GINI_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents ASC, c ASC) AS rnk
+    FROM cust
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s0,
+           CAST((SUM(CAST(rnk AS HUGEINT) * cents) // 1048576) AS BIGINT)
+               AS s1_hi,
+           CAST((SUM(CAST(rnk AS HUGEINT) * cents) % 1048576) AS BIGINT)
+               AS s1_lo
+    FROM ranked
+)
+SELECT n, s0 AS total_cents,
+       (2.0 * (CAST(s1_hi AS DOUBLE) * 1048576.0 + CAST(s1_lo AS DOUBLE))
+        - (CAST(n AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) AS gini
+FROM sums
+"""
+
+
+@register("revenue_gini", GINI_ORACLE)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration headline number, computed exactly: G = (2·Σr·x −
+    (n+1)·Σx) / (n·Σx) over ranks from the distributed prefix-sum
+    template (range sort, never a single-partition window over
+    customers). Σr·x exceeds int64, so it rides the hi/lo int64 split
+    (the rolling_correlation_14d workaround for DuckDB's int128→double
+    1-ulp mis-round); the final ratio is one fixed double expression."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("c")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = distributed_prefix_sum(
+        cust, "cents", [F.asc("cents"), F.asc("c")], rank_col="rnk"
+    )
+    s1 = F.sum(F.col("rnk").cast("decimal(19,0)") * F.col("cents")).cast(
+        "decimal(38,0)"
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        s1.alias("_s1"),
+    ).select(
+        "n",
+        "s0",
+        F.pmod(F.col("_s1"), F.lit(1048576)).cast("long").alias("s1_lo"),
+        ((F.col("_s1") - F.pmod(F.col("_s1"), F.lit(1048576))) / F.lit(1048576))
+        .cast("long")
+        .alias("s1_hi"),
+    )
+    nd = F.col("n").cast("double")
+    s0d = F.col("s0").cast("double")
+    s1d = F.col("s1_hi").cast("double") * F.lit(1048576.0) + F.col(
+        "s1_lo"
+    ).cast("double")
+    return sums.select(
+        "n",
+        F.col("s0").alias("total_cents"),
+        (
+            (F.lit(2.0) * s1d - (nd + F.lit(1.0)) * s0d) / (nd * s0d)
+        ).alias("gini"),
+    )

@@ -87,3 +87,11 @@ def test_rolling_correlation_bounds(spark, sf_dir):
     for r in rows:
         assert r.n == 14
         assert -1.0 - 1e-12 <= r.corr_14d <= 1.0 + 1e-12
+
+
+def test_revenue_gini_in_unit_interval(spark, sf_dir):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["revenue_gini"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.total_cents > 0 and r.n > 0

@@ -54,6 +54,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "sufficient-statistic aggregates — both sides are single rows by "
         "construction",
     },
+    "revenue_gini": {
+        "Exchange SinglePartition": "distributed_prefix_sum offset merge "
+        "over the O(#partitions) totals frame plus the 1-row final "
+        "scalar — bounded by cluster size, same as pareto_abc_classes",
+    },
     "ams_f2_estimate": {
         "BroadcastNestedLoopJoin": "crossJoin of two 1-row scalar "
         "aggregates (exact F2 and the 16-counter square sum)",
