@@ -368,3 +368,116 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- per-class precision / recall / F1 --------------------------------------
+
+LANGID_PRF_ORACLE = f"""
+WITH pred AS ({LANG_ORACLE}),
+lbl AS (SELECT doc_id AS id, lang FROM documents),
+cm AS (
+    SELECT l.lang AS lang_true, p.lang_pred, COUNT(*) AS n
+    FROM lbl l JOIN pred p ON l.id = p.id
+    GROUP BY l.lang, p.lang_pred
+),
+classes AS (SELECT DISTINCT lang_true AS cls FROM cm),
+stats AS (
+    SELECT c.cls,
+           CAST(COALESCE(SUM(CASE WHEN cm.lang_true = c.cls
+                                   AND cm.lang_pred = c.cls
+                              THEN cm.n END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN cm.lang_true <> c.cls
+                                   AND cm.lang_pred = c.cls
+                              THEN cm.n END), 0) AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN cm.lang_true = c.cls
+                                   AND cm.lang_pred <> c.cls
+                              THEN cm.n END), 0) AS BIGINT) AS fn
+    FROM classes c CROSS JOIN cm
+    GROUP BY c.cls
+)
+SELECT cls, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN
+           CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+       END AS "precision",
+       CASE WHEN tp + fn > 0 THEN
+           CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+       END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+           2.0 * CAST(tp AS DOUBLE)
+           / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+              + CAST(fn AS DOUBLE))
+       END AS f1
+FROM stats
+"""
+
+
+@register("langid_prf", LANGID_PRF_ORACLE)
+def q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the language-ID heuristic —
+    the classifier scorecard derived from the confusion matrix
+    (langid_confusion) with exact integer tp/fp/fn and the metrics as
+    fixed double expressions. One bounded-key aggregate over the
+    langs² matrix broadcast-crossed with the class list."""
+    from pyspark.sql import functions as F
+
+    pred = language_id(_docs(spark, sf_dir)).select("id", "lang_pred")
+    lbl = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("lang_true")
+    )
+    cm = (
+        lbl.join(pred, "id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .persist()  # class list and the crossed stats both read it
+    )
+    classes = cm.select(F.col("lang_true").alias("cls")).distinct()
+    crossed = F.broadcast(classes).crossJoin(cm)
+    stats = crossed.groupBy("cls").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_true") == F.col("cls"))
+                    & (F.col("lang_pred") == F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_true") != F.col("cls"))
+                    & (F.col("lang_pred") == F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_true") == F.col("cls"))
+                    & (F.col("lang_pred") != F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    return stats.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp)).alias(
+            "precision"
+        ),
+        F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn)).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn),
+        ).alias("f1"),
+    )

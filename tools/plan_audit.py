@@ -54,6 +54,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "sufficient-statistic aggregates — both sides are single rows by "
         "construction",
     },
+    "langid_prf": {
+        "BroadcastNestedLoopJoin": "the |langs|-row class list crossed "
+        "with the langs² confusion matrix — both sides bounded by the "
+        "label alphabet, never by data volume",
+    },
     "revenue_gini": {
         "Exchange SinglePartition": "distributed_prefix_sum offset merge "
         "over the O(#partitions) totals frame plus the 1-row final "
