@@ -493,29 +493,40 @@ def q_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     absv = F.transform("embedding", lambda x: F.abs(x.cast("double")))
     scale = F.array_max(absv)
-    q8 = F.transform(
-        "embedding",
-        lambda x: (x.cast("double") / F.array_max(
-            F.transform("embedding", lambda y: F.abs(y.cast("double")))
-        ) * 127).cast("long"),
-    )
+
+    def q8(scale_col):
+        # scale is computed ONCE per row (a plain column the lambda
+        # closes over) — a nested array_max inside the transform would
+        # re-scan the array per element
+        return F.transform(
+            "embedding",
+            lambda x: (x.cast("double") / scale_col * 127).cast("long"),
+        )
+
     panel = (
-        emb.select(
+        emb.withColumn("qscale", scale)
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
-            q8.alias("qq"),
-            scale.alias("qscale"),
+            q8(F.col("qscale")).alias("qq"),
+            "qscale",
             qh.alias("_h"),
         )
         .orderBy("_h", "qid")
         .limit(32)
         .drop("_h")
     )
-    gal = emb.select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("gv"),
-        q8.alias("gq"),
-        scale.alias("gscale"),
+    # repartition pins the quantization below the 32-way pair fan-out
+    # (projection collapse would re-quantize each gallery row per pair)
+    gal = (
+        emb.withColumn("gscale", scale)
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("gv"),
+            q8(F.col("gscale")).alias("gq"),
+            "gscale",
+        )
+        .repartition(32)
     )
     from amorphous_mapreduce_spark.functions.vectors import dot_product, l2_norm
 
