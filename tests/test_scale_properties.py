@@ -68,3 +68,36 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
     # days 0 and 1 of id % 30 over 10k ids: 334 ids each (10000/30 -> 334/333)
     assert set(got) == {0, 1}
     assert got[0] == 334 and got[1] == 334
+
+
+def test_prefix_sum_queries_partition_invariant(spark, sf_dir):
+    """The distributed-prefix-sum family (gini, ABC classes) must not
+    depend on where the range partitioner cuts: identical results under
+    different shuffle-partition settings."""
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    for name in ("revenue_gini", "pareto_abc_classes"):
+        base = _stable(QUERIES[name](spark, sf_dir))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            alt = _stable(QUERIES[name](spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == alt, name
+
+
+def test_gram_and_ams_partition_invariant(spark, sf_dir):
+    """Integer-quantized Gram matrix and AMS counters are exact sums —
+    bit-identical under different parallelism."""
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    for name in ("embedding_gram", "ams_f2_estimate"):
+        base = _stable(QUERIES[name](spark, sf_dir))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            alt = _stable(QUERIES[name](spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == alt, name
