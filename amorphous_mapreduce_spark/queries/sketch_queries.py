@@ -289,3 +289,100 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bias_scaled"
         ),
     )
+
+
+# --- CMS width sizing sweep -------------------------------------------------
+
+_SWEEP_WIDTHS = (64, 256, 1024)
+
+
+def _sweep_bucket(width: int) -> str:
+    return (
+        "CAST('0x' || substr(md5('cms' || depth || '_' || word), 1, 15)"
+        f" AS BIGINT) % {width}"
+    )
+
+
+CMS_SWEEP_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tf AS (SELECT word, COUNT(*) AS exact_count FROM toks GROUP BY word),
+"""
+    + ",\n".join(
+        f"""
+wb_{w} AS (
+    SELECT word, exact_count, depth, {_sweep_bucket(w)} AS bucket
+    FROM tf CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(depth)
+),
+cells_{w} AS (
+    SELECT depth, bucket, CAST(SUM(exact_count) AS BIGINT) AS cell
+    FROM wb_{w} GROUP BY depth, bucket
+),
+est_{w} AS (
+    SELECT {w} AS width,
+           CAST(SUM(cms_est - exact_count) AS BIGINT) AS sum_overestimate,
+           CAST(MAX(cms_est - exact_count) AS BIGINT) AS max_overestimate,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM (
+        SELECT word, exact_count, MIN(cell) AS cms_est
+        FROM wb_{w} JOIN cells_{w} USING (depth, bucket)
+        GROUP BY word, exact_count
+    )
+)"""
+        for w in _SWEEP_WIDTHS
+    )
+    + "\nSELECT * FROM est_64 UNION ALL SELECT * FROM est_256"
+    + " UNION ALL SELECT * FROM est_1024"
+)
+
+
+@register("cms_width_sweep", CMS_SWEEP_ORACLE)
+def q_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch sizing sweep: total and worst-case overestimate
+    across grid widths 64 / 256 / 1024 — the accuracy-vs-memory curve
+    that decides how big the sketch must be before a 100 TB run commits
+    to it.
+
+    ONE token-frequency pass (persisted) serves every width: per width
+    the vocab fans out into d x 1 rows, cells aggregate, and the
+    estimate joins back — n widths cost n small keyed aggregates over
+    |vocab| rows, never n passes over the corpus."""
+    from amorphous_mapreduce_spark.operators.sketches import (
+        _cells_from_tf,
+        _depth_rows,
+        _word_counts,
+    )
+
+    tf = _word_counts(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).persist()
+    outs = []
+    for w in _SWEEP_WIDTHS:
+        cells = _cells_from_tf(tf, 4, w)
+        wb = tf.select(
+            "word",
+            F.col("c").alias("exact_count"),
+            _depth_rows(4, w).alias("db"),
+        ).select("word", "exact_count", F.col("db.depth"), F.col("db.bucket"))
+        est = (
+            wb.join(F.broadcast(cells), ["depth", "bucket"])
+            .groupBy("word", "exact_count")
+            .agg(F.min("cell").alias("cms_est"))
+        )
+        outs.append(
+            est.agg(
+                F.lit(w).alias("width"),
+                F.sum(F.col("cms_est") - F.col("exact_count")).alias(
+                    "sum_overestimate"
+                ),
+                F.max(F.col("cms_est") - F.col("exact_count")).alias(
+                    "max_overestimate"
+                ),
+                F.count("*").alias("n_words"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

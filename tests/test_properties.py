@@ -102,3 +102,20 @@ def test_reducer_grid_exact_cover(r):
         for d in range(1, r + 1)
         if r % d == 0
     )
+
+
+def test_hilo_split_reconstruction_is_correctly_rounded():
+    """The hi/lo int64 split (CLAUDE.md int128->double gotcha): while
+    hi = v // 2^20 stays exactly representable (v < 2^73 — far above
+    any statistic at the tested SFs), float(hi)*2^20 + float(lo)
+    rounds ONCE, to the same double as correctly-rounded float(v).
+    Past 2^73 the scheme double-rounds near ties — that envelope is
+    documented where the split is used."""
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=0, max_value=2**73 - 1))
+    def check(v):
+        hi, lo = v // 1048576, v % 1048576
+        assert float(hi) * 1048576.0 + float(lo) == float(v)
+
+    check()
