@@ -1088,3 +1088,76 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * s1d - (nd + F.lit(1.0)) * s0d) / (nd * s0d)
         ).alias("gini"),
     )
+
+
+# --- time-decay multi-touch attribution -------------------------------------
+
+# 12-hour half-life quantized to buckets: weight = 2^(13 - age_bucket),
+# age_bucket = age_us div 12h in [0, 13] inside the 7-day window — the
+# decay curve as exact integers.
+_DECAY_BUCKET_US = 12 * 3600 * 1000000
+
+DECAY_ATTR_ORACLE = f"""
+WITH p AS (
+    SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, event_type AS channel, epoch_us(ts) AS tus
+    FROM events WHERE event_type IN ('click', 'view')
+),
+credits AS (
+    SELECT t.channel, p.cents,
+           (p.pus - t.tus) // {_DECAY_BUCKET_US} AS bucket
+    FROM p JOIN t ON p.user_id = t.user_id
+    WHERE t.tus < p.pus AND t.tus >= p.pus - {14 * _DECAY_BUCKET_US}
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST(13 - bucket AS INTEGER)))
+            AS BIGINT) AS credit_scaled
+FROM credits GROUP BY channel
+"""
+
+
+@register("events_decay_attribution", DECAY_ATTR_ORACLE)
+def q_events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every click/view in the 7
+    days before a purchase earns credit value x 2^-(age/12h), with the
+    decay curve quantized to half-life buckets so the credit mass is
+    exact BIGINT arithmetic (weight = 2^(13 - bucket)) — the fractional
+    sibling of events_attribution's winner-take-all models.
+
+    Scale: a keyed (user) equi-join between purchases and touches with
+    the 7-day band as a post-join filter — per-user fanout is bounded
+    by a user's own 7-day touch density, never cross-user; one keyed
+    rollup ends it. The dyadic-weight trick is ewma_user_value's."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("pus"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros(F.col("ts")).alias("tus"),
+    )
+    credits = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("tus") < F.col("pus"))
+            & (F.col("tus") >= F.col("pus") - 14 * _DECAY_BUCKET_US)
+        )
+        .select(
+            "channel",
+            "cents",
+            F.expr(f"(pus - tus) div {_DECAY_BUCKET_US}").alias("bucket"),
+        )
+    )
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(13 - bucket AS INT))")
+    return credits.groupBy("channel").agg(
+        F.count("*").alias("n_credits"),
+        F.sum(F.col("cents") * weight).alias("credit_scaled"),
+    )
