@@ -77,6 +77,12 @@ HEADLINE = [
     "cohort_ltv",
     "rolling_correlation_14d",
     "quantization_recall",
+    # concentration / eval-scorecard / churn / decay-attribution families
+    # (round 3, closing)
+    "revenue_gini",
+    "langid_prf",
+    "leaderboard_churn",
+    "events_decay_attribution",
 ]
 
 
