@@ -8,7 +8,7 @@ integer (pmod == % for non-negative operands).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -18,7 +18,7 @@ from amorphous_mapreduce_spark.operators.sketches import (
     cms_heavy_hitters,
     fm_cardinality,
 )
-from amorphous_mapreduce_spark.queries.dedup_queries import TOKS_CTE
+from amorphous_mapreduce_spark.queries.dedup_queries import TOKS_CTE, toks_cte
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -386,3 +386,201 @@ def q_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# --- KMV (k-minimum-values) distinct sketch + set-operation estimates -------
+
+_KMV_K = 64
+# hex_hash64 is uniform on [0, 2^60); the KMV estimator for k minima is
+# (k-1) * 2^60 / h_k. 63 * 2^60 needs 6 significand bits — exact in double.
+_KMV_RANGE = "1152921504606846976.0"  # 2^60 as a double literal
+
+KMV_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, sw AS (
+    SELECT DISTINCT d.source,
+           CAST('0x' || substr(md5(t.word), 1, 15) AS BIGINT) AS h
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sw GROUP BY source),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+        FROM sw
+    ) WHERE r <= {_KMV_K}
+),
+pairs AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM (SELECT DISTINCT source FROM sk) a
+    JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+ph AS (
+    SELECT p.sa, p.sb, s.h,
+           MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+    GROUP BY p.sa, p.sb, s.h
+),
+uk AS (
+    SELECT sa, sb, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+    FROM ph
+),
+agg AS (
+    SELECT sa, sb,
+           CAST(MAX(CASE WHEN r = {_KMV_K} THEN h END) AS BIGINT) AS kth_h,
+           CAST(SUM(CASE WHEN r <= {_KMV_K} THEN in_a * in_b ELSE 0 END)
+                AS BIGINT) AS n_both
+    FROM uk GROUP BY sa, sb
+),
+ei AS (
+    SELECT a.source AS sa, b.source AS sb,
+           CAST(COUNT(*) AS BIGINT) AS exact_inter
+    FROM sw a JOIN sw b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT g.sa, g.sb, pa.n AS n_a, pb.n AS n_b,
+       COALESCE(ei.exact_inter, 0) AS exact_inter,
+       pa.n + pb.n - COALESCE(ei.exact_inter, 0) AS exact_union,
+       g.kth_h, g.n_both,
+       63.0 * {_KMV_RANGE} / CAST(g.kth_h AS DOUBLE) AS est_union,
+       CAST(g.n_both AS DOUBLE) / {float(_KMV_K)} AS est_jaccard,
+       CAST(g.n_both AS DOUBLE) / {float(_KMV_K)}
+       * (63.0 * {_KMV_RANGE} / CAST(g.kth_h AS DOUBLE)) AS est_inter
+FROM agg g
+JOIN per pa ON pa.source = g.sa
+JOIN per pb ON pb.source = g.sb
+LEFT JOIN ei ON ei.sa = g.sa AND ei.sb = g.sb
+"""
+)
+
+
+@register("kmv_set_similarity", KMV_ORACLE)
+def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketches of each
+    source's token vocabulary, and the sketch-only union / Jaccard /
+    intersection estimates for every source pair beside their exact
+    values — the mergeable set-operation sketch that CMS (point
+    frequency), FM (cardinality), Bloom (membership) and AMS (F2) do
+    not provide. Estimator: D ≈ (k−1)·2^60 / h_k over the MD5-derived
+    60-bit hash space, so DuckDB replays every estimate bit-identically.
+
+    Scale: sketching is (distinct source-token hashes) -> per-source
+    bottom-64, computed as a salted two-phase top-k (32-way partial
+    bottom-k per salt, then a final bottom-k over <= 32·64 rows per
+    source) — never a whole-vocabulary single-partition sort. Everything
+    after the sketch operates on k·#sources rows; sketches are
+    mergeable across shards/epochs by construction (union = bottom-k of
+    concatenated sketches). The exact comparators (distinct counts +
+    pairwise intersections) are one hash-keyed self-join, the
+    validation half of the query.
+
+    Reference tie-in: extends the mergeable-sketch family
+    (src/op.rs:66-106 VecOp reduce semantics) to set operations."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    sw = (
+        tokenized(docs)
+        .select("id", "word")
+        .join(src, "id")
+        .select("source", hex_hash64("word").alias("h"))
+        .distinct()
+        .persist()
+    )
+    k = _KMV_K
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    part = (
+        sw.withColumn("salt", F.col("h") % 32)
+        .withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= k)
+        .drop("salt", "r")
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        part.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= k)
+        .persist()
+    )
+    per = sw.groupBy("source").agg(F.count("*").alias("n"))
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    # Pair-membership rows via two EQUI-joins (never an OR-predicate
+    # nested-loop): each sketch row fans out only to the pairs naming
+    # its source on that side.
+    ma = pairs.join(
+        sk.withColumnRenamed("source", "sa"), "sa"
+    ).select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    mb = pairs.join(
+        sk.withColumnRenamed("source", "sb"), "sb"
+    ).select("sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    ph = (
+        ma.unionByName(mb)
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max("in_a").alias("in_a"),
+            F.max("in_b").alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    uk = ph.withColumn("r", F.row_number().over(wp))
+    agg = uk.groupBy("sa", "sb").agg(
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("kth_h"),
+        F.sum(
+            F.when(F.col("r") <= k, F.col("in_a") * F.col("in_b")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    ei = (
+        sw.select(F.col("source").alias("sa"), "h")
+        .join(sw.select(F.col("source").alias("sb"), "h"), "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    est_union = (
+        F.lit(63.0) * F.lit(1152921504606846976.0)
+        / F.col("kth_h").cast("double")
+    )
+    return (
+        agg.join(
+            F.broadcast(per.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(per.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))),
+            "sb",
+        )
+        .join(F.broadcast(ei), ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "n_a",
+            "n_b",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            (
+                F.col("n_a") + F.col("n_b")
+                - F.coalesce("exact_inter", F.lit(0))
+            ).alias("exact_union"),
+            "kth_h",
+            "n_both",
+            est_union.alias("est_union"),
+            (F.col("n_both").cast("double") / F.lit(float(k))).alias(
+                "est_jaccard"
+            ),
+            (
+                F.col("n_both").cast("double")
+                / F.lit(float(k))
+                * est_union
+            ).alias("est_inter"),
+        )
+    )

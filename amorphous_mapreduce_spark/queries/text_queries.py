@@ -213,3 +213,170 @@ def q_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- hybrid lexical+dense retrieval with reciprocal-rank fusion -------------
+
+_RRF_K = 20
+_RRF_C = 60
+_RRF_SCALE = 1000000
+_RRF_QHASH = (
+    "CAST('0x' || substr(md5('rrfq_' || CAST(vec_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+_BM25_BODY = f"""
+per_doc AS (
+    SELECT id, COUNT(*) AS dl,
+           CAST(SUM(CASE WHEN word = '{BM25_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+           CAST(SUM(CASE WHEN word = '{BM25_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+           CAST(SUM(CASE WHEN word = '{BM25_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+    FROM toks GROUP BY id
+),
+scal AS (
+    SELECT COUNT(*) AS _n_doc,
+           CAST(SUM(dl) AS BIGINT) AS _n_tok,
+           CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_0,
+           CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_1,
+           CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_2
+    FROM per_doc
+)
+"""
+
+RRF_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + ", "
+    + _BM25_BODY
+    + f"""
+, btop AS (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r_bm25
+    FROM (
+        SELECT id,
+               {_BM25_TS[0]}
+             + {_BM25_TS[1]}
+             + {_BM25_TS[2]} AS score
+        FROM per_doc CROSS JOIN scal
+        WHERE greatest(tf_0, tf_1, tf_2) > 0
+    ) ORDER BY score DESC, id LIMIT {_RRF_K}
+),
+qv AS (
+    SELECT vec_id AS qid, embedding AS q
+    FROM embeddings ORDER BY {_RRF_QHASH}, vec_id LIMIT 1
+),
+dense AS (
+    SELECT g.vec_id AS id,
+           list_dot_product(p.q::DOUBLE[], g.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding::DOUBLE[],
+                                      g.embedding::DOUBLE[]))) AS cos
+    FROM embeddings g CROSS JOIN qv p
+    WHERE g.vec_id <> p.qid
+),
+dtop AS (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS r_cos
+    FROM dense ORDER BY cos DESC, id LIMIT {_RRF_K}
+)
+SELECT COALESCE(b.id, d.id) AS id,
+       b.r_bm25, d.r_cos,
+       COALESCE({_RRF_SCALE} // ({_RRF_C} + b.r_bm25), 0)
+     + COALESCE({_RRF_SCALE} // ({_RRF_C} + d.r_cos), 0) AS rrf_score
+FROM btop b FULL JOIN dtop d ON b.id = d.id
+"""
+)
+
+
+@register("hybrid_rrf_retrieval", RRF_ORACLE)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical BM25
+    top-20 (fixed bag-of-terms query, the bm25_ranking scorer) and the
+    dense cosine top-20 (fixed hash-chosen query vector, the
+    query-by-example path over the embeddings table) fused by integer
+    RRF — score = Σ 10^6 div (60 + rank) over the lists containing the
+    doc (integer division, so the fusion is engine-exact; ties broken
+    by id). This is the retrieval shape modern RAG/search stacks run:
+    two independent ANN/index branches, one rank-based merge that
+    needs no score calibration between modalities.
+
+    Scale: each branch ends in a distributed TakeOrderedAndProject
+    (top-20); the fusion operates on <= 40 rows. The dense branch is a
+    broadcast of ONE query row against a linear scan — the brute-force
+    arm that an IVF/LSH index (operators/similarity.py) replaces at
+    100 TB without changing the fusion contract.
+
+    vec_id and doc_id share the id space by fixture design
+    (FIXTURES.md)."""
+    from amorphous_mapreduce_spark.functions.vectors import cosine_similarity
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, c, scale = _RRF_K, _RRF_C, _RRF_SCALE
+
+    btop = (
+        bm25_scores(docs, BM25_TERMS)
+        .select("id", "score")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("id")))
+            .cast("long")
+            .alias("r_bm25"),
+        )
+    )
+    qh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rrfq_"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    qv = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q"),
+            qh.alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(1)
+        .drop("_h")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_similarity("q", "embedding").alias("cos"),
+        )
+    )
+    dtop = (
+        dense.orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("id")))
+            .cast("long")
+            .alias("r_cos"),
+        )
+    )
+    return (
+        btop.join(dtop, "id", "full")
+        .select(
+            "id",
+            "r_bm25",
+            "r_cos",
+            (
+                F.coalesce(
+                    F.expr(f"div({scale}L, {c} + r_bm25)"), F.lit(0).cast("long")
+                )
+                + F.coalesce(
+                    F.expr(f"div({scale}L, {c} + r_cos)"), F.lit(0).cast("long")
+                )
+            ).alias("rrf_score"),
+        )
+    )

@@ -744,3 +744,88 @@ def q_seasonal_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day_idx", "dow", "hour", "cnt", "total", "n_cells")
         .orderBy("day_idx", "hour")
     )
+
+
+# --- seasonal-naive forecast backtest ---------------------------------------
+
+NAIVE_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+paired AS (
+    SELECT a.day, a.cents AS actual, f.cents AS forecast
+    FROM daily a JOIN daily f ON f.day + INTERVAL 7 DAY = a.day
+),
+m AS (
+    SELECT date_trunc('month', day) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(actual) AS BIGINT) AS actual_cents,
+           CAST(SUM(forecast) AS BIGINT) AS forecast_cents,
+           CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS abs_err_cents
+    FROM paired GROUP BY 1
+)
+SELECT month, n_days, actual_cents, forecast_cents, abs_err_cents,
+       CAST(abs_err_cents AS DOUBLE) / CAST(actual_cents AS DOUBLE) AS wape,
+       (CAST(forecast_cents AS DOUBLE) - CAST(actual_cents AS DOUBLE))
+       / CAST(actual_cents AS DOUBLE) AS bias
+FROM m
+"""
+
+
+@register("seasonal_naive_backtest", NAIVE_BACKTEST_ORACLE)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's order
+    revenue with the same-weekday value one week earlier, then score
+    the forecast per month with WAPE (sum|err| / sum actual) and bias —
+    the standard sanity baseline every demand-forecasting system must
+    beat, and the eval harness that proves it.
+
+    All error mass is integer cents (BIGINT sums — exact, order-free);
+    WAPE/bias are one final double division each, so the metric is
+    engine-exact. Scale: one keyed daily aggregate (~n_days rows), a
+    self-join on the day key shifted 7 days, and a monthly rollup —
+    no windows, no skew (day keys are uniform)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    a = daily.select("day", F.col("cents").alias("actual"))
+    fc = daily.select(
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("cents").alias("forecast"),
+    )
+    m = (
+        a.join(fc, "day")
+        .groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("actual").alias("actual_cents"),
+            F.sum("forecast").alias("forecast_cents"),
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).alias(
+                "abs_err_cents"
+            ),
+        )
+    )
+    return m.select(
+        "month",
+        "n_days",
+        "actual_cents",
+        "forecast_cents",
+        "abs_err_cents",
+        (
+            F.col("abs_err_cents").cast("double")
+            / F.col("actual_cents").cast("double")
+        ).alias("wape"),
+        (
+            (
+                F.col("forecast_cents").cast("double")
+                - F.col("actual_cents").cast("double")
+            )
+            / F.col("actual_cents").cast("double")
+        ).alias("bias"),
+    )

@@ -42,6 +42,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "kmv_set_similarity": {
+        "CartesianProduct": "source-pair grid: the distinct-source dim "
+        "(tens of rows) non-equi self-joined on sa < sb — bounded by "
+        "#sources\u00b2, never by data volume; all sketch joins are equi",
+        "BroadcastNestedLoopJoin": "same source-pair grid when Spark "
+        "plans the sa < sb self-join as a broadcast loop — both sides "
+        "are the distinct-source dim",
+    },
+    "hybrid_rrf_retrieval": {
+        "BroadcastNestedLoopJoin": "two 1-row broadcasts by construction: "
+        "the BM25 corpus-scalar aggregate crossed onto per-doc rows and "
+        "the single hash-chosen query vector crossed over the gallery "
+        "with a non-equi self-exclusion — linear scans, no pair blowup",
+    },
     "discount_return_separability": {
         "BroadcastNestedLoopJoin": "both BNLJs operate on the "
         "distinct-score histogram (O(#buckets) rows, 11 discount values; "
