@@ -83,6 +83,10 @@ HEADLINE = [
     "langid_prf",
     "leaderboard_churn",
     "events_decay_attribution",
+    # forecast-eval / set-sketch / hybrid-retrieval families (round 4)
+    "seasonal_naive_backtest",
+    "kmv_set_similarity",
+    "hybrid_rrf_retrieval",
 ]
 
 
