@@ -561,3 +561,103 @@ def q_normalization_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") - 1).alias("n_removable"),
         F.max("c").alias("max_group"),
     )
+
+
+# --- MinHash-LSH recall against exact-Jaccard ground truth ------------------
+
+_RECALL_TAU = 0.05
+
+MINHASH_RECALL_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+, capped AS (
+    SELECT s.id, s.sh FROM shingles s
+    JOIN (SELECT sh FROM shingles GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}) rare USING (sh)
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM capped GROUP BY id),
+inters AS (
+    SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
+    FROM capped a JOIN capped b USING (sh)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id
+),
+truth AS (
+    SELECT qid, nid,
+           CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) AS jaccard
+    FROM inters
+    JOIN sizes qs ON qs.id = qid
+    JOIN sizes ns ON ns.id = nid
+    WHERE CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) >= {_RECALL_TAU}
+),
+minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+),
+bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+),
+found AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+),
+scored AS (
+    SELECT t.qid, t.nid,
+           LEAST(CAST(FLOOR(t.jaccard * 5) AS BIGINT), 4) AS jband,
+           CASE WHEN f.qid IS NULL THEN 0 ELSE 1 END AS hit
+    FROM truth t LEFT JOIN found f ON t.qid = f.qid AND t.nid = f.nid
+)
+SELECT jband,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM scored GROUP BY jband
+"""
+)
+
+
+@register("minhash_recall_vs_jaccard", MINHASH_RECALL_ORACLE)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash(16)-LSH(4-bit band) candidate generator
+    against exact n-gram-Jaccard ground truth (pairs with J >= 0.05 over
+    the df-capped vocabulary), bucketed by Jaccard band — the dedup
+    analogue of similarity_lsh_recall: the measured S-curve evidence
+    that the banding parameters catch the near-dups they claim to,
+    BEFORE a 100 TB dedup commits to them.
+
+    Scale: the LSH side is the production sub-quadratic path; the exact
+    side is the inverted-index join with the hot-shingle cap — the
+    validation arm, run at audit SF. Truth→found matching is a keyed
+    left join on the pair ids; band bucketing is FLOOR on an exact
+    double ratio, identical on both engines."""
+    from amorphous_mapreduce_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    truth = jaccard_pairs(
+        docs, threshold=_RECALL_TAU, max_df=JACCARD_MAX_DF
+    ).select("qid", "nid", "jaccard")
+    found = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).select(
+        "qid", "nid", F.lit(1).alias("hit")
+    )
+    scored = truth.join(found, ["qid", "nid"], "left").select(
+        F.least(
+            F.floor(F.col("jaccard") * 5).cast("long"), F.lit(4).cast("long")
+        ).alias("jband"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    return scored.groupBy("jband").agg(
+        F.count("*").alias("n_truth"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        (
+            F.sum("hit").cast("double") / F.count("*").cast("double")
+        ).alias("recall"),
+    )

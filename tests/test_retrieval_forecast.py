@@ -119,3 +119,16 @@ def test_hybrid_rrf_query_vector_is_hash_deterministic(spark, sf_dir):
     for r in rows:
         if r.id == qid:
             assert r.r_cos is None
+
+
+def test_minhash_recall_bands(spark, sf_dir):
+    rows = QUERIES["minhash_recall_vs_jaccard"](spark, sf_dir).collect()
+    assert rows, "no truth pairs at this SF"
+    for r in rows:
+        assert 0 <= r.jband <= 4
+        assert 0 <= r.n_hits <= r.n_truth
+        assert r.recall == r.n_hits / r.n_truth
+    by_band = {r.jband: r for r in rows}
+    # strong near-dups (J >= 0.8) must be fully recalled by 16/4 banding
+    if 4 in by_band:
+        assert by_band[4].recall == 1.0
