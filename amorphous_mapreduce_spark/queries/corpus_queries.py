@@ -357,3 +357,83 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.corpus_stats import vocab_coverage
 
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+# --- Zipf frequency-spectrum octave profile ---------------------------------
+
+ZIPF_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + """
+, tf AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+oct AS (
+    SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS octave,
+           c
+    FROM tf
+),
+per AS (
+    SELECT octave,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM oct GROUP BY octave
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS _total FROM per)
+SELECT p.octave, p.n_types, p.n_tokens,
+       CAST(p.n_tokens AS DOUBLE) / CAST(t._total AS DOUBLE) AS token_share,
+       CAST(p.n_types AS DOUBLE) / CAST(prev.n_types AS DOUBLE)
+           AS type_ratio_vs_prev
+FROM per p
+CROSS JOIN tot t
+LEFT JOIN per prev ON prev.octave = p.octave - 1
+"""
+)
+
+
+@register("zipf_octave_profile", ZIPF_ORACLE)
+def q_zipf_octave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-spectrum profile in octave (power-of-two) buckets:
+    how many word types and how much token mass live at each frequency
+    doubling, plus the consecutive-octave type ratio — the Zipf/Heaps
+    diagnostic that sizes vocabularies and sketch widths before a
+    100 TB tokenizer or CMS commit. The octave is length(bin(c)) - 1 =
+    floor(log2(c)) computed EXACTLY from the binary string length on
+    both engines (no libm log anywhere).
+
+    Scale: one token-frequency aggregate, then everything runs on
+    <= 64 octave rows; the corpus total is a 1-row scalar crossed back
+    onto the octave frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    tf = tokenized(docs).groupBy("word").agg(F.count("*").alias("c"))
+    per = (
+        tf.select(
+            (F.length(F.bin("c")) - 1).cast("long").alias("octave"), "c"
+        )
+        .groupBy("octave")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_total"))
+    prev = per.select(
+        (F.col("octave") + 1).alias("octave"),
+        F.col("n_types").alias("_prev_types"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(prev), "octave", "left")
+        .select(
+            "octave",
+            "n_types",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("_total").cast("double")
+            ).alias("token_share"),
+            (
+                F.col("n_types").cast("double")
+                / F.col("_prev_types").cast("double")
+            ).alias("type_ratio_vs_prev"),
+        )
+    )

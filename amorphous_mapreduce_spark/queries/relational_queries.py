@@ -556,3 +556,46 @@ def brand_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(dec("l_extendedprice")).cast("double").alias("max_price"),
         )
     )
+
+
+# --- Spark 4 VariantType path over semi-structured props --------------------
+
+VARIANT_HIST_ORACLE = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
+@register("events_variant_histogram", VARIANT_HIST_ORACLE)
+def q_events_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of the semi-structured ``props.k`` attribute per
+    event type, extracted through Spark 4's VARIANT type (parse_json ->
+    variant_get with a typed path) rather than string JSON functions —
+    the engine path that keeps open-schema telemetry columns in a
+    binary, predicate-pushable encoding instead of reparsing text per
+    query. DuckDB replays the same extraction with its JSON extractor.
+
+    Scale: parse + typed extraction are a narrow projection; the only
+    shuffle is the (event_type, bucket) aggregate with bounded key
+    cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .select(
+            "event_type", F.expr("k div 10").alias("k_bucket"), "k"
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -132,3 +132,49 @@ def test_minhash_recall_bands(spark, sf_dir):
     # strong near-dups (J >= 0.8) must be fully recalled by 16/4 banding
     if 4 in by_band:
         assert by_band[4].recall == 1.0
+
+
+def test_kmv_sketch_is_mergeable_across_shards(spark, sf_dir):
+    """Bottom-k of the union of per-shard bottom-k sketches == global
+    bottom-k — the property that lets KMV sketches merge across
+    epochs/shards without revisiting data."""
+    from pyspark.sql import Window
+
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    sw = (
+        tokenized(docs)
+        .select("id", "word")
+        .join(src, "id")
+        .select("source", hex_hash64("word").alias("h"), F.col("id") % 3)
+        .withColumnRenamed("(id % 3)", "shard")
+    )
+    k = 64
+    w = Window.partitionBy("source").orderBy("h")
+    global_sk = (
+        sw.select("source", "h")
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("source", "h")
+    )
+    ws = Window.partitionBy("source", "shard").orderBy("h")
+    shard_sk = (
+        sw.select("source", "shard", "h")
+        .distinct()
+        .withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= k)
+        .select("source", "h")
+    )
+    merged = (
+        shard_sk.distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("source", "h")
+    )
+    a = {(r.source, r.h) for r in global_sk.collect()}
+    b = {(r.source, r.h) for r in merged.collect()}
+    assert a == b

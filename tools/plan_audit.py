@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "zipf_octave_profile": {
+        "BroadcastNestedLoopJoin": "1-row corpus-total scalar crossed "
+        "back onto the <= 64-row octave frame — constant-size both "
+        "sides, the standard scalar-total pattern",
+    },
     "kmv_set_similarity": {
         "CartesianProduct": "source-pair grid: the distinct-source dim "
         "(tens of rows) non-equi self-joined on sa < sb — bounded by "
