@@ -159,3 +159,114 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance_us=86_400_000_000,
     )
+
+
+# --- point-in-time feature-store materialization ----------------------------
+
+_PIT_7D_US = 604_800_000_000
+
+PIT_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+    FROM events
+),
+feat AS (
+    SELECT event_id, user_id, event_type, value, us,
+           last_value(CASE WHEN event_type = 'view' THEN value END
+                      IGNORE NULLS)
+               OVER w_rows AS last_view_value,
+           last_value(CASE WHEN event_type = 'click' THEN value END
+                      IGNORE NULLS)
+               OVER w_rows AS last_click_value,
+           last_value(CASE WHEN event_type = 'error' THEN us END
+                      IGNORE NULLS)
+               OVER w_rows AS last_error_us,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+               OVER w_range AS n_views_7d
+    FROM e
+    WINDOW
+        w_rows AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_range AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN {_PIT_7D_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, us, value AS label_value,
+       last_view_value, last_click_value,
+       us - last_error_us AS us_since_error,
+       CAST(n_views_7d AS BIGINT) AS n_views_7d
+FROM feat WHERE event_type = 'purchase'
+"""
+
+
+@register("feature_store_pit", PIT_ORACLE)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature-store materialization: for every purchase
+    (the label row), the features visible STRICTLY BEFORE it — last
+    view/click value, microseconds since the last error, and the 7-day
+    view count — assembled leakage-free in ONE pass. This is the
+    training-set join a feature store must get right: a ROWS frame
+    ending at 1 PRECEDING can never see the label row, and all feature
+    columns ride the same (user_id) window partition, so the whole
+    matrix costs one shuffle regardless of how many features are added.
+
+    Determinism: the carry frame orders by (us, event_id) — a total
+    order — and the RANGE count frame is tie-order-insensitive by
+    construction. Scale: per-user window sorts spill inside the window
+    exec; no self-joins, no per-feature passes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_PIT_7D_US, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w_rows)
+        .alias("last_view_value"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w_rows)
+        .alias("last_click_value"),
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("us")),
+            ignorenulls=True,
+        )
+        .over(w_rows)
+        .alias("last_error_us"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .over(w_range)
+        .alias("n_views_7d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("value").alias("label_value"),
+        "last_view_value",
+        "last_click_value",
+        (F.col("us") - F.col("last_error_us")).alias("us_since_error"),
+        "n_views_7d",
+    )

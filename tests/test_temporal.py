@@ -290,3 +290,51 @@ def test_asof_forward_with_tolerance_matches_pandas(spark):
     assert (
         got.loc[mask, "asof_value"].values == want.loc[mask, "value_r"].values
     ).all()
+
+
+def test_feature_store_pit_no_leakage(spark, sf_dir):
+    """Every PIT feature must derive only from events strictly before
+    the label row in the (us, event_id) total order."""
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["feature_store_pit"](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for u in by_user:
+        by_user[u].sort(key=lambda e: (e.us, e.event_id))
+    checked = 0
+    for r in rows[:200]:
+        hist = [
+            e
+            for e in by_user[r.user_id]
+            if (e.us, e.event_id) < (r.us, r.event_id)
+        ]
+        views = [e for e in hist if e.event_type == "view"]
+        clicks = [e for e in hist if e.event_type == "click"]
+        errors = [e for e in hist if e.event_type == "error"]
+        assert r.last_view_value == (views[-1].value if views else None)
+        assert r.last_click_value == (clicks[-1].value if clicks else None)
+        expect_err = r.us - errors[-1].us if errors else None
+        assert r.us_since_error == expect_err
+        n7 = sum(
+            1
+            for e in by_user[r.user_id]
+            if e.event_type == "view" and r.us - 604_800_000_000 <= e.us <= r.us - 1
+        )
+        assert r.n_views_7d == n7
+        checked += 1
+    assert checked > 0
