@@ -227,3 +227,113 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally."""
     frames = [_check_frame(spark, sf_dir, t, c) for t, c, _ in _CHECKS]
     return reduce(DataFrame.unionByName, frames)
+
+
+# --- distribution-drift monitor (two-sample chi-square scorecard) -----------
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+DRIFT_ORACLE = f"""
+WITH e AS (
+    SELECT event_type,
+           LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket,
+           CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS ref
+    FROM events
+),
+per AS (
+    SELECT event_type, bucket,
+           CAST(SUM(ref) AS BIGINT) AS n_ref,
+           CAST(SUM(1 - ref) AS BIGINT) AS n_cur
+    FROM e GROUP BY event_type, bucket
+),
+tot AS (
+    SELECT event_type,
+           CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+    FROM per GROUP BY event_type
+)
+SELECT p.event_type, p.bucket, p.n_ref, p.n_cur,
+       CAST(p.n_ref AS DOUBLE) / CAST(t.tot_ref AS DOUBLE) AS share_ref,
+       CAST(p.n_cur AS DOUBLE) / CAST(t.tot_cur AS DOUBLE) AS share_cur,
+       (CAST(p.n_ref AS DOUBLE)
+        - CAST(t.tot_ref AS DOUBLE) * CAST(p.n_ref + p.n_cur AS DOUBLE)
+          / CAST(t.tot_ref + t.tot_cur AS DOUBLE))
+       * (CAST(p.n_ref AS DOUBLE)
+          - CAST(t.tot_ref AS DOUBLE) * CAST(p.n_ref + p.n_cur AS DOUBLE)
+            / CAST(t.tot_ref + t.tot_cur AS DOUBLE))
+       / (CAST(t.tot_ref AS DOUBLE) * CAST(p.n_ref + p.n_cur AS DOUBLE)
+          / CAST(t.tot_ref + t.tot_cur AS DOUBLE))
+       + (CAST(p.n_cur AS DOUBLE)
+          - CAST(t.tot_cur AS DOUBLE) * CAST(p.n_ref + p.n_cur AS DOUBLE)
+            / CAST(t.tot_ref + t.tot_cur AS DOUBLE))
+         * (CAST(p.n_cur AS DOUBLE)
+            - CAST(t.tot_cur AS DOUBLE) * CAST(p.n_ref + p.n_cur AS DOUBLE)
+              / CAST(t.tot_ref + t.tot_cur AS DOUBLE))
+         / (CAST(t.tot_cur AS DOUBLE) * CAST(p.n_ref + p.n_cur AS DOUBLE)
+            / CAST(t.tot_ref + t.tot_cur AS DOUBLE)) AS chi2_term,
+       (ABS(p.n_ref * t.tot_cur - p.n_cur * t.tot_ref) * 50
+        > t.tot_ref * t.tot_cur) AS drifted
+FROM per p JOIN tot t ON p.event_type = t.event_type
+"""
+
+
+@register("feature_drift_buckets", DRIFT_ORACLE)
+def q_feature_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift scorecard between a reference window (first
+    half of the event stream) and the current window: per (event_type,
+    value-bucket), the two-sample chi-square contribution and a
+    drift flag — the monitor a feature platform runs before every
+    retrain to catch covariate shift.
+
+    Numeric discipline: counts are exact integers; each chi-square
+    contribution is ONE fixed double expression per row (never a float
+    sum across rows — the per-bucket terms ARE the output); the drift
+    verdict |p_ref − p_cur| > 1/50 is a cross-multiplied INTEGER
+    comparison, so the flag can never flip on a rounding ulp.
+
+    Scale: one scan, one (event_type, bucket) aggregate with bounded
+    key cardinality, and a broadcast join of the per-type totals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("ref"),
+    )
+    per = ev.groupBy("event_type", "bucket").agg(
+        F.sum("ref").alias("n_ref"),
+        F.sum(1 - F.col("ref")).alias("n_cur"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tot_ref"),
+        F.sum("n_cur").alias("tot_cur"),
+    )
+    nr = F.col("n_ref").cast("double")
+    nc = F.col("n_cur").cast("double")
+    tr = F.col("tot_ref").cast("double")
+    tc = F.col("tot_cur").cast("double")
+    pooled = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    e_ref = tr * pooled / (F.col("tot_ref") + F.col("tot_cur")).cast("double")
+    e_cur = tc * pooled / (F.col("tot_ref") + F.col("tot_cur")).cast("double")
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (nr / tr).alias("share_ref"),
+        (nc / tc).alias("share_cur"),
+        (
+            (nr - e_ref) * (nr - e_ref) / e_ref
+            + (nc - e_cur) * (nc - e_cur) / e_cur
+        ).alias("chi2_term"),
+        (
+            F.abs(
+                F.col("n_ref") * F.col("tot_cur")
+                - F.col("n_cur") * F.col("tot_ref")
+            )
+            * 50
+            > F.col("tot_ref") * F.col("tot_cur")
+        ).alias("drifted"),
+    )
