@@ -1161,3 +1161,115 @@ def q_events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_credits"),
         F.sum(F.col("cents") * weight).alias("credit_scaled"),
     )
+
+
+# --- grouped OLS: per-brand price ~ discount regression ---------------------
+
+OLS_ORACLE = """
+WITH obs AS (
+    SELECT p_brand AS brand,
+           CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+stats AS (
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+                AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(15,0)))
+                AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(CAST(y AS DECIMAL(15,0)) * CAST(y AS DECIMAL(15,0)))
+                AS DECIMAL(38,0)) AS syy
+    FROM obs GROUP BY brand
+),
+d AS (
+    SELECT brand, n,
+           CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+           CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+    FROM stats
+)
+SELECT brand, n,
+       CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+            ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+       END AS slope_cents_per_pt,
+       CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+            ELSE (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                        * sxd) / nd
+       END AS intercept_cents,
+       CASE WHEN (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd) = 0
+            THEN NULL
+            ELSE (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+       END AS r2
+FROM d
+"""
+
+
+@register("brand_discount_ols", OLS_ORACLE)
+def q_brand_discount_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS regression of line price on discount points — the
+    'millions of tiny regressions' shape (one closed-form fit per
+    group) that price-elasticity and trend-fitting jobs run at scale.
+    Sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT integer
+    cents accumulated in DECIMAL(38,0) (mergeable across any partition
+    split — the ab_test_welch discipline); slope/intercept/R² are one
+    fixed double expression per brand, NULL-guarded on degenerate
+    variance (Spark ANSI raises on double/0 where DuckDB returns inf).
+
+    Scale: one fact-dim broadcast join + one keyed aggregate; per-brand
+    state is six numbers regardless of row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    obs = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_discount").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    stats = obs.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(15,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(15,0)") * F.col("y").cast("decimal(15,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    den_x = nd * sxxd - sxd * sxd
+    den_y = nd * syyd - syd * syd
+    cov = nd * sxyd - sxd * syd
+    slope = F.when(den_x == 0, F.lit(None).cast("double")).otherwise(
+        cov / den_x
+    )
+    return stats.select(
+        "brand",
+        "n",
+        slope.alias("slope_cents_per_pt"),
+        F.when(den_x == 0, F.lit(None).cast("double"))
+        .otherwise((syd - cov / den_x * sxd) / nd)
+        .alias("intercept_cents"),
+        F.when(den_x * den_y == 0, F.lit(None).cast("double"))
+        .otherwise(cov * cov / (den_x * den_y))
+        .alias("r2"),
+    )

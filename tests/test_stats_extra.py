@@ -95,3 +95,33 @@ def test_revenue_gini_in_unit_interval(spark, sf_dir):
     r = QUERIES["revenue_gini"](spark, sf_dir).collect()[0]
     assert 0.0 <= r.gini < 1.0
     assert r.total_cents > 0 and r.n > 0
+
+
+def test_brand_discount_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["brand_discount_ols"](spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("p_brand", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    by_brand = {}
+    for o in obs:
+        by_brand.setdefault(o.p_brand, ([], []))
+        by_brand[o.p_brand][0].append(round(float(o.l_discount) * 100))
+        by_brand[o.p_brand][1].append(round(float(o.l_extendedprice) * 100))
+    for r in rows[:5]:
+        xs, ys = map(np.array, by_brand[r.brand])
+        assert r.n == len(xs)
+        if r.slope_cents_per_pt is None:
+            assert np.ptp(xs) == 0
+            continue
+        sl, ic = np.polyfit(xs, ys, 1)
+        assert abs(sl - r.slope_cents_per_pt) <= 1e-9 * max(1.0, abs(sl))
+        assert abs(ic - r.intercept_cents) <= 1e-9 * max(1.0, abs(ic))
