@@ -1273,3 +1273,97 @@ def q_brand_discount_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(cov * cov / (den_x * den_y))
         .alias("r2"),
     )
+
+
+# --- exact trimmed mean per brand --------------------------------------------
+
+TRIMMED_ORACLE = """
+WITH obs AS (
+    SELECT p_brand AS brand,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           l_orderkey, l_linenumber
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+ranked AS (
+    SELECT brand, cents,
+           ROW_NUMBER() OVER (PARTITION BY brand
+                              ORDER BY cents, l_orderkey, l_linenumber)
+               AS r
+    FROM obs
+),
+tot AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 5 // 100 AS BIGINT) AS k
+    FROM ranked GROUP BY brand
+)
+SELECT t.brand, t.n, t.k AS k_trim,
+       CAST(SUM(CASE WHEN r.r > t.k AND r.r <= t.n - t.k
+                     THEN r.cents ELSE 0 END) AS BIGINT) AS kept_cents,
+       CAST(SUM(CASE WHEN r.r > t.k AND r.r <= t.n - t.k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.r > t.k AND r.r <= t.n - t.k
+                     THEN r.cents ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CASE WHEN r.r > t.k AND r.r <= t.n - t.k
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean_cents,
+       CAST(SUM(r.cents) AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_cents
+FROM ranked r JOIN tot t ON r.brand = t.brand
+GROUP BY t.brand, t.n, t.k
+"""
+
+
+@register("brand_trimmed_mean", TRIMMED_ORACLE)
+def q_brand_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean of line price per brand beside the plain
+    mean — the robust-statistics companion to price_mad: k = floor(5%·n)
+    rows are dropped from EACH end by rank (total-order tie-break), so
+    the trim is count-exact, engine-exact integer arithmetic with one
+    final division.
+
+    Scale: ranks come from a keyed window (partition = brand — the
+    window sort spills inside each bounded group); per-brand totals are
+    a 25-row broadcast. No global sort anywhere."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    obs = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("brand").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    ranked = obs.select("brand", "cents", F.row_number().over(w).alias("r"))
+    tot = ranked.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.expr("div(count(*) * 5, 100)").alias("k"),
+    )
+    kept = F.when(
+        (F.col("r") > F.col("k")) & (F.col("r") <= F.col("n") - F.col("k")),
+        F.col("cents"),
+    ).otherwise(0)
+    kept1 = F.when(
+        (F.col("r") > F.col("k")) & (F.col("r") <= F.col("n") - F.col("k")), 1
+    ).otherwise(0)
+    return (
+        ranked.join(F.broadcast(tot), "brand")
+        .groupBy("brand", "n", F.col("k").alias("k_trim"))
+        .agg(
+            F.sum(kept).alias("kept_cents"),
+            F.sum(kept1).cast("long").alias("n_kept"),
+            (F.sum(kept).cast("double") / F.sum(kept1).cast("double")).alias(
+                "trimmed_mean_cents"
+            ),
+            (F.sum("cents").cast("double") / F.first("n").cast("double")).alias(
+                "mean_cents"
+            ),
+        )
+    )
