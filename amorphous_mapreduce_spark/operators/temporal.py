@@ -218,3 +218,97 @@ def gap_fill_daily(
             F.last("_sum", ignorenulls=True).over(w).alias("filled_sum"),
         )
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str = "user_id",
+    right_cols: tuple[str, ...] = (),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction=
+    'nearest'): each left row gets the right row minimizing |right.on −
+    left.on| within the same ``by`` key, preferring the BACKWARD match
+    on exact distance ties. ``on`` must be an integer column (e.g.
+    epoch microseconds) so the distance is exact integer arithmetic.
+
+    Same scale shape as asof_join: ONE shuffle on the key, two ordered
+    carries inside the same window partition (ascending for the
+    backward candidate, descending for the forward candidate), then a
+    scalar chooser — never a row-pair blowup. Duplicate right (by, on)
+    rows resolve like asof_join: the backward carry keeps the greatest
+    payload tuple, the forward carry the smallest.
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(by), F.col(on), *[F.col(c) for c in right_cols]
+    ).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in (by, on) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    unioned = l.unionByName(r.select(*l.columns))
+
+    payload = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
+    w_b = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), payload.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc(), payload.desc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def carry(w, name_prefix):
+        cols = [
+            F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True)
+            .over(w)
+            .alias(f"{name_prefix}_{on}")
+        ]
+        cols += [
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"{name_prefix}_{c}")
+            for c in right_cols
+        ]
+        return cols
+
+    # All window columns in ONE select (window-after-filter recompute
+    # gotcha), then the scalar chooser.
+    carried = unioned.select(
+        *unioned.columns, *carry(w_b, "_b"), *carry(w_f, "_f")
+    ).filter(F.col("_side") == 1)
+
+    d_b = F.col(on) - F.col(f"_b_{on}")
+    d_f = F.col(f"_f_{on}") - F.col(on)
+    b_ok = F.col(f"_b_{on}").isNotNull() & (
+        F.lit(True) if tolerance_us is None else (d_b <= F.lit(tolerance_us))
+    )
+    f_ok = F.col(f"_f_{on}").isNotNull() & (
+        F.lit(True) if tolerance_us is None else (d_f <= F.lit(tolerance_us))
+    )
+    take_b = b_ok & (~f_ok | (d_b <= d_f))
+    take_f = f_ok & ~take_b
+
+    out_cols = [F.col(c) for c in lcols]
+    out_cols.append(
+        F.when(take_b, F.col(f"_b_{on}"))
+        .when(take_f, F.col(f"_f_{on}"))
+        .alias(f"asof_{on}")
+    )
+    for c in right_cols:
+        out_cols.append(
+            F.when(take_b, F.col(f"_b_{c}"))
+            .when(take_f, F.col(f"_f_{c}"))
+            .alias(f"asof_{c}")
+        )
+    return carried.select(*out_cols)

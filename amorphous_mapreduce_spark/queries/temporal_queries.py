@@ -270,3 +270,59 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") - F.col("last_error_us")).alias("us_since_error"),
         "n_views_7d",
     )
+
+
+# --- nearest-direction as-of join -------------------------------------------
+
+NEAREST_ORACLE = """
+WITH purchases AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us, value
+    FROM events WHERE event_type = 'purchase'
+), errors AS (
+    SELECT user_id, epoch_us(ts) AS us, value
+    FROM events WHERE event_type = 'error'
+), ranked AS (
+    SELECT p.event_id, e.us AS e_us, e.value AS e_value,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(e.us - p.us) ASC,
+                        CASE WHEN e.us <= p.us THEN 0 ELSE 1 END ASC,
+                        CASE WHEN e.us <= p.us THEN -e.value
+                             ELSE e.value END ASC) AS rnk
+    FROM purchases p JOIN errors e
+      ON e.user_id = p.user_id AND ABS(e.us - p.us) <= 43200000000
+)
+SELECT p.event_id, p.user_id, p.us, p.value,
+       r.e_us AS asof_us, r.e_value AS asof_value
+FROM purchases p
+LEFT JOIN (SELECT * FROM ranked WHERE rnk = 1) r USING (event_id)
+"""
+
+
+@register("asof_nearest_error", NEAREST_ORACLE)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (merge_asof direction='nearest'): each
+    purchase annotated with the CLOSEST error event of the same user
+    within ±12 h, preferring the earlier one on exact ties — incident
+    correlation where cause may land just before or just after the
+    effect. Two ordered carries in one (user_id) window partition plus
+    a scalar chooser; the oracle is the explicit |Δ|-rank formulation.
+    Completes the as-of family (backward / forward+tolerance /
+    nearest)."""
+    from amorphous_mapreduce_spark.operators.temporal import asof_nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    return asof_nearest_join(
+        purchases,
+        errors,
+        on="us",
+        by="user_id",
+        right_cols=("value",),
+        tolerance_us=43_200_000_000,
+    )

@@ -338,3 +338,41 @@ def test_feature_store_pit_no_leakage(spark, sf_dir):
         assert r.n_views_7d == n7
         checked += 1
     assert checked > 0
+
+
+def test_asof_nearest_tie_and_tolerance(spark):
+    """Nearest as-of: min |delta| wins, exact ties prefer backward,
+    tolerance nulls far matches, duplicate right timestamps resolve to
+    the greatest payload on the backward side."""
+    from pyspark.sql import Row
+
+    from amorphous_mapreduce_spark.operators.temporal import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [
+            Row(id=1, user_id=1, us=100),   # tie: right at 90 and 110
+            Row(id=2, user_id=1, us=205),   # nearer forward (210 vs 90/110)
+            Row(id=3, user_id=1, us=500),   # nothing within tolerance
+            Row(id=4, user_id=2, us=50),    # duplicate right ts payloads
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, us=90, v=1.0),
+            Row(user_id=1, us=110, v=2.0),
+            Row(user_id=1, us=210, v=3.0),
+            Row(user_id=2, us=40, v=7.0),
+            Row(user_id=2, us=40, v=9.0),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in asof_nearest_join(
+            left, right, on="us", by="user_id", right_cols=("v",),
+            tolerance_us=100,
+        ).collect()
+    }
+    assert (out[1].asof_us, out[1].asof_v) == (90, 1.0)   # tie -> backward
+    assert (out[2].asof_us, out[2].asof_v) == (210, 3.0)  # nearest forward
+    assert out[3].asof_us is None and out[3].asof_v is None
+    assert (out[4].asof_us, out[4].asof_v) == (40, 9.0)   # greatest payload
