@@ -1367,3 +1367,96 @@ def q_brand_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- position-bias curve (CTR by display position) --------------------------
+
+_PB_WINDOW_US = 300_000_000  # 5 minutes
+
+PB_ORACLE = f"""
+WITH views AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+               AS pos_bucket
+    FROM events WHERE event_type = 'view'
+), clicks AS (
+    SELECT user_id, epoch_us(ts) AS us FROM events
+    WHERE event_type = 'click'
+), flagged AS (
+    SELECT v.pos_bucket,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM clicks c
+               WHERE c.user_id = v.user_id
+                 AND c.us > v.us AND c.us <= v.us + {_PB_WINDOW_US}
+           ) THEN 1 ELSE 0 END AS conv
+    FROM views v
+)
+SELECT pos_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cvr
+FROM flagged GROUP BY pos_bucket
+"""
+
+
+@register("position_bias_curve", PB_ORACLE)
+def q_position_bias_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-through propensity by display position: for each view
+    (props.k read as the result slot, bucketed by 10), the fraction
+    followed by ANY click from the same user within 5 minutes — the
+    position-bias curve an unbiased learning-to-rank pipeline estimates
+    before inverse-propensity-weighting its training clicks.
+
+    Scale: the view→click lookup is the RANGE-JOIN pattern — views
+    probe two 5-minute time buckets (their own and the next), the join
+    is an EQUI-join on (user_id, bucket), and the exact window
+    predicate filters after — bounded fanout, never a per-user
+    cross product. The oracle states the same semantics as a
+    correlated EXISTS."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr(
+            "div(variant_get(parse_json(props), '$.k', 'bigint'), 10)"
+        ).alias("pos_bucket"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("c_us")
+    )
+    probes = views.select(
+        "event_id",
+        "user_id",
+        "us",
+        "pos_bucket",
+        F.explode(
+            F.array(
+                F.expr(f"div(us, {_PB_WINDOW_US})"),
+                F.expr(f"div(us, {_PB_WINDOW_US}) + 1"),
+            )
+        ).alias("bkt"),
+    )
+    hits = (
+        probes.join(
+            clicks.withColumn("bkt", F.expr(f"div(c_us, {_PB_WINDOW_US})")),
+            ["user_id", "bkt"],
+        )
+        .filter(
+            (F.col("c_us") > F.col("us"))
+            & (F.col("c_us") <= F.col("us") + _PB_WINDOW_US)
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    flagged = views.join(hits, "event_id", "left").select(
+        "pos_bucket", F.coalesce("conv", F.lit(0)).alias("conv")
+    )
+    return flagged.groupBy("pos_bucket").agg(
+        F.count("*").alias("n_views"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        (F.sum("conv").cast("double") / F.count("*").cast("double")).alias(
+            "cvr"
+        ),
+    )
