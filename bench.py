@@ -87,6 +87,14 @@ HEADLINE = [
     "seasonal_naive_backtest",
     "kmv_set_similarity",
     "hybrid_rrf_retrieval",
+    # feature-store / drift / grouped-regression / robust-stats /
+    # nearest-asof / position-bias families (round 4, cont.)
+    "feature_store_pit",
+    "feature_drift_buckets",
+    "brand_discount_ols",
+    "brand_trimmed_mean",
+    "asof_nearest_error",
+    "position_bias_curve",
 ]
 
 
