@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from amorphous_mapreduce_spark.operators.wordcount import word_counts
-from amorphous_mapreduce_spark.queries.dedup_queries import toks_cte
+from amorphous_mapreduce_spark.queries.dedup_queries import NORM, toks_cte
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -379,4 +379,84 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rrf_score"),
         )
+    )
+
+
+# --- readability scoring (Automated Readability Index) ----------------------
+
+# Sentence segmentation: split the normalised text on sentence enders.
+# ARI uses LETTER counts (we use non-space characters of the normalised
+# text) / words / sentences — all exact integers, one fixed double
+# expression per doc.
+
+ARI_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id AS id, {NORM} AS norm FROM documents
+),
+stats AS (
+    SELECT id,
+           CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+           CAST(length(norm) - length(replace(norm, ' ', '')) + 1
+                AS BIGINT) AS n_words,
+           CAST(GREATEST(
+               length(regexp_replace(norm, '[^.!?]', '', 'g')), 1
+           ) AS BIGINT) AS n_sentences
+    FROM base WHERE length(norm) > 0
+)
+SELECT id, n_chars, n_words, n_sentences,
+       4.71 * (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE))
+       + 0.5 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       - 21.43 AS ari
+FROM stats
+"""
+
+
+@register("readability_ari", ARI_ORACLE)
+def q_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document — the grade-level
+    quality signal a curation pipeline computes next to the Gopher
+    rules: non-space character count, whitespace-delimited word count,
+    and sentence count (sentence-ender characters, floored at 1), then
+    ARI = 4.71·chars/words + 0.5·words/sentences − 21.43 as one fixed
+    double expression over exact integers.
+
+    Scale: a pure narrow projection — zero shuffles, whole-stage
+    codegen; the counts come from string lengths, not an explode."""
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    base = docs.select(F.col("doc_id").alias("id"), norm.alias("norm")).filter(
+        F.length("norm") > 0
+    )
+    n_chars = F.length(F.replace(F.col("norm"), F.lit(" "), F.lit("")))
+    n_words = (
+        F.length("norm")
+        - F.length(F.replace(F.col("norm"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    n_sent = F.greatest(
+        F.length(F.regexp_replace("norm", r"[^.!?]", "")), F.lit(1)
+    )
+    stats = base.select(
+        "id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+    )
+    return stats.select(
+        "id",
+        "n_chars",
+        "n_words",
+        "n_sentences",
+        (
+            F.lit(4.71)
+            * (F.col("n_chars").cast("double") / F.col("n_words").cast("double"))
+            + F.lit(0.5)
+            * (
+                F.col("n_words").cast("double")
+                / F.col("n_sentences").cast("double")
+            )
+            - F.lit(21.43)
+        ).alias("ari"),
     )
