@@ -376,3 +376,53 @@ def test_asof_nearest_tie_and_tolerance(spark):
     assert (out[2].asof_us, out[2].asof_v) == (210, 3.0)  # nearest forward
     assert out[3].asof_us is None and out[3].asof_v is None
     assert (out[4].asof_us, out[4].asof_v) == (40, 9.0)   # greatest payload
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Seeded random parity with pandas merge_asof(direction='nearest')
+    on tie-free data (distinct distances per probe)."""
+    import numpy as np
+    import pandas as pd
+
+    from amorphous_mapreduce_spark.operators.temporal import asof_nearest_join
+
+    rng = np.random.RandomState(7)
+    # odd left timestamps, even right timestamps -> |delta| never ties
+    left_pd = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "user_id": rng.randint(0, 12, 300),
+            "us": rng.choice(np.arange(1, 100001, 2), 300, replace=False),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 12, 200),
+            "us": rng.choice(np.arange(0, 100000, 2), 200, replace=False),
+            "v": rng.rand(200),
+        }
+    )
+    got = (
+        asof_nearest_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on="us",
+            by="user_id",
+            right_cols=("v",),
+            tolerance_us=5000,
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pd.sort_values("us"),
+        right_pd.sort_values("us"),
+        on="us",
+        by="user_id",
+        direction="nearest",
+        tolerance=5000,
+    ).sort_values("id").reset_index(drop=True)
+    assert (got["asof_v"].isna() == want["v"].isna()).all()
+    mask = want["v"].notna()
+    assert np.allclose(got.loc[mask, "asof_v"], want.loc[mask, "v"])
