@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.dedup import (
     exact_dedup,
+    normalize_text,
     jaccard_pairs,
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
@@ -660,4 +661,67 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("hit").cast("double") / F.count("*").cast("double")
         ).alias("recall"),
+    )
+
+
+# --- dedup storage-savings scorecard per source ------------------------------
+
+SAVINGS_ORACLE = f"""
+WITH hashed AS (
+    SELECT doc_id, source, n_chars, md5({NORM}) AS h
+    FROM documents
+),
+keep AS (
+    SELECT h, MIN(doc_id) AS keeper_id FROM hashed GROUP BY h
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN d.doc_id <> k.keeper_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_redundant,
+       CAST(SUM(CASE WHEN d.doc_id <> k.keeper_id THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS redundant_chars,
+       CAST(SUM(CASE WHEN d.doc_id <> k.keeper_id THEN d.n_chars ELSE 0 END)
+            AS DOUBLE)
+       / CAST(SUM(d.n_chars) AS DOUBLE) AS savings_frac
+FROM hashed d JOIN keep k USING (h)
+GROUP BY d.source
+"""
+
+
+@register("dedup_storage_savings", SAVINGS_ORACLE)
+def q_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-savings scorecard of exact dedup per source: documents
+    and characters that disappear when only the canonical copy
+    (min doc_id per content hash) is kept — the bytes-saved number that
+    justifies a dedup pass before a 100 TB storage commit, attributed
+    to the source that contributed the redundancy.
+
+    Scale: one digest aggregate (uniform keys) + one keyed join back;
+    savings fractions are single exact double divisions."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(normalize_text("text")).alias("h"),
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    redundant = F.when(F.col("doc_id") != F.col("keeper_id"), 1).otherwise(0)
+    red_chars = F.when(
+        F.col("doc_id") != F.col("keeper_id"), F.col("n_chars")
+    ).otherwise(0)
+    return (
+        hashed.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(redundant).cast("long").alias("n_redundant"),
+            F.sum(red_chars).alias("redundant_chars"),
+            (
+                F.sum(red_chars).cast("double")
+                / F.sum("n_chars").cast("double")
+            ).alias("savings_frac"),
+        )
     )
