@@ -1529,3 +1529,93 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lag_days", 0.9).alias("p90_lag_days"),
         F.max("lag_days").alias("max_lag_days"),
     )
+
+
+# --- brand cross-sell lift matrix --------------------------------------------
+
+XSELL_ORACLE = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey AS o, p_brand AS b
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sup AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY b),
+nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
+pairs AS (
+    SELECT a.b AS brand_a, c.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS ab
+    FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+    GROUP BY a.b, c.b
+)
+SELECT brand_a, brand_b, ab,
+       sa.s AS n_a, sb.s AS n_b,
+       CAST(ab AS DOUBLE) / CAST(nn.n AS DOUBLE) AS support,
+       (CAST(ab AS DOUBLE) * CAST(nn.n AS DOUBLE))
+       / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift,
+       (ab * nn.n * 10 > sa.s * sb.s * 11) AS high_affinity
+FROM pairs
+JOIN sup sa ON sa.b = brand_a
+JOIN sup sb ON sb.b = brand_b
+CROSS JOIN nn
+"""
+
+
+@register("cross_sell_matrix", XSELL_ORACLE)
+def q_cross_sell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level cross-sell affinity matrix: co-purchase support and
+    lift for every brand pair, with a high-affinity flag at lift > 1.1
+    decided by CROSS-MULTIPLIED INTEGERS (ab·n·10 > s_a·s_b·11) so the
+    verdict can never flip on a double rounding — the merchandising
+    heatmap behind 'customers also bought' placements at the brand
+    grain (bounded 25x25 output, unlike the part-level pair mining).
+
+    Scale: basket fanout is bounded by distinct brands per order
+    (<= 25); per-brand supports and the order total are broadcast
+    scalars."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    sup = ob.groupBy("b").agg(F.count("*").alias("s"))
+    nn = ob.agg(F.countDistinct("o").alias("n"))
+    pairs = (
+        ob.select("o", F.col("b").alias("brand_a"))
+        .join(ob.select("o", F.col("b").alias("brand_b")), "o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sup.select(F.col("b").alias("brand_a"), F.col("s").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("b").alias("brand_b"), F.col("s").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "brand_a",
+            "brand_b",
+            "ab",
+            "n_a",
+            "n_b",
+            (F.col("ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            (
+                (F.col("ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+            (
+                F.col("ab") * F.col("n") * 10
+                > F.col("n_a") * F.col("n_b") * 11
+            ).alias("high_affinity"),
+        )
+    )

@@ -157,3 +157,77 @@ def q_value_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.min("id_a").alias("min_event_a"),
     )
+
+
+# --- returns root-cause banding ----------------------------------------------
+
+RETURNS_RCA_ORACLE = """
+WITH li AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS disc_pt,
+           CAST(FLOOR(CAST(l_quantity AS DOUBLE) / 10.0) AS BIGINT)
+               AS qty_band,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem
+),
+cells AS (
+    SELECT disc_pt, qty_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(ret) AS BIGINT) AS n_returned
+    FROM li GROUP BY disc_pt, qty_band
+),
+tot AS (
+    SELECT CAST(SUM(n_lines) AS BIGINT) AS n,
+           CAST(SUM(n_returned) AS BIGINT) AS r
+    FROM cells
+)
+SELECT c.disc_pt, c.qty_band, c.n_lines, c.n_returned,
+       CAST(c.n_returned AS DOUBLE) / CAST(c.n_lines AS DOUBLE) AS return_rate,
+       CAST(t.r AS DOUBLE) / CAST(t.n AS DOUBLE) AS base_rate,
+       (c.n_returned * t.n * 10 > c.n_lines * t.r * 12) AS elevated
+FROM cells c CROSS JOIN tot t
+"""
+
+
+@register("returns_root_cause", RETURNS_RCA_ORACLE)
+def q_returns_root_cause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate root-cause grid: return incidence per (discount
+    point x quantity band) cell against the corpus base rate, with an
+    'elevated' flag at 1.2x base decided by cross-multiplied integers
+    (cell_r·N·10 > cell_n·R·12) — the 2-D slice a quality analyst scans
+    to localize which pricing/volume segment drives returns.
+
+    Scale: one scan, one bounded-cardinality cell aggregate (11
+    discount points x ~5 quantity bands), the corpus total a 1-row
+    scalar crossed back."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("disc_pt"),
+        F.floor(F.col("l_quantity").cast("double") / 10.0)
+        .cast("long")
+        .alias("qty_band"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    cells = li.groupBy("disc_pt", "qty_band").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returned"),
+    )
+    tot = cells.agg(
+        F.sum("n_lines").alias("n"), F.sum("n_returned").alias("r")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "disc_pt",
+        "qty_band",
+        "n_lines",
+        "n_returned",
+        (
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+        ).alias("return_rate"),
+        (F.col("r").cast("double") / F.col("n").cast("double")).alias(
+            "base_rate"
+        ),
+        (
+            F.col("n_returned") * F.col("n") * 10
+            > F.col("n_lines") * F.col("r") * 12
+        ).alias("elevated"),
+    )

@@ -42,6 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "returns_root_cause": {
+        "BroadcastNestedLoopJoin": "1-row corpus-total scalar crossed "
+        "back onto the bounded discount x quantity cell grid (~66 rows)",
+    },
+    "cross_sell_matrix": {
+        "BroadcastNestedLoopJoin": "1-row distinct-order-count scalar "
+        "crossed back onto the bounded 25x25 brand-pair frame — the "
+        "standard scalar-total pattern (same as basket_part_pairs)",
+    },
     "zipf_octave_profile": {
         "BroadcastNestedLoopJoin": "1-row corpus-total scalar crossed "
         "back onto the <= 64-row octave frame — constant-size both "
