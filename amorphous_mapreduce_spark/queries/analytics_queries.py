@@ -1619,3 +1619,58 @@ def q_cross_sell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("high_affinity"),
         )
     )
+
+
+# --- behavioural diversity (Gini-Simpson index, log-free) --------------------
+
+SIMPSON_ORACLE = """
+WITH per AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id, event_type
+),
+u AS (
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * c) AS BIGINT) AS sum_sq
+    FROM per GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       1.0 - CAST(sum_sq AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+           AS simpson_diversity
+FROM u
+"""
+
+
+@register("user_event_diversity", SIMPSON_ORACLE)
+def q_user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioural diversity per user as the Gini-Simpson index
+    1 − Σpᵢ² — the engagement-breadth feature a churn model uses, and
+    the LOG-FREE diversity metric (Shannon entropy needs libm log,
+    which differs in the last ulp across engines; Simpson is integer
+    Σc² with one fixed double expression, engine-exact by
+    construction).
+
+    Scale: two keyed aggregates, both map-side combined; per-user state
+    is three integers."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    u = per.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (
+                F.col("n_events").cast("double")
+                * F.col("n_events").cast("double")
+            )
+        ).alias("simpson_diversity"),
+    )
