@@ -310,3 +310,72 @@ def test_bounded_watermark_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
     want = events.toPandas()
     assert sorted(got.event_id) == sorted(want.event_id)
     assert got.event_id.is_unique
+
+
+def test_streaming_drift_cells_merge_to_batch_verdicts(spark, sf_dir, tmp_path):
+    """The drift monitor's state (integer cell counts) is mergeable:
+    per-micro-batch (event_type, bucket, period) counts summed across
+    batches reproduce the batch query's chi-square inputs and integer
+    drift verdicts exactly — a stream can maintain the monitor without
+    reprocessing history."""
+    from collections import defaultdict
+
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    src = str(tmp_path / "drift_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+
+    cells: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
+    n_batches = [0]
+
+    def merge_batch(bdf, _bid):
+        n_batches[0] += 1
+        rows = (
+            bdf.select(
+                "event_type",
+                F.least(
+                    F.floor(F.col("value") / 50.0).cast("long"),
+                    F.lit(9).cast("long"),
+                ).alias("bucket"),
+                F.when(
+                    F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                    1,
+                )
+                .otherwise(0)
+                .alias("ref"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("ref").alias("n_ref"), F.sum(1 - F.col("ref")).alias("n_cur"))
+            .collect()
+        )
+        for r in rows:
+            c = cells[(r.event_type, r.bucket)]
+            c[0] += r.n_ref
+            c[1] += r.n_cur
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert n_batches[0] >= 2
+
+    got = QUERIES["feature_drift_buckets"](spark, sf_dir).collect()
+    tot = defaultdict(lambda: [0, 0])
+    for (et, _b), (nr, nc) in cells.items():
+        tot[et][0] += nr
+        tot[et][1] += nc
+    for r in got:
+        nr, nc = cells[(r.event_type, r.bucket)]
+        assert (r.n_ref, r.n_cur) == (nr, nc)
+        tr, tc = tot[r.event_type]
+        assert r.drifted == (abs(nr * tc - nc * tr) * 50 > tr * tc)
+    assert len(got) == len(cells)
