@@ -1674,3 +1674,159 @@ def q_user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simpson_diversity"),
     )
+
+
+# --- per-user cumulative-value max drawdown -----------------------------------
+
+DRAWDOWN_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+bal AS (
+    SELECT user_id, us, event_id,
+           SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS bal
+    FROM e
+),
+cum AS (
+    SELECT user_id, bal,
+           MAX(bal) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+    FROM bal
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(MAX(bal) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents
+FROM cum GROUP BY user_id
+"""
+
+
+@register("user_value_drawdown", DRAWDOWN_ORACLE)
+def q_user_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative purchase value — the
+    peak-to-trough statistic (finance's risk number, a churn-risk
+    feature when value can be negative/refunded): running balance and
+    running peak ride ONE (user_id) window partition; the drawdown is
+    integer cents end to end.
+
+    Scale: one keyed window (two frames over the same sort) + one keyed
+    aggregate; no self-joins."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = e.select(
+        "user_id", "us", "event_id", F.sum("cents").over(w).alias("bal")
+    )
+    cum = bal.select(
+        "user_id", "bal", F.max("bal").over(w).alias("peak")
+    )
+    return cum.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.max("bal").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+    )
+
+
+# --- inter-purchase regularity (squared coefficient of variation) ------------
+
+REGULARITY_ORACLE = """
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS r
+    FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+    SELECT a.user_id, b.us - a.us AS g
+    FROM p a JOIN p b ON a.user_id = b.user_id AND b.r = a.r + 1
+),
+s AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sum_g2
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_gaps, sum_g,
+       CASE WHEN sum_g = 0 THEN NULL
+            ELSE (CAST(n_gaps AS DOUBLE) * CAST(sum_g2 AS DOUBLE)
+                  - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE))
+                 / (CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE))
+       END AS cv2
+FROM s WHERE n_gaps >= 2
+"""
+
+
+@register("purchase_regularity", REGULARITY_ORACLE)
+def q_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-interval regularity per user: the squared
+    coefficient of variation of gap lengths (clumpiness — cv² ≈ 0 is a
+    metronome, ≈ 1 Poisson, > 1 bursty), the classic feature behind
+    'regular vs impulsive buyer' segmentation. Gaps pair consecutive
+    purchases via a rank self-join; moments are exact (Σg in int64,
+    Σg² DECIMAL-accumulated); cv² is one fixed double expression,
+    NULL-guarded like langid_prf.
+
+    Scale: the rank window and the r = r+1 pairing both ride the
+    (user_id) key; per-user state is three numbers."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+        )
+        .select(
+            "user_id",
+            "us",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+            .alias("r"),
+        )
+    )
+    a = p.select("user_id", F.col("us").alias("a_us"), F.col("r").alias("ra"))
+    b = p.select("user_id", F.col("us").alias("b_us"), F.col("r").alias("rb"))
+    gaps = (
+        a.join(b, "user_id")
+        .filter(F.col("rb") == F.col("ra") + 1)
+        .select("user_id", (F.col("b_us") - F.col("a_us")).alias("g"))
+    )
+    s = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sum_g"),
+        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_g2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sg = F.col("sum_g").cast("double")
+    sg2 = F.col("sum_g2").cast("double")
+    return s.filter(F.col("n_gaps") >= 2).select(
+        "user_id",
+        "n_gaps",
+        "sum_g",
+        F.when(F.col("sum_g") == 0, F.lit(None).cast("double"))
+        .otherwise((nd * sg2 - sg * sg) / (sg * sg))
+        .alias("cv2"),
+    )
