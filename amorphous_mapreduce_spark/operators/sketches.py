@@ -180,6 +180,82 @@ def fm_cardinality(
     )
 
 
+# alpha_64 * m^2 * 2^55 for m = 64 registers: the HLL raw-estimate
+# numerator as ONE double literal, so the estimate is a single IEEE
+# division of exact integers on both engines (alpha_m = 0.7213/(1+1.079/m)).
+_HLL_EST_NUM_64 = 1.046802484394006e20
+
+
+def hll_cardinality(
+    docs: DataFrame,
+    m: int = 64,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per language:
+    [lang, n_distinct_exact, registers_used, zero_registers,
+    hll_sum_scaled, hll_raw_est].
+
+    The register for bucket j keeps MAX(rho) where rho = position of the
+    first 1-bit (from the MSB) of the remaining 54 hash bits — computed
+    EXACTLY as 55 - length(bin(w)) (no libm; same trick as
+    zipf_octave_profile). Registers are mergeable (max of maxes) and the
+    state is m rows per key regardless of corpus size — the
+    sublinear-state form of COUNT(DISTINCT) that ships in every
+    warehouse engine (reference per-key agg W7, src/word_count.rs:121-123,
+    with bounded instead of linear state).
+
+    The harmonic-mean denominator Σ 2^-register is dyadic, so scaling by
+    2^55 makes ``hll_sum_scaled`` an exact BIGINT (absent buckets are
+    register 0 and contribute 2^55 each; max total 64 * 2^55 = 2^61).
+    ``hll_raw_est`` = alpha_m * m^2 * 2^55 / sum_scaled is then ONE
+    double division of exact integers — bit-identical on both engines.
+    Zero-register count rides along (the linear-counting regime signal).
+    """
+    toks = tokenized(docs, id_col, text_col)
+    langs = docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+    h = hex_hash64(F.concat(F.lit("hll_"), F.col("word")))
+    w = F.shiftright(h, 6)
+    per_word = (
+        toks.join(F.broadcast(langs), "id")
+        .select("lang", "word")
+        .distinct()
+        .select(
+            "lang",
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            F.when(w == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+    )
+    per_bucket = per_word.groupBy("lang", "bucket").agg(
+        F.max("rho").alias("reg"), F.count("*").alias("_n_words")
+    )
+    per_lang = per_bucket.groupBy("lang").agg(
+        F.sum("_n_words").alias("n_distinct_exact"),
+        F.count("*").alias("registers_used"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(55) - F.col("reg")).cast("long")
+        ).alias("_present_scaled"),
+    )
+    sum_scaled = (
+        F.col("_present_scaled")
+        + (F.lit(m) - F.col("registers_used")).cast("long")
+        * F.lit(1 << 55).cast("long")
+    )
+    return per_lang.select(
+        "lang",
+        "n_distinct_exact",
+        "registers_used",
+        (F.lit(m) - F.col("registers_used")).cast("long").alias("zero_registers"),
+        sum_scaled.alias("hll_sum_scaled"),
+        (F.lit(_HLL_EST_NUM_64) / sum_scaled.cast("double")).alias(
+            "hll_raw_est"
+        ),
+    )
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim_keys: DataFrame,

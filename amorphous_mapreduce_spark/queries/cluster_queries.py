@@ -270,3 +270,95 @@ def q_best_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality").alias("survivor_quality"),
         "n_members",
     )
+
+
+# --- degree assortativity of the near-dup graph ----------------------------
+
+from amorphous_mapreduce_spark.queries.dedup_queries import (  # noqa: E402
+    MINHASH_EDGES_CTE,
+)
+
+ASSORT_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, deg AS (
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM edges GROUP BY a
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_directed,
+           CAST(SUM(da.deg) AS BIGINT) AS sum_deg,
+           CAST(SUM(da.deg * da.deg) AS BIGINT) AS sum_deg_sq,
+           CAST(SUM(da.deg * db.deg) AS BIGINT) AS sum_deg_prod
+    FROM edges e
+    JOIN deg da ON e.a = da.node
+    JOIN deg db ON e.b = db.node
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_edges_directed, n_nodes, sum_deg, sum_deg_sq, sum_deg_prod,
+       CASE WHEN n_edges_directed * sum_deg_sq - sum_deg * sum_deg = 0
+            THEN NULL
+            ELSE CAST(n_edges_directed * sum_deg_prod - sum_deg * sum_deg
+                      AS DOUBLE)
+                 / CAST(n_edges_directed * sum_deg_sq - sum_deg * sum_deg
+                        AS DOUBLE) END AS assortativity
+FROM stats CROSS JOIN nn
+"""
+)
+
+
+@register("near_dup_assortativity", ASSORT_ORACLE)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the MinHash-LSH near-dup graph — the
+    Newman coefficient telling a dedup pipeline whether template farms
+    link hub-to-hub (assortative, one mega-cluster to sever) or
+    hub-to-leaf (disassortative, star bursts). Pearson r over directed
+    edge endpoint degrees from EXACT integer sufficient stats and one
+    final double division — bit-identical cross-engine (same
+    cross-multiplied pattern as brand_discount_ols).
+
+    Scale: degrees are one hash aggregate over edges; the two
+    degree joins are keyed on node; the final reduce is a 1-row
+    aggregate. The broadcast degree table is bounded by node count —
+    at 100 TB keep it a shuffle join (AQE picks for us; no hint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b")).unionAll(
+        pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    ).persist()
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    stats = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count("*").alias("n_edges_directed"),
+            F.sum("da").alias("sum_deg"),
+            F.sum(F.col("da") * F.col("da")).alias("sum_deg_sq"),
+            F.sum(F.col("da") * F.col("db")).alias("sum_deg_prod"),
+        )
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    num = (
+        F.col("n_edges_directed") * F.col("sum_deg_prod")
+        - F.col("sum_deg") * F.col("sum_deg")
+    )
+    den = (
+        F.col("n_edges_directed") * F.col("sum_deg_sq")
+        - F.col("sum_deg") * F.col("sum_deg")
+    )
+    return stats.crossJoin(F.broadcast(nn)).select(
+        "n_edges_directed",
+        "n_nodes",
+        "sum_deg",
+        "sum_deg_sq",
+        "sum_deg_prod",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )

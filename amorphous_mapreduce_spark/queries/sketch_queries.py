@@ -100,6 +100,62 @@ def q_fm_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fm_cardinality(load_table(spark, sf_dir, "documents"))
 
 
+_HLL_H = "CAST('0x' || substr(md5('hll_' || word), 1, 15) AS BIGINT)"
+
+HLL_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tagged AS (
+    SELECT DISTINCT d.lang, t.word
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+pw AS (
+    SELECT lang, h % 64 AS bucket,
+           CASE WHEN (h >> 6) = 0 THEN 55
+                ELSE 55 - length(bin(h >> 6)) END AS rho
+    FROM (SELECT lang, {_HLL_H} AS h FROM tagged)
+),
+pb AS (
+    SELECT lang, bucket, MAX(rho) AS reg, COUNT(*) AS nw
+    FROM pw GROUP BY lang, bucket
+),
+pl AS (
+    SELECT lang,
+           CAST(SUM(nw) AS BIGINT) AS n_distinct_exact,
+           COUNT(*) AS registers_used,
+           CAST(SUM(CAST(power(2.0, 55 - reg) AS BIGINT)) AS BIGINT)
+               AS present_scaled
+    FROM pb GROUP BY lang
+)
+SELECT lang, n_distinct_exact, registers_used,
+       CAST(64 - registers_used AS BIGINT) AS zero_registers,
+       CAST(present_scaled
+            + (64 - registers_used) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+           AS hll_sum_scaled,
+       1.046802484394006e20
+           / CAST(present_scaled
+                  + (64 - registers_used) * (CAST(1 AS BIGINT) << 55)
+                  AS DOUBLE)
+           AS hll_raw_est
+FROM pl
+"""
+)
+
+
+@register("hll_cardinality", HLL_ORACLE)
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers + raw estimate per language beside the exact
+    distinct count — the bounded-state COUNT(DISTINCT) every warehouse
+    ships, with the harmonic-mean estimator made oracle-exact by dyadic
+    2^55 scaling (operators/sketches.hll_cardinality). Completes the
+    sketch family: CMS (point freq), FM/HLL (cardinality), KMV (set
+    similarity), Bloom (membership), AMS (F2)."""
+    from amorphous_mapreduce_spark.operators.sketches import hll_cardinality
+
+    return hll_cardinality(load_table(spark, sf_dir, "documents"))
+
+
 def _bf_pos(expr: str, j: str) -> str:
     return (
         f"CAST('0x' || substr(md5('bf' || {j} || '_' || CAST({expr} AS VARCHAR)),"

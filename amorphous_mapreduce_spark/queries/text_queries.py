@@ -460,3 +460,106 @@ def q_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(21.43)
         ).alias("ari"),
     )
+
+
+# --- positional phrase search ---------------------------------------------
+
+PHRASE_TOP = 3
+PHRASE_DOCS = 5
+
+PHRASE_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, bg AS (
+    SELECT id, word AS w1,
+           lead(word) OVER (PARTITION BY id ORDER BY pos) AS w2
+    FROM toks
+),
+pc AS (
+    SELECT w1, w2, id, COUNT(*) AS n
+    FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2, id
+),
+top_phrases AS (
+    SELECT w1, w2,
+           CAST(SUM(n) AS BIGINT) AS total_occurrences,
+           COUNT(*) AS df_docs
+    FROM pc GROUP BY w1, w2
+    ORDER BY total_occurrences DESC, w1, w2
+    LIMIT {PHRASE_TOP}
+),
+ranked AS (
+    SELECT p.w1, p.w2, t.total_occurrences, t.df_docs, p.id, p.n,
+           ROW_NUMBER() OVER (PARTITION BY p.w1, p.w2
+                              ORDER BY p.n DESC, p.id) AS rn
+    FROM pc p JOIN top_phrases t ON p.w1 = t.w1 AND p.w2 = t.w2
+)
+SELECT w1 || ' ' || w2 AS phrase, total_occurrences, df_docs,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY n DESC, id) AS top_docs
+FROM ranked WHERE rn <= {PHRASE_DOCS}
+GROUP BY w1, w2, total_occurrences, df_docs
+"""
+)
+
+
+@register("phrase_search", PHRASE_ORACLE)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: the corpus's {PHRASE_TOP} hottest
+    two-word phrases with their document frequency and the top matching
+    docs — the adjacency-join query a positional inverted index serves
+    (search-engine sibling of term_postings; reference tokenize +
+    per-key-count substrate, src/word_count.rs:90-128).
+
+    Scale: adjacency pairs come from a KEYED lead() window (per doc, no
+    global sort); the per-(phrase, doc) aggregate — vocab² x df sized,
+    far smaller than the token stream — is persisted because both the
+    phrase ranking and the match join re-read it. Top phrases are a
+    TakeOrderedAndProject broadcast back onto the counts; per-phrase
+    doc top-k is a window over candidate rows of {PHRASE_TOP} phrases
+    only (same grouped-top-k shape as topk_customers_per_nation)."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    toks = tokenized(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.select(
+            "id",
+            F.col("word").alias("w1"),
+            F.lead("word").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    pc = bg.groupBy("w1", "w2", "id").agg(F.count("*").alias("n")).persist()
+    top_phrases = (
+        pc.groupBy("w1", "w2")
+        .agg(
+            F.sum("n").alias("total_occurrences"),
+            F.count("*").alias("df_docs"),
+        )
+        .orderBy(F.desc("total_occurrences"), F.asc("w1"), F.asc("w2"))
+        .limit(PHRASE_TOP)
+    )
+    cand = pc.join(F.broadcast(top_phrases), ["w1", "w2"])
+    rn = Window.partitionBy("w1", "w2").orderBy(F.desc("n"), F.asc("id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= PHRASE_DOCS)
+        .groupBy("w1", "w2", "total_occurrences", "df_docs")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.negate("n").alias("negn"), "id"))
+                    ),
+                    lambda s: s["id"].cast("string"),
+                ),
+            ).alias("top_docs")
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "total_occurrences",
+            "df_docs",
+            "top_docs",
+        )
+    )

@@ -136,3 +136,17 @@ def test_kcore_is_converged_true_2core(spark):
                 adj[m].discard(n)
     assert got == {(n, len(ns)) for n, ns in adj.items()}
     pairs.unpersist()
+
+
+def test_assortativity_bounds_on_fixture(spark):
+    from amorphous_mapreduce_spark.queries.cluster_queries import (
+        q_assortativity,
+    )
+
+    r = q_assortativity(spark, "/root/testdata/sf0.001").collect()[0]
+    # directed edge list double-counts each undirected edge
+    assert r.n_edges_directed % 2 == 0
+    # sum over directed edges of deg(src) = sum of squared degrees
+    assert r.sum_deg >= r.n_edges_directed
+    if r.assortativity is not None:
+        assert -1.0 <= r.assortativity <= 1.0

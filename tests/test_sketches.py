@@ -154,3 +154,48 @@ def test_ams_f2_counters_unbiased_shape(spark, sf_dir):
     # the mean estimator should land within ~3/sqrt(8) of F2
     est = r.ams_sq_sum / 16
     assert abs(est - r.f2_exact) < 1.5 * r.f2_exact
+
+
+def test_hll_state_and_estimate(spark):
+    from amorphous_mapreduce_spark.operators.sketches import hll_cardinality
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f g h i j", lang="en"),
+            Row(doc_id=1, text="a b k l m n o p q r", lang="en"),
+            Row(doc_id=2, text="x y z", lang="fr"),
+        ]
+    )
+    out = {r.lang: r for r in hll_cardinality(docs).collect()}
+    assert out["en"].n_distinct_exact == 18
+    assert out["fr"].n_distinct_exact == 3
+    for r in out.values():
+        assert r.registers_used <= min(64, r.n_distinct_exact)
+        assert r.zero_registers == 64 - r.registers_used
+        # each register holds rho >= 1, so every present bucket
+        # contributes <= 2^54; absent buckets contribute exactly 2^55
+        upper = r.registers_used * (1 << 54) + r.zero_registers * (1 << 55)
+        assert 0 < r.hll_sum_scaled <= upper
+        assert r.hll_raw_est > 0
+
+
+def test_hll_registers_merge_as_max(spark):
+    # HLL registers from shard A+B == elementwise max of shard registers,
+    # demonstrated through the scaled harmonic sum being recomputable
+    from amorphous_mapreduce_spark.operators.sketches import hll_cardinality
+
+    a = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma delta", lang="en")]
+    )
+    b = spark.createDataFrame(
+        [Row(doc_id=1, text="gamma delta epsilon zeta", lang="en")]
+    )
+    both = a.unionByName(b)
+    ra = hll_cardinality(a).collect()[0]
+    rb = hll_cardinality(b).collect()[0]
+    ru = hll_cardinality(both).collect()[0]
+    # union never has MORE zero registers than either shard
+    assert ru.zero_registers <= min(ra.zero_registers, rb.zero_registers)
+    # harmonic sum shrinks (or holds) under union: registers only grow
+    assert ru.hll_sum_scaled <= min(ra.hll_sum_scaled, rb.hll_sum_scaled)
+    assert ru.n_distinct_exact == 6

