@@ -65,6 +65,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     similarity_queries,
     sketch_queries,
     source_queries,
+    spatial_queries,
     sql_queries,
     stats_queries,
     streaming_queries,
