@@ -506,3 +506,120 @@ def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.expr(_W_CASE)), F.lit(0)).cast("long").alias("rbo_scaled"),
         F.lit(_RBO_DENOM).cast("long").alias("rbo_denom"),
     )
+
+
+# --- cumulative gains / decile lift table ----------------------------------
+
+GAINS_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+cust AS (
+    SELECT c_custkey AS c, c_acctbal, COALESCE(rev.cents, 0) AS cents
+    FROM customer LEFT JOIN rev ON customer.c_custkey = rev.c
+),
+ranked AS (
+    SELECT c, cents,
+           ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c) AS rnk
+    FROM cust
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM ranked
+),
+dec AS (
+    SELECT ((rnk - 1) * 10) // n AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, n
+)
+SELECT decile, n_customers, decile_cents,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+       CAST(decile_cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE)
+           AS revenue_share,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+           / CAST(t.total_cents AS DOUBLE) AS cum_gain,
+       (CAST(decile_cents AS DOUBLE) * CAST(t.n AS DOUBLE))
+       / (CAST(t.total_cents AS DOUBLE) * CAST(n_customers AS DOUBLE))
+           AS lift
+FROM dec CROSS JOIN tot t
+"""
+
+
+@register("acctbal_revenue_gains", GAINS_ORACLE)
+def q_acctbal_revenue_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / decile-lift table: rank customers by account
+    balance (the 'model score'), tabulate how much realized order
+    revenue each score decile captures, with cumulative gain and lift
+    vs the uniform baseline — the marketing/model-eval chart behind
+    every targeting decision.
+
+    Scale: ranks come from the distributed prefix-sum template (range
+    sort + partition partials, no single-partition window over
+    customers); revenue is an exact decimal-cents aggregate; deciles
+    reduce to a 10-row frame whose cumulative window is constant-size.
+    The 1-row (n, total) scalar crosses back — the standard
+    scalar-total pattern. All shares/lifts are single IEEE ops over
+    exact integers, so DuckDB hash-matches them."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("c")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    cust = (
+        customer.select(F.col("c_custkey").alias("c"), "c_acctbal")
+        .join(rev, "c", "left")
+        .select("c", "c_acctbal", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    ranked = distributed_prefix_sum(
+        cust, "cents", [F.desc("c_acctbal"), F.asc("c")], rank_col="rnk",
+        cum_col="cum",
+    )
+    tot = ranked.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total_cents")
+    )
+    dec_rows = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((rnk - 1) * 10) div n").alias("decile"),
+            "cents",
+            "cum",
+            "n",
+            "total_cents",
+        )
+        .groupBy("decile", "n", "total_cents")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("decile_cents"),
+            F.max("cum").alias("cum_cents"),
+        )
+    )
+    td = F.col("total_cents").cast("double")
+    return dec_rows.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        "cum_cents",
+        (F.col("decile_cents").cast("double") / td).alias("revenue_share"),
+        (F.col("cum_cents").cast("double") / td).alias("cum_gain"),
+        (
+            (F.col("decile_cents").cast("double") * F.col("n").cast("double"))
+            / (td * F.col("n_customers").cast("double"))
+        ).alias("lift"),
+    )

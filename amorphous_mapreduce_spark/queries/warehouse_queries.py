@@ -982,3 +982,90 @@ def q_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("rnk") - F.col("prev_rnk"))), F.lit(0)
         ).alias("rank_shift_stayed"),
     )
+
+
+# --- hierarchical ancestor-chain rollup ------------------------------------
+
+HIER_TOP = 50
+
+HIER_ORACLE = f"""
+WITH rev AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+chain AS (
+    SELECT DISTINCT c, c // p.d AS node
+    FROM rev CROSS JOIN (VALUES (10), (100), (1000), (10000), (100000),
+                                (1000000), (10000000)) AS p(d)
+),
+rolled AS (
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_descendants,
+           CAST(SUM(r.cents) AS BIGINT) AS subtree_cents
+    FROM chain JOIN rev r USING (c)
+    GROUP BY node
+)
+SELECT node, n_descendants, subtree_cents
+FROM rolled
+ORDER BY subtree_cents DESC, node
+LIMIT {HIER_TOP}
+"""
+
+
+@register("hierarchy_rollup", HIER_ORACLE)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a fixed-depth hierarchy — the org-chart /
+    category-tree aggregation (every internal node's descendant count
+    and revenue total). The tree is synthetic (parent = custkey div 10,
+    7 levels — the fixtures carry no hierarchy) but the operator is the
+    real one: recursive subtree aggregation WITHOUT recursion, via a
+    bounded ancestor-chain explode (depth-many rows per leaf) and ONE
+    keyed aggregate on the ancestor node — the scale-safe plan for
+    hierarchies of known max depth, vs. iterative parent-pointer
+    climbing. Top-{HIER_TOP} is a TakeOrderedAndProject.
+
+    DISTINCT on (leaf, node) collapses the repeated root 0 once a chain
+    bottoms out, so the root row aggregates every customer exactly once
+    (its subtree_cents is the grand total — a self-auditing identity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("c")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    # both the chain explode and the revenue join read rev: persist the
+    # small per-customer aggregate (CLAUDE.md self-join gotcha)
+    rev = rev.persist()
+    chain = (
+        rev.select(
+            "c",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            (F.col("c") / F.lit(10**k)).cast("long")
+                            for k in range(1, 8)
+                        ]
+                    )
+                )
+            ).alias("node"),
+        )
+    )
+    rolled = (
+        chain.join(rev, "c")
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_descendants"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+    )
+    return rolled.orderBy(F.desc("subtree_cents"), F.asc("node")).limit(
+        HIER_TOP
+    )

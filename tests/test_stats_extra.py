@@ -125,3 +125,23 @@ def test_brand_discount_ols_matches_numpy(spark, sf_dir):
         sl, ic = np.polyfit(xs, ys, 1)
         assert abs(sl - r.slope_cents_per_pt) <= 1e-9 * max(1.0, abs(sl))
         assert abs(ic - r.intercept_cents) <= 1e-9 * max(1.0, abs(ic))
+
+
+def test_gains_table_invariants(spark):
+    from amorphous_mapreduce_spark.queries.eval_queries import (
+        q_acctbal_revenue_gains,
+    )
+
+    rows = sorted(
+        q_acctbal_revenue_gains(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    # cumulative gain monotone, ends at 1.0; shares sum to 1
+    assert abs(rows[-1].cum_gain - 1.0) < 1e-12
+    cums = [r.cum_gain for r in rows]
+    assert cums == sorted(cums)
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-9
+    # deciles are balanced within 1 customer
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1

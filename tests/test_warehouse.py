@@ -153,3 +153,26 @@ def test_leaderboard_churn_invariants(spark, sf_dir):
         # partial first/last months can have < 10 ranked parts
         assert 1 <= r.n_entered + r.n_stayed <= 10
         assert r.rank_shift_stayed <= 9 * r.n_stayed
+
+
+def test_hierarchy_rollup_root_is_grand_total(spark):
+    from amorphous_mapreduce_spark.queries.warehouse_queries import (
+        q_hierarchy_rollup,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.node: r for r in q_hierarchy_rollup(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders")
+    from pyspark.sql import functions as F
+
+    exp = orders.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_custkey",
+    )
+    total = exp.agg(F.sum("cents")).collect()[0][0]
+    n_cust = exp.select("o_custkey").distinct().count()
+    assert rows[0].subtree_cents == total
+    assert rows[0].n_descendants == n_cust

@@ -51,6 +51,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed back onto the bounded 25x25 brand-pair frame — the "
         "standard scalar-total pattern (same as basket_part_pairs)",
     },
+    "acctbal_revenue_gains": {
+        "BroadcastNestedLoopJoin": "1-row (n, total_cents) scalar "
+        "aggregate crossed back onto ranked customers for decile "
+        "assignment — the standard scalar-total pattern",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge over the O(#partitions) totals frame plus the 1-row "
+        "scalar — bounded by cluster size, same as revenue_gini",
+    },
     "near_dup_assortativity": {
         "BroadcastNestedLoopJoin": "crossJoin of the two 1-row scalar "
         "aggregates (edge sufficient stats x node count) — both sides "
