@@ -1830,3 +1830,70 @@ def q_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((nd * sg2 - sg * sg) / (sg * sg))
         .alias("cv2"),
     )
+
+
+# --- bitmap activity masks ---------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+BITMAP_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id,
+           epoch_us(ts) // {_US_PER_DAY} AS d
+    FROM events
+),
+masks AS (
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << CAST(d % 64 AS INT)) AS day_mask
+    FROM ev GROUP BY user_id
+),
+per_user AS (
+    SELECT user_id, day_mask,
+           CAST(bit_count(day_mask) AS BIGINT) AS n_active_days
+    FROM masks
+)
+SELECT n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT day_mask) AS BIGINT) AS n_distinct_masks,
+       CAST(MIN(day_mask) AS BIGINT) AS min_mask
+FROM per_user
+GROUP BY n_active_days
+"""
+
+
+@register("user_day_bitmaps", BITMAP_ORACLE)
+def q_user_day_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity BITMAPS: one 64-bit mask per user
+    (bit d%64 set iff the user had any event on epoch-day d),
+    aggregated with bit_or — the roaring-bitmap-style presence encoding
+    warehouses use for audience/segment membership, where set
+    intersection/union become bitwise AND/OR on fixed-size integers
+    instead of distinct-joins. Popcount gives active-day counts; the
+    output is the (n_active_days -> users, distinct-pattern) histogram.
+
+    Scale: ONE hash aggregate over events builds all masks (bit_or is
+    partial-aggregatable map-side); the histogram is a second keyed
+    aggregate over per-user rows. No windows, no joins. The fixture's
+    event span (30 days) is < 64 so d%64 is collision-free; longer
+    spans take an array of masks (one per 64-day epoch) — same plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(_US_PER_DAY))
+        .cast("long")
+        .alias("d"),
+    )
+    masks = ev.groupBy("user_id").agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(d % 64 AS INT))")
+        ).alias("day_mask")
+    )
+    per_user = masks.select(
+        "user_id",
+        "day_mask",
+        F.bit_count("day_mask").cast("long").alias("n_active_days"),
+    )
+    return per_user.groupBy("n_active_days").agg(
+        F.count("*").alias("n_users"),
+        F.countDistinct("day_mask").alias("n_distinct_masks"),
+        F.min("day_mask").alias("min_mask"),
+    )

@@ -1069,3 +1069,95 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.orderBy(F.desc("subtree_cents"), F.asc("node")).limit(
         HIER_TOP
     )
+
+
+# --- business-day (weekday) lag arithmetic ---------------------------------
+
+# 1970-01-01 is a Thursday; W[r] = weekdays among day offsets [0, r)
+# within a week that starts on Thursday — the lookup that makes
+# weekday_count(d) = 5*(d div 7) + W[d mod 7] pure integer arithmetic.
+_BIZ_W = (0, 1, 2, 2, 2, 3, 4)
+
+BIZLAG_ORACLE = f"""
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           epoch_us(o_orderdate) // 86400000000 AS od
+    FROM orders
+),
+l AS (
+    SELECT l_orderkey, epoch_us(l_shipdate) // 86400000000 AS sd
+    FROM lineitem
+),
+lagged AS (
+    SELECT o_orderpriority,
+           (5 * (sd // 7) + [{", ".join(str(w) for w in _BIZ_W)}][CAST(sd % 7 AS INT) + 1])
+           - (5 * (od // 7) + [{", ".join(str(w) for w in _BIZ_W)}][CAST(od % 7 AS INT) + 1])
+               AS biz_days
+    FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(biz_days) AS BIGINT) AS sum_biz_days,
+       CAST(MIN(biz_days) AS BIGINT) AS min_biz_days,
+       CAST(MAX(biz_days) AS BIGINT) AS max_biz_days,
+       CAST(SUM(biz_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_biz_days,
+       CAST(SUM(CASE WHEN biz_days > 5 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS share_over_5
+FROM lagged
+GROUP BY o_orderpriority
+"""
+
+
+def _weekday_count(day_col):
+    lut = F.array(*[F.lit(w) for w in _BIZ_W])
+    return F.lit(5) * (day_col / F.lit(7)).cast("long") + F.element_at(
+        lut, F.pmod(day_col, F.lit(7)).cast("int") + F.lit(1)
+    )
+
+
+@register("business_day_lag", BIZLAG_ORACLE)
+def q_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag in BUSINESS DAYS (weekends excluded) per order
+    priority — calendar arithmetic without a calendar table: the
+    weekday count below any epoch day is the closed-form
+    5*(d div 7) + lut[d mod 7] (1970-01-01 = Thursday anchors the
+    lookup), so the lag is exact integer math both engines reproduce
+    (companion to the engine-independent (epoch_day+4)%7 day-of-week).
+
+    Scale: one fact-fact equi-join on orderkey (co-partitioned shuffle,
+    AQE-sized) + one hash aggregate on the 5-value priority key; the
+    SLA shares are single IEEE divisions of exact integer sums."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("sd"),
+    )
+    lagged = o.join(li, "o_orderkey").select(
+        "o_orderpriority",
+        (_weekday_count(F.col("sd")) - _weekday_count(F.col("od"))).alias(
+            "biz_days"
+        ),
+    )
+    n = F.count("*")
+    return lagged.groupBy("o_orderpriority").agg(
+        n.alias("n_lines"),
+        F.sum("biz_days").alias("sum_biz_days"),
+        F.min("biz_days").alias("min_biz_days"),
+        F.max("biz_days").alias("max_biz_days"),
+        (F.sum("biz_days").cast("double") / n.cast("double")).alias(
+            "mean_biz_days"
+        ),
+        (
+            F.sum(F.when(F.col("biz_days") > 5, 1).otherwise(0)).cast("double")
+            / n.cast("double")
+        ).alias("share_over_5"),
+    )

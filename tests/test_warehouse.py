@@ -176,3 +176,46 @@ def test_hierarchy_rollup_root_is_grand_total(spark):
     n_cust = exp.select("o_custkey").distinct().count()
     assert rows[0].subtree_cents == total
     assert rows[0].n_descendants == n_cust
+
+
+def test_weekday_count_formula():
+    import datetime
+
+    from amorphous_mapreduce_spark.queries.warehouse_queries import _BIZ_W
+
+    def g(d):
+        return 5 * (d // 7) + _BIZ_W[d % 7]
+
+    # brute-force check over 4 weeks against python weekday()
+    for d in range(200):
+        want = sum(
+            1
+            for k in range(d)
+            if (datetime.date(1970, 1, 1) + datetime.timedelta(days=k)).weekday() < 5
+        )
+        assert g(d) == want, d
+
+
+def test_bitmap_popcount_matches_distinct_days(spark):
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.queries.analytics_queries import (
+        q_user_day_bitmaps,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    hist = q_user_day_bitmaps(spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+    )
+    per_user = ev.distinct().groupBy("user_id").count()
+    want = {
+        r["count"]: r["n"]
+        for r in per_user.groupBy("count").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.n_active_days: r.n_users for r in hist}
+    assert got == want
