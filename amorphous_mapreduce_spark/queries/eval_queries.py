@@ -623,3 +623,114 @@ def q_acctbal_revenue_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (td * F.col("n_customers").cast("double"))
         ).alias("lift"),
     )
+
+
+# --- power iteration: top principal direction of the embedding Gram --------
+
+PI_ITERS = 8
+PI_SCALE = 4096  # target magnitude of the fixed-point eigenvector
+
+
+def _pi_oracle() -> str:
+    ctes = [
+        f"""q AS MATERIALIZED (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * {GRAM_QUANT})
+                AS BIGINT) AS qx
+    FROM embeddings
+)""",
+        """g AS MATERIALIZED (
+    SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS g
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY a.dim, b.dim
+)""",
+        f"""v0 AS MATERIALIZED (
+    SELECT DISTINCT i AS dim, CAST({PI_SCALE} AS BIGINT) AS v FROM g
+)""",
+    ]
+    for k in range(1, PI_ITERS + 1):
+        ctes.append(
+            f"""gv{k} AS MATERIALIZED (
+    SELECT g.i AS dim, CAST(SUM(g.g * v.v) AS BIGINT) AS gv
+    FROM g JOIN v{k - 1} v ON g.j = v.dim
+    GROUP BY g.i
+)"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+    SELECT dim,
+           gv // GREATEST(1, (SELECT MAX(ABS(gv)) FROM gv{k}) // {PI_SCALE})
+               AS v
+    FROM gv{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT dim, v AS v_q FROM v{PI_ITERS}"
+    )
+
+
+POWER_ITER_ORACLE = _pi_oracle()
+
+
+@register("embedding_power_iteration", POWER_ITER_ORACLE)
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix via
+    fixed-point power iteration — the distributed-PCA first step.
+    The Gram (d x d, corpus-size independent — the ONLY data-sized
+    stage, same kernel as embedding_gram) is iterated 8 times:
+    v <- (G v) // max-rescale, all in BIGINT. The rescale divisor is
+    data-dependent but integer-exact, and Spark's `div` and DuckDB's
+    `//` both truncate toward zero, so every iterate — and hence the
+    final quantized eigenvector — is bit-identical cross-engine.
+
+    Scale: after the one corpus-sized Gram aggregate, every iteration
+    touches d² = 4096 rows; the bounded driver loop (8 rounds) follows
+    the operators.graph convergence-loop convention. The matvec is a
+    keyed join on j; the rescale max is a 1-row scalar crossed back."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * GRAM_QUANT).cast("long"),
+            )
+        ).alias("dim", "qx"),
+    )
+    a = q.select("vec_id", F.col("dim").alias("i"), F.col("qx").alias("ax"))
+    b = q.select("vec_id", F.col("dim").alias("j"), F.col("qx").alias("bx"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("g"))
+        .persist()
+    )
+    v = (
+        gram.select(F.col("i").alias("dim"))
+        .distinct()
+        .select("dim", F.lit(PI_SCALE).cast("long").alias("v"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for _ in range(PI_ITERS):
+        # localCheckpoint per round (operators/graph.py convention):
+        # without it the scalar-max crossJoin re-executes the whole
+        # v lineage each iteration — exponential plan growth
+        gv = (
+            gram.join(v, gram["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        m = gv.agg(F.max(F.abs(F.col("gv"))).alias("mx"))
+        v = gv.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("dim"),
+            F.expr(
+                f"gv div greatest(CAST(1 AS BIGINT), mx div {PI_SCALE})"
+            ).alias("v"),
+        )
+    return v.select("dim", F.col("v").alias("v_q"))

@@ -145,3 +145,50 @@ def test_gains_table_invariants(spark):
     # deciles are balanced within 1 customer
     sizes = [r.n_customers for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_power_iteration_matches_exact_integer_replay(spark):
+    import numpy as np
+
+    from amorphous_mapreduce_spark.queries.eval_queries import (
+        GRAM_QUANT,
+        PI_ITERS,
+        PI_SCALE,
+        q_embedding_power_iteration,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_embedding_power_iteration(spark, sf).collect()
+    got = [r.v_q for r in sorted(rows, key=lambda r: r.dim)]
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=float,
+    )
+    q = np.round(emb * GRAM_QUANT).astype(object)  # python ints, no overflow
+    gram = (q.T @ q).tolist()
+    d = len(gram)
+
+    def tdiv(a, b):  # truncate-toward-zero division (Spark div / DuckDB //)
+        return abs(a) // abs(b) * (1 if (a >= 0) == (b > 0) else -1)
+
+    v = [PI_SCALE] * d
+    for _ in range(PI_ITERS):
+        gv = [sum(int(gram[i][j]) * v[j] for j in range(d)) for i in range(d)]
+        m = max(1, tdiv(max(abs(x) for x in gv), PI_SCALE))
+        v = [tdiv(x, m) for x in gv]
+    assert got == v
+
+    # the iterate captures most of the top eigenvalue even on this
+    # near-isotropic spectrum (rayleigh quotient bound)
+    Gf = np.array([[float(x) for x in row] for row in gram])
+    vf = np.array(v, dtype=float)
+    rayleigh = vf @ Gf @ vf / (vf @ vf)
+    lam_max = np.linalg.eigvalsh(Gf)[-1]
+    assert rayleigh >= 0.9 * lam_max

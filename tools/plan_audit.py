@@ -59,6 +59,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge over the O(#partitions) totals frame plus the 1-row "
         "scalar — bounded by cluster size, same as revenue_gini",
     },
+    "embedding_power_iteration": {
+        "BroadcastNestedLoopJoin": "1-row rescale-max scalar crossed "
+        "onto the d-row (64) iterate vector each power step — "
+        "constant-size both sides; the corpus-sized work is only the "
+        "one Gram aggregate",
+    },
     "near_dup_assortativity": {
         "BroadcastNestedLoopJoin": "crossJoin of the two 1-row scalar "
         "aggregates (edge sufficient stats x node count) — both sides "
