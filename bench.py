@@ -95,6 +95,14 @@ HEADLINE = [
     "brand_trimmed_mean",
     "asof_nearest_error",
     "position_bias_curve",
+    # sketch-completion / search / graph-metric / spatial / linalg /
+    # bitmap families (this session)
+    "hll_cardinality",
+    "phrase_search",
+    "near_dup_assortativity",
+    "spatial_nearest_neighbor",
+    "embedding_power_iteration",
+    "user_day_bitmaps",
 ]
 
 
