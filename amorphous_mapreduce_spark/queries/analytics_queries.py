@@ -1897,3 +1897,94 @@ def q_user_day_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("day_mask").alias("n_distinct_masks"),
         F.min("day_mask").alias("min_mask"),
     )
+
+
+# --- session entry/exit/bounce profile --------------------------------------
+
+ENTRY_EXIT_ORACLE = """
+WITH lagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), ranked AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM sessions
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+       CAST(SUM(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+       CAST(SUM(CASE WHEN rn_a = 1 AND rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CASE WHEN SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN rn_a = 1 AND rn_d = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS bounce_rate
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("session_entry_exit", ENTRY_EXIT_ORACLE)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit/bounce profile per event type: which actions OPEN
+    sessions, which CLOSE them, and which are one-and-done (bounces) —
+    the landing/exit-page report over gap-based (30-min) sessions.
+
+    Scale: sessionization and the first/last ranks are all windows
+    KEYED by user (and session) — no global sorts; the profile is one
+    hash aggregate on the small event-type alphabet. Both row_number
+    directions are built in the same select over the same partition
+    key, so Spark plans a single window exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(wrun)
+        .alias("session_id"),
+    )
+    wa = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = sess.select(
+        "event_type",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    entries = F.sum(F.when(F.col("rn_a") == 1, 1).otherwise(0))
+    exits = F.sum(F.when(F.col("rn_d") == 1, 1).otherwise(0))
+    bounces = F.sum(
+        F.when((F.col("rn_a") == 1) & (F.col("rn_d") == 1), 1).otherwise(0)
+    )
+    return ranked.groupBy("event_type").agg(
+        entries.alias("n_entries"),
+        exits.alias("n_exits"),
+        bounces.alias("n_bounces"),
+        F.when(
+            entries != 0, bounces.cast("double") / entries.cast("double")
+        ).alias("bounce_rate"),
+    )

@@ -98,3 +98,49 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.fuzzy import fuzzy_pairs
 
     return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name")
+
+
+# --- search-suggest (autocomplete) ranking ---------------------------------
+
+AUTOCOMPLETE_ORACLE = """
+WITH counted AS (
+    SELECT substr(p_name, 1, 2) AS prefix, p_name AS suggestion,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    GROUP BY prefix, suggestion
+),
+ranked AS (
+    SELECT prefix, suggestion, cnt,
+           ROW_NUMBER() OVER (PARTITION BY prefix
+                              ORDER BY cnt DESC, suggestion) AS rank
+    FROM counted
+)
+SELECT prefix, rank, suggestion, cnt
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("part_name_autocomplete", AUTOCOMPLETE_ORACLE)
+def q_part_name_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-suggest table: the top-3 most frequent part names per
+    2-char typed prefix — the precomputed autocomplete index shape
+    (prefix -> ranked completions). One hash aggregate on (prefix,
+    name) + a grouped top-k window keyed by prefix (candidate rows are
+    the DISTINCT name counts, far below the part table)."""
+    part = load_table(spark, sf_dir, "part")
+    counted = (
+        part.select(
+            F.substring("p_name", 1, 2).alias("prefix"),
+            F.col("p_name").alias("suggestion"),
+        )
+        .groupBy("prefix", "suggestion")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("cnt"), F.asc("suggestion")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("prefix", "rank", "suggestion", "cnt")
+    )

@@ -336,3 +336,88 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("welch_df"),
         (t2 > F.lit(3.841458820694124)).alias("significant_95"),
     )
+
+
+# --- exact weighted median ---------------------------------------------------
+
+WMEDIAN_ORACLE = """
+WITH li AS (
+    SELECT n.n_name AS nation,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+           CAST(l.l_quantity AS BIGINT) AS wt,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+cum AS (
+    SELECT nation, price_cents, wt,
+           SUM(wt) OVER (PARTITION BY nation
+                         ORDER BY price_cents, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS w_cum,
+           SUM(wt) OVER (PARTITION BY nation) AS w_total
+    FROM li
+)
+SELECT nation,
+       CAST(MAX(w_total) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * w_cum >= w_total THEN price_cents END)
+            AS BIGINT) AS weighted_median_cents
+FROM cum
+GROUP BY nation
+"""
+
+
+@register("weighted_median_price", WMEDIAN_ORACLE)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median line price per supplier nation —
+    the robust central-price statistic where each line counts by units
+    shipped, not once (lower weighted median: first price whose
+    cumulative weight reaches half the total; deterministic under a
+    (price, orderkey, linenumber) total order).
+
+    Scale: the cumulative weight is a window KEYED by nation (the
+    prefix-sum-per-group shape, never a global sort); the median pick
+    is a conditional MIN in the same keyed aggregate. Dims broadcast
+    onto the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    rows = (
+        li.select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("l_quantity").cast("long").alias("wt"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .join(F.broadcast(sup), "s_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nation").orderBy(
+        "price_cents", "l_orderkey", "l_linenumber"
+    )
+    cum = rows.select(
+        "nation",
+        "price_cents",
+        "wt",
+        F.sum("wt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("w_cum"),
+        F.sum("wt").over(Window.partitionBy("nation")).alias("w_total"),
+    )
+    return cum.groupBy("nation").agg(
+        F.max("w_total").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("w_cum") >= F.col("w_total"), F.col("price_cents"))
+        ).alias("weighted_median_cents"),
+    )

@@ -563,3 +563,87 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_docs",
         )
     )
+
+
+# --- inverted-index postings compression estimate --------------------------
+
+POSTINGS_BYTES_TOP = 20
+
+POSTINGS_BYTES_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, postings AS (
+    SELECT DISTINCT word, id FROM toks
+),
+gaps AS (
+    SELECT word,
+           id - COALESCE(LAG(id) OVER (PARTITION BY word ORDER BY id), -1)
+               AS gap
+    FROM postings
+),
+sized AS (
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS bytes_varint,
+           CAST(8 * COUNT(*) AS BIGINT) AS bytes_fixed
+    FROM gaps GROUP BY word
+)
+SELECT word, df, bytes_varint, bytes_fixed,
+       CAST(bytes_varint AS DOUBLE) / CAST(bytes_fixed AS DOUBLE)
+           AS compression_ratio
+FROM sized
+ORDER BY bytes_varint DESC, word
+LIMIT {POSTINGS_BYTES_TOP}
+"""
+)
+
+
+@register("postings_compression", POSTINGS_BYTES_ORACLE)
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage estimate under delta + varint coding: per
+    term, the byte cost of its gap-encoded posting list vs fixed 8-byte
+    ids — the index-sizing calculation every search/dedup system runs
+    before committing a 100 TB posting store. Varint byte length is
+    EXACT integer math: ceil(bitlength(gap)/7) = (length(bin(gap))+6)
+    div 7, the same libm-free bit-length trick as zipf_octave_profile
+    (gap >= 1 always: the first gap is taken against id -1).
+
+    Scale: postings are the distinct (word, doc) pairs (one hash
+    aggregate); gaps ride a window KEYED by word; sizing is a second
+    keyed aggregate; top-k is a TakeOrderedAndProject."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    postings = (
+        tokenized(load_table(spark, sf_dir, "documents"))
+        .select("word", "id")
+        .distinct()
+    )
+    w = Window.partitionBy("word").orderBy("id")
+    gaps = postings.select(
+        "word",
+        (F.col("id") - F.coalesce(F.lag("id").over(w), F.lit(-1))).alias(
+            "gap"
+        ),
+    )
+    sized = gaps.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.sum(
+            F.expr("CAST((length(bin(gap)) + 6) div 7 AS BIGINT)")
+        ).alias("bytes_varint"),
+        (F.count("*") * 8).alias("bytes_fixed"),
+    )
+    return (
+        sized.select(
+            "word",
+            "df",
+            "bytes_varint",
+            "bytes_fixed",
+            (
+                F.col("bytes_varint").cast("double")
+                / F.col("bytes_fixed").cast("double")
+            ).alias("compression_ratio"),
+        )
+        .orderBy(F.desc("bytes_varint"), F.asc("word"))
+        .limit(POSTINGS_BYTES_TOP)
+    )

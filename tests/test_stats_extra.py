@@ -192,3 +192,77 @@ def test_power_iteration_matches_exact_integer_replay(spark):
     rayleigh = vf @ Gf @ vf / (vf @ vf)
     lam_max = np.linalg.eigvalsh(Gf)[-1]
     assert rayleigh >= 0.9 * lam_max
+
+
+def test_weighted_median_matches_numpy_style(spark):
+    from amorphous_mapreduce_spark.queries.stats_queries import (
+        q_weighted_median_price,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.nation: (r.total_weight, r.weighted_median_cents)
+        for r in q_weighted_median_price(spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("n")
+    )
+    rows = (
+        li.select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("p"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .join(sup, "s_suppkey")
+        .join(nat, "s_nationkey")
+        .collect()
+    )
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.n].append((r.p, r.w))
+    for nation, pw in per.items():
+        pw.sort()
+        total = sum(w for _, w in pw)
+        cum = 0
+        med = None
+        for p, w in pw:
+            cum += w
+            if 2 * cum >= total:
+                med = p
+                break
+        assert got[nation] == (total, med), nation
+
+
+def test_session_entry_exit_bounce_consistency(spark):
+    from amorphous_mapreduce_spark.queries.analytics_queries import (
+        q_session_entry_exit,
+    )
+
+    rows = q_session_entry_exit(spark, "/root/testdata/sf0.001").collect()
+    # total entries == total exits (every session has exactly one of each)
+    assert sum(r.n_entries for r in rows) == sum(r.n_exits for r in rows)
+    for r in rows:
+        assert 0 <= r.n_bounces <= min(r.n_entries, r.n_exits)
+        if r.n_entries:
+            assert abs(r.bounce_rate - r.n_bounces / r.n_entries) < 1e-12
+
+
+def test_postings_varint_bytes_exact(spark):
+    from amorphous_mapreduce_spark.queries.text_queries import (
+        q_postings_compression,
+    )
+
+    rows = q_postings_compression(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        # each posting costs 1..8 varint bytes
+        assert r.df <= r.bytes_varint <= 8 * r.df
+        assert r.bytes_fixed == 8 * r.df
+        assert abs(r.compression_ratio - r.bytes_varint / r.bytes_fixed) < 1e-12
