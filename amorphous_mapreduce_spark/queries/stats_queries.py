@@ -25,7 +25,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.hashing import hex_hash64
@@ -401,8 +401,6 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), "s_suppkey")
         .join(F.broadcast(nat), "s_nationkey")
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("nation").orderBy(
         "price_cents", "l_orderkey", "l_linenumber"
     )
@@ -420,4 +418,186 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(2 * F.col("w_cum") >= F.col("w_total"), F.col("price_cents"))
         ).alias("weighted_median_cents"),
+    )
+
+
+# --- Theil-Sen robust trend --------------------------------------------------
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type, day
+),
+pairs AS (
+    SELECT a.event_type,
+           a.day AS d1, b.day AS d2,
+           CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+    SELECT event_type, slope,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope, d1, d2) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM pairs
+)
+SELECT r.event_type,
+       CAST(d.n_days AS BIGINT) AS n_days,
+       CAST(MAX(r.n_pairs) AS BIGINT) AS n_pairs,
+       MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END) AS ts_slope
+FROM ranked r
+JOIN (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY event_type) d
+  ON r.event_type = d.event_type
+GROUP BY r.event_type, d.n_days
+"""
+
+
+@register("theil_sen_trend", THEIL_SEN_ORACLE)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per event type: the
+    median of all pairwise day-slopes — the outlier-resistant slope
+    estimator (a single anomalous day moves OLS but not Theil-Sen).
+    Lower median with a (slope, d1, d2) total order; slopes are single
+    IEEE divisions of exact integer deltas, so both engines sort and
+    pick identically.
+
+    Scale: the pair join runs on the DAILY aggregate — cardinality
+    bounded by the calendar domain (days² per type), never by event
+    volume; the events themselves flow through one hash aggregate.
+    The rank window partitions by event type over those bounded pair
+    frames."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    # pair join + per-type day counts both re-read daily: persist the
+    # calendar-bounded aggregate (CLAUDE.md self-join gotcha)
+    daily = daily.persist()
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2")).select(
+        "event_type",
+        "d1",
+        "d2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_pairs"),
+    )
+    n_days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        ranked.join(F.broadcast(n_days), "event_type")
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n_pairs + 1) div 2"),
+                    F.col("slope"),
+                )
+            ).alias("ts_slope"),
+        )
+        .select("event_type", "n_days", "n_pairs", "ts_slope")
+    )
+
+
+# --- Neyman sampling allocation ---------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+NEYMAN_ORACLE = f"""
+WITH stats AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq
+    FROM documents GROUP BY source
+),
+scored AS (
+    SELECT source, n_docs, sum_chars, sum_sq,
+           CAST(n_docs AS DOUBLE)
+           * sqrt((CAST(n_docs AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                   - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE))
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+               AS weight
+    FROM stats
+),
+quant AS (
+    SELECT source, n_docs, sum_chars, sum_sq,
+           CAST(FLOOR(weight * 1048576) AS BIGINT) AS wq
+    FROM scored
+),
+tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_total FROM quant)
+SELECT source, n_docs, sum_chars, sum_sq,
+       CAST(wq AS DOUBLE) / CAST(t.wq_total AS DOUBLE) AS alloc_share,
+       CAST(FLOOR({NEYMAN_BUDGET} * (CAST(wq AS DOUBLE)
+                                     / CAST(t.wq_total AS DOUBLE)))
+            AS BIGINT) AS n_alloc
+FROM quant CROSS JOIN tot t
+"""
+
+
+@register("neyman_allocation", NEYMAN_ORACLE)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal audit-sample allocation across sources: a fixed
+    review budget split proportionally to N_h * sigma_h (stratum size x
+    length std-dev) — the survey-sampling design that minimizes
+    estimator variance, run before any human-eval pass over a corpus.
+
+    Exactness: sufficient stats are integer sums of n_chars; sigma is
+    one IEEE sqrt of a fixed double expression (sqrt is correctly
+    rounded — same trust as negative_sampling_weights' f^0.75); FLOOR
+    before the BIGINT cast avoids DuckDB's round-on-cast. One hash
+    aggregate + a 1-row total crossed back."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sum_sq"),
+    )
+    nd = F.col("n_docs").cast("double")
+    weight = nd * F.sqrt(
+        (
+            nd * F.col("sum_sq").cast("double")
+            - F.col("sum_chars").cast("double")
+            * F.col("sum_chars").cast("double")
+        )
+        / (nd * nd)
+    )
+    # per-stratum weights quantize to integers (floor * 2^20) before the
+    # grand total: a float SUM's accumulation order differs between
+    # engines; the integer total is order-free (measured 1-ulp drift)
+    scored = stats.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_sq",
+        F.floor(weight * F.lit(1 << 20)).cast("long").alias("wq"),
+    )
+    tot = scored.agg(F.sum("wq").alias("wq_total"))
+    share = F.col("wq").cast("double") / F.col("wq_total").cast("double")
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_sq",
+        share.alias("alloc_share"),
+        F.floor(F.lit(NEYMAN_BUDGET) * share).cast("long").alias("n_alloc"),
     )

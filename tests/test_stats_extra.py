@@ -266,3 +266,56 @@ def test_postings_varint_bytes_exact(spark):
         assert r.df <= r.bytes_varint <= 8 * r.df
         assert r.bytes_fixed == 8 * r.df
         assert abs(r.compression_ratio - r.bytes_varint / r.bytes_fixed) < 1e-12
+
+
+def test_theil_sen_matches_python(spark):
+    from amorphous_mapreduce_spark.queries.stats_queries import (
+        q_theil_sen_trend,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+    import collections
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in q_theil_sen_trend(spark, sf).collect()}
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    per = collections.defaultdict(dict)
+    for r in ev:
+        per[r.event_type][r.day] = r["count"]
+    for et, dc in per.items():
+        days = sorted(dc)
+        slopes = []
+        for i, d1 in enumerate(days):
+            for d2 in days[i + 1 :]:
+                slopes.append(((dc[d2] - dc[d1]) / (d2 - d1), d1, d2))
+        slopes.sort()
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert got[et].n_days == len(days)
+        assert got[et].n_pairs == len(slopes)
+        assert got[et].ts_slope == lower_median
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from amorphous_mapreduce_spark.queries.stats_queries import (
+        NEYMAN_BUDGET,
+        q_neyman_allocation,
+    )
+
+    rows = q_neyman_allocation(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-9
+    total = sum(r.n_alloc for r in rows)
+    # floor rounding can undershoot by at most one per stratum
+    assert NEYMAN_BUDGET - len(rows) <= total <= NEYMAN_BUDGET
+    for r in rows:
+        assert r.n_alloc >= 0

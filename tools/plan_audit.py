@@ -65,6 +65,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "constant-size both sides; the corpus-sized work is only the "
         "one Gram aggregate",
     },
+    "neyman_allocation": {
+        "BroadcastNestedLoopJoin": "1-row quantized-weight total "
+        "crossed back onto the per-source strata frame (bounded by "
+        "the source alphabet) — the standard scalar-total pattern",
+    },
     "near_dup_assortativity": {
         "BroadcastNestedLoopJoin": "crossJoin of the two 1-row scalar "
         "aggregates (edge sufficient stats x node count) — both sides "
