@@ -640,3 +640,145 @@ def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_inter"),
         )
     )
+
+
+# --- HLL shard-merge rollup proof -------------------------------------------
+
+HLL_MERGE_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tagged AS (
+    SELECT DISTINCT d.lang, d.doc_id % 4 AS shard, t.word
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+pw AS (
+    SELECT lang, shard, h % 64 AS bucket,
+           CASE WHEN (h >> 6) = 0 THEN 55
+                ELSE 55 - length(bin(h >> 6)) END AS rho
+    FROM (SELECT lang, shard, {_HLL_H} AS h FROM tagged)
+),
+shard_regs AS (
+    SELECT lang, shard, bucket, MAX(rho) AS reg
+    FROM pw GROUP BY lang, shard, bucket
+),
+merged_regs AS (
+    SELECT lang, bucket, MAX(reg) AS reg
+    FROM shard_regs GROUP BY lang, bucket
+),
+direct_regs AS (
+    SELECT lang, bucket, MAX(rho) AS reg
+    FROM pw GROUP BY lang, bucket
+),
+msum AS (
+    SELECT lang,
+           COUNT(*) AS m_used,
+           CAST(SUM(CAST(power(2.0, 55 - reg) AS BIGINT)) AS BIGINT) AS m_present
+    FROM merged_regs GROUP BY lang
+),
+dsum AS (
+    SELECT lang,
+           COUNT(*) AS d_used,
+           CAST(SUM(CAST(power(2.0, 55 - reg) AS BIGINT)) AS BIGINT) AS d_present
+    FROM direct_regs GROUP BY lang
+),
+shards AS (
+    SELECT lang, CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+    FROM shard_regs GROUP BY lang
+)
+SELECT m.lang, s.n_shards,
+       CAST(m.m_present + (64 - m.m_used) * (CAST(1 AS BIGINT) << 55)
+            AS BIGINT) AS merged_sum_scaled,
+       CAST(d.d_present + (64 - d.d_used) * (CAST(1 AS BIGINT) << 55)
+            AS BIGINT) AS direct_sum_scaled,
+       CAST(CASE WHEN m.m_present = d.d_present AND m.m_used = d.d_used
+                 THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+FROM msum m JOIN dsum d ON m.lang = d.lang JOIN shards s ON m.lang = s.lang
+"""
+)
+
+
+@register("hll_merge_rollup", HLL_MERGE_ORACLE)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY proof — the property that makes sketch cubes
+    reaggregatable: registers built per (lang, shard) and merged with
+    MAX equal the registers built directly per lang, so a distinct-count
+    rollup can be precomputed at fine grain and re-rolled at query time
+    without touching raw data (the sketch sibling of the streaming
+    CMS-merge proof). Both paths and the equality flag are computed
+    in-plan; `merge_exact` is 1 for every language.
+
+    Scale: the per-word rows are persisted (both register paths read
+    them — CLAUDE.md self-join gotcha); everything downstream is
+    (lang, shard, bucket)-sized, corpus-independent."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    meta = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    h = hex_hash64(F.concat(F.lit("hll_"), F.col("word")))
+    w = F.shiftright(h, 6)
+    pw = (
+        toks.join(F.broadcast(meta), "id")
+        .select("lang", "shard", "word")
+        .distinct()
+        .select(
+            "lang",
+            "shard",
+            F.pmod(h, F.lit(64)).alias("bucket"),
+            F.when(w == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        .persist()
+    )
+    shard_regs = pw.groupBy("lang", "shard", "bucket").agg(
+        F.max("rho").alias("reg")
+    ).persist()
+    merged_regs = shard_regs.groupBy("lang", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    direct_regs = pw.groupBy("lang", "bucket").agg(F.max("rho").alias("reg"))
+
+    def _sum(regs: DataFrame, used: str, present: str) -> DataFrame:
+        return regs.groupBy("lang").agg(
+            F.count("*").alias(used),
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(55) - F.col("reg")).cast("long")
+            ).alias(present),
+        )
+
+    msum = _sum(merged_regs, "m_used", "m_present")
+    dsum = _sum(direct_regs, "d_used", "d_present")
+    shards = shard_regs.groupBy("lang").agg(
+        F.countDistinct("shard").alias("n_shards")
+    )
+    full = F.lit(1 << 55).cast("long")
+    return (
+        msum.join(dsum, "lang")
+        .join(shards, "lang")
+        .select(
+            "lang",
+            "n_shards",
+            (
+                F.col("m_present")
+                + (F.lit(64) - F.col("m_used")).cast("long") * full
+            ).alias("merged_sum_scaled"),
+            (
+                F.col("d_present")
+                + (F.lit(64) - F.col("d_used")).cast("long") * full
+            ).alias("direct_sum_scaled"),
+            F.when(
+                (F.col("m_present") == F.col("d_present"))
+                & (F.col("m_used") == F.col("d_used")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("merge_exact"),
+        )
+    )

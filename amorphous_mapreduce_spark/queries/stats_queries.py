@@ -601,3 +601,204 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("alloc_share"),
         F.floor(F.lit(NEYMAN_BUDGET) * share).cast("long").alias("n_alloc"),
     )
+
+
+# --- difference-in-differences estimator ------------------------------------
+
+DID_SPLIT_DAY = 19738  # 2024-01-16, mid-span of the events fixture
+
+DID_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(user_id % 2 AS INT) AS treat,
+           CASE WHEN epoch_us(ts) // 86400000000 >= {DID_SPLIT_DAY}
+                THEN 1 ELSE 0 END AS post,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+cells AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+           CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+           CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cr,
+           CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_tp,
+           CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_tr,
+           CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+           CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_cr
+    FROM ev GROUP BY event_type
+)
+SELECT event_type, n_tp, n_tr, n_cp, n_cr,
+       CASE WHEN n_tp = 0 OR n_tr = 0 OR n_cp = 0 OR n_cr = 0 THEN NULL
+            ELSE (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+                  - CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+                 - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                    - CAST(s_cr AS DOUBLE) / CAST(n_cr AS DOUBLE))
+       END AS did_cents
+FROM cells
+"""
+
+
+@register("diff_in_diff_value", DID_ORACLE)
+def q_diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of per-event value per event
+    type: (treated post - pre) - (control post - pre), with a synthetic
+    mid-span exposure (odd user ids treated from 2024-01-16) — the
+    quasi-experimental effect estimator run when randomized assignment
+    isn't available. Cell sums are exact decimal cents; the four means
+    and the DiD are fixed double expressions; empty cells NULL-guard
+    the estimate (Spark ANSI raises on /0 where DuckDB returns NaN).
+
+    Scale: ONE conditional-aggregation scan — eight CASE sums per
+    event type, no joins, no windows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.when(
+            (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+            >= DID_SPLIT_DAY,
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def cell(t: int, p: int, col, zero):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, col).otherwise(zero))
+
+    cells = ev.groupBy("event_type").agg(
+        cell(1, 1, F.lit(1), F.lit(0)).alias("n_tp"),
+        cell(1, 0, F.lit(1), F.lit(0)).alias("n_tr"),
+        cell(0, 1, F.lit(1), F.lit(0)).alias("n_cp"),
+        cell(0, 0, F.lit(1), F.lit(0)).alias("n_cr"),
+        cell(1, 1, F.col("cents"), F.lit(0)).alias("s_tp"),
+        cell(1, 0, F.col("cents"), F.lit(0)).alias("s_tr"),
+        cell(0, 1, F.col("cents"), F.lit(0)).alias("s_cp"),
+        cell(0, 0, F.col("cents"), F.lit(0)).alias("s_cr"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")
+    nonempty = (
+        (F.col("n_tp") != 0)
+        & (F.col("n_tr") != 0)
+        & (F.col("n_cp") != 0)
+        & (F.col("n_cr") != 0)
+    )
+    return cells.select(
+        "event_type",
+        "n_tp",
+        "n_tr",
+        "n_cp",
+        "n_cr",
+        F.when(
+            nonempty,
+            (mean("s_tp", "n_tp") - mean("s_tr", "n_tr"))
+            - (mean("s_cp", "n_cp") - mean("s_cr", "n_cr")),
+        ).alias("did_cents"),
+    )
+
+
+# --- order-statistic confidence interval for the median ----------------------
+
+MEDIAN_CI_ORACLE = """
+WITH c AS (
+    SELECT n.n_name AS nation,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           o.o_orderkey
+    FROM orders o
+    JOIN customer cu ON o.o_custkey = cu.c_custkey
+    JOIN nation n ON cu.c_nationkey = n.n_nationkey
+),
+ranked AS (
+    SELECT nation, cents,
+           ROW_NUMBER() OVER (PARTITION BY nation
+                              ORDER BY cents, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY nation) AS n
+    FROM c
+),
+picks AS (
+    SELECT nation, n,
+           (n + 1) // 2 AS r_med,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(FLOOR(CAST(n AS DOUBLE) / 2
+                               - sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS r_lo,
+           LEAST(n, CAST(CEIL(CAST(n AS DOUBLE) / 2 + 1
+                              + sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS r_hi
+    FROM (SELECT DISTINCT nation, n FROM ranked)
+)
+SELECT r.nation,
+       CAST(MAX(r.n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn = p.r_med THEN cents END) AS BIGINT)
+           AS median_cents,
+       CAST(MAX(CASE WHEN rn = p.r_lo THEN cents END) AS BIGINT)
+           AS ci_lo_cents,
+       CAST(MAX(CASE WHEN rn = p.r_hi THEN cents END) AS BIGINT)
+           AS ci_hi_cents
+FROM ranked r JOIN picks p ON r.nation = p.nation
+GROUP BY r.nation
+"""
+
+
+@register("median_order_value_ci", MEDIAN_CI_ORACLE)
+def q_median_order_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free ~95% confidence interval for the median order
+    value per customer nation, via ORDER STATISTICS: the CI bounds are
+    the values at ranks n/2 ± sqrt(n) (the binomial normal
+    approximation) — no parametric assumption, and because the bounds
+    are exact rank picks they hash-match cross-engine (sqrt is one
+    correctly-rounded IEEE op; FLOOR/CEIL before the integer cast).
+
+    Scale: rank and count ride one window KEYED by nation; the three
+    picks are conditional MAXes in the same keyed aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    c = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(cu), "o_custkey")
+        .join(F.broadcast(na), "c_nationkey")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("nation")
+    ranked = c.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    r_med = F.expr("(n + 1) div 2")
+    r_lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(nd / 2 - F.sqrt(nd)).cast("long"),
+    )
+    r_hi = F.least(
+        F.col("n"), F.ceil(nd / 2 + 1 + F.sqrt(nd)).cast("long")
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("n").alias("n_orders"),
+        F.max(F.when(F.col("rn") == r_med, F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.max(F.when(F.col("rn") == r_lo, F.col("cents"))).alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == r_hi, F.col("cents"))).alias(
+            "ci_hi_cents"
+        ),
+    )

@@ -199,3 +199,15 @@ def test_hll_registers_merge_as_max(spark):
     # harmonic sum shrinks (or holds) under union: registers only grow
     assert ru.hll_sum_scaled <= min(ra.hll_sum_scaled, rb.hll_sum_scaled)
     assert ru.n_distinct_exact == 6
+
+
+def test_hll_merge_rollup_proof_holds(spark):
+    from amorphous_mapreduce_spark.queries.sketch_queries import (
+        q_hll_merge_rollup,
+    )
+
+    rows = q_hll_merge_rollup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.merge_exact == 1
+        assert r.merged_sum_scaled == r.direct_sum_scaled

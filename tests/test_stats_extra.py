@@ -319,3 +319,25 @@ def test_neyman_allocation_sums_to_budget(spark):
     assert NEYMAN_BUDGET - len(rows) <= total <= NEYMAN_BUDGET
     for r in rows:
         assert r.n_alloc >= 0
+
+
+def test_did_cells_partition_events(spark):
+    from amorphous_mapreduce_spark.queries.stats_queries import (
+        q_diff_in_diff_value,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_diff_in_diff_value(spark, sf).collect()
+    total = sum(r.n_tp + r.n_tr + r.n_cp + r.n_cr for r in rows)
+    assert total == load_table(spark, sf, "events").count()
+
+
+def test_median_ci_brackets_median(spark):
+    from amorphous_mapreduce_spark.queries.stats_queries import (
+        q_median_order_value_ci,
+    )
+
+    for r in q_median_order_value_ci(spark, "/root/testdata/sf0.001").collect():
+        assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
+        assert r.n_orders >= 1
