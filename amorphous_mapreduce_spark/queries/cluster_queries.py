@@ -362,3 +362,84 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+# --- local clustering coefficient -------------------------------------------
+
+LCC_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, deg AS (
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM edges GROUP BY a
+),
+wedges AS (
+    SELECT e1.a AS v, e1.b AS u, e2.b AS w
+    FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+tri AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM wedges
+    WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.qid = wedges.u
+                                          AND p.nid = wedges.w)
+    GROUP BY v
+)
+SELECT d.node, d.degree,
+       COALESCE(t.triangles, 0) AS triangles,
+       CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+       / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS lcc
+FROM deg d LEFT JOIN tri t ON d.node = t.v
+WHERE d.degree >= 2
+ORDER BY lcc DESC, d.node
+LIMIT 20
+"""
+)
+
+
+@register("near_dup_clustering_coef", LCC_ORACLE)
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the near-dup graph: per node,
+    the fraction of its neighbor pairs that are themselves connected —
+    LCC 1.0 marks fully-interlinked template cliques (sever whole),
+    low LCC marks bridge documents (inspect before severing).
+    Completes the graph-metric suite (degree, assortativity, triangles,
+    components, k-core, PageRank, BFS).
+
+    Scale: wedges enumerate per-node neighbor pairs (Σ deg² — the
+    standard triangle-counting cost; hub caps apply at extreme skew);
+    closure is a semi-join against the canonical qid<nid pair set; the
+    per-node counts and the degree join are keyed. Top-20 is a
+    TakeOrderedAndProject. The pair set is persisted (three readers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b")).unionAll(
+        pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    e1 = edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "v").filter(F.col("u") < F.col("w"))
+    closed = wedges.join(
+        pairs.select(F.col("qid").alias("u"), F.col("nid").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    tri = closed.groupBy("v").agg(F.count("*").alias("triangles"))
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri.withColumnRenamed("v", "node"), "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            (
+                (2 * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("lcc"),
+        )
+    )
+    return out.orderBy(F.desc("lcc"), F.asc("node")).limit(20)

@@ -337,3 +337,105 @@ def q_feature_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("tot_ref") * F.col("tot_cur")
         ).alias("drifted"),
     )
+
+
+# --- functional-dependency profiling ----------------------------------------
+
+FD_ORACLE = """
+WITH pn AS (
+    SELECT 'p_name->p_brand' AS fd, p_name AS lhs_s, p_brand AS rhs
+    FROM part
+),
+ck AS (
+    SELECT 'c_custkey->c_nationkey' AS fd, CAST(c_custkey AS VARCHAR) AS lhs_s,
+           CAST(c_nationkey AS VARCHAR) AS rhs
+    FROM customer
+),
+oc AS (
+    SELECT 'o_custkey->o_orderpriority' AS fd,
+           CAST(o_custkey AS VARCHAR) AS lhs_s, o_orderpriority AS rhs
+    FROM orders
+),
+lp AS (
+    SELECT 'l_partkey->l_suppkey' AS fd, CAST(l_partkey AS VARCHAR) AS lhs_s,
+           CAST(l_suppkey AS VARCHAR) AS rhs
+    FROM lineitem
+),
+ue AS (
+    SELECT 'user_id->event_type' AS fd, CAST(user_id AS VARCHAR) AS lhs_s,
+           event_type AS rhs
+    FROM events
+),
+unioned AS (
+    SELECT * FROM pn UNION ALL SELECT * FROM ck UNION ALL
+    SELECT * FROM oc UNION ALL SELECT * FROM lp UNION ALL SELECT * FROM ue
+),
+per_lhs AS (
+    SELECT fd, lhs_s, COUNT(DISTINCT rhs) AS ndv
+    FROM unioned GROUP BY fd, lhs_s
+)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS violation_share,
+       CAST(MAX(ndv) AS BIGINT) AS max_rhs_ndv
+FROM per_lhs
+GROUP BY fd
+"""
+
+
+@register("fd_profile", FD_ORACLE)
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery scorecard: for five candidate
+    FDs across four tables, how many left-hand-side groups map to more
+    than one right-hand value — the dependency-profiling pass schema
+    tools run to find keys, denormalization opportunities, and data
+    bugs (c_custkey->c_nationkey should HOLD; behavioural FDs like
+    user_id->event_type should fail almost everywhere).
+
+    Scale: each FD is one hash aggregate on its lhs (countDistinct
+    rhs); the verdict rollup is per-FD. The union is of per-FD
+    aggregate LINEAGES, not raw tables — Spark runs the five scans
+    independently; nothing is shuffled twice."""
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "part": load_table(spark, sf_dir, "part"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "events": load_table(spark, sf_dir, "events"),
+    }
+    fds = [
+        ("p_name->p_brand", "part", "p_name", "p_brand"),
+        ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+        ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        ("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+        ("user_id->event_type", "events", "user_id", "event_type"),
+    ]
+    parts = []
+    for fd, tbl, lhs, rhs in fds:
+        per_lhs = (
+            tables[tbl]
+            .select(
+                F.col(lhs).cast("string").alias("lhs_s"),
+                F.col(rhs).cast("string").alias("rhs"),
+            )
+            .groupBy("lhs_s")
+            .agg(F.countDistinct("rhs").alias("ndv"))
+        )
+        viol = F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+        parts.append(
+            per_lhs.agg(
+                F.count("*").alias("n_groups"),
+                viol.alias("n_violating"),
+                (viol.cast("double") / F.count("*").cast("double")).alias(
+                    "violation_share"
+                ),
+                F.max("ndv").alias("max_rhs_ndv"),
+            ).select(F.lit(fd).alias("fd"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

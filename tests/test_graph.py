@@ -150,3 +150,15 @@ def test_assortativity_bounds_on_fixture(spark):
     assert r.sum_deg >= r.n_edges_directed
     if r.assortativity is not None:
         assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_lcc_bounds_and_triangle_consistency(spark):
+    from amorphous_mapreduce_spark.queries.cluster_queries import (
+        q_clustering_coef,
+    )
+
+    rows = q_clustering_coef(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r.degree >= 2
+        assert 0.0 <= r.lcc <= 1.0
+        assert r.triangles <= r.degree * (r.degree - 1) // 2

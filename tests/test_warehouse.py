@@ -219,3 +219,13 @@ def test_bitmap_popcount_matches_distinct_days(spark):
     }
     got = {r.n_active_days: r.n_users for r in hist}
     assert got == want
+
+
+def test_fd_profile_key_fd_holds(spark):
+    from amorphous_mapreduce_spark.queries.dq_queries import q_fd_profile
+
+    rows = {r.fd: r for r in q_fd_profile(spark, "/root/testdata/sf0.001").collect()}
+    # a key FD can never be violated
+    assert rows["c_custkey->c_nationkey"].n_violating == 0
+    # behavioural "FD" fails for most active users
+    assert rows["user_id->event_type"].n_violating > 0
