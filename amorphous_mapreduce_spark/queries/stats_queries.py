@@ -802,3 +802,98 @@ def q_median_order_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents"
         ),
     )
+
+
+# --- Tukey-fence outlier scan -----------------------------------------------
+
+TUKEY_ORACLE = """
+WITH priced AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ranked AS (
+    SELECT brand, cents,
+           ROW_NUMBER() OVER (PARTITION BY brand
+                              ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY brand) AS n
+    FROM priced
+),
+quarts AS (
+    SELECT brand,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS BIGINT)
+               AS q1_cents,
+           CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS BIGINT)
+               AS q3_cents
+    FROM ranked GROUP BY brand
+)
+SELECT p.brand, q.n, q.q1_cents, q.q3_cents,
+       CAST(SUM(CASE WHEN 2 * p.cents < 2 * q.q1_cents
+                          - 3 * (q.q3_cents - q.q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * p.cents > 2 * q.q3_cents
+                          + 3 * (q.q3_cents - q.q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM priced p JOIN quarts q ON p.brand = q.brand
+GROUP BY p.brand, q.n, q.q1_cents, q.q3_cents
+"""
+
+
+@register("tukey_price_outliers", TUKEY_ORACLE)
+def q_tukey_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per brand: line prices beyond
+    Q1 - 1.5*IQR / Q3 + 1.5*IQR — the boxplot data-cleaning rule.
+    Quartiles are EXACT rank picks (type-1 quantiles at ceil(n/4) /
+    ceil(3n/4) under a total order), and the fences compare 2x-scaled
+    integers so the half-cent 1.5*IQR never leaves integer arithmetic.
+
+    Scale: rank/count ride one window keyed by brand; the quartile
+    frame (one row per brand) broadcasts back onto the priced rows for
+    the fence count — two keyed aggregates, one dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    priced = (
+        li.select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .join(F.broadcast(part), "p_partkey")
+        .select(F.col("p_brand").alias("brand"), "cents", "l_orderkey", "l_linenumber")
+        .persist()
+    )
+    w = Window.partitionBy("brand").orderBy("cents", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("brand")
+    ranked = priced.select(
+        "brand",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    quarts = ranked.groupBy("brand").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))
+        ).alias("q1_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    iqr = F.col("q3_cents") - F.col("q1_cents")
+    low = F.sum(
+        F.when(2 * F.col("cents") < 2 * F.col("q1_cents") - 3 * iqr, 1).otherwise(0)
+    )
+    high = F.sum(
+        F.when(2 * F.col("cents") > 2 * F.col("q3_cents") + 3 * iqr, 1).otherwise(0)
+    )
+    return (
+        priced.join(F.broadcast(quarts), "brand")
+        .groupBy("brand", "n", "q1_cents", "q3_cents")
+        .agg(low.alias("n_low_outliers"), high.alias("n_high_outliers"))
+    )

@@ -647,3 +647,177 @@ def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bytes_varint"), F.asc("word"))
         .limit(POSTINGS_BYTES_TOP)
     )
+
+
+# --- pseudo-relevance-feedback query expansion ------------------------------
+
+PRF_FB_DOCS = 10
+PRF_EXP_TERMS = 3
+PRF_OUT_K = 15
+PRF_QUANT = 1048576  # 2^20 contribution quantizer
+
+from amorphous_mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    STOPWORDS,
+)
+
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+_SQL_BASE = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_PRF_CONTRIB = """
+CAST(FLOOR(
+    ((CAST(n_doc AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+     / (CAST(df AS DOUBLE) + 0.5))
+    * (CAST(tf AS DOUBLE) * 2.2)
+    / (CAST(tf AS DOUBLE)
+       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                     * CAST(n_doc AS DOUBLE)
+                                     / CAST(n_tok AS DOUBLE))))
+    * 1048576) AS BIGINT)
+"""
+
+PRF_ORACLE = f"""
+WITH toks AS (
+    SELECT id, word FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+),
+tf AS (SELECT id, word, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY id, word),
+dls AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+scal AS (SELECT COUNT(*) AS n_doc, CAST(SUM(dl) AS BIGINT) AS n_tok FROM dls),
+base_terms(word) AS (VALUES ({"), (".join(f"'{t}'" for t in BM25_TERMS)})),
+bdf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf JOIN base_terms USING (word) GROUP BY word),
+bcontrib AS (
+    SELECT tf.id, {_PRF_CONTRIB} AS cq
+    FROM tf JOIN base_terms USING (word) JOIN bdf USING (word)
+    JOIN dls USING (id) CROSS JOIN scal
+),
+fb AS (
+    SELECT id, CAST(SUM(cq) AS BIGINT) AS score_q
+    FROM bcontrib GROUP BY id
+    ORDER BY score_q DESC, id LIMIT {PRF_FB_DOCS}
+),
+exp_terms AS (
+    SELECT word FROM tf JOIN fb USING (id)
+    WHERE word NOT IN ({_SQL_BASE}) AND word NOT IN ({_SQL_STOP})
+    GROUP BY word
+    ORDER BY CAST(SUM(tf) AS BIGINT) DESC, word
+    LIMIT {PRF_EXP_TERMS}
+),
+all_terms AS (
+    SELECT word FROM base_terms UNION SELECT word FROM exp_terms
+),
+adf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf JOIN all_terms USING (word) GROUP BY word),
+acontrib AS (
+    SELECT tf.id, {_PRF_CONTRIB} AS cq
+    FROM tf JOIN all_terms USING (word) JOIN adf USING (word)
+    JOIN dls USING (id) CROSS JOIN scal
+)
+SELECT id, CAST(SUM(cq) AS BIGINT) AS score_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM acontrib GROUP BY id
+ORDER BY score_scaled DESC, id LIMIT {PRF_OUT_K}
+"""
+
+
+def _prf_score(tf: DataFrame, terms: DataFrame, dls: DataFrame, scal: DataFrame) -> DataFrame:
+    """Quantized BM25 score of every doc against a DYNAMIC terms table:
+    [id, cq rows] -> caller aggregates. Contribution doubles go through
+    the identical IEEE tree as the oracle, then floor-quantize to 2^-20
+    so the per-doc SUM is integer (float-sum order independence)."""
+    matched = tf.join(F.broadcast(terms), "word")
+    df_t = matched.groupBy("word").agg(F.countDistinct("id").alias("df"))
+    nd = F.col("n_doc").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    ntokd = F.col("n_tok").cast("double")
+    contrib = (
+        ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+        * (tfd * F.lit(2.2))
+        / (
+            tfd
+            + F.lit(1.2)
+            * (
+                F.lit(1.0)
+                - F.lit(0.75)
+                + F.lit(0.75) * (dld * nd / ntokd)
+            )
+        )
+        * F.lit(1048576)
+    )
+    return (
+        matched.join(F.broadcast(df_t), "word")
+        .join(dls, "id")
+        .crossJoin(F.broadcast(scal))
+        .select("id", F.floor(contrib).cast("long").alias("cq"))
+    )
+
+
+@register("prf_expanded_retrieval", PRF_ORACLE)
+def q_prf_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval: BM25 the base 3-term query,
+    take the top-10 feedback docs, mine their top-3 non-stopword
+    expansion terms, and re-rank the corpus against the EXPANDED query —
+    the classic Rocchio/RM-style two-pass retriever (the lexical
+    counterpart of dense query expansion).
+
+    Engine-exactness: per-(doc, term) BM25 contributions use the
+    rational Robertson IDF (no log) and floor-quantize to 2^-20 BEFORE
+    the per-doc sum, so scores are integer and immune to float-sum
+    order (the dynamic terms table makes literal-order summation — the
+    bm25_ranking trick — unavailable).
+
+    Scale: ONE (id, word) aggregate is persisted and reused by base
+    scoring, term mining, and re-scoring; term/df/scalars frames all
+    broadcast; both rankings are TakeOrderedAndProject."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokenized(docs)
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    dls = tf.groupBy("id").agg(F.sum("tf").alias("dl")).persist()
+    scal = dls.agg(
+        F.count("*").alias("n_doc"), F.sum("dl").alias("n_tok")
+    )
+    base = docs.sparkSession.createDataFrame(
+        [(t,) for t in BM25_TERMS], ["word"]
+    )
+    fb = (
+        _prf_score(tf, base, dls, scal)
+        .groupBy("id")
+        .agg(F.sum("cq").alias("score_q"))
+        .orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(PRF_FB_DOCS)
+    )
+    exp_terms = (
+        tf.join(F.broadcast(fb.select("id")), "id")
+        .filter(~F.col("word").isin(*BM25_TERMS))
+        .filter(~F.col("word").isin(*STOPWORDS))
+        .groupBy("word")
+        .agg(F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("word"))
+        .limit(PRF_EXP_TERMS)
+        .select("word")
+    )
+    all_terms = base.unionByName(exp_terms).distinct()
+    return (
+        _prf_score(tf, all_terms, dls, scal)
+        .groupBy("id")
+        .agg(
+            F.sum("cq").alias("score_scaled"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("score_scaled"), F.asc("id"))
+        .limit(PRF_OUT_K)
+    )

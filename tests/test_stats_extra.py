@@ -341,3 +341,29 @@ def test_median_ci_brackets_median(spark):
     for r in q_median_order_value_ci(spark, "/root/testdata/sf0.001").collect():
         assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
         assert r.n_orders >= 1
+
+
+def test_tukey_quartiles_and_fences(spark):
+    from amorphous_mapreduce_spark.queries.stats_queries import (
+        q_tukey_price_outliers,
+    )
+
+    rows = q_tukey_price_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.q1_cents <= r.q3_cents
+        assert 0 <= r.n_low_outliers + r.n_high_outliers <= r.n
+
+
+def test_prf_expansion_beats_or_matches_base_recall(spark):
+    from amorphous_mapreduce_spark.queries.text_queries import (
+        BM25_TERMS,
+        q_prf_expanded_retrieval,
+    )
+
+    rows = q_prf_expanded_retrieval(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # expanded query has 3 base + 3 expansion terms max
+        assert 1 <= r.n_matched_terms <= len(BM25_TERMS) + 3
+        assert r.score_scaled > 0

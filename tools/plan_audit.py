@@ -65,6 +65,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "constant-size both sides; the corpus-sized work is only the "
         "one Gram aggregate",
     },
+    "prf_expanded_retrieval": {
+        "BroadcastNestedLoopJoin": "1-row (n_doc, n_tok) corpus-scalar "
+        "frame crossed onto per-(doc, term) rows in each of the two "
+        "scoring passes (+ the base-scalar cross) — the bm25_ranking "
+        "scalar pattern; terms/df frames are bounded by the 6-term "
+        "query and broadcast hash-joined",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
