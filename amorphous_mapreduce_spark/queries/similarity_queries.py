@@ -570,3 +570,67 @@ def q_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("overlap_at_5"))
     )
     return ov.groupBy("overlap_at_5").agg(F.count("*").alias("n_queries"))
+
+
+# --- similarity threshold sweep ---------------------------------------------
+
+SWEEP_THRESHOLDS = (0.2, 0.25, 0.3, 0.35, 0.4, 0.45)
+
+SWEEP_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND {_COS} >= 0.2
+),
+th(t) AS (VALUES ({"), (".join(str(t) for t in SWEEP_THRESHOLDS)})),
+cand AS (
+    SELECT t, qid, nid FROM pairs JOIN th ON sim >= t
+),
+pc AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM cand GROUP BY t
+),
+cov AS (
+    SELECT t, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs_covered
+    FROM (SELECT t, qid AS id FROM cand UNION
+          SELECT t, nid AS id FROM cand)
+    GROUP BY t
+)
+SELECT pc.t AS threshold, n_pairs, n_docs_covered
+FROM pc JOIN cov ON pc.t = cov.t
+"""
+
+
+@register("embedding_threshold_sweep", SWEEP_ORACLE)
+def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sizing curve: candidate pair count and distinct
+    document coverage at cosine thresholds 0.20..0.45 — the
+    budget-vs-aggressiveness table read before committing a similarity
+    dedup threshold at scale (the embedding analogue of
+    cms_width_sweep's accuracy-vs-memory curve).
+
+    Scale: ONE blocked exact E·Eᵀ pass at the loosest threshold (the
+    only data-sized stage; shuffle out tracks answer size), then a
+    6-way threshold explode over surviving pairs only — never re-runs
+    the kernel per threshold. The pair frame is persisted for the
+    count and coverage readers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_blocked(emb, threshold=0.2).persist()
+    th = F.explode(
+        F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    ).alias("t")
+    cand = (
+        pairs.select("qid", "nid", "sim", th)
+        .filter(F.col("sim") >= F.col("t"))
+        .persist()
+    )
+    pc = cand.groupBy("t").agg(F.count("*").alias("n_pairs"))
+    cov = (
+        cand.select("t", F.explode(F.array("qid", "nid")).alias("id"))
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("n_docs_covered"))
+    )
+    return (
+        pc.join(cov, "t")
+        .select(F.col("t").alias("threshold"), "n_pairs", "n_docs_covered")
+    )

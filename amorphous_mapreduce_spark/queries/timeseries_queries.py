@@ -829,3 +829,94 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("actual_cents").cast("double")
         ).alias("bias"),
     )
+
+
+# --- Brown's double exponential smoothing (trend-aware EWMA) ----------------
+
+# alpha = 1/2, truncated at K=20 lags. Single-smoothed weights are
+# 2^-(j+1); DOUBLE-smoothed weights are the convolution (j+1)*2^-(j+2).
+# Scaling by 2^22 makes BOTH weight families exact BIGINTs
+# (2^(22-rn) and rn*2^(21-rn) for rn = 1..20), so level and trend are
+# ratios of exact integers — the trend-aware sibling of ewma_user_value.
+_BROWN_K = 20
+
+BROWN_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+ranked AS (
+    SELECT user_id, cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev
+),
+sums AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << (22 - rn))) AS BIGINT)
+               AS s1_scaled,
+           CAST(SUM(CAST(1 AS BIGINT) << (22 - rn)) AS BIGINT) AS d1_scaled,
+           CAST(SUM(cents * rn * (CAST(1 AS BIGINT) << (21 - rn))) AS BIGINT)
+               AS s2_scaled,
+           CAST(SUM(rn * (CAST(1 AS BIGINT) << (21 - rn))) AS BIGINT)
+               AS d2_scaled
+    FROM ranked WHERE rn <= {_BROWN_K}
+    GROUP BY user_id
+)
+SELECT user_id, n_used, s1_scaled, d1_scaled, s2_scaled, d2_scaled,
+       2.0 * (CAST(s1_scaled AS DOUBLE) / CAST(d1_scaled AS DOUBLE))
+       - CAST(s2_scaled AS DOUBLE) / CAST(d2_scaled AS DOUBLE)
+           AS level_cents,
+       CAST(s1_scaled AS DOUBLE) / CAST(d1_scaled AS DOUBLE)
+       - CAST(s2_scaled AS DOUBLE) / CAST(d2_scaled AS DOUBLE)
+           AS trend_cents
+FROM sums
+"""
+
+
+@register("brown_trend_smoothing", BROWN_ORACLE)
+def q_brown_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing per user: level AND trend
+    of event value from the 20 most recent events — the trend-aware
+    upgrade of ewma_user_value (a rising spender and a flat spender
+    with equal EWMAs separate on trend_cents). The doubly-smoothed
+    statistic's convolution weights (j+1)*2^-(j+2) stay dyadic, so the
+    same 2^22 scaling turns BOTH smoothers into BIGINT sums; level =
+    2*S1 - S2 and trend = S1 - S2 are fixed double expressions over
+    the exact integer ratios.
+
+    Scale: one keyed window (row_number from newest) + one keyed
+    aggregate; rn <= 20 bounds per-user work."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    ranked = ev.select(
+        "user_id", "cents", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _BROWN_K)
+    w1 = F.expr("shiftleft(CAST(1 AS BIGINT), 22 - rn)")
+    w2 = F.expr("rn * shiftleft(CAST(1 AS BIGINT), 21 - rn)")
+    sums = ranked.groupBy("user_id").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.col("cents") * w1).alias("s1_scaled"),
+        F.sum(w1).alias("d1_scaled"),
+        F.sum(F.col("cents") * w2).alias("s2_scaled"),
+        F.sum(w2).alias("d2_scaled"),
+    )
+    s1 = F.col("s1_scaled").cast("double") / F.col("d1_scaled").cast("double")
+    s2 = F.col("s2_scaled").cast("double") / F.col("d2_scaled").cast("double")
+    return sums.select(
+        "user_id",
+        "n_used",
+        "s1_scaled",
+        "d1_scaled",
+        "s2_scaled",
+        "d2_scaled",
+        (F.lit(2.0) * s1 - s2).alias("level_cents"),
+        (s1 - s2).alias("trend_cents"),
+    )

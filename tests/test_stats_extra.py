@@ -367,3 +367,77 @@ def test_prf_expansion_beats_or_matches_base_recall(spark):
         # expanded query has 3 base + 3 expansion terms max
         assert 1 <= r.n_matched_terms <= len(BM25_TERMS) + 3
         assert r.score_scaled > 0
+
+
+def test_brown_smoothing_level_trend_identities(spark):
+    from amorphous_mapreduce_spark.queries.timeseries_queries import (
+        q_brown_trend_smoothing,
+    )
+
+    rows = q_brown_trend_smoothing(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        s1 = r.s1_scaled / r.d1_scaled
+        s2 = r.s2_scaled / r.d2_scaled
+        assert abs(r.level_cents - (2 * s1 - s2)) < 1e-9
+        assert abs(r.trend_cents - (s1 - s2)) < 1e-9
+        assert 1 <= r.n_used <= 20
+
+
+def test_brown_constant_series_has_zero_trend(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from amorphous_mapreduce_spark.queries.timeseries_queries import _BROWN_K
+
+    # constant value series -> s1 == s2 == value, trend == 0
+    # (exercise the operator inline on a synthetic frame)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(
+                user_id=1,
+                event_id=i,
+                ts=base + datetime.timedelta(minutes=i),
+                value=7.00,
+            )
+            for i in range(30)
+        ]
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.unix_micros(F.col("ts").cast("timestamp"))), F.desc("event_id")
+    )
+    ranked = df.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= _BROWN_K)
+    w1 = F.expr("shiftleft(CAST(1 AS BIGINT), 22 - rn)")
+    w2 = F.expr("rn * shiftleft(CAST(1 AS BIGINT), 21 - rn)")
+    r = ranked.groupBy("user_id").agg(
+        F.sum(F.col("cents") * w1).alias("s1"),
+        F.sum(w1).alias("d1"),
+        F.sum(F.col("cents") * w2).alias("s2"),
+        F.sum(w2).alias("d2"),
+    ).collect()[0]
+    assert r.s1 / r.d1 == 700.0
+    assert r.s2 / r.d2 == 700.0
+
+
+def test_threshold_sweep_monotone(spark):
+    from amorphous_mapreduce_spark.queries.similarity_queries import (
+        q_embedding_threshold_sweep,
+    )
+
+    rows = sorted(
+        q_embedding_threshold_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.threshold,
+    )
+    pairs = [r.n_pairs for r in rows]
+    cov = [r.n_docs_covered for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert cov == sorted(cov, reverse=True)

@@ -72,6 +72,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "scalar pattern; terms/df frames are bounded by the 6-term "
         "query and broadcast hash-joined",
     },
+    "embedding_threshold_sweep": {
+        "BroadcastNestedLoopJoin": "inherits the blocked E·Eᵀ "
+        "kernel's (tiny, O(n_blocks²/2)) block-id pair frames "
+        "(same as embedding_near_dup); rows move via the keyed block "
+        "join",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
