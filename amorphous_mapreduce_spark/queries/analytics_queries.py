@@ -1988,3 +1988,113 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             entries != 0, bounces.cast("double") / entries.cast("double")
         ).alias("bounce_rate"),
     )
+
+
+# --- value-segment migration matrix -----------------------------------------
+
+MIGRATION_ORACLE = """
+WITH monthly AS (
+    SELECT o_custkey AS c,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS m,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+),
+ranked AS (
+    SELECT c, m, cents,
+           (3 * (ROW_NUMBER() OVER (PARTITION BY m
+                                    ORDER BY cents DESC, c) - 1))
+           // COUNT(*) OVER (PARTITION BY m) AS terc
+    FROM monthly
+),
+last_m AS (SELECT MAX(m) AS max_m FROM monthly),
+flows AS (
+    SELECT a.terc AS from_tercile,
+           COALESCE(b.terc, 3) AS to_state
+    FROM ranked a
+    LEFT JOIN ranked b ON a.c = b.c AND b.m = a.m + 1
+    CROSS JOIN last_m
+    WHERE a.m < last_m.max_m
+),
+counts AS (
+    SELECT from_tercile, to_state, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM flows GROUP BY from_tercile, to_state
+)
+SELECT from_tercile, to_state, n_users,
+       CAST(n_users AS DOUBLE)
+       / CAST(SUM(n_users) OVER (PARTITION BY from_tercile) AS DOUBLE)
+           AS row_share
+FROM counts
+"""
+
+
+@register("segment_migration_matrix", MIGRATION_ORACLE)
+def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration: month-over-month transitions
+    between spend terciles (0 = top third) plus churn-to-inactive
+    (state 3) — the Sankey/retention-flow table behind lifecycle
+    marketing. Terciles are EXACT rank buckets (3*(rn-1) div n under a
+    total order), so segment membership is reproducible, not
+    percentile-approximate.
+
+    Scale: monthly rollup is one keyed aggregate; tercile ranks ride a
+    window keyed by month; the flow join is keyed on (customer,
+    month+1); the matrix is calendar x 4 sized. The max-month scalar
+    crosses back (standard pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            )
+            .cast("long")
+            .alias("m"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("c", "m")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wr = Window.partitionBy("m").orderBy(F.desc("cents"), F.asc("c"))
+    wn = Window.partitionBy("m")
+    ranked = (
+        monthly.select(
+            "c",
+            "m",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select("c", "m", F.expr("(3 * (rn - 1)) div n").alias("terc"))
+        .persist()
+    )
+    last_m = monthly.agg(F.max("m").alias("max_m"))
+    b = ranked.select(
+        F.col("c").alias("c"),
+        (F.col("m") - 1).alias("m"),
+        F.col("terc").alias("to_terc"),
+    )
+    flows = (
+        ranked.join(b, ["c", "m"], "left")
+        .crossJoin(F.broadcast(last_m))
+        .filter(F.col("m") < F.col("max_m"))
+        .select(
+            F.col("terc").alias("from_tercile"),
+            F.coalesce("to_terc", F.lit(3)).cast("long").alias("to_state"),
+        )
+    )
+    counts = flows.groupBy("from_tercile", "to_state").agg(
+        F.count("*").alias("n_users")
+    )
+    wrow = Window.partitionBy("from_tercile")
+    return counts.select(
+        "from_tercile",
+        "to_state",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(wrow).cast("double")
+        ).alias("row_share"),
+    )

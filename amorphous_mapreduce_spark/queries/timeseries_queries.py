@@ -920,3 +920,114 @@ def q_brown_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(2.0) * s1 - s2).alias("level_cents"),
         (s1 - s2).alias("trend_cents"),
     )
+
+
+# --- Haar wavelet energy decomposition --------------------------------------
+
+_HAAR_LEVELS = 5  # detail levels 0..4 over a 32-day dyadic window
+
+HAAR_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+anchor AS (SELECT MIN(day) AS d0 FROM daily),
+grid AS (
+    SELECT day - d0 AS off, cents
+    FROM daily CROSS JOIN anchor
+    WHERE day - d0 < 32
+),
+coeffs AS (
+    SELECT lv.level,
+           off >> (lv.level + 1) AS i,
+           CAST(SUM(cents * (1 - 2 * ((off >> lv.level) & 1))) AS BIGINT) AS c
+    FROM grid
+    CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS lv(level)
+    GROUP BY lv.level, i
+),
+energy AS (
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           SUM(CAST(c AS HUGEINT) * c) AS e
+    FROM coeffs GROUP BY level
+)
+SELECT level, n_coeffs,
+       CAST(e // 1048576 AS BIGINT) AS energy_hi,
+       CAST(e % 1048576 AS BIGINT) AS energy_lo
+FROM energy
+"""
+
+
+@register("haar_revenue_energy", HAAR_ORACLE)
+def q_haar_revenue_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of daily revenue over a 32-day
+    dyadic window: how much variation lives at each timescale (level 0
+    = day-to-day noise, level 2 = ~weekly cycle, level 4 = fortnight
+    trend) — the multi-resolution diagnostic behind seasonality-aware
+    forecasting and compression. The whole transform is ONE aggregate:
+    the level-j coefficient over block i is Σ cents * (1-2*bit_j(day))
+    — Haar signs read directly off the day's binary representation, so
+    no recursion, no joins, and everything stays integer (energies ride
+    the hi/lo int64 split for the int128 sums).
+
+    Scale: daily rollup is one keyed aggregate over orders; the
+    transform touches 32 rows x 5 levels. The MIN-day anchor is a
+    1-row scalar crossed back (standard pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    anchor = daily.agg(F.min("day").alias("d0"))
+    grid = (
+        daily.crossJoin(F.broadcast(anchor))
+        .select((F.col("day") - F.col("d0")).alias("off"), "cents")
+        .filter(F.col("off") < 32)
+    )
+    levels = F.explode(F.array(*[F.lit(j) for j in range(_HAAR_LEVELS)])).alias(
+        "level"
+    )
+    coeffs = (
+        grid.select("off", "cents", levels)
+        .select(
+            "level",
+            F.expr("shiftright(off, level + 1)").alias("i"),
+            (
+                F.col("cents")
+                * (
+                    F.lit(1)
+                    - F.lit(2)
+                    * F.expr("shiftright(off, level)").bitwiseAND(F.lit(1))
+                )
+            ).alias("signed"),
+        )
+        .groupBy("level", "i")
+        .agg(F.sum("signed").alias("c"))
+    )
+    energy = coeffs.groupBy("level").agg(
+        F.count("*").alias("n_coeffs"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("_e"),
+    )
+    return energy.select(
+        "level",
+        "n_coeffs",
+        ((F.col("_e") - F.pmod(F.col("_e"), F.lit(1048576))) / F.lit(1048576))
+        .cast("long")
+        .alias("energy_hi"),
+        F.pmod(F.col("_e"), F.lit(1048576)).cast("long").alias("energy_lo"),
+    )

@@ -441,3 +441,66 @@ def test_threshold_sweep_monotone(spark):
     cov = [r.n_docs_covered for r in rows]
     assert pairs == sorted(pairs, reverse=True)
     assert cov == sorted(cov, reverse=True)
+
+
+def test_haar_energy_parseval_total(spark):
+    import numpy as np
+
+    from amorphous_mapreduce_spark.queries.timeseries_queries import (
+        q_haar_revenue_energy,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.level: r for r in q_haar_revenue_energy(spark, sf).collect()}
+    # recompute coefficients in python from the daily series
+    daily = (
+        load_table(spark, sf, "orders")
+        .select(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    d0 = min(r.day for r in daily)
+    series = {}
+    for r in daily:
+        off = r.day - d0
+        if off < 32:
+            series[off] = r.cents
+    for level in range(5):
+        coeffs = {}
+        for off, c in series.items():
+            i = off >> (level + 1)
+            sign = 1 - 2 * ((off >> level) & 1)
+            coeffs[i] = coeffs.get(i, 0) + sign * c
+        want = sum(v * v for v in coeffs.values())
+        got = rows[level].energy_hi * 1048576 + rows[level].energy_lo
+        assert got == want, level
+        assert rows[level].n_coeffs == len(coeffs)
+
+
+def test_segment_migration_rows_shares(spark):
+    from amorphous_mapreduce_spark.queries.analytics_queries import (
+        q_segment_migration_matrix,
+    )
+    import collections
+
+    rows = q_segment_migration_matrix(spark, "/root/testdata/sf0.001").collect()
+    shares = collections.defaultdict(float)
+    for r in rows:
+        assert r.from_tercile in (0, 1, 2)
+        assert r.to_state in (0, 1, 2, 3)
+        shares[r.from_tercile] += r.row_share
+    for v in shares.values():
+        assert abs(v - 1.0) < 1e-9

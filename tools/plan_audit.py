@@ -78,6 +78,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "(same as embedding_near_dup); rows move via the keyed block "
         "join",
     },
+    "haar_revenue_energy": {
+        "BroadcastNestedLoopJoin": "1-row MIN-day anchor scalar "
+        "crossed onto the calendar-bounded daily frame — the standard "
+        "scalar-total pattern",
+    },
+    "segment_migration_matrix": {
+        "BroadcastNestedLoopJoin": "1-row MAX-month scalar crossed "
+        "onto per-(customer, month) tercile rows to exclude the "
+        "boundary month — the standard scalar-total pattern",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
