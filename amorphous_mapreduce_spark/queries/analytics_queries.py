@@ -2098,3 +2098,208 @@ def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_users").over(wrow).cast("double")
         ).alias("row_share"),
     )
+
+
+# --- Markov removal-effect attribution --------------------------------------
+
+_MRK_CHANNELS = ("click", "error", "signup", "view")
+_MRK_STEPS = 12
+_MRK_SCALE = 1 << 40
+
+
+def _mrk_oracle() -> str:
+    vals = "), (".join(f"'{c}'" for c in ("full",) + _MRK_CHANNELS)
+    head = f"""
+WITH ev AS (
+    SELECT user_id, event_type AS t, ts, event_id FROM events
+),
+seq AS (
+    SELECT user_id, t,
+           lag(t) OVER w AS prev, lead(t) OVER w AS nxt
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+raw_edges AS (
+    SELECT 'START' AS f,
+           CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS tt
+    FROM seq WHERE prev IS NULL OR prev = 'purchase'
+    UNION ALL
+    SELECT t,
+           CASE WHEN nxt IS NULL THEN 'NULL'
+                WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+    FROM seq WHERE t != 'purchase'
+),
+variants(v) AS (VALUES ({vals})),
+vedges AS (
+    SELECT v, f,
+           CASE WHEN tt = v THEN 'NULL' ELSE tt END AS tt
+    FROM raw_edges CROSS JOIN variants
+    WHERE f != v
+),
+edges0 AS (
+    SELECT v, f, tt, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM vedges GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT v, s.s, s.s, CAST(1 AS BIGINT)
+    FROM variants CROSS JOIN (VALUES ('CONV'), ('NULL')) AS s(s)
+),
+rsum AS (
+    SELECT v, f, CAST(SUM(cnt) AS BIGINT) AS rowsum
+    FROM edges0 GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+    SELECT edges0.v, f, tt, cnt, rowsum FROM edges0 JOIN rsum USING (v, f)
+),
+vec0 AS (
+    SELECT v, 'START' AS s, CAST({_MRK_SCALE} AS BIGINT) AS m FROM variants
+)"""
+    steps = []
+    for k in range(1, _MRK_STEPS + 1):
+        steps.append(
+            f""",
+vec{k} AS MATERIALIZED (
+    SELECT e.v, e.tt AS s, CAST(SUM((m * cnt) // rowsum) AS BIGINT) AS m
+    FROM vec{k - 1} x JOIN e ON x.v = e.v AND x.s = e.f
+    GROUP BY 1, 2
+)"""
+        )
+    tail = f""",
+conv AS (
+    SELECT v AS variant,
+           CAST(SUM(CASE WHEN s = 'CONV' THEN m ELSE 0 END) AS BIGINT)
+               AS conv_scaled,
+           CAST(SUM(CASE WHEN s = 'NULL' THEN m ELSE 0 END) AS BIGINT)
+               AS null_scaled
+    FROM vec{_MRK_STEPS} GROUP BY v
+)
+SELECT c.variant, c.conv_scaled, c.null_scaled,
+       CASE WHEN c.variant = 'full' THEN NULL
+            ELSE (CAST(f.conv_scaled AS DOUBLE) - CAST(c.conv_scaled AS DOUBLE))
+                 / CAST(f.conv_scaled AS DOUBLE) END AS removal_effect
+FROM conv c CROSS JOIN (SELECT conv_scaled FROM conv WHERE variant = 'full') f
+"""
+    return head + "".join(steps) + tail
+
+
+MARKOV_ATTR_ORACLE = _mrk_oracle()
+
+
+@register("markov_removal_attribution", MARKOV_ATTR_ORACLE)
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution: model user journeys as
+    a first-order chain (START -> channels -> CONV/NULL, purchase
+    absorbing), then for each channel re-run the chain with that
+    channel knocked out (its inbound traffic redirected to NULL) and
+    report how much conversion mass disappears — the data-driven
+    multi-touch attribution standard (vs heuristic first/last/decay
+    in events_attribution).
+
+    Determinism: transition probabilities never materialize as floats —
+    each propagation term is (mass * count) div rowsum in BIGINT
+    (truncating div agrees across engines), 12 fixed steps from a 2^40
+    START mass, sinks self-loop so absorbed mass is conserved.
+
+    Scale: ONE keyed lag/lead window over events builds the edge
+    counts; everything after is (variants x states)-sized (~35 rows).
+    The driver loop is bounded (12 steps) with localCheckpoint per
+    round (operators.graph convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t"),
+        F.lag("event_type").over(w).alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    start_edges = seq.filter(
+        F.col("prev").isNull() | (F.col("prev") == "purchase")
+    ).select(
+        F.lit("START").alias("f"),
+        F.when(F.col("t") == "purchase", "CONV").otherwise(F.col("t")).alias(
+            "tt"
+        ),
+    )
+    step_edges = seq.filter(F.col("t") != "purchase").select(
+        F.col("t").alias("f"),
+        F.when(F.col("nxt").isNull(), "NULL")
+        .when(F.col("nxt") == "purchase", "CONV")
+        .otherwise(F.col("nxt"))
+        .alias("tt"),
+    )
+    raw = start_edges.unionByName(step_edges)
+    variants = spark.createDataFrame(
+        [(v,) for v in ("full",) + _MRK_CHANNELS], ["v"]
+    )
+    vedges = (
+        raw.crossJoin(F.broadcast(variants))
+        .filter(F.col("f") != F.col("v"))
+        .select(
+            "v",
+            "f",
+            F.when(F.col("tt") == F.col("v"), "NULL")
+            .otherwise(F.col("tt"))
+            .alias("tt"),
+        )
+    )
+    sinks = spark.createDataFrame(
+        [(v, s, s, 1) for v in ("full",) + _MRK_CHANNELS for s in ("CONV", "NULL")],
+        ["v", "f", "tt", "cnt"],
+    )
+    edges0 = (
+        vedges.groupBy("v", "f", "tt")
+        .agg(F.count("*").alias("cnt"))
+        .unionByName(sinks.select("v", "f", "tt", F.col("cnt").cast("long")))
+    )
+    rsum = edges0.groupBy("v", "f").agg(F.sum("cnt").alias("rowsum"))
+    e = (
+        edges0.join(rsum, ["v", "f"])
+        .select(
+            F.col("v").alias("ev"),
+            F.col("f").alias("ef"),
+            F.col("tt").alias("et"),
+            "cnt",
+            "rowsum",
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    vec = variants.select(
+        "v", F.lit("START").alias("s"), F.lit(_MRK_SCALE).cast("long").alias("m")
+    ).coalesce(1).localCheckpoint()
+    for _ in range(_MRK_STEPS):
+        vec = (
+            vec.join(
+                e, (F.col("v") == F.col("ev")) & (F.col("s") == F.col("ef"))
+            )
+            .select(
+                F.col("ev").alias("nv"),
+                F.col("et").alias("ns"),
+                F.expr("(m * cnt) div rowsum").alias("contrib"),
+            )
+            .groupBy(F.col("nv").alias("v"), F.col("ns").alias("s"))
+            .agg(F.sum("contrib").alias("m"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+    conv = vec.groupBy(F.col("v").alias("variant")).agg(
+        F.sum(F.when(F.col("s") == "CONV", F.col("m")).otherwise(0)).alias(
+            "conv_scaled"
+        ),
+        F.sum(F.when(F.col("s") == "NULL", F.col("m")).otherwise(0)).alias(
+            "null_scaled"
+        ),
+    )
+    full = conv.filter(F.col("variant") == "full").select(
+        F.col("conv_scaled").alias("full_conv")
+    )
+    return conv.crossJoin(F.broadcast(full)).select(
+        "variant",
+        "conv_scaled",
+        "null_scaled",
+        F.when(
+            F.col("variant") != "full",
+            (
+                F.col("full_conv").cast("double")
+                - F.col("conv_scaled").cast("double")
+            )
+            / F.col("full_conv").cast("double"),
+        ).alias("removal_effect"),
+    )

@@ -15,6 +15,7 @@ Oracle notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.operators.pipeline import (
     STOPWORDS,
@@ -284,3 +285,96 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization audit per embedding (scale, saturation
     count, integer checksum) — pure per-row transform, zero shuffle."""
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- quality-rule co-failure matrix -----------------------------------------
+
+COFIRE_ORACLE = f"""
+WITH q AS ( {QUALITY_ORACLE} ),
+flags AS (
+    SELECT id,
+           n_words < 30 AS f_short,
+           top_bigram_frac > 0.1 AS f_repetitive,
+           uniq_frac < 0.3 AS f_lowdiv,
+           stop_frac = 0 AS f_nostop
+    FROM q
+),
+failed AS (
+    SELECT id, 'low_diversity' AS rule FROM flags WHERE f_lowdiv
+    UNION ALL SELECT id, 'no_stopwords' FROM flags WHERE f_nostop
+    UNION ALL SELECT id, 'repetitive' FROM flags WHERE f_repetitive
+    UNION ALL SELECT id, 'short' FROM flags WHERE f_short
+),
+counts AS (
+    SELECT rule, CAST(COUNT(*) AS BIGINT) AS n FROM failed GROUP BY rule
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM q),
+pairs AS (
+    SELECT a.rule AS rule_a, b.rule AS rule_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM failed a JOIN failed b ON a.id = b.id AND a.rule < b.rule
+    GROUP BY 1, 2
+)
+SELECT rule_a, rule_b, ca.n AS n_a, cb.n AS n_b, n_both,
+       CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
+FROM pairs
+JOIN counts ca ON rule_a = ca.rule
+JOIN counts cb ON rule_b = cb.rule
+CROSS JOIN nd
+"""
+
+
+@register("quality_rule_cofire", COFIRE_ORACLE)
+def q_quality_rule_cofire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-failure matrix of the Gopher quality rules: for each rule
+    pair, how often both fire on the same document and the lift vs
+    independence — the diagnostic that tells a curation team whether
+    rules are redundant (lift >> 1: drop one) or complementary
+    (lift ~ 1: keep both). Rides the quality_rules stats; the failed
+    rule set per doc explodes to at most 4 rows; the pair join is
+    keyed by doc id with a bounded 4-rule alphabet.
+
+    Scale: one quality_rules pass (persisted — the failed frame feeds
+    the counts, the pair join's both sides, and n_docs), then
+    alphabet-bounded joins and a 1-row total crossed back."""
+    from amorphous_mapreduce_spark.operators.pipeline import quality_rules
+
+    q = quality_rules(_docs(spark, sf_dir)).persist()
+    arr = F.array_compact(
+        F.array(
+            F.when(F.col("uniq_frac") < 0.3, F.lit("low_diversity")),
+            F.when(F.col("stop_frac") == 0, F.lit("no_stopwords")),
+            F.when(F.col("top_bigram_frac") > 0.1, F.lit("repetitive")),
+            F.when(F.col("n_words") < 30, F.lit("short")),
+        )
+    )
+    failed = q.select("id", F.explode(arr).alias("rule")).persist()
+    counts = failed.groupBy("rule").agg(F.count("*").alias("n"))
+    nd = q.agg(F.count("*").alias("n_docs"))
+    a = failed.select("id", F.col("rule").alias("rule_a"))
+    b = failed.select("id", F.col("rule").alias("rule_b"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("rule_a") < F.col("rule_b"))
+        .groupBy("rule_a", "rule_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = counts.select(F.col("rule").alias("rule_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("rule").alias("rule_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "rule_a")
+        .join(F.broadcast(cb), "rule_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "rule_a",
+            "rule_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double") * F.col("n_docs").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -136,3 +136,29 @@ def test_pareto_abc_partitions_revenue(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
     )
     assert sum(r.n_parts for r in rows.values()) == n_parts
+
+
+def test_markov_removal_effects_sane(spark):
+    from amorphous_mapreduce_spark.queries.analytics_queries import (
+        _MRK_SCALE,
+        q_markov_removal_attribution,
+    )
+
+    rows = {
+        r.variant: r
+        for r in q_markov_removal_attribution(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    full = rows["full"]
+    assert full.removal_effect is None
+    assert full.conv_scaled > 0
+    # mass conservation: absorbed mass never exceeds the START mass and
+    # most of it is absorbed after 12 steps (truncation + transient loss)
+    for v, r in rows.items():
+        assert 0 <= r.conv_scaled + r.null_scaled <= _MRK_SCALE
+        assert r.conv_scaled + r.null_scaled >= 0.9 * _MRK_SCALE
+        if v != "full":
+            # knocking out a channel can only lose conversion mass
+            assert r.conv_scaled <= full.conv_scaled
+            assert 0.0 <= r.removal_effect <= 1.0

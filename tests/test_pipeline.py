@@ -204,3 +204,15 @@ def test_importance_sample_respects_quality_weighting(spark):
     # nesting: a lower base rate keeps a subset
     narrower = {r.id for r in importance_sample(docs, base_rate=0.25).collect()}
     assert narrower <= kept
+
+
+def test_quality_rule_cofire_bounds(spark):
+    from amorphous_mapreduce_spark.queries.pipeline_queries import (
+        q_quality_rule_cofire,
+    )
+
+    rows = q_quality_rule_cofire(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r.rule_a < r.rule_b
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        assert r.lift > 0

@@ -88,6 +88,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "onto per-(customer, month) tercile rows to exclude the "
         "boundary month — the standard scalar-total pattern",
     },
+    "markov_removal_attribution": {
+        "BroadcastNestedLoopJoin": "1-row full-variant conversion "
+        "scalar crossed back onto the 5-row variant frame for the "
+        "removal-effect ratio — constant-size both sides",
+    },
+    "quality_rule_cofire": {
+        "BroadcastNestedLoopJoin": "1-row corpus-count scalar crossed "
+        "onto the <= 6-row rule-pair frame for the lift denominator — "
+        "the standard scalar-total pattern",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
