@@ -2303,3 +2303,98 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("full_conv").cast("double"),
         ).alias("removal_effect"),
     )
+
+
+# --- A-priori frequent triple mining ----------------------------------------
+
+TRIPLES_MINSUP = 2
+
+TRIPLES_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+fp AS (
+    SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS sup
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRIPLES_MINSUP}
+),
+cand AS (
+    SELECT x.p1, x.p2, y.p2 AS p3
+    FROM fp x JOIN fp y ON x.p1 = y.p1 AND x.p2 < y.p2
+    WHERE EXISTS (SELECT 1 FROM fp z WHERE z.p1 = x.p2 AND z.p2 = y.p2)
+),
+op AS (
+    SELECT a.o, a.p AS p1, b.p AS p2
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    WHERE EXISTS (SELECT 1 FROM fp WHERE fp.p1 = a.p AND fp.p2 = b.p)
+),
+tri AS (
+    SELECT c.p1, c.p2, c.p3, CAST(COUNT(*) AS BIGINT) AS support
+    FROM op
+    JOIN cand c ON op.p1 = c.p1 AND op.p2 = c.p2
+    JOIN items i3 ON i3.o = op.o AND i3.p = c.p3
+    GROUP BY 1, 2, 3
+)
+SELECT p1, p2, p3, support
+FROM tri WHERE support >= {TRIPLES_MINSUP}
+ORDER BY support DESC, p1, p2, p3
+"""
+
+
+@register("frequent_part_triples", TRIPLES_ORACLE)
+def q_frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets with the A-PRIORI prune:
+    candidate triples are generated only from frequent pairs (all three
+    sub-pairs must clear min-support) and support counting touches only
+    basket pairs that are themselves frequent — the pruning cascade
+    that makes market-basket mining tractable when the naive triple
+    join is |items|³.
+
+    Scale: the frequent-pair table (persisted; read by candidate
+    generation twice and the counting semi-join) shrinks the basket
+    stream before any triple work; the candidate frame is broadcast;
+    all joins are keyed on order or item ids."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    fp = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= TRIPLES_MINSUP)
+        .persist()
+    )
+    x = fp.select("p1", "p2")
+    y = fp.select(F.col("p1").alias("p1"), F.col("p2").alias("p3"))
+    cand = (
+        x.join(y, "p1")
+        .filter(F.col("p2") < F.col("p3"))
+        .join(
+            fp.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    op = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(fp.select("p1", "p2"), ["p1", "p2"], "left_semi")
+    )
+    i3 = items.select("o", F.col("p").alias("p3"))
+    tri = (
+        op.join(F.broadcast(cand), ["p1", "p2"])
+        .join(i3, ["o", "p3"], "left_semi")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIPLES_MINSUP)
+    )
+    return tri.orderBy(
+        F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3")
+    )

@@ -443,3 +443,84 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lcc"), F.asc("node")).limit(20)
+
+
+# --- common-neighbor link prediction ----------------------------------------
+
+LINKPRED_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, deg AS (
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM edges GROUP BY a
+),
+wedges AS (
+    SELECT e1.b AS u, e2.b AS w
+    FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+cn AS (
+    SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+    FROM wedges
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.qid = wedges.u AND p.nid = wedges.w)
+    GROUP BY u, w
+)
+SELECT cn.u, cn.w, cn.common_neighbors,
+       CAST(du.degree * dw.degree AS BIGINT) AS pref_attachment
+FROM cn
+JOIN deg du ON cn.u = du.node
+JOIN deg dw ON cn.w = dw.node
+ORDER BY cn.common_neighbors DESC, cn.u, cn.w
+LIMIT 20
+"""
+)
+
+
+@register("near_dup_link_prediction", LINKPRED_ORACLE)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the near-dup graph: the top-20 UNCONNECTED
+    doc pairs ranked by common-neighbor count (with the
+    preferential-attachment degree product alongside) — the candidates
+    a banded LSH probably MISSED (two docs sharing many near-dup
+    neighbors are almost surely near-dups whose bands never collided).
+    The recall-repair pass of a dedup pipeline.
+
+    Scale: wedge enumeration is the same Σ deg² kernel as the
+    clustering coefficient; the non-edge filter is an anti-join
+    against the canonical pair set; scoring joins are keyed; top-20 is
+    a TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b")).unionAll(
+        pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    e1 = edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "v").filter(F.col("u") < F.col("w"))
+    non_edges = wedges.join(
+        pairs.select(F.col("qid").alias("u"), F.col("nid").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    cn = non_edges.groupBy("u", "w").agg(
+        F.count("*").alias("common_neighbors")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("degree").alias("dw"))
+    return (
+        cn.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common_neighbors",
+            (F.col("du") * F.col("dw")).alias("pref_attachment"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.asc("u"), F.asc("w"))
+        .limit(20)
+    )

@@ -162,3 +162,24 @@ def test_lcc_bounds_and_triangle_consistency(spark):
         assert r.degree >= 2
         assert 0.0 <= r.lcc <= 1.0
         assert r.triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_link_prediction_candidates_are_non_edges(spark):
+    from amorphous_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+    from amorphous_mapreduce_spark.queries.cluster_queries import (
+        q_link_prediction,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    preds = q_link_prediction(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    edges = {
+        (r.qid, r.nid)
+        for r in minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).collect()
+    }
+    for r in preds:
+        assert r.u < r.w
+        assert (r.u, r.w) not in edges
+        assert r.common_neighbors >= 1
+        assert r.pref_attachment >= r.common_neighbors

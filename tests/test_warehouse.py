@@ -229,3 +229,34 @@ def test_fd_profile_key_fd_holds(spark):
     assert rows["c_custkey->c_nationkey"].n_violating == 0
     # behavioural "FD" fails for most active users
     assert rows["user_id->event_type"].n_violating > 0
+
+
+def test_frequent_triples_subpairs_frequent(spark):
+    from amorphous_mapreduce_spark.queries.analytics_queries import (
+        TRIPLES_MINSUP,
+        q_frequent_part_triples,
+    )
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+    import collections
+
+    sf = "/root/testdata/sf0.001"
+    tri = q_frequent_part_triples(spark, sf).collect()
+    items = (
+        load_table(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    )
+    baskets = collections.defaultdict(set)
+    for r in items:
+        baskets[r.o].add(r.p)
+    for r in tri:
+        assert r.p1 < r.p2 < r.p3
+        # recount support by brute force
+        sup = sum(
+            1
+            for s in baskets.values()
+            if r.p1 in s and r.p2 in s and r.p3 in s
+        )
+        assert sup == r.support >= TRIPLES_MINSUP
