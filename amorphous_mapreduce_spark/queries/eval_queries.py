@@ -734,3 +734,119 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     return v.select("dim", F.col("v").alias("v_q"))
+
+
+# --- decision stump: optimal split learning ---------------------------------
+
+STUMP_ORACLE = """
+WITH norm AS (
+    SELECT doc_id, n_chars,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+    FROM documents
+),
+labeled AS (
+    SELECT n.doc_id, n.n_chars,
+           CASE WHEN c.n > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM norm n
+    JOIN (SELECT h, COUNT(*) AS n FROM norm GROUP BY h) c ON n.h = c.h
+),
+hist AS (
+    SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(is_dup) AS BIGINT) AS pos
+    FROM labeled GROUP BY 1
+),
+cum AS (
+    SELECT x, cnt, pos,
+           CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS n_l,
+           CAST(SUM(pos) OVER (ORDER BY x) AS BIGINT) AS pos_l
+    FROM hist
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS npos
+    FROM hist
+),
+scored AS (
+    SELECT x AS split_value, n_l, pos_l,
+           n - n_l AS n_r, npos - pos_l AS pos_r,
+           (CAST(pos_l * (n - n_l) - (npos - pos_l) * n_l AS DOUBLE)
+            * CAST(pos_l * (n - n_l) - (npos - pos_l) * n_l AS DOUBLE))
+           / (CAST(n_l AS DOUBLE) * CAST(n - n_l AS DOUBLE)) AS gain_score
+    FROM cum CROSS JOIN tot
+    WHERE n_l < n
+)
+SELECT split_value, n_l AS n_left, pos_l AS pos_left,
+       n_r AS n_right, pos_r AS pos_right, gain_score
+FROM scored
+ORDER BY gain_score DESC, split_value
+LIMIT 1
+"""
+
+
+@register("decision_stump_dup", STUMP_ORACLE)
+def q_decision_stump_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a decision stump IN SQL: the single n_chars threshold that
+    best separates exact-duplicate documents from originals, by
+    exhaustive split search maximizing the two-sample separation score
+    (pos_l*n_r - pos_r*n_l)²/(n_l*n_r) — the chi-square/Gini-gain
+    numerator in cross-multiplied integer form. The first tree node of
+    any GBDT, learned as a dataflow: histogram -> prefix sums ->
+    argmax (exactly how LightGBM's histogram-based splitter works,
+    here distributed).
+
+    Exactness: the cross term stays in int64 (cast to double while
+    still exact, ≤2^53 at fixture scales); the score is a fixed IEEE
+    expression; argmax breaks ties on the smaller threshold. The
+    candidate prefix sums ride the distributed prefix-sum template
+    with both (count, positives) packed into one 2^20-split integer.
+
+    Scale: label join is one hash aggregate on the content digest; the
+    histogram is value-domain sized; no corpus-sized window anywhere."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "n_chars", F.md5(normalize_text("text")).alias("h")
+    )
+    groups = norm.groupBy("h").agg(F.count("*").alias("n"))
+    labeled = norm.join(groups, "h").select(
+        "n_chars", F.when(F.col("n") > 1, 1).otherwise(0).alias("is_dup")
+    )
+    hist = labeled.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count("*").alias("cnt"), F.sum("is_dup").alias("pos")
+    )
+    packed = hist.select(
+        "x",
+        "cnt",
+        "pos",
+        (F.col("cnt") * F.lit(1 << 20) + F.col("pos")).alias("packed"),
+    )
+    cum = distributed_prefix_sum(packed, "packed", [F.asc("x")], cum_col="c")
+    cum = cum.select(
+        "x",
+        F.expr("c div 1048576").alias("n_l"),
+        F.pmod(F.col("c"), F.lit(1 << 20)).alias("pos_l"),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("npos"))
+    scored = cum.crossJoin(F.broadcast(tot)).filter(F.col("n_l") < F.col("n"))
+    num = (
+        F.col("pos_l") * (F.col("n") - F.col("n_l"))
+        - (F.col("npos") - F.col("pos_l")) * F.col("n_l")
+    ).cast("double")
+    out = scored.select(
+        F.col("x").alias("split_value"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        (F.col("n") - F.col("n_l")).alias("n_right"),
+        (F.col("npos") - F.col("pos_l")).alias("pos_right"),
+        (
+            num * num
+            / (
+                F.col("n_l").cast("double")
+                * (F.col("n") - F.col("n_l")).cast("double")
+            )
+        ).alias("gain_score"),
+    )
+    return out.orderBy(F.desc("gain_score"), F.asc("split_value")).limit(1)

@@ -504,3 +504,44 @@ def test_segment_migration_rows_shares(spark):
         shares[r.from_tercile] += r.row_share
     for v in shares.values():
         assert abs(v - 1.0) < 1e-9
+
+
+def test_decision_stump_matches_brute_force(spark):
+    from amorphous_mapreduce_spark.queries.eval_queries import (
+        q_decision_stump_dup,
+    )
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+    import collections
+
+    sf = "/root/testdata/sf0.001"
+    got = q_decision_stump_dup(spark, sf).collect()[0]
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("n_chars", F.md5(normalize_text("text")).alias("h"))
+        .collect()
+    )
+    counts = collections.Counter(r.h for r in docs)
+    pts = [(r.n_chars, 1 if counts[r.h] > 1 else 0) for r in docs]
+    hist = collections.defaultdict(lambda: [0, 0])
+    for x, y in pts:
+        hist[x][0] += 1
+        hist[x][1] += y
+    n = len(pts)
+    npos = sum(y for _, y in pts)
+    best = None
+    n_l = pos_l = 0
+    for x in sorted(hist):
+        n_l += hist[x][0]
+        pos_l += hist[x][1]
+        if n_l >= n:
+            continue
+        num = float(pos_l * (n - n_l) - (npos - pos_l) * n_l)
+        score = num * num / (float(n_l) * float(n - n_l))
+        key = (-score, x)
+        if best is None or key < best[0]:
+            best = (key, x, n_l, pos_l)
+    assert got.split_value == best[1]
+    assert got.n_left == best[2]
+    assert got.pos_left == best[3]

@@ -98,6 +98,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "onto the <= 6-row rule-pair frame for the lift denominator — "
         "the standard scalar-total pattern",
     },
+    "decision_stump_dup": {
+        "BroadcastNestedLoopJoin": "1-row (n, npos) class-total scalar "
+        "crossed onto the value-domain-bounded split-candidate "
+        "histogram — the standard scalar-total pattern",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge over the O(#partitions) totals frame — bounded by "
+        "cluster size, same as revenue_gini",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
