@@ -23,6 +23,7 @@ from amorphous_mapreduce_spark.operators.corpus_stats import (
     vocab_growth,
 )
 from amorphous_mapreduce_spark.queries.dedup_queries import NORM, toks_cte
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -436,4 +437,105 @@ def q_zipf_octave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("_prev_types").cast("double")
             ).alias("type_ratio_vs_prev"),
         )
+    )
+
+
+# --- rendezvous (HRW) sharding rebalance audit ------------------------------
+
+_HRW_H = (
+    "CAST('0x' || substr(md5('hrw' || n.node || '_'"
+    " || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+HRW_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, n.node, {_HRW_H} AS h
+    FROM documents
+    CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8))
+        AS n(node)
+),
+assign AS (
+    SELECT doc_id,
+           arg_max(CASE WHEN node < 8 THEN node END,
+                   CASE WHEN node < 8 THEN h END) AS shard8,
+           arg_max(node, h) AS shard9,
+           CAST('0x' || substr(md5('key_' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS kh
+    FROM scored GROUP BY doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_rendezvous,
+       CAST(SUM(CASE WHEN kh % 8 != kh % 9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_modulo,
+       CAST(SUM(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS rendezvous_moved_share,
+       CAST(SUM(CASE WHEN kh % 8 != kh % 9 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS modulo_moved_share
+FROM assign
+"""
+
+
+@register("rendezvous_sharding_audit", HRW_ORACLE)
+def q_rendezvous_sharding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance audit: assign every document to 8 nodes by
+    rendezvous (highest-random-weight) hashing, add a 9th node, and
+    measure how many keys MOVE — vs the naive hash-mod placement. HRW
+    moves ~1/9 of keys (only those whose new node wins); mod moves
+    ~8/9 — the quantified argument for consistent placement in any
+    100 TB shard/cache layer (the reference's hash placement W6 made
+    elastic). MD5-derived weights replay exactly in SQL.
+
+    Scale: one 9-way bounded explode per key + one keyed argmax
+    aggregate — a single pass, no joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = F.explode(F.array(*[F.lit(i) for i in range(9)])).alias("node")
+    scored = docs.select("doc_id", nodes).select(
+        "doc_id",
+        "node",
+        hex_hash64(
+            F.concat(
+                F.lit("hrw"),
+                F.col("node").cast("string"),
+                F.lit("_"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    assign = scored.groupBy("doc_id").agg(
+        F.max(
+            F.when(
+                F.col("node") < 8, F.struct(F.col("h"), F.col("node"))
+            )
+        )["node"].alias("shard8"),
+        F.max(F.struct(F.col("h"), F.col("node")))["node"].alias("shard9"),
+    )
+    kh = hex_hash64(
+        F.concat(F.lit("key_"), F.col("doc_id").cast("string"))
+    )
+    labeled = assign.select(
+        "doc_id",
+        "shard8",
+        "shard9",
+        kh.alias("kh"),
+    )
+    moved_hrw = F.sum(
+        F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+    )
+    moved_mod = F.sum(
+        F.when(
+            F.pmod(F.col("kh"), F.lit(8)) != F.pmod(F.col("kh"), F.lit(9)), 1
+        ).otherwise(0)
+    )
+    n = F.count("*")
+    return labeled.agg(
+        n.alias("n_keys"),
+        moved_hrw.alias("moved_rendezvous"),
+        moved_mod.alias("moved_modulo"),
+        (moved_hrw.cast("double") / n.cast("double")).alias(
+            "rendezvous_moved_share"
+        ),
+        (moved_mod.cast("double") / n.cast("double")).alias(
+            "modulo_moved_share"
+        ),
     )

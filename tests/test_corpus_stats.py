@@ -144,3 +144,17 @@ def test_prefix_sum_partition_invariant(spark):
                 assert (rid, rank, cum) == (i, i + 1, run)
         else:
             assert rows == expect
+
+
+def test_rendezvous_moves_fraction_of_keys(spark):
+    from amorphous_mapreduce_spark.queries.corpus_queries import (
+        q_rendezvous_sharding_audit,
+    )
+
+    r = q_rendezvous_sharding_audit(spark, "/root/testdata/sf0.001").collect()[0]
+    # HRW moves only keys whose new node wins: ~1/9 in expectation;
+    # hash-mod reshuffles almost everything: ~8/9
+    assert r.moved_rendezvous < r.moved_modulo
+    assert r.rendezvous_moved_share < 0.3
+    assert r.modulo_moved_share > 0.6
+    assert 0 <= r.moved_rendezvous <= r.n_keys
