@@ -103,6 +103,12 @@ HEADLINE = [
     "spatial_nearest_neighbor",
     "embedding_power_iteration",
     "user_day_bitmaps",
+    # robust-stats / attribution / wavelet / mining families (this
+    # session, cont.)
+    "weighted_median_price",
+    "markov_removal_attribution",
+    "haar_revenue_energy",
+    "frequent_part_triples",
 ]
 
 
