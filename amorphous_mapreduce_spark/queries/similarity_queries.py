@@ -634,3 +634,193 @@ def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.join(cov, "t")
         .select(F.col("t").alias("threshold"), "n_pairs", "n_docs_covered")
     )
+
+
+# --- maximal-marginal-relevance diversified retrieval ------------------------
+
+_MMR_CAND = 30
+_MMR_K = 8
+_MMR_SCALE = 1 << 30
+
+_MMR_QH = (
+    "CAST('0x' || substr(md5('mmrq_' || CAST(vec_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+WITH qv AS MATERIALIZED (
+    SELECT vec_id AS qid, embedding AS q
+    FROM embeddings
+    ORDER BY {_MMR_QH}, vec_id LIMIT 1
+),
+cand AS MATERIALIZED (
+    SELECT e.vec_id AS id,
+           CAST(FLOOR({_mmr_cos("qv.q", "e.embedding")} * {_MMR_SCALE})
+                AS BIGINT) AS score_q,
+           e.embedding AS emb
+    FROM embeddings e CROSS JOIN qv
+    WHERE e.vec_id != qv.qid
+    ORDER BY score_q DESC, id LIMIT {_MMR_CAND}
+),
+sims AS MATERIALIZED (
+    SELECT a.id AS ida, b.id AS idb,
+           CAST(FLOOR({_mmr_cos("a.emb", "b.emb")} * {_MMR_SCALE})
+                AS BIGINT) AS sim_q
+    FROM cand a JOIN cand b ON a.id != b.id
+),
+sel1 AS MATERIALIZED (
+    SELECT 1 AS rank, id, score_q, score_q AS mmr_q
+    FROM cand ORDER BY score_q DESC, id LIMIT 1
+),
+set1 AS MATERIALIZED (SELECT rank, id, score_q, mmr_q FROM sel1)"""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(
+            f""",
+sel{k} AS MATERIALIZED (
+    SELECT {k} AS rank, c.id, c.score_q,
+           c.score_q - MAX(s.sim_q) AS mmr_q
+    FROM cand c
+    JOIN sims s ON s.ida = c.id
+    JOIN set{k - 1} t ON s.idb = t.id
+    WHERE c.id NOT IN (SELECT id FROM set{k - 1})
+    GROUP BY c.id, c.score_q
+    ORDER BY mmr_q DESC, c.id LIMIT 1
+),
+set{k} AS MATERIALIZED (
+    SELECT * FROM set{k - 1} UNION ALL SELECT * FROM sel{k}
+)"""
+        )
+    tail = f"""
+SELECT rank, id, score_q, mmr_q FROM set{_MMR_K}
+"""
+    return head + "".join(steps) + tail
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+@register("mmr_diverse_retrieval", MMR_ORACLE)
+def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval: greedily pick 8 results
+    that balance relevance to the (hash-chosen) query vector against
+    redundancy with already-picked results — the diversified ranking
+    that keeps a near-dup-heavy gallery from filling the whole page
+    with one cluster. Completes the retrieval family (BM25, dense,
+    RRF fusion, PRF expansion, now diversity re-ranking).
+
+    Determinism: relevance and pairwise similarities floor-quantize to
+    2^-30 BIGINTs, so every greedy argmax (mmr = score - max sim to
+    selected, lambda = 1/2 with equal scaling) is an integer
+    comparison with an id tie-break — the greedy trajectory is
+    bit-identical cross-engine.
+
+    Scale: ONE linear scan scores the gallery (the brute arm ANN
+    replaces); everything after operates on the 30-candidate frame
+    (30² sims, 8 bounded greedy rounds with localCheckpoint)."""
+    from amorphous_mapreduce_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mmrq_"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    qv = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q"),
+            qh.alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(1)
+        .drop("_h")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.floor(
+                cosine_similarity("q", "embedding") * F.lit(_MMR_SCALE)
+            )
+            .cast("long")
+            .alias("score_q"),
+            F.col("embedding").alias("emb"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        F.col("id").alias("ida"), F.col("emb").alias("ea")
+    )
+    cb = cand.select(
+        F.col("id").alias("idb"), F.col("emb").alias("eb")
+    )
+    sims = (
+        ca.crossJoin(cb)
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.floor(cosine_similarity("ea", "eb") * F.lit(_MMR_SCALE))
+            .cast("long")
+            .alias("sim_q"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    scores = cand.select("id", "score_q")
+    selected = (
+        scores.orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "id",
+            "score_q",
+            F.col("score_q").alias("mmr_q"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for k in range(2, _MMR_K + 1):
+        pen = (
+            sims.join(
+                selected.select(F.col("id").alias("idb")), "idb"
+            )
+            .groupBy(F.col("ida").alias("id"))
+            .agg(F.max("sim_q").alias("max_sel_sim"))
+        )
+        pick = (
+            scores.join(
+                selected.select("id"), "id", "left_anti"
+            )
+            .join(pen, "id")
+            .select(
+                F.lit(k).alias("rank"),
+                "id",
+                "score_q",
+                (F.col("score_q") - F.col("max_sel_sim")).alias("mmr_q"),
+            )
+            .orderBy(F.desc("mmr_q"), F.asc("id"))
+            .limit(1)
+        )
+        selected = (
+            selected.unionByName(pick).coalesce(1).localCheckpoint()
+        )
+    return selected

@@ -206,3 +206,24 @@ def test_quantization_recall_histogram(spark, sf_dir):
     # int8 quantization should preserve most of the top-5 neighborhood
     weighted = sum(r.overlap_at_5 * r.n_queries for r in rows) / (5 * total)
     assert weighted > 0.5
+
+
+def test_mmr_greedy_properties(spark):
+    from amorphous_mapreduce_spark.queries.similarity_queries import (
+        q_mmr_diverse_retrieval,
+    )
+
+    rows = sorted(
+        q_mmr_diverse_retrieval(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 9))
+    assert len({r.id for r in rows}) == 8
+    # first pick is pure relevance
+    assert rows[0].mmr_q == rows[0].score_q
+    # later picks are distinct ids (the penalty term can be negative on
+    # near-orthogonal random vectors, so no mmr<=score bound is asserted)
+    picked = [rows[0].id]
+    for r in rows[1:]:
+        assert r.id not in picked
+        picked.append(r.id)
