@@ -821,3 +821,117 @@ def q_prf_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_scaled"), F.asc("id"))
         .limit(PRF_OUT_K)
     )
+
+
+# --- topic-shift (TextTiling-style) segmentation ----------------------------
+
+_TILE_BLOCK = 10
+
+TILE_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, blocks AS (
+    SELECT DISTINCT id, (pos - 1) // {_TILE_BLOCK} AS b, word FROM toks
+),
+sizes AS (
+    SELECT id, b, CAST(COUNT(*) AS BIGINT) AS sz FROM blocks GROUP BY id, b
+),
+inter AS (
+    SELECT a.id, a.b,
+           CAST(COUNT(*) AS BIGINT) AS inter
+    FROM blocks a JOIN blocks b2
+      ON a.id = b2.id AND b2.b = a.b + 1 AND a.word = b2.word
+    GROUP BY a.id, a.b
+),
+bounds AS (
+    SELECT s1.id, s1.b,
+           COALESCE(i.inter, 0) AS inter,
+           s1.sz + s2.sz - COALESCE(i.inter, 0) AS uni
+    FROM sizes s1
+    JOIN sizes s2 ON s1.id = s2.id AND s2.b = s1.b + 1
+    LEFT JOIN inter i ON i.id = s1.id AND i.b = s1.b
+),
+scored AS (
+    SELECT id, b, inter, uni,
+           CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS j,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY CAST(inter AS DOUBLE)
+                                       / CAST(uni AS DOUBLE), b) AS rn
+    FROM bounds
+)
+SELECT id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN 10 * inter < uni THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_weak_boundaries,
+       MAX(CASE WHEN rn = 1 THEN j END) AS min_jaccard,
+       CAST(MAX(CASE WHEN rn = 1 THEN b END) AS BIGINT) AS min_boundary_block
+FROM scored
+GROUP BY id
+"""
+)
+
+
+@register("topic_shift_boundaries", TILE_ORACLE)
+def q_topic_shift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation: per document, the lexical
+    cohesion (Jaccard of distinct vocabularies) between each adjacent
+    pair of 10-token blocks — weak boundaries (cohesion < 0.1, tested
+    as the INTEGER inequality 10*inter < union) mark topic shifts, the
+    chunking signal long-document pipelines use to split on semantic
+    seams instead of fixed windows (upgrade path for doc_chunks).
+
+    Scale: blocks are distinct (doc, block, word) rows — one hash
+    aggregate after tokenize; adjacency is a keyed self-join on
+    (doc, block+1); the per-doc min rides a window KEYED by doc. The
+    only double is the reported Jaccard itself (one division of exact
+    integers)."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    toks = tokenized(load_table(spark, sf_dir, "documents"))
+    blocks = (
+        toks.select(
+            "id",
+            # tokenized() positions are 0-based (posexplode); the oracle's
+            # generate_subscripts is 1-based, hence (pos-1) there
+            (F.col("pos") / F.lit(_TILE_BLOCK)).cast("long").alias("b"),
+            "word",
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = blocks.groupBy("id", "b").agg(F.count("*").alias("sz")).persist()
+    nxt = blocks.select("id", (F.col("b") - 1).alias("b"), "word")
+    inter = (
+        blocks.join(nxt, ["id", "b", "word"])
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    s2 = sizes.select("id", (F.col("b") - 1).alias("b"), F.col("sz").alias("sz2"))
+    bounds = (
+        sizes.join(s2, ["id", "b"])
+        .join(inter, ["id", "b"], "left")
+        .select(
+            "id",
+            "b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.col("sz") + F.col("sz2") - F.coalesce("inter", F.lit(0))).alias(
+                "uni"
+            ),
+        )
+    )
+    j = F.col("inter").cast("double") / F.col("uni").cast("double")
+    w = Window.partitionBy("id").orderBy(j.asc(), F.col("b").asc())
+    scored = bounds.select(
+        "id", "b", "inter", "uni", j.alias("j"), F.row_number().over(w).alias("rn")
+    )
+    return scored.groupBy("id").agg(
+        (F.count("*") + 1).alias("n_blocks"),
+        F.sum(
+            F.when(10 * F.col("inter") < F.col("uni"), 1).otherwise(0)
+        ).alias("n_weak_boundaries"),
+        F.max(F.when(F.col("rn") == 1, F.col("j"))).alias("min_jaccard"),
+        F.max(F.when(F.col("rn") == 1, F.col("b"))).alias(
+            "min_boundary_block"
+        ),
+    )

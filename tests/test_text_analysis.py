@@ -115,7 +115,6 @@ def test_bm25_ranks_and_rarity(spark):
 def test_phrase_search_finds_adjacent_pairs(spark):
     from pyspark.sql import Row
 
-    from amorphous_mapreduce_spark.queries.text_queries import q_phrase_search
     from amorphous_mapreduce_spark.queries_registry import QUERIES
 
     docs = spark.createDataFrame(
@@ -149,3 +148,17 @@ def test_phrase_search_finds_adjacent_pairs(spark):
     )
     assert (top[0].w1, top[0].w2, top[0].t) == ("big", "data", 4)
     assert "phrase_search" in QUERIES
+
+
+def test_topic_shift_invariants(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["topic_shift_boundaries"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_blocks >= 2
+        assert 0 <= r.n_weak_boundaries <= r.n_blocks - 1
+        assert 0.0 <= r.min_jaccard <= 1.0
+        assert 0 <= r.min_boundary_block <= r.n_blocks - 2
