@@ -725,3 +725,161 @@ def q_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_frac"),
         )
     )
+
+
+# --- blocking-strategy bake-off: sorted neighborhood vs LSH ------------------
+
+_SNM_WINDOW = 5  # sorted-neighborhood sliding window size
+_SNM_KEY_LEN = 20
+
+SNM_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + f"""
+, keyed AS (
+    SELECT doc_id,
+           substr({NORM}, 1, {_SNM_KEY_LEN}) AS k,
+           md5({NORM}) AS ch
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, ch,
+           ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk
+    FROM keyed
+),
+snm AS (
+    SELECT LEAST(a.doc_id, b.doc_id) AS qid,
+           GREATEST(a.doc_id, b.doc_id) AS nid
+    FROM ranked a
+    JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW - 1}
+),
+exact_pairs AS (
+    SELECT a.doc_id AS qid, b.doc_id AS nid
+    FROM ranked a JOIN ranked b ON a.ch = b.ch AND a.doc_id < b.doc_id
+),
+counts AS (
+    SELECT
+        (SELECT COUNT(*) FROM snm) AS n_snm,
+        (SELECT COUNT(*) FROM pairs) AS n_lsh,
+        (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+        (SELECT COUNT(*) FROM exact_pairs e
+         WHERE EXISTS (SELECT 1 FROM snm s
+                       WHERE s.qid = e.qid AND s.nid = e.nid)) AS snm_hits,
+        (SELECT COUNT(*) FROM exact_pairs e
+         WHERE EXISTS (SELECT 1 FROM pairs p
+                       WHERE p.qid = e.qid AND p.nid = e.nid)) AS lsh_hits,
+        (SELECT COUNT(*) FROM snm s
+         WHERE EXISTS (SELECT 1 FROM pairs p
+                       WHERE p.qid = s.qid AND p.nid = s.nid)) AS n_common
+)
+SELECT CAST(n_snm AS BIGINT) AS n_snm_candidates,
+       CAST(n_lsh AS BIGINT) AS n_lsh_candidates,
+       CAST(n_exact AS BIGINT) AS n_exact_dup_pairs,
+       CAST(n_common AS BIGINT) AS n_snm_lsh_common,
+       CASE WHEN n_exact = 0 THEN NULL
+            ELSE CAST(snm_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) END
+           AS snm_recall_exact,
+       CASE WHEN n_exact = 0 THEN NULL
+            ELSE CAST(lsh_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) END
+           AS lsh_recall_exact
+FROM counts
+"""
+)
+
+
+@register("snm_vs_lsh_blocking", SNM_ORACLE)
+def q_snm_vs_lsh_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy bake-off: SORTED-NEIGHBORHOOD candidate pairs
+    (sort by a 20-char normalized prefix key, pair everything within a
+    5-row sliding window) vs MinHash-LSH, both scored for recall
+    against exact-duplicate ground truth — the record-linkage
+    methodology comparison (SNM / LSH / q-gram are the three classic
+    blocking families; operators/fuzzy.py covers the third).
+
+    Scale: SNM's global sort rank rides the distributed prefix-sum
+    template (range sort, partition partials — the sort-based blocking
+    is exactly the 'sort + bounded window' pattern that scales); pairs
+    come from a (w-1)-way bounded rank-offset equi-join, NEVER a rank
+    inequality join. LSH pairs reuse the banded kernel. All overlap
+    counts are keyed semi-joins; the ranked frame and pair sets are
+    persisted (multiple readers)."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(normalize_text("text"), 1, _SNM_KEY_LEN).alias("k"),
+        F.md5(normalize_text("text")).alias("ch"),
+    )
+    ranked = distributed_prefix_sum(
+        keyed.select("doc_id", "ch", "k", F.lit(1).alias("_one")),
+        "_one",
+        [F.asc("k"), F.asc("doc_id")],
+        rank_col="rnk",
+    ).select("doc_id", "ch", "rnk").persist()
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _SNM_WINDOW)])
+    ).alias("off")
+    probe = ranked.select(
+        F.col("doc_id").alias("id_a"), F.col("rnk"), offsets
+    ).select("id_a", (F.col("rnk") + F.col("off")).alias("rnk"))
+    snm = (
+        probe.join(
+            ranked.select(F.col("doc_id").alias("id_b"), "rnk"), "rnk"
+        )
+        .select(
+            F.least("id_a", "id_b").alias("qid"),
+            F.greatest("id_a", "id_b").alias("nid"),
+        )
+        .persist()
+    )
+    lsh = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    ca = ranked.select(F.col("doc_id").alias("qid"), "ch")
+    cb = ranked.select(F.col("doc_id").alias("nid"), "ch")
+    exact_pairs = (
+        ca.join(cb, "ch")
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .persist()
+    )
+    # six 1-row scalar aggregates crossed into the scorecard — pure
+    # dataflow, no driver-side counts
+    c_snm = snm.agg(F.count("*").alias("n_snm_candidates"))
+    c_lsh = lsh.agg(F.count("*").alias("n_lsh_candidates"))
+    c_exact = exact_pairs.agg(F.count("*").alias("n_exact_dup_pairs"))
+    c_common = snm.join(lsh, ["qid", "nid"], "left_semi").agg(
+        F.count("*").alias("n_snm_lsh_common")
+    )
+    c_snm_hits = exact_pairs.join(snm, ["qid", "nid"], "left_semi").agg(
+        F.count("*").alias("_snm_hits")
+    )
+    c_lsh_hits = exact_pairs.join(lsh, ["qid", "nid"], "left_semi").agg(
+        F.count("*").alias("_lsh_hits")
+    )
+    return (
+        c_snm.crossJoin(c_lsh)
+        .crossJoin(c_exact)
+        .crossJoin(c_common)
+        .crossJoin(c_snm_hits)
+        .crossJoin(c_lsh_hits)
+        .select(
+            "n_snm_candidates",
+            "n_lsh_candidates",
+            "n_exact_dup_pairs",
+            "n_snm_lsh_common",
+            F.when(
+                F.col("n_exact_dup_pairs") != 0,
+                F.col("_snm_hits").cast("double")
+                / F.col("n_exact_dup_pairs").cast("double"),
+            ).alias("snm_recall_exact"),
+            F.when(
+                F.col("n_exact_dup_pairs") != 0,
+                F.col("_lsh_hits").cast("double")
+                / F.col("n_exact_dup_pairs").cast("double"),
+            ).alias("lsh_recall_exact"),
+        )
+    )

@@ -1031,3 +1031,74 @@ def q_haar_revenue_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("energy_hi"),
         F.pmod(F.col("_e"), F.lit(1048576)).cast("long").alias("energy_lo"),
     )
+
+
+# --- year-over-year same-weekday comparison ---------------------------------
+
+YOY_ORACLE = """
+WITH daily AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT c.day,
+       CAST((c.day + 4) % 7 AS BIGINT) AS dow,
+       c.cents AS cents,
+       p.cents AS cents_ly,
+       c.n_orders, p.n_orders AS n_orders_ly,
+       CAST(c.cents - p.cents AS BIGINT) AS delta_cents,
+       CAST(c.cents - p.cents AS DOUBLE) / CAST(p.cents AS DOUBLE)
+           AS yoy_growth
+FROM daily c JOIN daily p ON p.day = c.day - 364
+"""
+
+
+@register("yoy_same_weekday", YOY_ORACLE)
+def q_yoy_same_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aligned year-over-year revenue: each day compared to
+    the day 364 days (exactly 52 weeks) earlier, so Mondays compare to
+    Mondays — the retail YoY convention that avoids weekday-mix
+    distortion (a 365-day join would drift one weekday per year).
+    The engine-independent (epoch_day+4)%7 weekday rides along as a
+    self-check column.
+
+    Scale: one keyed daily rollup + one self equi-join on the shifted
+    day key (calendar-bounded frames; the daily aggregate is persisted
+    for both join sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"), F.count("*").alias("n_orders"))
+        .persist()
+    )
+    prev = daily.select(
+        (F.col("day") + 364).alias("day"),
+        F.col("cents").alias("cents_ly"),
+        F.col("n_orders").alias("n_orders_ly"),
+    )
+    return daily.join(prev, "day").select(
+        "day",
+        F.pmod(F.col("day") + 4, F.lit(7)).cast("long").alias("dow"),
+        "cents",
+        "cents_ly",
+        "n_orders",
+        "n_orders_ly",
+        (F.col("cents") - F.col("cents_ly")).alias("delta_cents"),
+        (
+            (F.col("cents") - F.col("cents_ly")).cast("double")
+            / F.col("cents_ly").cast("double")
+        ).alias("yoy_growth"),
+    )

@@ -156,3 +156,19 @@ def test_prefix_pairs_prunes_hot_shingle(spark):
     rows = [(i, f"common stop word u{i}x u{i}y") for i in range(10)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     assert jaccard_prefix_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_snm_blocking_scorecard(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["snm_vs_lsh_blocking"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_snm_candidates > 0
+    assert r.n_lsh_candidates > 0
+    assert r.n_snm_lsh_common <= min(r.n_snm_candidates, r.n_lsh_candidates)
+    if r.n_exact_dup_pairs:
+        # exact copies share both prefix keys and all shingles: both
+        # blockers should recall them perfectly on this fixture
+        assert r.snm_recall_exact == 1.0
+        assert r.lsh_recall_exact == 1.0

@@ -545,3 +545,16 @@ def test_decision_stump_matches_brute_force(spark):
     assert got.split_value == best[1]
     assert got.n_left == best[2]
     assert got.pos_left == best[3]
+
+
+def test_yoy_alignment_is_same_weekday(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["yoy_same_weekday"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        # day-364 lands on the same weekday by construction
+        assert (r.day + 4) % 7 == r.dow
+        assert r.delta_cents == r.cents - r.cents_ly

@@ -106,6 +106,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge over the O(#partitions) totals frame — bounded by "
         "cluster size, same as revenue_gini",
     },
+    "snm_vs_lsh_blocking": {
+        "BroadcastNestedLoopJoin": "the scorecard is six 1-row scalar "
+        "count aggregates crossed together — constant-size all sides, "
+        "the standard scalar-total pattern",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge (SNM sort rank) over the O(#partitions) totals frame — "
+        "bounded by cluster size, same as revenue_gini",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
