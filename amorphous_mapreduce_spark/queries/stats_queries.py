@@ -897,3 +897,251 @@ def q_tukey_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand", "n", "q1_cents", "q3_cents")
         .agg(low.alias("n_low_outliers"), high.alias("n_high_outliers"))
     )
+
+
+# --- exact pairwise correlation matrix ---------------------------------------
+
+# hi/lo int64 split of a DECIMAL(38,0) moment (the rolling_correlation_14d
+# workaround for DuckDB's int128 -> double 1-ulp mis-round)
+_CM_SPLIT = 1048576
+
+
+def _cm_split_sql(expr: str, name: str) -> str:
+    return (
+        f"CAST(({expr}) // {_CM_SPLIT} AS BIGINT) AS {name}_hi,\n"
+        f"           CAST(({expr}) % {_CM_SPLIT} AS BIGINT) AS {name}_lo"
+    )
+
+
+def _cm_join_sql(name: str) -> str:
+    return (
+        f"(CAST({name}_hi AS DOUBLE) * {_CM_SPLIT}.0"
+        f" + CAST({name}_lo AS DOUBLE))"
+    )
+
+
+def _cm_corr_sql(x: str, y: str, xy: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+    sxx, syy = _cm_join_sql(f"q_{x}"), _cm_join_sql(f"q_{y}")
+    sxy = _cm_join_sql(f"x_{xy}")
+    return (
+        f"({n} * {sxy} - {sx} * {sy})"
+        f" / (sqrt({n} * {sxx} - {sx} * {sx})"
+        f" * sqrt({n} * {syy} - {sy} * {sy}))"
+    )
+
+
+CORRMAT_ORACLE = f"""
+WITH v AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS s_q,
+           CAST(SUM(p) AS BIGINT) AS s_p,
+           CAST(SUM(d) AS BIGINT) AS s_d,
+           {_cm_split_sql("SUM(CAST(q AS HUGEINT) * q)", "q_q")},
+           {_cm_split_sql("SUM(CAST(p AS HUGEINT) * p)", "q_p")},
+           {_cm_split_sql("SUM(CAST(d AS HUGEINT) * d)", "q_d")},
+           {_cm_split_sql("SUM(CAST(q AS HUGEINT) * p)", "x_qp")},
+           {_cm_split_sql("SUM(CAST(q AS HUGEINT) * d)", "x_qd")},
+           {_cm_split_sql("SUM(CAST(p AS HUGEINT) * d)", "x_pd")}
+    FROM v
+)
+SELECT n,
+       {_cm_corr_sql("q", "p", "qp")} AS r_qty_price,
+       {_cm_corr_sql("q", "d", "qd")} AS r_qty_discount,
+       {_cm_corr_sql("p", "d", "pd")} AS r_price_discount
+FROM m
+"""
+
+
+@register("lineitem_correlation_matrix", CORRMAT_ORACLE)
+def q_lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Pearson correlation matrix over lineitem's three
+    numeric measures (quantity, price cents, discount points) — the
+    data-profiling pass feature stores run before modeling. All
+    sufficient statistics are ONE aggregate: first moments in BIGINT,
+    second/cross moments in DECIMAL(38,0) carried through the hi/lo
+    int64 split (DuckDB casts int128 past 2^63 to double with a 1-ulp
+    error; split halves are exact), then each r is a fixed
+    IEEE expression.
+
+    Scale: a single map-side-combined aggregate; no joins, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("p"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("long")
+        .alias("d"),
+    )
+
+    def mom(a: str, b: str):
+        return F.sum(
+            F.col(a).cast("decimal(19,0)") * F.col(b)
+        ).cast("decimal(38,0)")
+
+    def split(c, name):
+        return [
+            ((c - F.pmod(c, F.lit(_CM_SPLIT))) / F.lit(_CM_SPLIT))
+            .cast("long")
+            .alias(f"{name}_hi"),
+            F.pmod(c, F.lit(_CM_SPLIT)).cast("long").alias(f"{name}_lo"),
+        ]
+
+    m = v.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s_q"),
+        F.sum("p").alias("s_p"),
+        F.sum("d").alias("s_d"),
+        mom("q", "q").alias("_qq"),
+        mom("p", "p").alias("_qp2"),
+        mom("d", "d").alias("_qd2"),
+        mom("q", "p").alias("_xqp"),
+        mom("q", "d").alias("_xqd"),
+        mom("p", "d").alias("_xpd"),
+    ).select(
+        "n",
+        "s_q",
+        "s_p",
+        "s_d",
+        *split(F.col("_qq"), "q_q"),
+        *split(F.col("_qp2"), "q_p"),
+        *split(F.col("_qd2"), "q_d"),
+        *split(F.col("_xqp"), "x_qp"),
+        *split(F.col("_xqd"), "x_qd"),
+        *split(F.col("_xpd"), "x_pd"),
+    )
+
+    def join_d(name):
+        return (
+            F.col(f"{name}_hi").cast("double") * F.lit(float(_CM_SPLIT))
+            + F.col(f"{name}_lo").cast("double")
+        )
+
+    def corr(x, y, xy):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        return (n * join_d(f"x_{xy}") - sx * sy) / (
+            F.sqrt(n * join_d(f"q_{x}") - sx * sx)
+            * F.sqrt(n * join_d(f"q_{y}") - sy * sy)
+        )
+
+    return m.select(
+        "n",
+        corr("q", "p", "qp").alias("r_qty_price"),
+        corr("q", "d", "qd").alias("r_qty_discount"),
+        corr("p", "d", "pd").alias("r_price_discount"),
+    )
+
+
+# --- Cramér's V categorical association --------------------------------------
+
+CRAMER_ORACLE = """
+WITH joined AS (
+    SELECT l.l_returnflag AS rf, o.o_orderpriority AS pr
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cells AS (
+    SELECT rf, pr, CAST(COUNT(*) AS BIGINT) AS o FROM joined GROUP BY rf, pr
+),
+rows_ AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY rf),
+cols_ AS (SELECT pr, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY pr),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT rf) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT pr) AS BIGINT) AS n_cols
+        FROM cells),
+terms AS (
+    SELECT CAST(FLOOR(
+               (CAST(o * n - r * c AS DOUBLE)
+                * CAST(o * n - r * c AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               * 1048576) AS BIGINT) AS term_q,
+           n, n_rows, n_cols
+    FROM cells JOIN rows_ USING (rf) JOIN cols_ USING (pr) CROSS JOIN tot
+)
+SELECT MAX(n) AS n,
+       MAX(n_rows) AS n_levels_a,
+       MAX(n_cols) AS n_levels_b,
+       CAST(SUM(term_q) AS BIGINT) AS chi2_scaled,
+       sqrt((CAST(SUM(term_q) AS DOUBLE) / 1048576.0)
+            / (CAST(MAX(n) AS DOUBLE)
+               * CAST(LEAST(MAX(n_rows), MAX(n_cols)) - 1 AS DOUBLE)))
+           AS cramers_v
+FROM terms
+"""
+
+
+@register("cramers_v_association", CRAMER_ORACLE)
+def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between return flag and order priority — the
+    normalized categorical-association measure ([0,1]) behind every
+    'are these two dimensions related' profiling question, where
+    chi-square alone grows with n. Per-cell chi-square terms use the
+    cross-multiplied integer numerator (o*n - r*c)², computed in
+    double while still exact and floor-QUANTIZED to 2^-20 before the
+    cross-cell sum (float-sum order independence, same discipline as
+    neyman_allocation); V is one sqrt of exact-int ratios.
+
+    Scale: one fact-fact equi-join + a contingency-cell aggregate
+    bounded by the 5x5 label alphabets; margins re-aggregate the cell
+    frame; the 1-row total crosses back (standard pattern)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_returnflag").alias("rf")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pr")
+    )
+    cells = (
+        li.join(o, "o_orderkey")
+        .groupBy("rf", "pr")
+        .agg(F.count("*").alias("o"))
+        .persist()
+    )
+    rows_ = cells.groupBy("rf").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("pr").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("rf").alias("n_rows"),
+        F.countDistinct("pr").alias("n_cols"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term_q = F.floor(
+        num
+        * num
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+        )
+        * F.lit(1048576)
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rows_), "rf")
+        .join(F.broadcast(cols_), "pr")
+        .crossJoin(F.broadcast(tot))
+        .select(term_q.alias("term_q"), "n", "n_rows", "n_cols")
+    )
+    chi2 = F.sum("term_q")
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.max("n_rows").alias("n_levels_a"),
+        F.max("n_cols").alias("n_levels_b"),
+        chi2.alias("chi2_scaled"),
+        F.sqrt(
+            (chi2.cast("double") / F.lit(1048576.0))
+            / (
+                F.max("n").cast("double")
+                * (F.least(F.max("n_rows"), F.max("n_cols")) - 1).cast(
+                    "double"
+                )
+            )
+        ).alias("cramers_v"),
+    )

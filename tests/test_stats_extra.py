@@ -558,3 +558,45 @@ def test_yoy_alignment_is_same_weekday(spark):
         # day-364 lands on the same weekday by construction
         assert (r.day + 4) % 7 == r.dow
         assert r.delta_cents == r.cents - r.cents_ly
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    r = QUERIES["lineitem_correlation_matrix"](spark, sf).collect()[0]
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("p"),
+            (F.col("l_discount").cast("decimal(4,2)") * 100)
+            .cast("long")
+            .alias("d"),
+        )
+        .collect()
+    )
+    q = np.array([x.q for x in li], dtype=float)
+    p = np.array([x.p for x in li], dtype=float)
+    d = np.array([x.d for x in li], dtype=float)
+    assert abs(r.r_qty_price - np.corrcoef(q, p)[0, 1]) < 1e-9
+    assert abs(r.r_qty_discount - np.corrcoef(q, d)[0, 1]) < 1e-9
+    assert abs(r.r_price_discount - np.corrcoef(p, d)[0, 1]) < 1e-9
+    assert r.n == len(li)
+
+
+def test_cramers_v_in_unit_interval(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["cramers_v_association"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.n_levels_a >= 2 and r.n_levels_b >= 2
+    assert r.chi2_scaled >= 0

@@ -114,6 +114,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge (SNM sort rank) over the O(#partitions) totals frame — "
         "bounded by cluster size, same as revenue_gini",
     },
+    "cramers_v_association": {
+        "BroadcastNestedLoopJoin": "1-row (n, level counts) scalar "
+        "crossed onto the 5x5 contingency-cell frame — the standard "
+        "scalar-total pattern",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
