@@ -1161,3 +1161,253 @@ def q_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n.cast("double")
         ).alias("share_over_5"),
     )
+
+
+# --- ABC-XYZ inventory classification matrix --------------------------------
+
+ABC_XYZ_ORACLE = """
+WITH monthly AS (
+    SELECT l_partkey AS part,
+           CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) // 1048576 AS BIGINT)
+               AS ss_hi,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) % 1048576 AS BIGINT)
+               AS ss_lo
+    FROM monthly GROUP BY part
+),
+ranked AS (
+    SELECT part, n_months, total_cents, ss_hi, ss_lo,
+           SUM(total_cents) OVER (ORDER BY total_cents DESC, part) AS cum,
+           SUM(total_cents) OVER () AS grand
+    FROM per_part
+),
+classed AS (
+    SELECT part, n_months, total_cents,
+           CASE WHEN 5 * cum <= 4 * grand THEN 'A'
+                WHEN 20 * cum <= 19 * grand THEN 'B'
+                ELSE 'C' END AS abc,
+           -- CV² = n*ΣX² / (ΣX)² - 1, compared against thresholds by
+           -- cross-multiplication in exact integer/double arithmetic
+           (CAST(n_months AS DOUBLE)
+            * (CAST(ss_hi AS DOUBLE) * 1048576.0 + CAST(ss_lo AS DOUBLE)))
+           / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+           - 1.0 AS cv2
+    FROM ranked
+),
+final AS (
+    SELECT abc,
+           CASE WHEN cv2 <= 0.25 THEN 'X'
+                WHEN cv2 <= 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz,
+           total_cents
+    FROM classed
+)
+SELECT abc, xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(total_cents) AS BIGINT) AS class_cents
+FROM final
+GROUP BY abc, xyz
+"""
+
+
+@register("abc_xyz_matrix", ABC_XYZ_ORACLE)
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: parts classed by cumulative revenue
+    share (A = first 80%, B = next 15%, C = tail — integer
+    cross-multiplied thresholds) x demand variability (X/Y/Z by the
+    squared coefficient of variation of monthly revenue, CV² =
+    n·ΣX²/(ΣX)² − 1 from exact moments) — the planning grid that
+    decides which SKUs get safety stock vs make-to-order. Completes
+    the inventory battery beside pareto_abc_classes.
+
+    Scale: monthly rollup and per-part moments are keyed aggregates
+    (ΣX² rides the hi/lo int64 split); the cumulative-share ranking is
+    over the PART dimension. CV² is a fixed double expression; all
+    class boundaries are exact comparisons."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            F.col("l_partkey").alias("part"),
+            (
+                F.year(F.col("l_shipdate").cast("timestamp")) * 12
+                + F.month(F.col("l_shipdate").cast("timestamp"))
+                - 1
+            )
+            .cast("long")
+            .alias("m"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("part", "m")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ss = F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents")).cast(
+        "decimal(38,0)"
+    )
+    per_part = monthly.groupBy("part").agg(
+        F.count("*").alias("n_months"),
+        F.sum("cents").alias("total_cents"),
+        ((ss - F.pmod(ss, F.lit(1048576))) / F.lit(1048576))
+        .cast("long")
+        .alias("ss_hi"),
+        F.pmod(ss, F.lit(1048576)).cast("long").alias("ss_lo"),
+    )
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    ranked = distributed_prefix_sum(
+        per_part,
+        "total_cents",
+        [F.desc("total_cents"), F.asc("part")],
+        cum_col="cum",
+    )
+    grand = per_part.agg(F.sum("total_cents").alias("grand"))
+    ssd = F.col("ss_hi").cast("double") * F.lit(1048576.0) + F.col(
+        "ss_lo"
+    ).cast("double")
+    cv2 = (
+        F.col("n_months").cast("double")
+        * ssd
+        / (
+            F.col("total_cents").cast("double")
+            * F.col("total_cents").cast("double")
+        )
+        - F.lit(1.0)
+    )
+    classed = (
+        ranked.crossJoin(F.broadcast(grand))
+        .select(
+            "part",
+            "total_cents",
+            F.when(5 * F.col("cum") <= 4 * F.col("grand"), "A")
+            .when(20 * F.col("cum") <= 19 * F.col("grand"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            cv2.alias("cv2"),
+        )
+        .select(
+            "abc",
+            F.when(F.col("cv2") <= 0.25, "X")
+            .when(F.col("cv2") <= 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+            "total_cents",
+        )
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("total_cents").alias("class_cents"),
+    )
+
+
+# --- daily-winner reign streaks ---------------------------------------------
+
+REIGN_ORACLE = """
+WITH daily AS (
+    SELECT epoch_us(l.l_shipdate) // 86400000000 AS day,
+           p.p_brand AS brand,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+winners AS (
+    SELECT day, brand FROM (
+        SELECT day, brand,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY cents DESC, brand) AS rn
+        FROM daily
+    ) WHERE rn = 1
+),
+islands AS (
+    SELECT brand, day,
+           day - ROW_NUMBER() OVER (PARTITION BY brand ORDER BY day) AS grp
+    FROM winners
+),
+reigns AS (
+    SELECT brand, grp,
+           CAST(COUNT(*) AS BIGINT) AS len,
+           CAST(MIN(day) AS BIGINT) AS start_day
+    FROM islands GROUP BY brand, grp
+)
+SELECT brand,
+       CAST(SUM(len) AS BIGINT) AS n_days_on_top,
+       CAST(COUNT(*) AS BIGINT) AS n_reigns,
+       CAST(MAX(len) AS BIGINT) AS longest_reign,
+       CAST(MIN(CASE WHEN len = (SELECT MAX(r2.len) FROM reigns r2
+                                 WHERE r2.brand = reigns.brand)
+                     THEN start_day END) AS BIGINT) AS longest_reign_start
+FROM reigns
+GROUP BY brand
+"""
+
+
+@register("brand_reign_streaks", REIGN_ORACLE)
+def q_brand_reign_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """King-of-the-hill analysis: which brand wins each day's revenue
+    crown, and for how many CONSECUTIVE days it holds it — the
+    gaps-and-islands pattern applied to a ranked daily winner stream
+    (leaderboard persistence, the time-dimension complement of
+    leaderboard_churn's composition view).
+
+    Scale: the daily winner is a window keyed by day over the
+    calendar x brand frame; islands come from the classic
+    day - row_number trick keyed by brand; everything downstream is
+    brand x reign sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.select(
+            F.col("l_partkey").alias("p_partkey"),
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(part), "p_partkey")
+        .groupBy("day", F.col("p_brand").alias("brand"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wd = Window.partitionBy("day").orderBy(F.desc("cents"), F.asc("brand"))
+    winners = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("day", "brand")
+    )
+    wb = Window.partitionBy("brand").orderBy("day")
+    islands = winners.select(
+        "brand", "day", (F.col("day") - F.row_number().over(wb)).alias("grp")
+    )
+    reigns = islands.groupBy("brand", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    wmax = Window.partitionBy("brand")
+    flagged = reigns.select(
+        "brand",
+        "len",
+        "start_day",
+        F.max("len").over(wmax).alias("max_len"),
+    )
+    return flagged.groupBy("brand").agg(
+        F.sum("len").alias("n_days_on_top"),
+        F.count("*").alias("n_reigns"),
+        F.max("len").alias("longest_reign"),
+        F.min(
+            F.when(F.col("len") == F.col("max_len"), F.col("start_day"))
+        ).alias("longest_reign_start"),
+    )

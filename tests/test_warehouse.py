@@ -260,3 +260,45 @@ def test_frequent_triples_subpairs_frequent(spark):
             if r.p1 in s and r.p2 in s and r.p3 in s
         )
         assert sup == r.support >= TRIPLES_MINSUP
+
+
+def test_abc_xyz_partition_of_parts(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["abc_xyz_matrix"](spark, sf).collect()
+    n_parts = sum(r.n_parts for r in rows)
+    distinct_parts = (
+        load_table(spark, sf, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert n_parts == distinct_parts
+    for r in rows:
+        assert r.abc in ("A", "B", "C") and r.xyz in ("X", "Y", "Z")
+
+
+def test_brand_reigns_cover_all_days(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["brand_reign_streaks"](spark, sf).collect()
+    total_days = sum(r.n_days_on_top for r in rows)
+    n_days = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_days == n_days
+    for r in rows:
+        assert 1 <= r.longest_reign <= r.n_days_on_top
+        assert r.n_reigns >= 1

@@ -119,6 +119,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "crossed onto the 5x5 contingency-cell frame — the standard "
         "scalar-total pattern",
     },
+    "abc_xyz_matrix": {
+        "BroadcastNestedLoopJoin": "1-row grand-total scalar crossed "
+        "onto the part-dimension classification frame — the standard "
+        "scalar-total pattern (same as pareto_abc_classes)",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge over the O(#partitions) totals frame — bounded by "
+        "cluster size, same as pareto_abc_classes",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
