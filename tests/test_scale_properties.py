@@ -101,3 +101,42 @@ def test_gram_and_ams_partition_invariant(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert base == alt, name
+
+
+def test_session_ops_partition_invariant(spark, sf_dir):
+    """This session's sketch/linalg/spatial ops give identical answers
+    at 1 and 32 input partitions (the registry queries re-load
+    internally; the operator-level ones take explicit frames)."""
+    from amorphous_mapreduce_spark.operators.sketches import hll_cardinality
+    from amorphous_mapreduce_spark.operators.spatial import (
+        grid_nearest_neighbor,
+        hashed_points,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = _stable(hll_cardinality(docs.repartition(1)))
+    many = _stable(hll_cardinality(docs.repartition(32)))
+    assert one == many
+
+    cust = load_table(spark, sf_dir, "customer")
+    for nparts in (1, 32):
+        pts = hashed_points(cust.repartition(nparts), "c_custkey")
+        if nparts == 1:
+            base = _stable(grid_nearest_neighbor(pts, pts, 50_000))
+        else:
+            assert _stable(grid_nearest_neighbor(pts, pts, 50_000)) == base
+
+
+def test_iterative_ops_rerun_stable(spark, sf_dir):
+    """Fixed-point iterative queries (power iteration, markov removal)
+    are bit-stable across reruns in the same session — the
+    localCheckpoint lineage cuts don't introduce nondeterminism."""
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    for name in ("embedding_power_iteration", "markov_removal_attribution"):
+        # NaN-aware compare (removal_effect is NULL for the full variant)
+        a = QUERIES[name](spark, sf_dir).toPandas().sort_index(axis=1)
+        b = QUERIES[name](spark, sf_dir).toPandas().sort_index(axis=1)
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        assert a.equals(b), name
