@@ -69,3 +69,19 @@ def read_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
         .option("inferSchema", "true")
         .csv(path)
     )
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list | None = None
+) -> None:
+    """ORC writer — the columnar alternative warehouses standardized on
+    before parquet; same predicate-pushdown / column-pruning contract
+    (Spark's OrcFileFormat supports PushedFilters identically)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -87,3 +87,25 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.sources.sinks import read_orc, write_orc
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path, partition_by=["g"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    filtered = back.filter(F.col("g") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reaches the ORC scan
+    assert filtered.count() == df.filter(F.col("g") == 3).count()
+    assert "PartitionFilters" in plan or "g#" in plan
+    # value filters push down to the ORC reader
+    vplan = back.filter(F.col("v") > 900)._jdf.queryExecution().toString()
+    assert "PushedFilters" in vplan
