@@ -321,3 +321,137 @@ def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reported").alias("n_reported"),
         (F.lit(4) * F.sum("reported") - F.count("*")).alias("est_numer"),
     )
+
+
+# --- data-subject access report (DSAR) --------------------------------------
+
+_DSAR_H = (
+    "CAST('0x' || substr(md5('dsar_' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+def _dsar_key_hash(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('k_' || CAST({expr} AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+
+
+DSAR_ORACLE = f"""
+WITH subject AS (
+    SELECT c_custkey AS ck FROM customer ORDER BY {_DSAR_H}, c_custkey LIMIT 1
+),
+c AS (
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_dsar_key_hash("c_custkey")}) AS BIGINT) AS key_xor,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer JOIN subject ON c_custkey = ck
+),
+o AS (
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor({_dsar_key_hash("o_orderkey")}) AS BIGINT),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders JOIN subject ON o_custkey = ck
+),
+l AS (
+    SELECT 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor({_dsar_key_hash("l_orderkey * 16 + l_linenumber")})
+                AS BIGINT),
+           CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT)
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders JOIN subject
+                         ON o_custkey = ck)
+),
+e AS (
+    SELECT 'events',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor({_dsar_key_hash("event_id")}) AS BIGINT),
+           CAST(MIN(event_id) AS BIGINT), CAST(MAX(event_id) AS BIGINT)
+    FROM events JOIN subject ON user_id = ck
+)
+SELECT * FROM c UNION ALL SELECT * FROM o
+UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+"""
+
+
+@register("dsar_export", DSAR_ORACLE)
+def q_dsar_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-subject access report: every table's rows belonging to one
+    (hash-chosen) customer, summarized as row counts plus an
+    order-independent XOR content proof over key hashes — the GDPR
+    Article 15 export manifest, with the same bit_xor audit trick as
+    pii_redaction so the export can be verified without shipping rows.
+    Completes the compliance battery (redaction, erasure cascade,
+    k-anonymity, DP, now subject access).
+
+    Scale: the subject is a 1-row TakeOrdered broadcast; every
+    per-table pull is a broadcast semi-join on its subject key (the
+    lineitem pull goes through the subject's order keys); XOR is
+    order-independent so the digests are shuffle-safe."""
+    cust = load_table(spark, sf_dir, "customer")
+    subject = (
+        cust.select(
+            F.col("c_custkey").alias("ck"),
+            hex_hash64(
+                F.concat(F.lit("dsar_"), F.col("c_custkey").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "ck")
+        .limit(1)
+        .drop("_h")
+    )
+
+    def kh(col):
+        return hex_hash64(F.concat(F.lit("k_"), col.cast("string")))
+
+    c_rows = cust.join(
+        F.broadcast(subject), cust["c_custkey"] == subject["ck"]
+    )
+    c_sum = c_rows.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(kh(F.col("c_custkey"))).alias("key_xor"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    ).select(F.lit("customer").alias("table_name"), "*")
+
+    orders = load_table(spark, sf_dir, "orders")
+    o_rows = orders.join(
+        F.broadcast(subject), orders["o_custkey"] == subject["ck"]
+    ).persist()
+    o_sum = o_rows.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(kh(F.col("o_orderkey"))).alias("key_xor"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    ).select(F.lit("orders").alias("table_name"), "*")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l_rows = li.join(
+        F.broadcast(o_rows.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    l_sum = l_rows.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(
+            kh(F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+        ).alias("key_xor"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    ).select(F.lit("lineitem").alias("table_name"), "*")
+
+    ev = load_table(spark, sf_dir, "events")
+    e_rows = ev.join(F.broadcast(subject), ev["user_id"] == subject["ck"])
+    e_sum = e_rows.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(kh(F.col("event_id"))).alias("key_xor"),
+        F.min("event_id").alias("min_key"),
+        F.max("event_id").alias("max_key"),
+    ).select(F.lit("events").alias("table_name"), "*")
+
+    return c_sum.unionByName(o_sum).unionByName(l_sum).unionByName(e_sum)

@@ -112,3 +112,114 @@ def q_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cell grid is area-bounded (50x50 here), corpus-independent."""
     cust = load_table(spark, sf_dir, "customer")
     return cell_histogram(hashed_points(cust, "c_custkey"), HOT_CELL, HOT_K)
+
+
+# --- grid-density (DBSCAN-style) clustering ---------------------------------
+
+DB_CELL = 100_000
+DB_MINPTS = 18
+
+_CELL_ID = "cx * 1024 + cy"
+
+DBSCAN_ORACLE = (
+    "WITH RECURSIVE "
+    + _PTS_CTE.strip()
+    + f"""
+, cells AS (
+    SELECT x // {DB_CELL} AS cx, y // {DB_CELL} AS cy,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pts GROUP BY 1, 2
+),
+cores AS (
+    SELECT cx, cy, n_points, {_CELL_ID} AS cell_id
+    FROM cells WHERE n_points >= {DB_MINPTS}
+),
+nbr AS (
+    SELECT a.cell_id AS ida, b.cell_id AS idb
+    FROM cores a JOIN cores b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+     AND a.cell_id != b.cell_id
+),
+reach(src, dst) AS (
+    SELECT cell_id, cell_id FROM cores
+    UNION
+    SELECT r.src, n.idb FROM reach r JOIN nbr n ON r.dst = n.ida
+),
+labels AS (
+    SELECT src AS cell_id, MIN(dst) AS cluster FROM reach GROUP BY src
+)
+SELECT l.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.n_points) AS BIGINT) AS n_points,
+       CAST(MIN(c.cx) AS BIGINT) AS min_cx,
+       CAST(MAX(c.cx) AS BIGINT) AS max_cx,
+       CAST(MIN(c.cy) AS BIGINT) AS min_cy,
+       CAST(MAX(c.cy) AS BIGINT) AS max_cy
+FROM labels l JOIN cores c ON l.cell_id = c.cell_id
+GROUP BY l.cluster
+"""
+)
+
+
+@register("spatial_density_clusters", DBSCAN_ORACLE)
+def q_spatial_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the scalable DBSCAN skeleton): cells
+    with >= 18 points are CORE; adjacent core cells (8-neighborhood)
+    merge into clusters via connected components — per cluster, its
+    cell/point mass and bounding box. This is how density clustering
+    actually runs at 100 TB: per-cell counting first (one aggregate),
+    graph work only over the corpus-independent core-cell set.
+
+    Scale: the only data-sized stage is the cell count; core cells are
+    area-bounded; adjacency is a 9-offset bounded explode equi-join;
+    components use the bounded-round min-label propagation
+    (operators/graph.py). Oracle: recursive closure over cell edges."""
+    from amorphous_mapreduce_spark.operators.graph import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = hashed_points(cust, "c_custkey")
+    cells = (
+        pts.select(
+            (F.col("x") / F.lit(DB_CELL)).cast("long").alias("cx"),
+            (F.col("y") / F.lit(DB_CELL)).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    cores = cells.filter(F.col("n_points") >= DB_MINPTS).select(
+        "cx", "cy", "n_points", (F.col("cx") * 1024 + F.col("cy")).alias("cell_id")
+    ).persist()
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    probe = cores.select(
+        F.col("cell_id").alias("qid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("cx"),
+                        (F.col("cy") + F.lit(dy)).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).select("qid", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    edges = probe.join(
+        cores.select("cx", "cy", F.col("cell_id").alias("nid")), ["cx", "cy"]
+    ).select("qid", "nid")
+    comp = connected_components(
+        edges, nodes=cores.select(F.col("cell_id").alias("id"))
+    )
+    return (
+        comp.select(F.col("id").alias("cell_id"), F.col("component").alias("cluster"))
+        .join(cores, "cell_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_points").alias("n_points"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+    )

@@ -132,3 +132,33 @@ def test_dp_randomized_response_debiases(spark, sf_dir):
     t = sum(r.n_true for r in rows)
     est = sum(r.est_numer for r in rows) / 2
     assert abs(est - t) < 4 * n**0.5 + 8
+
+
+def test_dsar_export_referential_consistency(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = {
+        r.table_name: r
+        for r in QUERIES["dsar_export"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    assert rows["customer"].n_rows == 1
+    # the subject's lineitems exist iff they have orders
+    if rows["orders"].n_rows == 0:
+        assert rows["lineitem"].n_rows == 0
+    else:
+        assert rows["lineitem"].n_rows >= rows["orders"].n_rows
+
+
+def test_spatial_density_clusters_disjoint_cells(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["spatial_density_clusters"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    for r in rows:
+        assert r.n_cells >= 1
+        assert r.n_points >= r.n_cells  # every core cell has >= minpts
+        assert r.min_cx <= r.max_cx and r.min_cy <= r.max_cy
+        # bounding box is at least as large as a connected shape needs
+        assert r.n_cells <= (r.max_cx - r.min_cx + 1) * (r.max_cy - r.min_cy + 1)
