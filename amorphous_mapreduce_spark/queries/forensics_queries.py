@@ -231,3 +231,61 @@ def q_returns_root_cause(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n_lines") * F.col("r") * 12
         ).alias("elevated"),
     )
+
+
+# --- cents last-digit uniformity (fraud forensics) ---------------------------
+
+DIGIT_ORACLE = """
+WITH digits AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 10
+               AS digit
+    FROM orders
+),
+counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS o FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts)
+SELECT digit, o AS observed,
+       CAST(10 * o - n AS BIGINT) AS dev_cross,
+       CAST(FLOOR((CAST(10 * o - n AS DOUBLE)
+                   * CAST(10 * o - n AS DOUBLE))
+                  / (10.0 * CAST(n AS DOUBLE)) * 1048576) AS BIGINT)
+           AS chi2_term_scaled
+FROM counts CROSS JOIN tot
+"""
+
+
+@register("cents_digit_uniformity", DIGIT_ORACLE)
+def q_cents_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity audit of order amounts (in cents): genuine
+    transactional amounts have uniform last digits; invented numbers
+    don't — the forensic complement of benford_audit (first-digit law
+    vs last-digit uniformity). Deviations are cross-multiplied
+    integers (10*observed - n); per-digit chi-square terms
+    floor-quantize to 2^-20 (the order-free summation discipline).
+
+    Scale: one hash aggregate on the 10-value digit key; the 1-row
+    total crosses back."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.pmod(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"),
+            F.lit(10),
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("o"))
+    tot = counts.agg(F.sum("o").alias("n"))
+    dev = 10 * F.col("o") - F.col("n")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("o").alias("observed"),
+        dev.alias("dev_cross"),
+        F.floor(
+            dev.cast("double")
+            * dev.cast("double")
+            / (F.lit(10.0) * F.col("n").cast("double"))
+            * F.lit(1048576)
+        )
+        .cast("long")
+        .alias("chi2_term_scaled"),
+    )

@@ -570,3 +570,71 @@ def q_quality_length_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * (n * n - 1)).cast("double")
         ).alias("spearman"),
     )
+
+
+# --- trending terms between corpus halves -----------------------------------
+
+TREND_TERMS_TOP = 20
+
+TREND_TERMS_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, halves AS (
+    SELECT t.word, d.doc_id % 2 AS half
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+counts AS (
+    SELECT word,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+    FROM halves GROUP BY word
+),
+tot AS (
+    SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+    FROM counts
+)
+SELECT word, c0, c1,
+       CAST(c1 * n0 - c0 * n1 AS BIGINT) AS drift_cross
+FROM counts CROSS JOIN tot
+ORDER BY abs(c1 * n0 - c0 * n1) DESC, word
+LIMIT {TREND_TERMS_TOP}
+"""
+)
+
+
+@register("trending_terms", TREND_TERMS_ORACLE)
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top term-frequency MOVERS between two corpus halves (doc-id
+    parity as the epoch proxy): ranked by the cross-multiplied rate
+    drift |c1*n0 - c0*n1| — the integer-exact 'what changed between
+    yesterday's crawl and today's' diagnostic (the sketch-free sibling
+    of a CMS-delta monitor; same cross-multiplied drift discipline as
+    source_unigram_divergence).
+
+    Scale: one conditional-sum token aggregate; the 1-row totals cross
+    back; top-k is a TakeOrderedAndProject."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    halves = toks.join(
+        F.broadcast(
+            docs.select(
+                F.col("doc_id").alias("id"), (F.col("doc_id") % 2).alias("half")
+            )
+        ),
+        "id",
+    )
+    counts = halves.groupBy("word").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = counts.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    drift = F.col("c1") * F.col("n0") - F.col("c0") * F.col("n1")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("word", "c0", "c1", drift.alias("drift_cross"))
+        .orderBy(F.abs(F.col("drift_cross")).desc(), F.asc("word"))
+        .limit(TREND_TERMS_TOP)
+    )

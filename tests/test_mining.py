@@ -305,3 +305,28 @@ def test_dow_hour_profile_covers_week_and_sums(spark):
     days = (ev.ts.astype("int64") // 1000 // 86400000000 + 4) % 7
     got = out.groupby("dow").n_events.sum().to_dict()
     assert got == days.value_counts().to_dict()
+
+
+def test_trending_terms_drift_identity(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["trending_terms"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    drifts = [abs(r.drift_cross) for r in rows]
+    assert drifts == sorted(drifts, reverse=True)
+    for r in rows:
+        assert r.c0 + r.c1 > 0
+
+
+def test_cents_digits_partition_counts(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["cents_digit_uniformity"](spark, sf).collect()
+    total = sum(r.observed for r in rows)
+    assert total == load_table(spark, sf, "orders").count()
+    assert sum(r.dev_cross for r in rows) == 0  # deviations sum to zero
+    for r in rows:
+        assert 0 <= r.digit <= 9
+        assert r.chi2_term_scaled >= 0

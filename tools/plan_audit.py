@@ -127,6 +127,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge over the O(#partitions) totals frame — bounded by "
         "cluster size, same as pareto_abc_classes",
     },
+    "trending_terms": {
+        "BroadcastNestedLoopJoin": "1-row (n0, n1) half-total scalar "
+        "crossed onto the vocab-sized count frame — the standard "
+        "scalar-total pattern (same as source_unigram_divergence)",
+    },
+    "cents_digit_uniformity": {
+        "BroadcastNestedLoopJoin": "1-row total scalar crossed onto "
+        "the 10-row digit frame — constant-size both sides",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
