@@ -1102,3 +1102,99 @@ def q_yoy_same_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cents_ly").cast("double")
         ).alias("yoy_growth"),
     )
+
+
+# --- rolling-origin forecast backtest ---------------------------------------
+
+ROLLING_ORIGIN_ORACLE = """
+WITH daily AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+mx AS (SELECT CAST(MAX(day) AS BIGINT) AS max_day FROM daily),
+folds AS (
+    SELECT f.fold, max_day - 7 * (4 - f.fold) AS cutoff
+    FROM (VALUES (1), (2), (3)) AS f(fold) CROSS JOIN mx
+),
+scored AS (
+    SELECT fo.fold,
+           a.day, a.cents AS actual, p.cents AS forecast,
+           abs(a.cents - p.cents) AS abs_err
+    FROM folds fo
+    JOIN daily a ON a.day > fo.cutoff AND a.day <= fo.cutoff + 7
+    JOIN daily p ON p.day = a.day - 7
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_cents,
+       CAST(SUM(actual) AS BIGINT) AS sum_actual_cents,
+       CAST(SUM(abs_err) AS DOUBLE) / CAST(SUM(actual) AS DOUBLE) AS wape
+FROM scored
+GROUP BY fold
+"""
+
+
+@register("rolling_origin_backtest", ROLLING_ORIGIN_ORACLE)
+def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (walk-forward) evaluation of the seasonal-naive
+    forecaster: three week-long test folds at successive cutoffs, each
+    scored by WAPE against the lag-7 prediction — the multi-fold
+    discipline that catches a forecaster that only worked on one lucky
+    week (extends seasonal_naive_backtest's single split).
+
+    Scale: one daily keyed rollup (persisted — both join sides and the
+    max-day scalar read it); folds are a constant 3-row frame; the
+    fold/test joins are keyed on day. Error mass stays integer cents;
+    WAPE is one division per fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+        .persist()
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    folds = (
+        spark.createDataFrame([(1,), (2,), (3,)], ["fold"])
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "fold",
+            (F.col("max_day") - 7 * (4 - F.col("fold"))).alias("cutoff"),
+        )
+    )
+    a = daily.select("day", F.col("cents").alias("actual"))
+    p = daily.select(
+        (F.col("day") + 7).alias("day"), F.col("cents").alias("forecast")
+    )
+    test = a.join(p, "day")
+    scored = (
+        test.crossJoin(F.broadcast(folds))
+        .filter(
+            (F.col("day") > F.col("cutoff"))
+            & (F.col("day") <= F.col("cutoff") + 7)
+        )
+        .select(
+            "fold", F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+            "actual",
+        )
+    )
+    return scored.groupBy("fold").agg(
+        F.count("*").alias("n_days"),
+        F.sum("abs_err").alias("sum_abs_err_cents"),
+        F.sum("actual").alias("sum_actual_cents"),
+        (
+            F.sum("abs_err").cast("double") / F.sum("actual").cast("double")
+        ).alias("wape"),
+    )

@@ -178,3 +178,22 @@ def test_kmv_sketch_is_mergeable_across_shards(spark, sf_dir):
     a = {(r.source, r.h) for r in global_sk.collect()}
     b = {(r.source, r.h) for r in merged.collect()}
     assert a == b
+
+
+def test_rolling_origin_three_folds(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = sorted(
+        QUERIES["rolling_origin_backtest"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.fold,
+    )
+    # a fold can be empty at tiny SF if its week lacks lag-7 partners
+    assert rows and set(r.fold for r in rows) <= {1, 2, 3}
+    for r in rows:
+        assert 1 <= r.n_days <= 7
+        assert r.wape >= 0
+        assert abs(
+            r.wape - r.sum_abs_err_cents / r.sum_actual_cents
+        ) < 1e-12

@@ -136,6 +136,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row total scalar crossed onto "
         "the 10-row digit frame — constant-size both sides",
     },
+    "rolling_origin_backtest": {
+        "BroadcastNestedLoopJoin": "1-row max-day scalar into the "
+        "constant 3-row fold frame, then that fold frame range-crossed "
+        "onto the calendar-bounded daily test rows — both sides "
+        "bounded by the calendar/fold constants",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
