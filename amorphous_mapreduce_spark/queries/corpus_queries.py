@@ -539,3 +539,65 @@ def q_rendezvous_sharding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modulo_moved_share"
         ),
     )
+
+
+# --- vocabulary richness: hapax share per source ----------------------------
+
+HAPAX_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + """
+, tagged AS (
+    SELECT d.source, t.word
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+freqs AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tagged GROUP BY source, word
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS hapax_type_share,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
+FROM freqs
+GROUP BY source
+"""
+)
+
+
+@register("hapax_ratio_by_source", HAPAX_ORACLE)
+def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: hapax-legomenon share (words
+    seen exactly once) and type-token ratio — the lexical-diversity
+    profile that flags template-generated or boilerplate-heavy sources
+    (low hapax share) before they flood a training mix (companion to
+    zipf_octave_profile's corpus-level spectrum).
+
+    Scale: one (source, word) hash aggregate + a per-source rollup;
+    ratios are single divisions of exact counts."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    tagged = toks.join(
+        F.broadcast(
+            docs.select(F.col("doc_id").alias("id"), "source")
+        ),
+        "id",
+    )
+    freqs = tagged.groupBy("source", "word").agg(F.count("*").alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return freqs.groupBy("source").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        hapax.alias("n_hapax"),
+        (hapax.cast("double") / F.count("*").cast("double")).alias(
+            "hapax_type_share"
+        ),
+        (F.count("*").cast("double") / F.sum("c").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )

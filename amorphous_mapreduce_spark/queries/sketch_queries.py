@@ -782,3 +782,142 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_exact"),
         )
     )
+
+
+# --- bloom-filter sizing sweep ----------------------------------------------
+
+BLOOM_SWEEP_BITS = (1024, 4096, 16384)
+
+
+def _bfs_pos(expr: str, j: str, m: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf{{}}' || '_' || CAST({expr} AS VARCHAR)),"
+        " 1, 15) AS BIGINT) % {}"
+    ).format(j, m)
+
+
+def _bloom_sweep_oracle() -> str:
+    blocks = []
+    for m in BLOOM_SWEEP_BITS:
+        blocks.append(
+            f"""
+SELECT {m} AS n_bits,
+       (SELECT COUNT(*) FROM (
+            SELECT {_bfs_pos("k", "0", m)} AS pos FROM dim
+            UNION SELECT {_bfs_pos("k", "1", m)} FROM dim
+            UNION SELECT {_bfs_pos("k", "2", m)} FROM dim)) AS n_set_bits,
+       (SELECT COUNT(*) FROM lineitem) AS n_probe,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE ({_bfs_pos("l_partkey", "0", m)}) IN
+              (SELECT {_bfs_pos("k", "0", m)} FROM dim)
+          AND ({_bfs_pos("l_partkey", "1", m)}) IN
+              (SELECT {_bfs_pos("k", "1", m)} FROM dim)
+          AND ({_bfs_pos("l_partkey", "2", m)}) IN
+              (SELECT {_bfs_pos("k", "2", m)} FROM dim)) AS n_pass,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey IN (SELECT k FROM dim)) AS n_exact"""
+        )
+    return (
+        "WITH dim AS (SELECT DISTINCT p_partkey AS k FROM part"
+        " WHERE p_type = 'ECONOMY')\n"
+        + "SELECT n_bits, CAST(n_set_bits AS BIGINT) AS n_set_bits,"
+        " CAST(n_probe AS BIGINT) AS n_probe,"
+        " CAST(n_pass AS BIGINT) AS n_pass,"
+        " CAST(n_exact AS BIGINT) AS n_exact,"
+        " CAST(n_set_bits AS DOUBLE) / CAST(n_bits AS DOUBLE) AS fill,"
+        " CASE WHEN n_probe = n_exact THEN NULL"
+        "      ELSE CAST(n_pass - n_exact AS DOUBLE)"
+        "           / CAST(n_probe - n_exact AS DOUBLE) END AS measured_fpr,"
+        " (CAST(n_set_bits AS DOUBLE) / CAST(n_bits AS DOUBLE))"
+        " * (CAST(n_set_bits AS DOUBLE) / CAST(n_bits AS DOUBLE))"
+        " * (CAST(n_set_bits AS DOUBLE) / CAST(n_bits AS DOUBLE))"
+        " AS predicted_fpr"
+        " FROM (" + "\nUNION ALL".join(blocks) + ") t"
+    )
+
+
+BLOOM_SWEEP_ORACLE = _bloom_sweep_oracle()
+
+
+@register("bloom_fpr_sweep", BLOOM_SWEEP_ORACLE)
+def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing curve: the same 3-hash filter at 1k/4k/16k
+    bits, with measured false-positive rate beside the fill-factor
+    prediction (fpr ~ fill^k) — the bits-per-key decision read off
+    real data before committing a 100 TB runtime filter (the membership
+    sibling of cms_width_sweep / embedding_threshold_sweep).
+
+    Scale: the dim bit-sets are tiny broadcast arrays (<= 3|dim|
+    positions); each probe is a linear scan with array_contains — no
+    joins on the fact side; the exact comparator is one broadcast
+    semi-join. MD5 positions replay exactly in SQL."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        part.filter(F.col("p_type") == "ECONOMY")
+        .select(F.col("p_partkey").alias("k"))
+        .distinct()
+        .persist()
+    )
+    li_keys = li.select("l_partkey").persist()
+    base = li_keys.agg(F.count("*").alias("n_probe")).crossJoin(
+        li_keys.join(
+            F.broadcast(dim.select(F.col("k").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        ).agg(F.count("*").alias("n_exact"))
+    )
+
+    def pos(col, j, m):
+        return F.pmod(
+            hex_hash64(F.concat(F.lit(f"bf{j}_"), col.cast("string"))),
+            F.lit(m),
+        )
+
+    out = None
+    for m in BLOOM_SWEEP_BITS:
+        set_bits = (
+            dim.select(
+                F.explode(
+                    F.array(*[pos(F.col("k"), j, m) for j in range(3)])
+                ).alias("p")
+            )
+            .distinct()
+            .agg(F.count("*").alias("n_set_bits"))
+        )
+        bit_arrays = [
+            dim.select(pos(F.col("k"), j, m).alias("p"))
+            .distinct()
+            .agg(F.sort_array(F.collect_set("p")).alias(f"bits{j}"))
+            for j in range(3)
+        ]
+        frame = li_keys
+        for j in range(3):
+            frame = frame.crossJoin(F.broadcast(bit_arrays[j]))
+        n_pass = frame.filter(
+            F.array_contains(F.col("bits0"), pos(F.col("l_partkey"), 0, m))
+            & F.array_contains(F.col("bits1"), pos(F.col("l_partkey"), 1, m))
+            & F.array_contains(F.col("bits2"), pos(F.col("l_partkey"), 2, m))
+        ).agg(F.count("*").alias("n_pass"))
+        fill = F.col("n_set_bits").cast("double") / F.lit(float(m))
+        row = (
+            base.crossJoin(F.broadcast(set_bits))
+            .crossJoin(F.broadcast(n_pass))
+            .select(
+                F.lit(m).cast("long").alias("n_bits"),
+                "n_set_bits",
+                "n_probe",
+                "n_pass",
+                "n_exact",
+                fill.alias("fill"),
+                F.when(
+                    F.col("n_probe") != F.col("n_exact"),
+                    (F.col("n_pass") - F.col("n_exact")).cast("double")
+                    / (F.col("n_probe") - F.col("n_exact")).cast("double"),
+                ).alias("measured_fpr"),
+                (fill * fill * fill).alias("predicted_fpr"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+

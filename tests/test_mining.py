@@ -330,3 +330,16 @@ def test_cents_digits_partition_counts(spark):
     for r in rows:
         assert 0 <= r.digit <= 9
         assert r.chi2_term_scaled >= 0
+
+
+def test_hapax_bounds(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["hapax_ratio_by_source"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0.0 <= r.hapax_type_share <= 1.0
+        assert 0.0 < r.type_token_ratio <= 1.0

@@ -211,3 +211,23 @@ def test_hll_merge_rollup_proof_holds(spark):
     for r in rows:
         assert r.merge_exact == 1
         assert r.merged_sum_scaled == r.direct_sum_scaled
+
+
+def test_bloom_fpr_sweep_monotone(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = sorted(
+        QUERIES["bloom_fpr_sweep"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.n_bits,
+    )
+    assert [r.n_bits for r in rows] == [1024, 4096, 16384]
+    for r in rows:
+        assert r.n_pass >= r.n_exact  # no false negatives
+        assert 0 < r.fill <= 1.0
+        if r.measured_fpr is not None:
+            assert 0.0 <= r.measured_fpr <= 1.0
+    # bigger filters fill less and pass fewer false positives
+    fills = [r.fill for r in rows]
+    assert fills == sorted(fills, reverse=True)
+    passes = [r.n_pass for r in rows]
+    assert passes == sorted(passes, reverse=True)

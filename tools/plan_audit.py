@@ -142,6 +142,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "onto the calendar-bounded daily test rows — both sides "
         "bounded by the calendar/fold constants",
     },
+    "bloom_fpr_sweep": {
+        "BroadcastNestedLoopJoin": "1-row frames only: the (probe, "
+        "exact) scalar base, the per-size set-bit counts, and the "
+        "collected bit arrays (<= 3|dim| positions) crossed onto the "
+        "linear fact scan — the runtime-filter broadcast shape itself",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
