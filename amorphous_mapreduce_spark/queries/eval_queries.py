@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.agg import dec
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -850,3 +851,91 @@ def q_decision_stump_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gain_score"),
     )
     return out.orderBy(F.desc("gain_score"), F.asc("split_value")).limit(1)
+
+
+# --- leakage-free out-of-fold target encoding --------------------------------
+
+OOF_FOLDS = 5
+
+OOF_ORACLE = f"""
+WITH li AS (
+    SELECT p.p_brand AS brand,
+           CAST('0x' || substr(md5('fold_' || CAST(l.l_orderkey AS VARCHAR)
+                               || '_' || CAST(l.l_linenumber AS VARCHAR)),
+                1, 15) AS BIGINT) % {OOF_FOLDS} AS fold,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cell AS (
+    SELECT brand, fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM li GROUP BY brand, fold
+),
+tot AS (
+    SELECT brand,
+           CAST(SUM(n) AS BIGINT) AS n_tot,
+           CAST(SUM(pos) AS BIGINT) AS pos_tot
+    FROM cell GROUP BY brand
+)
+SELECT c.brand, c.fold, c.n AS n_fold, c.pos AS pos_fold,
+       CASE WHEN t.n_tot = c.n THEN NULL
+            ELSE CAST(t.pos_tot - c.pos AS DOUBLE)
+                 / CAST(t.n_tot - c.n AS DOUBLE) END AS oof_encoding
+FROM cell c JOIN tot t ON c.brand = t.brand
+"""
+
+
+@register("oof_target_encoding", OOF_ORACLE)
+def q_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE target encoding of brand by return rate: each
+    (brand, fold) cell's encoding is computed from the OTHER folds'
+    statistics only ((pos_tot - pos_fold)/(n_tot - n_fold)) — the
+    out-of-fold trick that keeps a target-encoded categorical feature
+    from memorizing its own label (the categorical sibling of
+    feature_store_pit's structural no-leakage guarantee). Fold
+    assignment is an MD5 hash of the row key — replayable, split-stable.
+
+    Scale: one (brand, fold) hash aggregate; brand totals re-aggregate
+    the cell frame; the encoding is a single division of exact
+    integers. NULL-guarded for single-fold brands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    rows = (
+        li.select(
+            "l_partkey",
+            F.pmod(
+                hex_hash64(
+                    F.concat(
+                        F.lit("fold_"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                F.lit(OOF_FOLDS),
+            ).alias("fold"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .join(F.broadcast(part), "l_partkey")
+        .select(F.col("p_brand").alias("brand"), "fold", "y")
+    )
+    cell = rows.groupBy("brand", "fold").agg(
+        F.count("*").alias("n_fold"), F.sum("y").alias("pos_fold")
+    )
+    tot = cell.groupBy("brand").agg(
+        F.sum("n_fold").alias("n_tot"), F.sum("pos_fold").alias("pos_tot")
+    )
+    return cell.join(F.broadcast(tot), "brand").select(
+        "brand",
+        "fold",
+        "n_fold",
+        "pos_fold",
+        F.when(
+            F.col("n_tot") != F.col("n_fold"),
+            (F.col("pos_tot") - F.col("pos_fold")).cast("double")
+            / (F.col("n_tot") - F.col("n_fold")).cast("double"),
+        ).alias("oof_encoding"),
+    )

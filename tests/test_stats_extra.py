@@ -600,3 +600,40 @@ def test_cramers_v_in_unit_interval(spark):
     assert 0.0 <= r.cramers_v <= 1.0
     assert r.n_levels_a >= 2 and r.n_levels_b >= 2
     assert r.chi2_scaled >= 0
+
+
+def test_oof_encoding_excludes_own_fold(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    import collections
+
+    rows = QUERIES["oof_target_encoding"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_brand = collections.defaultdict(list)
+    for r in rows:
+        by_brand[r.brand].append(r)
+    for brand, cells in by_brand.items():
+        n_tot = sum(c.n_fold for c in cells)
+        pos_tot = sum(c.pos_fold for c in cells)
+        for c in cells:
+            if n_tot != c.n_fold:
+                want = (pos_tot - c.pos_fold) / (n_tot - c.n_fold)
+                assert abs(c.oof_encoding - want) < 1e-12
+
+
+def test_wilson_ci_brackets_rate(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    for r in QUERIES["return_rate_wilson_ci"](
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+
+
+def test_dispersion_flag_consistent_with_index(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    for r in QUERIES["count_dispersion_index"](
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert (r.dispersion_index > 1.0) == bool(r.overdispersed)
