@@ -2398,3 +2398,87 @@ def q_frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.orderBy(
         F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3")
     )
+
+
+# --- sessionization gap-threshold sensitivity --------------------------------
+
+GAP_THRESHOLDS_MIN = (5, 15, 30, 60)
+
+GAP_SENS_ORACLE = f"""
+WITH lagged AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+               AS gap_us
+    FROM events
+),
+counts AS (
+    SELECT
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        {", ".join(
+            f"CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > CAST({m} AS BIGINT) * 60000000 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS s{m}"
+            for m in GAP_THRESHOLDS_MIN
+        )}
+    FROM lagged
+)
+{" UNION ALL ".join(
+    f"SELECT {m} AS gap_minutes, n_users, n_events, s{m} AS n_sessions, "
+    f"CAST(n_events AS DOUBLE) / CAST(s{m} AS DOUBLE) AS events_per_session "
+    "FROM counts"
+    for m in GAP_THRESHOLDS_MIN
+)}
+"""
+
+
+@register("session_gap_sensitivity", GAP_SENS_ORACLE)
+def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sweep: total session counts at 5/15/30/
+    60-minute inactivity gaps, from ONE pass — a session starts where
+    the user's gap exceeds the threshold, so each threshold is just a
+    conditional sum over the same lag column. The
+    pick-the-session-timeout table every product-analytics setup needs
+    before committing a session definition (the parameter-sweep
+    sibling of cms_width_sweep / bloom_fpr_sweep).
+
+    Scale: one keyed lag window + one aggregate with 4 conditional
+    sums; the 4-row output reshape is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    aggs = [
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    ]
+    for m in GAP_THRESHOLDS_MIN:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > m * 60_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias(f"s{m}")
+        )
+    counts = lagged.agg(*aggs)
+    out = None
+    for m in GAP_THRESHOLDS_MIN:
+        row = counts.select(
+            F.lit(m).cast("long").alias("gap_minutes"),
+            "n_users",
+            "n_events",
+            F.col(f"s{m}").alias("n_sessions"),
+            (
+                F.col("n_events").cast("double")
+                / F.col(f"s{m}").cast("double")
+            ).alias("events_per_session"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

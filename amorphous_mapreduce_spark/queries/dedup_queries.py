@@ -883,3 +883,113 @@ def q_snm_vs_lsh_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lsh_recall_exact"),
         )
     )
+
+
+# --- dedup-method overlap (Venn) scorecard -----------------------------------
+
+_SIMHASH_BODY = """
+, th AS (
+    SELECT id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS th FROM toks
+), bitsums AS (
+    SELECT id, b.range AS bit,
+           CAST(SUM(((th >> CAST(b.range AS INT)) & 1) * 2 - 1) AS BIGINT) AS s
+    FROM th, range(60) b
+    GROUP BY id, b.range
+), fp AS (
+    SELECT id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY id
+)"""
+
+_EMB_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+VENN_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + _SIMHASH_BODY
+    + f"""
+, sh_pairs AS (
+    SELECT a.id AS qid, b.id AS nid
+    FROM fp a, fp b
+    WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 12
+),
+em_pairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND {_EMB_COS} > 0.45
+)
+SELECT
+    (SELECT COUNT(*) FROM pairs) AS n_minhash,
+    (SELECT COUNT(*) FROM sh_pairs) AS n_simhash,
+    (SELECT COUNT(*) FROM em_pairs) AS n_embedding,
+    (SELECT COUNT(*) FROM pairs p
+     WHERE EXISTS (SELECT 1 FROM sh_pairs s
+                   WHERE s.qid = p.qid AND s.nid = p.nid)) AS n_min_sim,
+    (SELECT COUNT(*) FROM pairs p
+     WHERE EXISTS (SELECT 1 FROM em_pairs e
+                   WHERE e.qid = p.qid AND e.nid = p.nid)) AS n_min_emb,
+    (SELECT COUNT(*) FROM sh_pairs s
+     WHERE EXISTS (SELECT 1 FROM em_pairs e
+                   WHERE e.qid = s.qid AND e.nid = s.nid)) AS n_sim_emb,
+    (SELECT COUNT(*) FROM pairs p
+     WHERE EXISTS (SELECT 1 FROM sh_pairs s
+                   WHERE s.qid = p.qid AND s.nid = p.nid)
+       AND EXISTS (SELECT 1 FROM em_pairs e
+                   WHERE e.qid = p.qid AND e.nid = p.nid)) AS n_all_three
+"""
+)
+
+
+@register("dedup_method_venn", VENN_ORACLE)
+def q_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-dedup overlap scorecard: candidate-pair counts from the
+    three near-dup families (MinHash-LSH shingle Jaccard, SimHash
+    Hamming, embedding cosine) plus every pairwise and the triple
+    intersection — the Venn diagram that justifies (or kills) running
+    multiple dedup passes: methods with near-total overlap are
+    redundant, disjoint tails are each method's unique catch.
+
+    Scale: each pair set comes from its existing bucketed kernel
+    (banded LSH / pigeonhole SimHash / blocked E·Eᵀ); overlaps are
+    keyed semi-joins; the scorecard is 1-row scalar aggregates crossed
+    (pure dataflow, same shape as snm_vs_lsh_blocking).
+
+    vec_id and doc_id share the id space by fixture design."""
+    from amorphous_mapreduce_spark.operators.similarity import (
+        cosine_near_dup_blocked,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mh = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    sh = (
+        simhash_near_pairs(docs, max_hamming=12, banded=True)
+        .select("qid", "nid")
+        .persist()
+    )
+    em = (
+        cosine_near_dup_blocked(emb, threshold=0.45)
+        .select("qid", "nid")
+        .persist()
+    )
+
+    def n(df, name):
+        return df.agg(F.count("*").alias(name))
+
+    min_sim = mh.join(sh, ["qid", "nid"], "left_semi").persist()
+    return (
+        n(mh, "n_minhash")
+        .crossJoin(n(sh, "n_simhash"))
+        .crossJoin(n(em, "n_embedding"))
+        .crossJoin(n(min_sim, "n_min_sim"))
+        .crossJoin(n(mh.join(em, ["qid", "nid"], "left_semi"), "n_min_emb"))
+        .crossJoin(n(sh.join(em, ["qid", "nid"], "left_semi"), "n_sim_emb"))
+        .crossJoin(
+            n(min_sim.join(em, ["qid", "nid"], "left_semi"), "n_all_three")
+        )
+    )

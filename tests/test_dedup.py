@@ -172,3 +172,13 @@ def test_snm_blocking_scorecard(spark):
         # blockers should recall them perfectly on this fixture
         assert r.snm_recall_exact == 1.0
         assert r.lsh_recall_exact == 1.0
+
+
+def test_dedup_venn_inclusion(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["dedup_method_venn"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_min_sim <= min(r.n_minhash, r.n_simhash)
+    assert r.n_min_emb <= min(r.n_minhash, r.n_embedding)
+    assert r.n_sim_emb <= min(r.n_simhash, r.n_embedding)
+    assert r.n_all_three <= min(r.n_min_sim, r.n_min_emb, r.n_sim_emb)

@@ -134,3 +134,20 @@ def test_recursive_sql_hops_match_bfs_bruteforce(spark):
                 dist[nxt] = dist[cur] + 1
                 dq.append(nxt)
     assert out == dist
+
+
+def test_session_gap_sensitivity_monotone(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = sorted(
+        QUERIES["session_gap_sensitivity"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.gap_minutes,
+    )
+    assert [r.gap_minutes for r in rows] == [5, 15, 30, 60]
+    sessions = [r.n_sessions for r in rows]
+    # longer timeouts merge sessions: counts weakly decrease
+    assert sessions == sorted(sessions, reverse=True)
+    for r in rows:
+        assert r.n_sessions >= r.n_users  # each user has >= 1 session

@@ -148,6 +148,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "collected bit arrays (<= 3|dim| positions) crossed onto the "
         "linear fact scan — the runtime-filter broadcast shape itself",
     },
+    "dedup_method_venn": {
+        "BroadcastNestedLoopJoin": "seven 1-row scalar count "
+        "aggregates crossed into the scorecard (plus the blocked "
+        "E·Eᵀ kernel's block-id pair frame) — constant-size crosses, "
+        "same shape as snm_vs_lsh_blocking",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
