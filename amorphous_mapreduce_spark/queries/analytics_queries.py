@@ -2482,3 +2482,130 @@ def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- exact two-channel Shapley attribution ----------------------------------
+
+SHAPLEY_ORACLE = """
+WITH lagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), sessions AS (
+    SELECT user_id, event_type,
+           SUM(CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM lagged
+),
+per_user AS (
+    SELECT user_id, session_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM sessions GROUP BY user_id, session_id
+),
+cells AS (
+    SELECT has_click, has_view,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS k
+    FROM per_user GROUP BY has_click, has_view
+),
+rates AS (
+    SELECT
+        MAX(CASE WHEN has_click = 0 AND has_view = 0
+                 THEN CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END) AS r00,
+        MAX(CASE WHEN has_click = 1 AND has_view = 0
+                 THEN CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END) AS r10,
+        MAX(CASE WHEN has_click = 0 AND has_view = 1
+                 THEN CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END) AS r01,
+        MAX(CASE WHEN has_click = 1 AND has_view = 1
+                 THEN CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END) AS r11,
+        CAST(SUM(n) AS BIGINT) AS n_sessions,
+        CAST(SUM(k) AS BIGINT) AS n_converted
+    FROM cells
+)
+SELECT n_sessions, n_converted, r00, r10, r01, r11,
+       0.5 * ((r10 - r00) + (r11 - r01)) AS shapley_click,
+       0.5 * ((r01 - r00) + (r11 - r10)) AS shapley_view
+FROM rates
+"""
+
+
+@register("shapley_channel_attribution", SHAPLEY_ORACLE)
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the two marketing channels
+    (click, view) at the SESSION grain: each channel's value is its
+    average marginal contribution to the session-conversion rate
+    across both join orders — closed-form for two players, no
+    sampling (the per-user grain is degenerate on this fixture:
+    every user touches every channel eventually; sessions vary).
+    Completes the attribution trilogy: heuristic (first/last/decay in
+    events_attribution), Markov removal effects, and now
+    cooperative-game Shapley.
+
+    Scale: gap sessionization is a keyed window; presence is one
+    per-session aggregate + a 4-cell contingency rollup; the Shapley
+    values are fixed double expressions over exact cell rates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(wrun)
+        .alias("session_id"),
+    )
+    per_user = sess.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_view"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells = per_user.groupBy("has_click", "has_view").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+
+    def rate(c, v):
+        return F.max(
+            F.when(
+                (F.col("has_click") == c) & (F.col("has_view") == v),
+                F.col("k").cast("double") / F.col("n").cast("double"),
+            )
+        )
+
+    rates = cells.agg(
+        rate(0, 0).alias("r00"),
+        rate(1, 0).alias("r10"),
+        rate(0, 1).alias("r01"),
+        rate(1, 1).alias("r11"),
+        F.sum("n").alias("n_sessions"),
+        F.sum("k").alias("n_converted"),
+    )
+    return rates.select(
+        "n_sessions",
+        "n_converted",
+        "r00",
+        "r10",
+        "r01",
+        "r11",
+        (
+            F.lit(0.5)
+            * ((F.col("r10") - F.col("r00")) + (F.col("r11") - F.col("r01")))
+        ).alias("shapley_click"),
+        (
+            F.lit(0.5)
+            * ((F.col("r01") - F.col("r00")) + (F.col("r11") - F.col("r10")))
+        ).alias("shapley_view"),
+    )

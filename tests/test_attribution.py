@@ -162,3 +162,16 @@ def test_markov_removal_effects_sane(spark):
             # knocking out a channel can only lose conversion mass
             assert r.conv_scaled <= full.conv_scaled
             assert 0.0 <= r.removal_effect <= 1.0
+
+
+def test_shapley_efficiency_axiom(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["shapley_channel_attribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    # efficiency: shares sum to v(grand coalition) - v(empty)
+    total = r.shapley_click + r.shapley_view
+    assert abs(total - (r.r11 - r.r00)) < 1e-12
+    for v in (r.r00, r.r10, r.r01, r.r11):
+        assert v is None or 0.0 <= v <= 1.0
