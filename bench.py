@@ -109,6 +109,12 @@ HEADLINE = [
     "markov_removal_attribution",
     "haar_revenue_energy",
     "frequent_part_triples",
+    # retrieval-diversity / segmentation / planning-grid / attribution
+    # families (this session, closing)
+    "mmr_diverse_retrieval",
+    "topic_shift_boundaries",
+    "abc_xyz_matrix",
+    "shapley_channel_attribution",
 ]
 
 
