@@ -524,3 +524,86 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), F.asc("u"), F.asc("w"))
         .limit(20)
     )
+
+
+# --- near-dup cluster purity (cross-source contamination) -------------------
+
+PURITY_ORACLE = (
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+),
+members AS (
+    SELECT l.cluster, d.source
+    FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+multi AS (
+    SELECT cluster FROM members GROUP BY cluster HAVING COUNT(*) > 1
+),
+per_source AS (
+    SELECT m.cluster, m.source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM members m JOIN multi USING (cluster)
+    GROUP BY m.cluster, m.source
+)
+SELECT cluster,
+       CAST(SUM(c) AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(MAX(c) AS BIGINT) AS majority_count,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS purity,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS crosses_sources
+FROM per_source
+GROUP BY cluster
+"""
+)
+
+
+@register("near_dup_cluster_purity", PURITY_ORACLE)
+def q_near_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of every multi-member near-dup cluster: member
+    count, distinct sources, majority-source share — clusters that
+    CROSS sources are syndication/scraping trails (the same text
+    arriving via different feeds), exactly what cross-source dedup
+    must catch and same-source dedup would miss (cluster-level
+    companion of cross_source_leakage's passage view).
+
+    Scale: clusters from the bounded-round CC operator; membership and
+    purity are two keyed aggregates over the cluster dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    clusters = dedup_clusters(docs, pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    members = clusters.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).persist()
+    multi = (
+        members.groupBy("cluster")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("cluster")
+    )
+    per_source = (
+        members.join(F.broadcast(multi), "cluster", "left_semi")
+        .groupBy("cluster", "source")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_source.groupBy("cluster").agg(
+        F.sum("c").alias("n_members"),
+        F.count("*").alias("n_sources"),
+        F.max("c").alias("majority_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "purity"
+        ),
+        F.when(F.count("*") > 1, 1).otherwise(0).cast("long").alias(
+            "crosses_sources"
+        ),
+    )

@@ -939,3 +939,157 @@ def q_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tot") - F.col("n_fold")).cast("double"),
         ).alias("oof_encoding"),
     )
+
+
+# --- Qini uplift curve --------------------------------------------------------
+
+QINI_SPLIT_DAY = 19738  # score period before, outcome period after
+
+QINI_ORACLE = f"""
+WITH pre AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score
+    FROM events WHERE epoch_us(ts) // 86400000000 < {QINI_SPLIT_DAY}
+    GROUP BY user_id
+),
+post AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events WHERE epoch_us(ts) // 86400000000 >= {QINI_SPLIT_DAY}
+    GROUP BY user_id
+),
+pop AS (
+    SELECT p.user_id, p.score,
+           CAST(p.user_id % 2 AS INT) AS treat,
+           COALESCE(o.conv, 0) AS conv
+    FROM pre p LEFT JOIN post o ON p.user_id = o.user_id
+),
+ranked AS (
+    SELECT score, treat, conv,
+           ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM pop
+),
+dec AS (
+    SELECT ((rn - 1) * 5) // n AS bucket,
+           CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(SUM(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_t,
+           CAST(SUM(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_c
+    FROM ranked GROUP BY 1
+),
+cum AS (
+    SELECT bucket, n_t, n_c, conv_t, conv_c,
+           CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+           CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+           CAST(SUM(conv_t) OVER w AS BIGINT) AS cconv_t,
+           CAST(SUM(conv_c) OVER w AS BIGINT) AS cconv_c
+    FROM dec WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket, n_t, n_c, conv_t, conv_c,
+       CASE WHEN cn_c = 0 THEN NULL
+            ELSE CAST(cconv_t AS DOUBLE)
+                 - CAST(cconv_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
+                   / CAST(cn_c AS DOUBLE) END AS qini
+FROM cum
+"""
+
+
+@register("qini_uplift_curve", QINI_ORACLE)
+def q_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: users scored by pre-period activity, split
+    into quintiles, and the cumulative INCREMENTAL conversions of the
+    (synthetic odd-id) treated group over the control baseline
+    Q(k) = conv_t(k) − conv_c(k)·N_t(k)/N_c(k) — the uplift-model
+    evaluation standard. Completes the experimentation suite (Welch
+    test, diff-in-diff, Markov removal, Shapley, now targeting
+    curves). Score is strictly PRE-period (leakage-free by
+    construction, same discipline as feature_store_pit).
+
+    Scale: two keyed per-user aggregates + prefix ranks via the
+    5-quantile bucket formula over the user dimension; the cumulative
+    window runs over the constant 5-row quintile frame."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    pre = (
+        ev.filter(day < QINI_SPLIT_DAY)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("score"))
+    )
+    post = (
+        ev.filter(day >= QINI_SPLIT_DAY)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    pop = (
+        pre.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            "score",
+            (F.col("user_id") % 2).cast("int").alias("treat"),
+            F.coalesce("conv", F.lit(0)).alias("conv"),
+        )
+    )
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    ranked = distributed_prefix_sum(
+        pop.select("user_id", "score", "treat", "conv", F.lit(1).alias("_one")),
+        "_one",
+        [F.desc("score"), F.asc("user_id")],
+        rank_col="rn",
+    )
+    n_tot = pop.agg(F.count("*").alias("n"))
+    dec_rows = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.expr("((rn - 1) * 5) div n").alias("bucket"),
+            "treat",
+            "conv",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(F.col("treat") == 1, F.col("conv")).otherwise(0)).alias(
+                "conv_t"
+            ),
+            F.sum(F.when(F.col("treat") == 0, F.col("conv")).otherwise(0)).alias(
+                "conv_c"
+            ),
+        )
+    )
+    wc = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dec_rows.select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.sum("n_t").over(wc).alias("cn_t"),
+        F.sum("n_c").over(wc).alias("cn_c"),
+        F.sum("conv_t").over(wc).alias("cconv_t"),
+        F.sum("conv_c").over(wc).alias("cconv_c"),
+    )
+    return cum.select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.when(
+            F.col("cn_c") != 0,
+            F.col("cconv_t").cast("double")
+            - F.col("cconv_c").cast("double")
+            * F.col("cn_t").cast("double")
+            / F.col("cn_c").cast("double"),
+        ).alias("qini"),
+    )

@@ -183,3 +183,16 @@ def test_link_prediction_candidates_are_non_edges(spark):
         assert (r.u, r.w) not in edges
         assert r.common_neighbors >= 1
         assert r.pref_attachment >= r.common_neighbors
+
+
+def test_cluster_purity_bounds(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["near_dup_cluster_purity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert r.n_members >= 2  # only multi-member clusters reported
+        assert 1 <= r.n_sources <= r.n_members
+        assert 0.0 < r.purity <= 1.0
+        assert r.crosses_sources == (1 if r.n_sources > 1 else 0)

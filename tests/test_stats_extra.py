@@ -637,3 +637,15 @@ def test_dispersion_flag_consistent_with_index(spark):
         spark, "/root/testdata/sf0.001"
     ).collect():
         assert (r.dispersion_index > 1.0) == bool(r.overdispersed)
+
+
+def test_qini_curve_shape(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = sorted(
+        QUERIES["qini_uplift_curve"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows and all(0 <= r.bucket <= 4 for r in rows)
+    for r in rows:
+        assert r.conv_t <= r.n_t and r.conv_c <= r.n_c

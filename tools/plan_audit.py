@@ -154,6 +154,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "E·Eᵀ kernel's block-id pair frame) — constant-size crosses, "
         "same shape as snm_vs_lsh_blocking",
     },
+    "qini_uplift_curve": {
+        "BroadcastNestedLoopJoin": "1-row population-count scalar "
+        "crossed onto ranked users for quintile assignment — the "
+        "standard scalar-total pattern (same as acctbal_revenue_gains)",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge + the constant 5-row quintile cumulative window — "
+        "bounded by cluster size / the quintile constant",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
