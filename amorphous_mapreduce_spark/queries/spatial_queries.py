@@ -223,3 +223,102 @@ def q_spatial_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cy").alias("max_cy"),
         )
     )
+
+
+# --- neighborhood density anomaly (grid LOF) --------------------------------
+
+LOF_CELL = 50_000
+LOF_TOP = 20
+
+LOF_ORACLE = (
+    "WITH "
+    + _PTS_CTE.strip()
+    + f"""
+, cells AS (
+    SELECT x // {LOF_CELL} AS cx, y // {LOF_CELL} AS cy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pts GROUP BY 1, 2
+),
+nbr AS (
+    SELECT c.cx, c.cy, c.n,
+           CAST(SUM(o.n) AS BIGINT) AS nbr_sum,
+           CAST(COUNT(*) AS BIGINT) AS nbr_cells
+    FROM cells c
+    JOIN cells o ON abs(c.cx - o.cx) <= 1 AND abs(c.cy - o.cy) <= 1
+                AND NOT (c.cx = o.cx AND c.cy = o.cy)
+    GROUP BY c.cx, c.cy, c.n
+)
+SELECT cx, cy, n, nbr_sum, nbr_cells,
+       CAST(n * nbr_cells AS DOUBLE) / CAST(nbr_sum AS DOUBLE)
+           AS density_ratio
+FROM nbr
+WHERE nbr_sum > 0
+ORDER BY CAST(n * nbr_cells AS DOUBLE) / CAST(nbr_sum AS DOUBLE) DESC,
+         cx, cy
+LIMIT {LOF_TOP}
+"""
+)
+
+
+@register("spatial_density_anomaly", LOF_ORACLE)
+def q_spatial_density_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid local-outlier scan: each cell's density relative to its
+    8-neighborhood mean (the LOF idea at cell granularity) — the
+    top-20 relative SPIKES, i.e. cells several times denser than their
+    surroundings (fraud rings, sensor glitches, bot farms in geo
+    data). The ratio n*nbr_cells/nbr_sum keeps the comparison exact
+    (integer numerator, one division).
+
+    Scale: one cell-count aggregate; the neighborhood sum is the same
+    bounded 3x3 adjacency join as the density clusters (expressed as
+    a |dx|<=1 band join over the area-bounded cell frame); top-k is a
+    TakeOrderedAndProject. Completes the spatial family: NN, hotspots,
+    clustering, anomaly."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = hashed_points(cust, "c_custkey")
+    cells = (
+        pts.select(
+            (F.col("x") / F.lit(LOF_CELL)).cast("long").alias("cx"),
+            (F.col("y") / F.lit(LOF_CELL)).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    offsets = [
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ]
+    probe = cells.select(
+        F.col("cx").alias("ocx"),
+        F.col("cy").alias("ocy"),
+        F.col("n").alias("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("cx"),
+                        (F.col("cy") + F.lit(dy)).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).select("ocx", "ocy", "n", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    nbr = (
+        probe.join(
+            cells.select("cx", "cy", F.col("n").alias("on")), ["cx", "cy"]
+        )
+        .groupBy(
+            F.col("ocx").alias("cx"), F.col("ocy").alias("cy"), F.col("n")
+        )
+        .agg(F.sum("on").alias("nbr_sum"), F.count("*").alias("nbr_cells"))
+    )
+    ratio = (F.col("n") * F.col("nbr_cells")).cast("double") / F.col(
+        "nbr_sum"
+    ).cast("double")
+    return (
+        nbr.filter(F.col("nbr_sum") > 0)
+        .select("cx", "cy", "n", "nbr_sum", "nbr_cells", ratio.alias("density_ratio"))
+        .orderBy(F.desc("density_ratio"), F.asc("cx"), F.asc("cy"))
+        .limit(LOF_TOP)
+    )

@@ -69,3 +69,19 @@ def test_cell_histogram_counts(spark):
     assert got == {(0, 0): 2, (2, 0): 3}
     # ordering: densest first
     assert rows[0].n_points == 3
+
+
+def test_density_anomaly_ratio_identity(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["spatial_density_anomaly"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    ratios = [r.density_ratio for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert 1 <= r.nbr_cells <= 8
+        assert abs(
+            r.density_ratio - r.n * r.nbr_cells / r.nbr_sum
+        ) < 1e-12
