@@ -607,3 +607,68 @@ def q_near_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crosses_sources"
         ),
     )
+
+
+# --- global transitivity of the near-dup graph ------------------------------
+
+TRANSITIVITY_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, wedges AS (
+    SELECT e1.a AS v, e1.b AS u, e2.b AS w
+    FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM pairs p
+                                      WHERE p.qid = wedges.u
+                                        AND p.nid = wedges.w)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+    FROM wedges
+)
+SELECT n_wedges, n_closed,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE CAST(n_closed AS DOUBLE) / CAST(n_wedges AS DOUBLE) END
+           AS transitivity
+FROM counts
+"""
+)
+
+
+@register("near_dup_transitivity", TRANSITIVITY_ORACLE)
+def q_near_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL transitivity of the near-dup graph: the fraction of all
+    wedges (two edges sharing a vertex) that close into triangles —
+    the single clustering number summarizing whether LSH candidates
+    form cliques (template corpora) or chains (drifted revisions).
+    The graph-level complement of the per-node clustering coefficient;
+    also the similarity-transitivity violation rate (1 - transitivity
+    = share of A~B~C wedges where A!~C).
+
+    Scale: the same Σ deg² wedge kernel and canonical-pair semi-join as
+    near_dup_clustering_coef, reduced to ONE scalar row."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b")).unionAll(
+        pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+    )
+    e1 = edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "v").filter(F.col("u") < F.col("w")).persist()
+    closed = wedges.join(
+        pairs.select(F.col("qid").alias("u"), F.col("nid").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    nw = wedges.agg(F.count("*").alias("n_wedges"))
+    nc = closed.agg(F.count("*").alias("n_closed"))
+    return nw.crossJoin(F.broadcast(nc)).select(
+        "n_wedges",
+        "n_closed",
+        F.when(
+            F.col("n_wedges") != 0,
+            F.col("n_closed").cast("double") / F.col("n_wedges").cast("double"),
+        ).alias("transitivity"),
+    )

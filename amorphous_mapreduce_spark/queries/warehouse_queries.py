@@ -1411,3 +1411,101 @@ def q_brand_reign_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("len") == F.col("max_len"), F.col("start_day"))
         ).alias("longest_reign_start"),
     )
+
+
+# --- hierarchy percent-of-parent --------------------------------------------
+
+HIER_SHARE_ORACLE = f"""
+WITH rev AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+chain AS (
+    SELECT DISTINCT c, c // p.d AS node
+    FROM rev CROSS JOIN (VALUES (10), (100), (1000), (10000), (100000),
+                                (1000000), (10000000)) AS p(d)
+),
+rolled AS (
+    SELECT node, CAST(SUM(r.cents) AS BIGINT) AS subtree_cents
+    FROM chain JOIN rev r USING (c)
+    GROUP BY node
+)
+SELECT ch.node, ch.parent, ch.subtree_cents, pr.subtree_cents AS parent_cents,
+       CAST(ch.subtree_cents AS DOUBLE) / CAST(pr.subtree_cents AS DOUBLE)
+           AS share_of_parent
+FROM (SELECT node, node // 10 AS parent, subtree_cents
+      FROM rolled WHERE node > 0) ch
+JOIN rolled pr ON ch.parent = pr.node
+ORDER BY ch.subtree_cents DESC, ch.node
+LIMIT {HIER_TOP}
+"""
+
+
+@register("hierarchy_share_of_parent", HIER_SHARE_ORACLE)
+def q_hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent within the synthetic customer hierarchy: each
+    internal node's subtree revenue as a share of its parent's subtree
+    — the drill-down ratio every OLAP tree view shows next to
+    absolute totals (extends hierarchy_rollup; the parent edge is
+    node div 10, one keyed self-join on the rollup frame).
+
+    Scale: same recursion-free ancestor-explode rollup; the
+    percent-of-parent join is keyed on the parent node id; top-50 is a
+    TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("c")
+        .agg(F.sum("cents").alias("cents"))
+        .persist()
+    )
+    chain = rev.select(
+        "c",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        (F.col("c") / F.lit(10**k)).cast("long")
+                        for k in range(1, 8)
+                    ]
+                )
+            )
+        ).alias("node"),
+    )
+    rolled = (
+        chain.join(rev, "c")
+        .groupBy("node")
+        .agg(F.sum("cents").alias("subtree_cents"))
+        .persist()
+    )
+    ch = rolled.filter(F.col("node") > 0).select(
+        "node",
+        (F.col("node") / F.lit(10)).cast("long").alias("parent"),
+        "subtree_cents",
+    )
+    pr = rolled.select(
+        F.col("node").alias("parent"),
+        F.col("subtree_cents").alias("parent_cents"),
+    )
+    return (
+        ch.join(pr, "parent")
+        .select(
+            "node",
+            "parent",
+            "subtree_cents",
+            "parent_cents",
+            (
+                F.col("subtree_cents").cast("double")
+                / F.col("parent_cents").cast("double")
+            ).alias("share_of_parent"),
+        )
+        .orderBy(F.desc("subtree_cents"), F.asc("node"))
+        .limit(HIER_TOP)
+    )

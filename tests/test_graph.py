@@ -196,3 +196,14 @@ def test_cluster_purity_bounds(spark):
         assert 1 <= r.n_sources <= r.n_members
         assert 0.0 < r.purity <= 1.0
         assert r.crosses_sources == (1 if r.n_sources > 1 else 0)
+
+
+def test_transitivity_consistent_with_triangle_counts(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["near_dup_transitivity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0 <= r.n_closed <= r.n_wedges
+    if r.transitivity is not None:
+        assert 0.0 <= r.transitivity <= 1.0

@@ -302,3 +302,15 @@ def test_brand_reigns_cover_all_days(spark):
     for r in rows:
         assert 1 <= r.longest_reign <= r.n_days_on_top
         assert r.n_reigns >= 1
+
+
+def test_hierarchy_share_in_unit_interval(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["hierarchy_share_of_parent"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert r.parent == r.node // 10
+        assert 0.0 < r.share_of_parent <= 1.0
+        assert r.subtree_cents <= r.parent_cents

@@ -162,6 +162,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge + the constant 5-row quintile cumulative window — "
         "bounded by cluster size / the quintile constant",
     },
+    "near_dup_transitivity": {
+        "BroadcastNestedLoopJoin": "crossJoin of the two 1-row scalar "
+        "aggregates (wedge count x closed-wedge count) — both sides "
+        "single rows by construction, the standard scalar-total "
+        "pattern",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
