@@ -2609,3 +2609,197 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             * ((F.col("r01") - F.col("r00")) + (F.col("r11") - F.col("r10")))
         ).alias("shapley_view"),
     )
+
+
+# --- Herfindahl-Hirschman market concentration --------------------------------
+
+HHI_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS BIGINT)
+               AS m,
+           p.p_brand AS brand,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+per_month AS (
+    SELECT m,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) // 1048576 AS BIGINT)
+               AS ss_hi,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) % 1048576 AS BIGINT)
+               AS ss_lo
+    FROM monthly GROUP BY m
+)
+SELECT m, n_brands, total_cents,
+       -- HHI = Σ share² = Σcents² / total², on the 0..1 scale
+       (CAST(ss_hi AS DOUBLE) * 1048576.0 + CAST(ss_lo AS DOUBLE))
+       / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)) AS hhi,
+       1.0 / CAST(n_brands AS DOUBLE) AS hhi_floor
+FROM per_month
+"""
+
+
+@register("brand_hhi_by_month", HHI_ORACLE)
+def q_brand_hhi_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of monthly brand revenue:
+    HHI = Σ share² per month (1/n_brands = perfectly even, 1.0 =
+    monopoly) — the antitrust/market-structure metric completing the
+    concentration pair with revenue_gini. Σcents² rides the hi/lo
+    int64 split (int128 cast gotcha); HHI is one fixed double
+    expression, and the 1/n floor rides along for calibration.
+
+    Scale: one fact-dim broadcast join + two keyed aggregates
+    (month x brand, then month)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    monthly = (
+        li.select(
+            "l_partkey",
+            (
+                F.year(F.col("l_shipdate").cast("timestamp")) * 12
+                + F.month(F.col("l_shipdate").cast("timestamp"))
+                - 1
+            )
+            .cast("long")
+            .alias("m"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("m", F.col("p_brand").alias("brand"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ss = F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents")).cast(
+        "decimal(38,0)"
+    )
+    per_month = monthly.groupBy("m").agg(
+        F.count("*").alias("n_brands"),
+        F.sum("cents").alias("total_cents"),
+        ((ss - F.pmod(ss, F.lit(1048576))) / F.lit(1048576))
+        .cast("long")
+        .alias("ss_hi"),
+        F.pmod(ss, F.lit(1048576)).cast("long").alias("ss_lo"),
+    )
+    ssd = F.col("ss_hi").cast("double") * F.lit(1048576.0) + F.col(
+        "ss_lo"
+    ).cast("double")
+    return per_month.select(
+        "m",
+        "n_brands",
+        "total_cents",
+        (
+            ssd
+            / (
+                F.col("total_cents").cast("double")
+                * F.col("total_cents").cast("double")
+            )
+        ).alias("hhi"),
+        (F.lit(1.0) / F.col("n_brands").cast("double")).alias("hhi_floor"),
+    )
+
+
+# --- part revenue rank persistence (Spearman across halves) -----------------
+
+PERSIST_SPLIT_DAY = 10378  # 1998-06-01, mid-span of lineitem shipdates
+
+PERSISTENCE_ORACLE = f"""
+WITH halves AS (
+    SELECT l_partkey AS part,
+           CASE WHEN epoch_us(l_shipdate) // 86400000000
+                     < {PERSIST_SPLIT_DAY} THEN 0 ELSE 1 END AS half,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+both_halves AS (
+    SELECT a.part, a.cents AS rev_a, b.cents AS rev_b
+    FROM halves a JOIN halves b
+      ON a.part = b.part AND a.half = 0 AND b.half = 1
+),
+ranked AS (
+    SELECT part,
+           ROW_NUMBER() OVER (ORDER BY rev_a DESC, part) AS rank_a,
+           ROW_NUMBER() OVER (ORDER BY rev_b DESC, part) AS rank_b
+    FROM both_halves
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM((rank_a - rank_b) * (rank_a - rank_b)) AS BIGINT) AS sum_d2,
+       1.0 - 6.0 * CAST(SUM((rank_a - rank_b) * (rank_a - rank_b)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0))
+           AS spearman_rho
+FROM ranked
+"""
+
+
+@register("part_rank_persistence", PERSISTENCE_ORACLE)
+def q_part_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment stability: Spearman rank correlation between each
+    part's revenue RANK in the first and second halves of the shipping
+    history — rho near 1 means the catalog's winners persist
+    (cumulative advantage), near 0 means churn-driven demand. Ranks
+    ride the distributed prefix-sum template on each axis (the
+    quality_length_rank_corr pattern applied to temporal stability);
+    Σd² stays in int64 and rho is one fixed double expression.
+
+    Scale: two keyed aggregates + two range-sorted rank passes over
+    the PART dimension — never a corpus-sized window."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    day = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    halves = (
+        li.select(
+            F.col("l_partkey").alias("part"),
+            F.when(day < PERSIST_SPLIT_DAY, 0).otherwise(1).alias("half"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("part", "half")
+        .agg(F.sum("cents").alias("cents"))
+        .persist()
+    )
+    a = halves.filter(F.col("half") == 0).select(
+        "part", F.col("cents").alias("rev_a")
+    )
+    b = halves.filter(F.col("half") == 1).select(
+        "part", F.col("cents").alias("rev_b")
+    )
+    both = a.join(b, "part").select(
+        "part", "rev_a", "rev_b", F.lit(1).alias("_one")
+    )
+    ra = distributed_prefix_sum(
+        both, "_one", [F.desc("rev_a"), F.asc("part")], rank_col="rank_a"
+    ).select("part", "rev_b", "rank_a")
+    rb = distributed_prefix_sum(
+        ra.select("part", "rev_b", "rank_a", F.lit(1).alias("_one")),
+        "_one",
+        [F.desc("rev_b"), F.asc("part")],
+        rank_col="rank_b",
+    )
+    d2 = (F.col("rank_a") - F.col("rank_b")) * (
+        F.col("rank_a") - F.col("rank_b")
+    )
+    nd = F.count("*").cast("double")
+    return rb.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(d2).alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2).cast("double")
+            / (nd * (nd * nd - F.lit(1.0)))
+        ).alias("spearman_rho"),
+    )

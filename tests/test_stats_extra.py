@@ -649,3 +649,26 @@ def test_qini_curve_shape(spark):
     assert rows and all(0 <= r.bucket <= 4 for r in rows)
     for r in rows:
         assert r.conv_t <= r.n_t and r.conv_c <= r.n_c
+
+
+def test_hhi_bounds(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    for r in QUERIES["brand_hhi_by_month"](
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert r.hhi_floor - 1e-12 <= r.hhi <= 1.0 + 1e-12
+        assert r.n_brands >= 1
+
+
+def test_spearman_persistence_in_range(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    r = QUERIES["part_rank_persistence"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_parts > 1
+    assert -1.0 - 1e-12 <= r.spearman_rho <= 1.0 + 1e-12
+    # identity: sum_d2 determines rho exactly
+    n = r.n_parts
+    assert abs(r.spearman_rho - (1 - 6 * r.sum_d2 / (n * (n * n - 1)))) < 1e-12

@@ -168,6 +168,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "single rows by construction, the standard scalar-total "
         "pattern",
     },
+    "part_rank_persistence": {
+        "Exchange SinglePartition": "two distributed_prefix_sum offset "
+        "merges (one per rank axis) over the O(#partitions) totals "
+        "frame — bounded by cluster size, same as "
+        "quality_length_rank_corr",
+    },
     "neyman_allocation": {
         "BroadcastNestedLoopJoin": "1-row quantized-weight total "
         "crossed back onto the per-source strata frame (bounded by "
