@@ -2803,3 +2803,69 @@ def q_part_rank_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nd * (nd * nd - F.lit(1.0)))
         ).alias("spearman_rho"),
     )
+
+
+# --- growth accounting: new vs returning revenue ----------------------------
+
+NEW_RET_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS c,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS m,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+firsts AS (SELECT c, CAST(MIN(m) AS BIGINT) AS first_m FROM o GROUP BY c)
+SELECT o.m,
+       CAST(SUM(CASE WHEN o.m = f.first_m THEN o.cents ELSE 0 END) AS BIGINT)
+           AS new_cents,
+       CAST(SUM(CASE WHEN o.m > f.first_m THEN o.cents ELSE 0 END) AS BIGINT)
+           AS returning_cents,
+       CAST(COUNT(DISTINCT CASE WHEN o.m = f.first_m THEN o.c END) AS BIGINT)
+           AS new_customers,
+       CAST(COUNT(DISTINCT CASE WHEN o.m > f.first_m THEN o.c END) AS BIGINT)
+           AS returning_customers,
+       CAST(SUM(CASE WHEN o.m = f.first_m THEN o.cents ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(o.cents) AS DOUBLE) AS new_share
+FROM o JOIN firsts f ON o.c = f.c
+GROUP BY o.m
+"""
+
+
+@register("new_vs_returning_revenue", NEW_RET_ORACLE)
+def q_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each month's revenue split between NEW
+    customers (first-ever order month) and RETURNING ones, with
+    distinct-customer counts and the new-revenue share — the
+    acquisition-vs-retention P&L view behind every growth dashboard
+    (monthly complement of cohort_ltv's lifetime view).
+
+    Scale: first-order months are one keyed aggregate broadcast back
+    onto orders; the split is conditional sums per month. Exact cents;
+    the share is one division."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).persist()
+    firsts = o.groupBy("c").agg(F.min("m").alias("first_m"))
+    joined = o.join(firsts, "c")
+    is_new = F.col("m") == F.col("first_m")
+    new_c = F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+    ret_c = F.sum(F.when(~is_new, F.col("cents")).otherwise(0))
+    return joined.groupBy("m").agg(
+        new_c.alias("new_cents"),
+        ret_c.alias("returning_cents"),
+        F.countDistinct(F.when(is_new, F.col("c"))).alias("new_customers"),
+        F.countDistinct(F.when(~is_new, F.col("c"))).alias(
+            "returning_customers"
+        ),
+        (new_c.cast("double") / F.sum("cents").cast("double")).alias(
+            "new_share"
+        ),
+    )

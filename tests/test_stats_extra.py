@@ -672,3 +672,28 @@ def test_spearman_persistence_in_range(spark):
     # identity: sum_d2 determines rho exactly
     n = r.n_parts
     assert abs(r.spearman_rho - (1 - 6 * r.sum_d2 / (n * (n * n - 1)))) < 1e-12
+
+
+def test_new_vs_returning_partitions_revenue(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["new_vs_returning_revenue"](spark, sf).collect()
+    total = sum(r.new_cents + r.returning_cents for r in rows)
+    want = (
+        load_table(spark, sf, "orders")
+        .select(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert total == want
+    # every customer's first month contributes to exactly one new bucket
+    assert sum(r.new_customers for r in rows) == (
+        load_table(spark, sf, "orders").select("o_custkey").distinct().count()
+    )
