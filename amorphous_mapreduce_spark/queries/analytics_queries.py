@@ -2869,3 +2869,93 @@ def q_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share"
         ),
     )
+
+
+# --- cohort retention half-life ----------------------------------------------
+
+HALFLIFE_ORACLE = """
+WITH weeks AS (
+    SELECT DISTINCT user_id,
+           (epoch_us(ts) // 86400000000) // 7 AS w
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, CAST(MIN(w) AS BIGINT) AS cw FROM weeks GROUP BY user_id
+),
+activity AS (
+    SELECT c.cw, w.w - c.cw AS off, w.user_id
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+),
+sizes AS (
+    SELECT cw, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+    FROM activity WHERE off = 0 GROUP BY cw
+),
+grid AS (
+    SELECT a.cw, a.off, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active
+    FROM activity a GROUP BY a.cw, a.off
+)
+SELECT g.cw AS cohort_week,
+       MAX(s.cohort_size) AS cohort_size,
+       CAST(MAX(g.off) AS BIGINT) AS max_offset,
+       CAST(MIN(CASE WHEN g.off >= 1 AND 2 * g.active < s.cohort_size
+                     THEN g.off END) AS BIGINT) AS half_life_weeks
+FROM grid g JOIN sizes s ON g.cw = s.cw
+GROUP BY g.cw
+"""
+
+
+@register("cohort_half_life", HALFLIFE_ORACLE)
+def q_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention HALF-LIFE per weekly signup cohort: the first week
+    offset where fewer than half the cohort is still active — the
+    one-number summary product teams quote from a retention grid
+    (derived metric over the events_cohort_retention shape; the
+    sub-half test is the integer comparison 2*active < size, NULL if
+    the cohort never decays below half within the observed window).
+
+    Scale: distinct (user, week) is one aggregate; cohort assignment
+    is a keyed MIN broadcast back; the grid is cohort x offset sized
+    (calendar-bounded); the half-life pick is a conditional MIN."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (
+        ev.select(
+            "user_id",
+            (
+                (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+                    "long"
+                )
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+        .persist()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("w").alias("cw"))
+    activity = weeks.join(F.broadcast(cohorts), "user_id").select(
+        "cw", (F.col("w") - F.col("cw")).alias("off"), "user_id"
+    ).persist()
+    sizes = (
+        activity.filter(F.col("off") == 0)
+        .groupBy("cw")
+        .agg(F.countDistinct("user_id").alias("cohort_size"))
+    )
+    grid = activity.groupBy("cw", "off").agg(
+        F.countDistinct("user_id").alias("active")
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cw")
+        .groupBy(F.col("cw").alias("cohort_week"))
+        .agg(
+            F.max("cohort_size").alias("cohort_size"),
+            F.max("off").alias("max_offset"),
+            F.min(
+                F.when(
+                    (F.col("off") >= 1)
+                    & (2 * F.col("active") < F.col("cohort_size")),
+                    F.col("off"),
+                )
+            ).alias("half_life_weeks"),
+        )
+    )

@@ -697,3 +697,17 @@ def test_new_vs_returning_partitions_revenue(spark):
     assert sum(r.new_customers for r in rows) == (
         load_table(spark, sf, "orders").select("o_custkey").distinct().count()
     )
+
+
+def test_cohort_half_life_bounds(spark):
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    rows = QUERIES["cohort_half_life"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.cohort_size >= 1
+        assert r.max_offset >= 0
+        if r.half_life_weeks is not None:
+            assert 1 <= r.half_life_weeks <= r.max_offset
