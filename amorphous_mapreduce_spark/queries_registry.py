@@ -55,6 +55,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     eval_queries,
     forensics_queries,
     gemm_queries,
+    inference_queries,
     kmeans_queries,
     lakehouse_queries,
     mining_queries,

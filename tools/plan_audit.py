@@ -412,6 +412,26 @@ ALLOW: dict[str, dict[str, str]] = {
         "grouping-set plan DuckDB can mirror; input is the ~SF*150k-row "
         "customer dim, not fact data",
     },
+    "ks_two_sample": {
+        "BroadcastNestedLoopJoin": "two 1-row scalars (sample totals, "
+        "sup statistic) crossed back onto the per-value CDF frame",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge over the O(#partitions) totals frame plus the 1-row "
+        "final scalar — bounded by cluster size, same as revenue_gini",
+    },
+    "revenue_changepoint": {
+        "BroadcastNestedLoopJoin": "1-row (n, grand-total) scalar "
+        "crossed onto the |days|-row prefix frame; 1-row max-score "
+        "scalar joined back for the argmax",
+        "Exchange SinglePartition": "distributed_prefix_sum offset "
+        "merge over the O(#partitions) totals frame plus the 1-row "
+        "final scalar — bounded by cluster size, same as revenue_gini",
+    },
+    "kendall_tau_brands": {
+        "BroadcastNestedLoopJoin": "inequality pair join over the "
+        "~25-row brand aggregate (dimension-bounded, broadcast) plus "
+        "the 1-row count scalar cross — never over line items",
+    },
 }
 
 # NOTE: WholeStageCodegen deliberately absent — pre-execution AQE plan
