@@ -1093,3 +1093,123 @@ def q_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cn_c").cast("double"),
         ).alias("qini"),
     )
+
+
+# --- nDCG@10 of the BM25 ranking -------------------------------------------
+
+# floor(2^20 / log2(pos+1)) for pos 1..10 — the DCG discount ladder as
+# integer literals, so no engine evaluates a logarithm at query time.
+_NDCG_W = [
+    1048576, 661577, 524288, 451597, 405644,
+    373510, 349525, 330788, 315652, 303106,
+]
+_NDCG_REL_SQL = (
+    "CAST('0x' || substr(md5('rel:' || CAST(id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 4"
+)
+
+
+def _ndcg_w_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    return f"CASE {col} {whens} END"
+
+
+def _bm25_oracle() -> str:
+    from amorphous_mapreduce_spark.queries.text_queries import BM25_ORACLE
+
+    return BM25_ORACLE
+
+
+NDCG_ORACLE = (
+    "WITH base AS ("
+    + _bm25_oracle()
+    + f"""
+),
+ranked AS (
+    SELECT id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, id) AS pos,
+           {_NDCG_REL_SQL} AS rel
+    FROM base
+),
+g AS (
+    SELECT id, pos,
+           CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+               AS gain
+    FROM ranked WHERE pos <= 10
+),
+g2 AS (
+    SELECT pos, gain,
+           ROW_NUMBER() OVER (ORDER BY gain DESC, id) AS irank
+    FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(gain * {_ndcg_w_case("pos")}) AS BIGINT) AS dcg_scaled,
+       CAST(SUM(gain * {_ndcg_w_case("irank")}) AS BIGINT) AS idcg_scaled,
+       CAST(CAST(SUM(gain * {_ndcg_w_case("pos")}) AS BIGINT) AS DOUBLE)
+           / NULLIF(CAST(CAST(SUM(gain * {_ndcg_w_case("irank")}) AS BIGINT)
+                         AS DOUBLE), 0.0) AS ndcg
+FROM g2
+"""
+)
+
+
+@register("ndcg_retrieval", NDCG_ORACLE)
+def q_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against hash-derived graded relevance
+    labels (0-3) — the standard offline retrieval-quality metric,
+    computed over the retrieved set (ideal = best reordering of the same
+    10 results).
+
+    Engine-exact: the log2 position discounts are precomputed integer
+    literals (floor(2^20/log2(pos+1))), gains are the 2^rel - 1 ladder
+    via a bounded array lookup (shift amounts must be literals in
+    Spark), so DCG and ideal-DCG are pure BIGINT sums; nDCG is one final
+    division with a NULLIF guard (Spark ANSI raises on /0 where DuckDB
+    returns nan — langid_prf precedent). The candidate set is the
+    distributed TakeOrdered top-10; both position assignments are
+    windows over <= 10 rows.
+    """
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+    from amorphous_mapreduce_spark.queries.text_queries import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        bm25_scores(docs, BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+    )
+    rel = F.pmod(
+        hex_hash64(F.concat(F.lit("rel:"), F.col("id").cast("string"))),
+        F.lit(4),
+    )
+    gains = F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7))
+    ranked = top.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("id")))
+        .alias("pos"),
+        F.element_at(gains, (rel + 1).cast("int")).alias("gain"),
+    )
+    weights = F.array(*[F.lit(w) for w in _NDCG_W])
+    g2 = ranked.select(
+        "pos",
+        "gain",
+        F.row_number()
+        .over(Window.orderBy(F.desc("gain"), F.asc("id")))
+        .alias("irank"),
+    )
+    dcg = F.sum(F.col("gain") * F.element_at(weights, F.col("pos").cast("int")))
+    idcg = F.sum(
+        F.col("gain") * F.element_at(weights, F.col("irank").cast("int"))
+    )
+    return g2.agg(
+        F.count("*").alias("n_docs"),
+        dcg.alias("dcg_scaled"),
+        idcg.alias("idcg_scaled"),
+        (
+            dcg.cast("double")
+            / F.nullif(idcg.cast("double"), F.lit(0.0))
+        ).alias("ndcg"),
+    )

@@ -638,3 +638,154 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("drift_cross")).desc(), F.asc("word"))
         .limit(TREND_TERMS_TOP)
     )
+
+
+# --- skip-gram co-occurrence pairs -----------------------------------------
+
+SKIPGRAM_TOP_K = 30
+
+SKIPGRAM_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, sg AS (
+    SELECT word AS w1,
+           lead(word, 1) OVER w AS a,
+           lead(word, 2) OVER w AS b
+    FROM toks
+    WINDOW w AS (PARTITION BY id ORDER BY pos)
+), pr AS (
+    SELECT least(w1, x) AS wa, greatest(w1, x) AS wb
+    FROM (SELECT w1, unnest([a, b]) AS x FROM sg)
+    WHERE x IS NOT NULL
+)
+SELECT wa || ' ' || wb AS pair, COUNT(*) AS cnt
+FROM pr GROUP BY 1
+ORDER BY cnt DESC, pair
+LIMIT {SKIPGRAM_TOP_K}
+"""
+)
+
+
+@register("skipgram_pairs", SKIPGRAM_ORACLE)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word2vec-style skip-gram training pairs: unordered token
+    co-occurrences within a ±2 window, ranked by frequency.
+
+    This is the pair-extraction stage of embedding training: both
+    offsets come from lead() columns built in ONE windowed select (the
+    window-after-filter recomputation gotcha), the offset dimension is
+    a constant-2 array explode (never a positional self-join), and the
+    unordered collapse is least/greatest. One keyed shuffle onto the
+    doc id, one hash aggregate over pairs, TakeOrdered top-k with a
+    pair tie-break — the same plan at any corpus size.
+    """
+    toks = tokenized(_docs(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("pos")
+    sg = toks.select(
+        F.col("word").alias("w1"),
+        F.lead("word", 1).over(w).alias("a"),
+        F.lead("word", 2).over(w).alias("b"),
+    )
+    pr = (
+        sg.select(
+            "w1", F.explode(F.array(F.col("a"), F.col("b"))).alias("x")
+        )
+        .filter(F.col("x").isNotNull())
+        .select(
+            F.least("w1", "x").alias("wa"), F.greatest("w1", "x").alias("wb")
+        )
+    )
+    return (
+        pr.groupBy(F.concat_ws(" ", "wa", "wb").alias("pair"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(SKIPGRAM_TOP_K)
+    )
+
+
+# --- intra-document trigram repetition -------------------------------------
+
+REPETITION_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, tg AS (
+    SELECT id,
+           concat_ws(' ', word, lead(word, 1) OVER w, lead(word, 2) OVER w)
+               AS tri,
+           lead(word, 2) OVER w AS l2
+    FROM toks
+    WINDOW w AS (PARTITION BY id ORDER BY pos)
+), tc AS (
+    SELECT id, tri, COUNT(*) AS c FROM tg WHERE l2 IS NOT NULL GROUP BY id, tri
+), per_doc AS (
+    SELECT id, CAST(SUM(c) AS BIGINT) AS tot,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup
+    FROM tc GROUP BY id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.tot) AS BIGINT) AS tri_total,
+       CAST(SUM(p.dup) AS BIGINT) AS dup_total,
+       CAST(CAST(SUM(p.dup) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(p.tot) AS BIGINT) AS DOUBLE) AS dup_frac,
+       CAST(SUM(CASE WHEN p.dup * 5 > p.tot THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_rep_docs
+FROM per_doc p JOIN documents d ON p.id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+)
+
+
+@register("intra_doc_repetition", REPETITION_ORACLE)
+def q_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition profile per source: the
+    fraction of trigram occurrences that are repeats of an earlier
+    trigram in the SAME document (boilerplate / spam signal the
+    top-bigram rule in quality_rules cannot see).
+
+    Everything is integer until the single micro-averaged division:
+    per-doc duplicated occurrences = total - distinct trigrams, the
+    high-repetition flag is the cross-multiplied dup*5 > tot (no 0.2
+    float threshold), and the per-source rollup sums BIGINTs. Trigrams
+    come from two lead() columns in one windowed select; the doc ->
+    source attachment is a keyed join on the doc id.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = tokenized(docs)
+    w = Window.partitionBy("id").orderBy("pos")
+    tg = toks.select(
+        "id",
+        F.concat_ws(
+            " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+        ).alias("tri"),
+        F.lead("word", 2).over(w).alias("l2"),
+    )
+    tc = (
+        tg.filter(F.col("l2").isNotNull())
+        .groupBy("id", "tri")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tc.groupBy("id").agg(
+        F.sum("c").alias("tot"), (F.sum("c") - F.count("*")).alias("dup")
+    )
+    return (
+        per_doc.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tot").alias("tri_total"),
+            F.sum("dup").alias("dup_total"),
+            (
+                F.sum("dup").cast("double") / F.sum("tot").cast("double")
+            ).alias("dup_frac"),
+            F.sum((F.col("dup") * 5 > F.col("tot")).cast("long")).alias(
+                "high_rep_docs"
+            ),
+        )
+        .orderBy("source")
+    )

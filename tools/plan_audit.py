@@ -427,6 +427,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge over the O(#partitions) totals frame plus the 1-row "
         "final scalar — bounded by cluster size, same as revenue_gini",
     },
+    "ndcg_retrieval": {
+        "BroadcastNestedLoopJoin": "bm25_scores crosses its 1-row "
+        "(N, total-tokens, per-term df) scalar aggregate back onto the "
+        "per-doc frame (same as bm25_ranking)",
+    },
     "kendall_tau_brands": {
         "BroadcastNestedLoopJoin": "inequality pair join over the "
         "~25-row brand aggregate (dimension-bounded, broadcast) plus "
