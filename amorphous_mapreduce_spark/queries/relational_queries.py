@@ -599,3 +599,79 @@ def q_events_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# --- relational division: supplier coverage of a brand's catalogue ----------
+
+DIVISION_ORACLE = """
+WITH narrow AS (
+    SELECT p_partkey, p_brand FROM part WHERE p_size >= 48
+),
+div AS (
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS np FROM narrow GROUP BY 1
+),
+cov AS (
+    SELECT n.p_brand, l.l_suppkey,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS cov
+    FROM lineitem l JOIN narrow n ON l.l_partkey = n.p_partkey
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT p_brand, MAX(cov) AS bc FROM cov GROUP BY 1
+)
+SELECT d.p_brand, d.np,
+       CAST(SUM(CASE WHEN c.cov = d.np THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_suppliers,
+       CAST(MAX(c.cov) AS BIGINT) AS best_coverage,
+       CAST(MIN(CASE WHEN c.cov = b.bc THEN c.l_suppkey END) AS BIGINT)
+           AS best_suppkey
+FROM div d
+JOIN cov c ON c.p_brand = d.p_brand
+JOIN best b ON b.p_brand = d.p_brand
+GROUP BY d.p_brand, d.np
+"""
+
+
+@register("brand_coverage_division", DIVISION_ORACLE)
+def q_brand_coverage_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("suppliers who shipped EVERY large part of
+    the brand"), generalized to a coverage report so the answer is
+    non-degenerate at every SF: per brand, the divisor size, how many
+    suppliers fully cover it, the best coverage achieved, and the
+    deterministic (min-key) best supplier. Division is the one classic
+    relational operator shape (∀ via count-match) the battery lacked.
+
+    Scale: the divisor (filtered part side) is a broadcast; coverage is
+    COUNT(DISTINCT) over a (brand, supplier, part) distinct pass — one
+    shuffle keyed on the pair, no row explosion; everything after is
+    O(#brands × #suppliers). Reference tie-in: per-key count semantics
+    (W7, src/word_count.rs:90-128) lifted to an ∀-quantified join."""
+    narrow = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 48)
+        .select("p_partkey", "p_brand")
+    )
+    div = narrow.groupBy("p_brand").agg(F.count("*").alias("np"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    cov = (
+        li.join(F.broadcast(narrow), li.l_partkey == narrow.p_partkey)
+        .select("p_brand", "l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count("*").alias("cov"))
+    )
+    best = cov.groupBy("p_brand").agg(F.max("cov").alias("bc"))
+    return (
+        cov.join(F.broadcast(div), "p_brand")
+        .join(F.broadcast(best), "p_brand")
+        .groupBy("p_brand", "np")
+        .agg(
+            F.sum(F.when(F.col("cov") == F.col("np"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_full_suppliers"),
+            F.max("cov").alias("best_coverage"),
+            F.min(
+                F.when(F.col("cov") == F.col("bc"), F.col("l_suppkey"))
+            ).alias("best_suppkey"),
+        )
+    )

@@ -1280,3 +1280,228 @@ def q_return_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - spread) / denom).alias("wilson_lo"),
         ((center + spread) / denom).alias("wilson_hi"),
     )
+
+
+# --- one-way ANOVA across brands --------------------------------------------
+
+# Cross-group float sums are forbidden (CLAUDE.md: 1-ulp drift measured
+# in neyman_allocation) — the per-group ANOVA term S_g²/n_g is therefore
+# floor-quantized to an exact integer (S² div n; Spark `div` == DuckDB
+# `//`, both truncate toward zero) before ANY cross-group sum; the
+# sums stay DECIMAL(38,0)/HUGEINT and reach double via the hi/lo 2^20
+# split (int128->double DuckDB mis-rounding gotcha). Truncation bias is
+# < k absolute on terms of order 1e16 — identical on both engines.
+ANOVA_ORACLE = """
+WITH cells AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+grp AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           SUM(CAST(x AS HUGEINT) * x) AS q
+    FROM cells GROUP BY brand
+),
+terms AS (
+    SELECT brand, n, s, q,
+           CAST(s AS HUGEINT) * s // n AS t_g
+    FROM grp
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           SUM(CAST(s AS HUGEINT)) AS t_all,
+           SUM(q) AS q_all,
+           SUM(t_g) AS t_sum
+    FROM terms
+),
+ss AS (
+    SELECT k, n_rows,
+           t_sum - (t_all * t_all // n_rows) AS bss,
+           q_all - t_sum AS wss
+    FROM tot
+),
+split AS (
+    SELECT k, n_rows,
+           CAST(bss // 1048576 AS BIGINT) AS bss_hi,
+           CAST(bss % 1048576 AS BIGINT) AS bss_lo,
+           CAST(wss // 1048576 AS BIGINT) AS wss_hi,
+           CAST(wss % 1048576 AS BIGINT) AS wss_lo
+    FROM ss
+)
+SELECT k AS k_groups, n_rows,
+       (CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo) AS bss_cents2,
+       (CAST(wss_hi AS DOUBLE) * 1048576.0 + wss_lo) AS wss_cents2,
+       ((CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo) * (n_rows - k))
+           / ((CAST(wss_hi AS DOUBLE) * 1048576.0 + wss_lo) * (k - 1))
+           AS f_stat,
+       (CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo)
+           / ((CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo)
+              + (CAST(wss_hi AS DOUBLE) * 1048576.0 + wss_lo)) AS eta_sq
+FROM split
+"""
+
+
+@register("anova_brand_price", ANOVA_ORACLE)
+def q_anova_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does mean line price differ across the 25
+    part brands? Exact sufficient statistics per brand (n, Σx, Σx² in
+    integer cents, DECIMAL-accumulated), between/within sums of squares
+    from floor-quantized integer terms, then F and η² as one fixed
+    double expression — completes the experimentation suite (Welch t is
+    the 2-group special case; this is the k-group omnibus).
+
+    Scale: per-brand state is three mergeable numbers; everything after
+    the first map-side-combined aggregate is k=25 rows. The `div`
+    quantization keeps every cross-group sum exact at any SF (document:
+    past ~sf10 switch the quantum from 1 to 2^10 cents² so t_g stays in
+    int64). Reference tie-in: VecOp reduce semantics (src/op.rs:18-35)
+    extended to a k-sample inference primitive."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    grp = cells.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    terms = grp.select(
+        "n",
+        "s",
+        "q",
+        F.expr(
+            "CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) div n"
+        ).alias("t_g"),
+    )
+    tot = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("t_all"),
+        F.sum("q").alias("q_all"),
+        F.sum(F.col("t_g").cast("decimal(38,0)")).alias("t_sum"),
+    )
+    ss = tot.select(
+        "k",
+        "n_rows",
+        F.expr(
+            "CAST(t_sum - (t_all * CAST(t_all AS DECIMAL(19,0)) div n_rows)"
+            " AS DECIMAL(38,0))"
+        ).alias("bss"),
+        F.expr("CAST(q_all - t_sum AS DECIMAL(38,0))").alias("wss"),
+    )
+    split = ss.select(
+        "k",
+        "n_rows",
+        F.expr("CAST(bss div 1048576 AS BIGINT)").alias("bss_hi"),
+        F.expr("CAST(bss % 1048576 AS BIGINT)").alias("bss_lo"),
+        F.expr("CAST(wss div 1048576 AS BIGINT)").alias("wss_hi"),
+        F.expr("CAST(wss % 1048576 AS BIGINT)").alias("wss_lo"),
+    )
+    bss_d = F.col("bss_hi") * 1048576.0 + F.col("bss_lo")
+    wss_d = F.col("wss_hi") * 1048576.0 + F.col("wss_lo")
+    kd = F.col("k")
+    nd = F.col("n_rows")
+    return split.select(
+        F.col("k").alias("k_groups"),
+        "n_rows",
+        bss_d.alias("bss_cents2"),
+        wss_d.alias("wss_cents2"),
+        ((bss_d * (nd - kd)) / (wss_d * (kd - 1))).alias("f_stat"),
+        (bss_d / (bss_d + wss_d)).alias("eta_sq"),
+    )
+
+
+# --- exact Q-Q comparison between source cohorts ----------------------------
+
+# Order statistics come from the bounded-domain length histogram
+# (mergeable-histogram-median pattern): the per-cohort window runs over
+# #distinct-lengths rows, never over documents. Rank selection is the
+# 0-based floor order statistic r_j = (j*(n-1)) div 10 — pure integers,
+# so the selected VALUES are exact data points on both engines.
+QQ_ORACLE = """
+WITH d AS (
+    SELECT CASE WHEN CAST(substr(source, 4, 8) AS INT) < 10
+               THEN 'head' ELSE 'tail' END AS grp,
+           n_chars AS v
+    FROM documents
+),
+hist AS (
+    SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY grp, v
+),
+cum AS (
+    SELECT grp, v,
+           SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS c,
+           SUM(cnt) OVER (PARTITION BY grp) AS n
+    FROM hist
+),
+qs AS (
+    SELECT t.j, cum.grp,
+           MIN(CASE WHEN cum.c > (t.j * (cum.n - 1)) // 10 THEN cum.v END)
+               AS qv
+    FROM cum CROSS JOIN range(1, 10) t(j)
+    GROUP BY t.j, cum.grp
+)
+SELECT j AS decile,
+       CAST(MAX(CASE WHEN grp = 'head' THEN qv END) AS BIGINT) AS q_head,
+       CAST(MAX(CASE WHEN grp = 'tail' THEN qv END) AS BIGINT) AS q_tail,
+       CAST(MAX(CASE WHEN grp = 'head' THEN qv END)
+            - MAX(CASE WHEN grp = 'tail' THEN qv END) AS BIGINT) AS gap
+FROM qs GROUP BY j
+"""
+
+
+@register("qq_source_lengths", QQ_ORACLE)
+def q_qq_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile Q-Q comparison of document length between the head
+    (src0-9) and tail (src10-19) source cohorts: the distribution-shift
+    diagnostic behind "did the new crawl batch change the length mix?",
+    reported as nine exact order-statistic pairs plus their gap.
+
+    Scale: ranks are selected from the merged per-cohort LENGTH
+    histogram — the window runs over O(#distinct lengths) rows (bounded
+    domain), never a global row sort; the scan side is one
+    map-side-combined groupBy. The decile fan-out is a 9-row broadcast
+    cross join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.substring("source", 4, 8).cast("int") < 10, "head")
+        .otherwise("tail")
+        .alias("grp"),
+        F.col("n_chars").alias("v"),
+    )
+    hist = docs.groupBy("grp", "v").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("j"))
+    qs = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.col("c") > F.expr("(j * (n - 1)) div 10"))
+        .groupBy("j", "grp")
+        .agg(F.min("v").alias("qv"))
+    )
+    head_q = F.max(F.when(F.col("grp") == "head", F.col("qv")))
+    tail_q = F.max(F.when(F.col("grp") == "tail", F.col("qv")))
+    return qs.groupBy(F.col("j").alias("decile")).agg(
+        head_q.alias("q_head"),
+        tail_q.alias("q_tail"),
+        (head_q - tail_q).alias("gap"),
+    )
