@@ -789,3 +789,164 @@ def q_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Burrows' Delta stylometry between sources ------------------------------
+
+BURROWS_TOP_TERMS = 40
+_FQ_SCALE = 33554432  # 2^25: relative freqs -> exact ints, fq^2 sums fit int64
+_CONTRIB_SCALE = 1048576  # 2^20: per-term |z| diff quantum before the pair sum
+
+BURROWS_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tw AS (
+    SELECT d.source AS src, t.word
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+), totals AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tw GROUP BY src
+), top_terms AS (
+    SELECT word FROM tw GROUP BY word
+    ORDER BY COUNT(*) DESC, word LIMIT {BURROWS_TOP_TERMS}
+), cnt AS (
+    SELECT src, word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tw JOIN top_terms USING (word) GROUP BY src, word
+), grid AS (
+    SELECT t.src, p.word,
+           CAST(FLOOR(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                      / CAST(t.n_tok AS DOUBLE)
+                      * CAST({_FQ_SCALE} AS DOUBLE)) AS BIGINT) AS fq
+    FROM totals t CROSS JOIN top_terms p
+    LEFT JOIN cnt c ON c.src = t.src AND c.word = p.word
+), tstats AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS s,
+           CAST(SUM(fq) AS BIGINT) AS sf,
+           CAST(SUM(fq * fq) AS BIGINT) AS sq
+    FROM grid GROUP BY word
+), var AS (
+    SELECT word, s, s * sq - sf * sf AS v FROM tstats
+), pairs AS (
+    SELECT a.src AS src_a, b.src AS src_b, a.word,
+           CASE WHEN v.v > 0 THEN
+               CAST(FLOOR(CAST(ABS(a.fq - b.fq) * v.s AS DOUBLE)
+                          / SQRT(CAST(v.v AS DOUBLE))
+                          * CAST({_CONTRIB_SCALE} AS DOUBLE)) AS BIGINT)
+           ELSE 0 END AS contrib_q
+    FROM grid a JOIN grid b ON a.word = b.word AND a.src < b.src
+    JOIN var v ON v.word = a.word
+)
+SELECT src_a, src_b,
+       CAST(SUM(contrib_q) AS BIGINT) AS delta_q,
+       CAST(SUM(contrib_q) AS BIGINT)
+           / CAST({BURROWS_TOP_TERMS} * {_CONTRIB_SCALE} AS DOUBLE) AS delta
+FROM pairs GROUP BY src_a, src_b
+"""
+)
+
+
+@register("burrows_delta", BURROWS_ORACLE)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair:
+    z-score the relative frequencies of the top-40 corpus terms across
+    sources, then Delta(a,b) = mean |z_a - z_b| — the authorship /
+    style-drift fingerprint used to spot machine-generated or
+    re-templated sub-corpora inside a crawl.
+
+    Cross-engine float discipline: relative frequencies floor-quantize
+    to 2^-25 BEFORE any cross-source moment (one exact-rounded double
+    division each — identical on both engines); term variances are then
+    pure int64; each per-term |Δz| needs one sqrt + one division
+    (deterministic) and floor-quantizes to 2^-20 before the per-pair
+    sum, so the 40-term summation is exact integer addition (the
+    prf_expanded_retrieval precedent — float SUM order is never relied
+    on).
+
+    Scale: term dimension is a constant 40 (broadcast); per-source state
+    is one 40-vector — the pair stage is O(#sources² × 40) rows keyed on
+    the term, bucketable by pair block if #sources grows past ~10⁴.
+    Reference tie-in: word-count substrate (src/word_count.rs:90-128)
+    feeding a VecOp-style normalized reduce (src/op.rs:18-35)."""
+    docs = _docs(spark, sf_dir)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tw = (
+        docs.repartition(nparts)
+        .select(
+            F.col("source").alias("src"),
+            F.explode(F.split(normalize_text("text"), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    totals = tw.groupBy("src").agg(F.count("*").alias("n_tok"))
+    top_terms = (
+        tw.groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .orderBy(F.desc("wc"), F.asc("word"))
+        .limit(BURROWS_TOP_TERMS)
+        .select("word")
+    )
+    cnt = (
+        tw.join(F.broadcast(top_terms), "word")
+        .groupBy("src", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(top_terms))
+        .join(cnt, ["src", "word"], "left")
+        .select(
+            "src",
+            "word",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n_tok").cast("double")
+                * F.lit(float(_FQ_SCALE))
+            ).alias("fq"),
+        )
+        .persist()  # grid feeds tstats AND both sides of the pair self-join
+    )
+    var = (
+        grid.groupBy("word")
+        .agg(
+            F.count("*").alias("s"),
+            F.sum("fq").alias("sf"),
+            F.sum(F.col("fq") * F.col("fq")).alias("sq"),
+        )
+        .select(
+            "word",
+            "s",
+            (F.col("s") * F.col("sq") - F.col("sf") * F.col("sf")).alias("v"),
+        )
+    )
+    a = grid.select(
+        F.col("src").alias("src_a"), "word", F.col("fq").alias("fq_a")
+    )
+    b = grid.select(
+        F.col("src").alias("src_b"), "word", F.col("fq").alias("fq_b")
+    )
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(var), "word")
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("v") > 0,
+                F.floor(
+                    (F.abs(F.col("fq_a") - F.col("fq_b")) * F.col("s"))
+                    .cast("double")
+                    / F.sqrt(F.col("v").cast("double"))
+                    * F.lit(float(_CONTRIB_SCALE))
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("contrib_q"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.sum("contrib_q").cast("long").alias("delta_q"),
+        (
+            F.sum("contrib_q").cast("long")
+            / F.lit(float(BURROWS_TOP_TERMS * _CONTRIB_SCALE))
+        ).alias("delta"),
+    )

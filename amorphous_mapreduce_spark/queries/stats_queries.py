@@ -1286,11 +1286,14 @@ def q_return_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Cross-group float sums are forbidden (CLAUDE.md: 1-ulp drift measured
 # in neyman_allocation) — the per-group ANOVA term S_g²/n_g is therefore
-# floor-quantized to an exact integer (S² div n; Spark `div` == DuckDB
-# `//`, both truncate toward zero) before ANY cross-group sum; the
-# sums stay DECIMAL(38,0)/HUGEINT and reach double via the hi/lo 2^20
-# split (int128->double DuckDB mis-rounding gotcha). Truncation bias is
-# < k absolute on terms of order 1e16 — identical on both engines.
+# floor-quantized to an exact integer (Spark `div` == DuckDB `//`, both
+# truncate toward zero) before ANY cross-group sum. Quantum is 2^20
+# cents² end to end: S²/n at sf0.1 already exceeds int64 in raw cents²
+# (measured: T²//N = 1.68e19 wrapped Spark's bigint `div`), while in
+# 2^20-units every divided term stays < ~1e15 through sf1000. Relative
+# truncation error is ≤ k quanta on sums ≥ 1e8 quanta — identical on
+# both engines, so the final double formula sees identical exact ints
+# (plain BIGINT->double casts, correctly rounded everywhere).
 ANOVA_ORACLE = """
 WITH cells AS (
     SELECT p.p_brand AS brand,
@@ -1305,42 +1308,34 @@ grp AS (
     FROM cells GROUP BY brand
 ),
 terms AS (
-    SELECT brand, n, s, q,
-           CAST(s AS HUGEINT) * s // n AS t_g
+    SELECT brand, n, s,
+           CAST(CAST(s AS HUGEINT) * s // (n * 1048576) AS BIGINT) AS t_g,
+           CAST(q // 1048576 AS BIGINT) AS q20
     FROM grp
 ),
 tot AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n) AS BIGINT) AS n_rows,
            SUM(CAST(s AS HUGEINT)) AS t_all,
-           SUM(q) AS q_all,
-           SUM(t_g) AS t_sum
+           CAST(SUM(q20) AS BIGINT) AS q_sum,
+           CAST(SUM(t_g) AS BIGINT) AS t_sum
     FROM terms
 ),
 ss AS (
     SELECT k, n_rows,
-           t_sum - (t_all * t_all // n_rows) AS bss,
-           q_all - t_sum AS wss
+           t_sum - CAST(t_all * t_all // (n_rows * 1048576) AS BIGINT)
+               AS bss,
+           q_sum - t_sum AS wss
     FROM tot
-),
-split AS (
-    SELECT k, n_rows,
-           CAST(bss // 1048576 AS BIGINT) AS bss_hi,
-           CAST(bss % 1048576 AS BIGINT) AS bss_lo,
-           CAST(wss // 1048576 AS BIGINT) AS wss_hi,
-           CAST(wss % 1048576 AS BIGINT) AS wss_lo
-    FROM ss
 )
 SELECT k AS k_groups, n_rows,
-       (CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo) AS bss_cents2,
-       (CAST(wss_hi AS DOUBLE) * 1048576.0 + wss_lo) AS wss_cents2,
-       ((CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo) * (n_rows - k))
-           / ((CAST(wss_hi AS DOUBLE) * 1048576.0 + wss_lo) * (k - 1))
-           AS f_stat,
-       (CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo)
-           / ((CAST(bss_hi AS DOUBLE) * 1048576.0 + bss_lo)
-              + (CAST(wss_hi AS DOUBLE) * 1048576.0 + wss_lo)) AS eta_sq
-FROM split
+       CAST(bss AS BIGINT) AS bss_q20,
+       CAST(wss AS BIGINT) AS wss_q20,
+       (CAST(bss AS DOUBLE) * (n_rows - k))
+           / (CAST(wss AS DOUBLE) * (k - 1)) AS f_stat,
+       CAST(bss AS DOUBLE) / (CAST(bss AS DOUBLE) + CAST(wss AS DOUBLE))
+           AS eta_sq
+FROM ss
 """
 
 
@@ -1354,11 +1349,11 @@ def q_anova_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2-group special case; this is the k-group omnibus).
 
     Scale: per-brand state is three mergeable numbers; everything after
-    the first map-side-combined aggregate is k=25 rows. The `div`
-    quantization keeps every cross-group sum exact at any SF (document:
-    past ~sf10 switch the quantum from 1 to 2^10 cents² so t_g stays in
-    int64). Reference tie-in: VecOp reduce semantics (src/op.rs:18-35)
-    extended to a k-sample inference primitive."""
+    the first map-side-combined aggregate is k=25 rows. The 2^20-cents²
+    quantum keeps every `div` result inside int64 through sf1000 (raw
+    cents² already wraps at sf0.1 — measured); past that, raise the
+    quantum another 2^10. Reference tie-in: VecOp reduce semantics
+    (src/op.rs:18-35) extended to a k-sample inference primitive."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cells = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
@@ -1377,44 +1372,40 @@ def q_anova_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = grp.select(
         "n",
         "s",
-        "q",
         F.expr(
-            "CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) div n"
+            "CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))"
+            " div (n * 1048576) AS BIGINT)"
         ).alias("t_g"),
+        F.expr("CAST(q div 1048576 AS BIGINT)").alias("q20"),
     )
     tot = terms.agg(
         F.count("*").alias("k"),
         F.sum("n").alias("n_rows"),
         F.sum(F.col("s").cast("decimal(38,0)")).alias("t_all"),
-        F.sum("q").alias("q_all"),
-        F.sum(F.col("t_g").cast("decimal(38,0)")).alias("t_sum"),
+        F.sum("q20").cast("long").alias("q_sum"),
+        F.sum("t_g").cast("long").alias("t_sum"),
     )
     ss = tot.select(
         "k",
         "n_rows",
-        F.expr(
-            "CAST(t_sum - (t_all * CAST(t_all AS DECIMAL(19,0)) div n_rows)"
-            " AS DECIMAL(38,0))"
+        (
+            F.col("t_sum")
+            - F.expr(
+                "CAST(t_all * CAST(t_all AS DECIMAL(19,0))"
+                " div (n_rows * 1048576) AS BIGINT)"
+            )
         ).alias("bss"),
-        F.expr("CAST(q_all - t_sum AS DECIMAL(38,0))").alias("wss"),
+        (F.col("q_sum") - F.col("t_sum")).alias("wss"),
     )
-    split = ss.select(
-        "k",
-        "n_rows",
-        F.expr("CAST(bss div 1048576 AS BIGINT)").alias("bss_hi"),
-        F.expr("CAST(bss % 1048576 AS BIGINT)").alias("bss_lo"),
-        F.expr("CAST(wss div 1048576 AS BIGINT)").alias("wss_hi"),
-        F.expr("CAST(wss % 1048576 AS BIGINT)").alias("wss_lo"),
-    )
-    bss_d = F.col("bss_hi") * 1048576.0 + F.col("bss_lo")
-    wss_d = F.col("wss_hi") * 1048576.0 + F.col("wss_lo")
+    bss_d = F.col("bss").cast("double")
+    wss_d = F.col("wss").cast("double")
     kd = F.col("k")
     nd = F.col("n_rows")
-    return split.select(
+    return ss.select(
         F.col("k").alias("k_groups"),
         "n_rows",
-        bss_d.alias("bss_cents2"),
-        wss_d.alias("wss_cents2"),
+        F.col("bss").alias("bss_q20"),
+        F.col("wss").alias("wss_q20"),
         ((bss_d * (nd - kd)) / (wss_d * (kd - 1))).alias("f_stat"),
         (bss_d / (bss_d + wss_d)).alias("eta_sq"),
     )

@@ -42,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "burrows_delta": {
+        "BroadcastNestedLoopJoin": "per-source token totals (~20 rows) "
+        "crossed with the broadcast constant 40-term panel to build the "
+        "dense source x term frequency grid — constant-size both sides "
+        "(appears once per re-read of the persisted grid lineage)",
+    },
+    "qq_source_lengths": {
+        "BroadcastNestedLoopJoin": "9-row decile frame broadcast-crossed "
+        "onto the bounded distinct-length histogram (O(#lengths) rows) "
+        "for order-statistic selection — constant-size small side",
+    },
     "returns_root_cause": {
         "BroadcastNestedLoopJoin": "1-row corpus-total scalar crossed "
         "back onto the bounded discount x quantity cell grid (~66 rows)",
