@@ -481,3 +481,87 @@ def q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn),
         ).alias("f1"),
     )
+
+
+# --- Cohen's kappa: classifier vs label chance-corrected agreement ----------
+
+KAPPA_ORACLE = f"""
+WITH pred AS ({LANG_ORACLE}),
+lbl AS (SELECT doc_id AS id, lang FROM documents),
+cm AS (
+    SELECT l.lang AS lt, p.lang_pred AS lp, CAST(COUNT(*) AS BIGINT) AS c
+    FROM lbl l JOIN pred p ON l.id = p.id
+    GROUP BY l.lang, p.lang_pred
+),
+rows_t AS (SELECT lt AS cls, CAST(SUM(c) AS BIGINT) AS rt FROM cm GROUP BY lt),
+cols_t AS (SELECT lp AS cls, CAST(SUM(c) AS BIGINT) AS ct FROM cm GROUP BY lp),
+s AS (
+    SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cm) AS n,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN lt = lp THEN c END), 0)
+                        AS BIGINT) FROM cm) AS agree,
+           (SELECT CAST(SUM(r.rt * c2.ct) AS BIGINT)
+            FROM rows_t r JOIN cols_t c2 ON r.cls = c2.cls) AS pe_mass
+)
+SELECT n AS n_docs, agree AS n_agree,
+       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(pe_mass AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           AS pe,
+       CAST(n * agree - pe_mass AS DOUBLE)
+           / CAST(n * n - pe_mass AS DOUBLE) AS kappa
+FROM s
+"""
+
+
+@register("cohens_kappa", KAPPA_ORACLE)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword language-ID heuristic and the
+    labeled lang column — the chance-corrected agreement score that
+    tells you whether a cheap classifier is actually better than the
+    marginal-frequency coin flip (accuracy alone can't).
+
+    Exactness: kappa = (po - pe)/(1 - pe) is evaluated in the
+    cross-multiplied integer form (n·agree - Σ row_c·col_c) /
+    (n² - Σ row_c·col_c) — every term an exact int64 (safe to n ~ 3e9
+    docs), ONE final double division identical on both engines.
+
+    Scale: one keyed id join + a langs²-bounded confusion matrix; the
+    marginal products join is over ≤5 classes. Reference tie-in: the
+    word-count substrate (src/word_count.rs:90-128) feeding an
+    eval-loop reduce (src/op.rs:18-35)."""
+    from pyspark.sql import functions as F
+
+    pred = language_id(_docs(spark, sf_dir)).select("id", "lang_pred")
+    lbl = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("lt")
+    )
+    cm = (
+        lbl.join(pred, "id")
+        .groupBy(F.col("lt"), F.col("lang_pred").alias("lp"))
+        .agg(F.count("*").alias("c"))
+        .persist()  # feeds totals, diagonal, and both marginal re-aggs
+    )
+    rows_t = cm.groupBy(F.col("lt").alias("cls")).agg(F.sum("c").alias("rt"))
+    cols_t = cm.groupBy(F.col("lp").alias("cls")).agg(F.sum("c").alias("ct"))
+    pe = (
+        rows_t.join(cols_t, "cls")
+        .agg(F.sum(F.col("rt") * F.col("ct")).cast("long").alias("pe_mass"))
+    )
+    tot = cm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("lt") == F.col("lp"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    n_d = F.col("n").cast("double")
+    return tot.crossJoin(pe).select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        (F.col("agree").cast("double") / n_d).alias("po"),
+        (F.col("pe_mass").cast("double") / (n_d * n_d)).alias("pe"),
+        (
+            (F.col("n") * F.col("agree") - F.col("pe_mass")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_mass")).cast("double")
+        ).alias("kappa"),
+    )

@@ -2959,3 +2959,150 @@ def q_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("half_life_weeks"),
         )
     )
+
+
+# --- Funnel step significance: two-proportion z per conversion step ---------
+
+FUNNEL_Z_ORACLE = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, event_type, epoch_us(ts) AS us,
+           CAST(user_id % 2 AS BIGINT) AS grp
+    FROM events
+),
+e1 AS (
+    SELECT user_id, d, MAX(grp) AS grp, MIN(us) AS t1 FROM ev
+    WHERE event_type = 'view' GROUP BY user_id, d
+),
+e2 AS (
+    SELECT e.user_id, e.d, MAX(e.grp) AS grp, MIN(us) AS t2
+    FROM ev e JOIN e1 ON e.user_id = e1.user_id AND e.d = e1.d
+    WHERE e.event_type = 'click' AND e.us > e1.t1
+    GROUP BY e.user_id, e.d
+),
+e3 AS (
+    SELECT e.user_id, e.d, MAX(e.grp) AS grp, MIN(us) AS t3
+    FROM ev e JOIN e2 ON e.user_id = e2.user_id AND e.d = e2.d
+    WHERE e.event_type = 'purchase' AND e.us > e2.t2
+    GROUP BY e.user_id, e.d
+),
+cells AS (
+    SELECT stage,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+    FROM (
+        SELECT 1 AS stage, grp FROM e1
+        UNION ALL SELECT 2, grp FROM e2
+        UNION ALL SELECT 3, grp FROM e3
+    ) GROUP BY stage
+)
+SELECT CASE b.stage WHEN 2 THEN '1_view_to_click'
+                    ELSE '2_click_to_purchase' END AS step,
+       a.c0 AS n_even, b.c0 AS conv_even,
+       a.c1 AS n_odd, b.c1 AS conv_odd,
+       CAST(b.c0 AS DOUBLE) / CAST(a.c0 AS DOUBLE) AS rate_even,
+       CAST(b.c1 AS DOUBLE) / CAST(a.c1 AS DOUBLE) AS rate_odd,
+       CASE WHEN b.c0 + b.c1 > 0 AND b.c0 + b.c1 < a.c0 + a.c1 THEN
+           (CAST(b.c0 AS DOUBLE) / CAST(a.c0 AS DOUBLE)
+            - CAST(b.c1 AS DOUBLE) / CAST(a.c1 AS DOUBLE))
+           / SQRT((CAST(b.c0 + b.c1 AS DOUBLE) / CAST(a.c0 + a.c1 AS DOUBLE))
+                  * (1.0 - CAST(b.c0 + b.c1 AS DOUBLE)
+                           / CAST(a.c0 + a.c1 AS DOUBLE))
+                  * (1.0 / CAST(a.c0 AS DOUBLE) + 1.0 / CAST(a.c1 AS DOUBLE)))
+       END AS z_value
+FROM cells a JOIN cells b ON b.stage = a.stage + 1
+"""
+
+
+@register("funnel_step_significance", FUNNEL_Z_ORACLE)
+def q_funnel_step_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel conversion comparison between the even/odd
+    user-id cohorts (the canonical deterministic A/B split) at the
+    user-day grain, scored with the pooled two-proportion z statistic —
+    "did the treatment change THIS step?", not just the end-to-end
+    rate. (User grain is degenerate on this fixture — every user
+    eventually converts everywhere; same lesson as the Shapley
+    session-grain move.)
+
+    Exactness: every count is an exact int64; the z expression is
+    divisions + one sqrt over identical doubles (sqrt-only statistics
+    are engine-safe — the return_rate_wilson_ci precedent), ONE
+    identical expression tree on both engines, NULL-guarded where the
+    pooled rate degenerates to 0 or 1 (Spark ANSI raises on /0 where
+    DuckDB returns inf — the langid_prf gotcha).
+
+    Scale: the funnel stages are keyed joins + keyed aggs on
+    (user, day) — the events_funnel plan; the z stage runs on a 3-row
+    cells frame joined to itself on stage+1. Reference tie-in: trace-op
+    event semantics (src/op.rs:18-35) under a cohort split."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    e1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "d")
+        .agg(F.max("grp").alias("grp"), F.min("us").alias("t1"))
+    )
+    e2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(e1.select("user_id", "d", "t1"), ["user_id", "d"])
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id", "d")
+        .agg(F.max("grp").alias("grp"), F.min("us").alias("t2"))
+    )
+    e3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(e2.select("user_id", "d", "t2"), ["user_id", "d"])
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id", "d")
+        .agg(F.max("grp").alias("grp"), F.min("us").alias("t3"))
+    )
+    tagged = (
+        e1.select(F.lit(1).alias("stage"), "grp")
+        .unionByName(e2.select(F.lit(2).alias("stage"), "grp"))
+        .unionByName(e3.select(F.lit(3).alias("stage"), "grp"))
+    )
+    cells = tagged.groupBy("stage").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    a = cells.select(
+        F.col("stage").alias("sa"), F.col("c0").alias("a0"), F.col("c1").alias("a1")
+    )
+    b = cells.select(
+        F.col("stage").alias("sb"), F.col("c0").alias("b0"), F.col("c1").alias("b1")
+    )
+    j = a.join(b, F.col("sb") == F.col("sa") + 1)
+    a0 = F.col("a0").cast("double")
+    a1 = F.col("a1").cast("double")
+    b0 = F.col("b0").cast("double")
+    b1 = F.col("b1").cast("double")
+    pooled = (F.col("b0") + F.col("b1")).cast("double") / (
+        F.col("a0") + F.col("a1")
+    ).cast("double")
+    guard = (F.col("b0") + F.col("b1") > 0) & (
+        F.col("b0") + F.col("b1") < F.col("a0") + F.col("a1")
+    )
+    return j.select(
+        F.when(F.col("sb") == 2, "1_view_to_click")
+        .otherwise("2_click_to_purchase")
+        .alias("step"),
+        F.col("a0").alias("n_even"),
+        F.col("b0").alias("conv_even"),
+        F.col("a1").alias("n_odd"),
+        F.col("b1").alias("conv_odd"),
+        (b0 / a0).alias("rate_even"),
+        (b1 / a1).alias("rate_odd"),
+        F.when(
+            guard,
+            (b0 / a0 - b1 / a1)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / a0 + F.lit(1.0) / a1)
+            ),
+        ).alias("z_value"),
+    )

@@ -1213,3 +1213,174 @@ def q_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(idcg.cast("double"), F.lit(0.0))
         ).alias("ndcg"),
     )
+
+
+# --- MAP@10 over a multi-query BM25 panel ------------------------------------
+
+# lcm(1..10) = 2520: precision@k masses stay exact integers for k <= 10.
+_AP_LCM = 2520
+
+MAP_PANEL = (
+    ("q0", ("spark", "window", "merge")),
+    ("q1", ("hash", "join", "filter")),
+    ("q2", ("stream", "batch", "sort")),
+)
+
+
+def _bm25_cte(terms: tuple[str, str, str]) -> str:
+    """The BM25_ORACLE body (text_queries.py:51-81) parameterized by the
+    query terms — same rational Robertson IDF, same fixed expression
+    tree, so per-term scores match bm25_scores() bit-for-bit."""
+    ts = []
+    for i in range(3):
+        ts.append(
+            f"""((CAST(_n_doc AS DOUBLE) - CAST(_df_{i} AS DOUBLE) + 0.5)
+      / (CAST(_df_{i} AS DOUBLE) + 0.5))
+    * (CAST(tf_{i} AS DOUBLE) * 2.2)
+    / (CAST(tf_{i} AS DOUBLE)
+       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                     * CAST(_n_doc AS DOUBLE)
+                                     / CAST(_n_tok AS DOUBLE))))"""
+        )
+    tf_cases = ",\n".join(
+        f"           CAST(SUM(CASE WHEN word = '{terms[i]}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS tf_{i}"
+        for i in range(3)
+    )
+    return f"""
+    SELECT id, dl, tf_0, tf_1, tf_2,
+           {ts[0]}
+         + {ts[1]}
+         + {ts[2]} AS score
+    FROM (
+        SELECT id, COUNT(*) AS dl,
+{tf_cases}
+        FROM toks GROUP BY id
+    ) per_doc CROSS JOIN (
+        SELECT COUNT(*) AS _n_doc,
+               CAST(SUM(dl) AS BIGINT) AS _n_tok,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_2
+        FROM (
+            SELECT id, COUNT(*) AS dl,
+{tf_cases}
+            FROM toks GROUP BY id
+        )
+    ) scal
+    WHERE greatest(tf_0, tf_1, tf_2) > 0
+"""
+
+
+def _map_branch_sql(qid: str, terms: tuple[str, str, str]) -> str:
+    return f"""
+SELECT '{qid}' AS query_id,
+       CAST(SUM(rel) AS BIGINT) AS n_rel,
+       CAST(SUM(CASE WHEN rel = 1 THEN ({_AP_LCM} // pos) * hits
+                     ELSE 0 END) AS BIGINT) AS ap_mass,
+       CASE WHEN SUM(rel) > 0 THEN
+           CAST(SUM(CASE WHEN rel = 1 THEN ({_AP_LCM} // pos) * hits
+                         ELSE 0 END) AS DOUBLE)
+           / ({_AP_LCM}.0 * CAST(SUM(rel) AS DOUBLE))
+       END AS ap
+FROM (
+    SELECT pos, rel, SUM(rel) OVER (ORDER BY pos) AS hits
+    FROM (
+        SELECT pos,
+               CASE WHEN CAST('0x' || substr(md5('rel:' ||
+                        CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 4 >= 2
+                    THEN 1 ELSE 0 END AS rel
+        FROM (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS pos
+            FROM ({_bm25_cte(terms)})
+        ) WHERE pos <= 10
+    )
+)
+"""
+
+
+MAP_ORACLE = (
+    """
+WITH toks AS (
+    SELECT id, word FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+)
+"""
+    + " UNION ALL ".join(_map_branch_sql(q, t) for q, t in MAP_PANEL)
+)
+
+
+@register("map_at_10", MAP_ORACLE)
+def q_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision at 10 for each query of a 3-query BM25 panel
+    against hash-derived binary relevance (rel = md5 grade >= 2) — the
+    per-query rows behind MAP, the classic ranked-retrieval summary
+    (complements ndcg_retrieval and recsys_backtest_mrr).
+
+    Exactness: precision@k masses are integers via the lcm(1..10)=2520
+    trick (2520 // pos is exact, rbo_rankings precedent); the denominator
+    counts relevant in the retrieved set, NULL-guarded at zero. One
+    double division per query row.
+
+    Scale: each panel query is the bm25_scores plan (one tokenise +
+    map-side-combined agg) ending in a distributed TakeOrdered top-10;
+    the AP windows run over <= 10 rows. Reference tie-in: word-count
+    substrate (src/word_count.rs:90-128) feeding a ranked-eval reduce."""
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    branches = []
+    for qid, terms in MAP_PANEL:
+        top = (
+            bm25_scores(docs, terms)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(10)
+        )
+        rel = F.when(
+            F.pmod(
+                hex_hash64(F.concat(F.lit("rel:"), F.col("id").cast("string"))),
+                F.lit(4),
+            )
+            >= 2,
+            1,
+        ).otherwise(0)
+        ranked = top.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("id")))
+            .alias("pos"),
+            rel.alias("rel"),
+        )
+        cum = ranked.select(
+            "pos",
+            "rel",
+            F.sum("rel")
+            .over(Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("hits"),
+        )
+        mass = F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr(f"({_AP_LCM} div pos)") * F.col("hits"),
+            ).otherwise(0)
+        )
+        branches.append(
+            cum.agg(
+                F.sum("rel").cast("long").alias("n_rel"),
+                mass.cast("long").alias("ap_mass"),
+                F.when(
+                    F.sum("rel") > 0,
+                    mass.cast("double")
+                    / (F.lit(float(_AP_LCM)) * F.sum("rel").cast("double")),
+                ).alias("ap"),
+            ).select(F.lit(qid).alias("query_id"), "n_rel", "ap_mass", "ap")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

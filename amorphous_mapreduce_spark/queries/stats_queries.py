@@ -1496,3 +1496,150 @@ def q_qq_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail_q.alias("q_tail"),
         (head_q - tail_q).alias("gap"),
     )
+
+
+# --- Mann-Whitney U rank-sum test -------------------------------------------
+
+_MW_SPLIT = 1099511627776  # 2^40: hi/lo split for int128 -> double casts
+
+MANN_WHITNEY_ORACLE = f"""
+WITH li AS (
+    SELECT CAST(l_quantity AS INT) AS v, l_returnflag AS f
+    FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+hist AS (
+    SELECT v,
+           CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM li GROUP BY v
+),
+gt AS (
+    SELECT SUM(CAST(a.na AS HUGEINT) * b.nb) AS s_gt
+    FROM hist a JOIN hist b ON a.v > b.v
+),
+tot AS (
+    SELECT CAST(SUM(na) AS BIGINT) AS n_r,
+           CAST(SUM(nb) AS BIGINT) AS n_a,
+           SUM(CAST(na AS HUGEINT) * nb) AS tie_prod,
+           SUM(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+               - (na + nb)) AS tie_t
+    FROM hist
+),
+comb AS (
+    SELECT n_r, n_a, n_r + n_a AS n,
+           2 * s_gt + tie_prod AS u2, tie_t
+    FROM gt CROSS JOIN tot
+),
+d AS (
+    SELECT n_r, n_a, n, u2,
+           CAST(u2 // {_MW_SPLIT} AS BIGINT) AS u2_hi,
+           CAST(u2 % {_MW_SPLIT} AS BIGINT) AS u2_lo,
+           CAST(tie_t // {_MW_SPLIT} AS BIGINT) AS t_hi,
+           CAST(tie_t % {_MW_SPLIT} AS BIGINT) AS t_lo
+    FROM comb
+)
+SELECT n_r AS n_ret, n_a AS n_acc, CAST(u2 AS BIGINT) AS u_stat2,
+       ((CAST(u2_hi AS DOUBLE) * {_MW_SPLIT}.0 + u2_lo)
+        - CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE))
+       / SQRT((CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE)
+               * ((CAST(n AS DOUBLE) + 1.0)
+                  - (CAST(t_hi AS DOUBLE) * {_MW_SPLIT}.0 + t_lo)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+              / 3.0) AS z_value
+FROM d
+"""
+
+
+@register("mann_whitney_u", MANN_WHITNEY_ORACLE)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do returned ('R') lineitems ship in
+    systematically different quantities than accepted ('A') ones? The
+    non-parametric two-sample location test — the robust sibling of
+    ab_test_welch when the value distribution is heavy-tailed or
+    ordinal.
+
+    Exactness: the quantity domain is a bounded integer set (1..50), so
+    U is computed pair-exactly from the merged value histogram —
+    2U = 2·Σ_{{va>vb}} na·nb + Σ_v na·nb (the half-tie term kept doubled
+    to stay integer). The tie-corrected variance needs Σ(t³−t), kept in
+    DECIMAL(38,0)/HUGEINT and reaching double via the 2^40 hi/lo split
+    (the int128→double DuckDB mis-rounding gotcha). The z formula is
+    ONE identical double expression on both engines.
+
+    Scale: one map-side-combined groupBy on a 50-value domain, then a
+    50×50 broadcast pair join — no global rank sort of the data ever
+    happens (the classic rank-sum implementation sorts all n rows;
+    histogram ranks are the 100 TB form). Safe while any single
+    (flag, quantity) cell count < ~4.6e12 (t³ inside 38 digits).
+    Reference tie-in: VecOp reduce semantics (src/op.rs:18-35) extended
+    to ordinal two-sample inference."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.col("l_quantity").cast("int").alias("v"),
+            F.col("l_returnflag").alias("f"),
+        )
+    )
+    hist = (
+        li.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("f") == "R", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("f") == "A", 1).otherwise(0)).alias("nb"),
+        )
+        .persist()  # both sides of the pair join + the totals pass
+    )
+    a = hist.select(F.col("v").alias("va"), F.col("na").alias("naa"))
+    b = hist.select(F.col("v").alias("vb"), F.col("nb").alias("nbb"))
+    gt = (
+        a.join(F.broadcast(b), F.col("va") > F.col("vb"))
+        .agg(
+            F.sum(F.expr("CAST(naa AS DECIMAL(19,0)) * nbb")).alias("s_gt")
+        )
+    )
+    tot = hist.agg(
+        F.sum("na").alias("n_r"),
+        F.sum("nb").alias("n_a"),
+        F.sum(F.expr("CAST(na AS DECIMAL(19,0)) * nb")).alias("tie_prod"),
+        F.sum(
+            F.expr(
+                "CAST(na + nb AS DECIMAL(13,0)) * (na + nb) * (na + nb)"
+                " - (na + nb)"
+            )
+        ).alias("tie_t"),
+    )
+    comb = gt.crossJoin(tot).select(
+        "n_r",
+        "n_a",
+        (F.col("n_r") + F.col("n_a")).alias("n"),
+        F.expr("CAST(2 * s_gt + tie_prod AS DECIMAL(38,0))").alias("u2"),
+        "tie_t",
+    )
+    d = comb.select(
+        "n_r",
+        "n_a",
+        "n",
+        "u2",
+        F.expr(f"CAST(u2 div {_MW_SPLIT} AS BIGINT)").alias("u2_hi"),
+        F.expr(f"CAST(u2 % {_MW_SPLIT} AS BIGINT)").alias("u2_lo"),
+        F.expr(f"CAST(tie_t div {_MW_SPLIT} AS BIGINT)").alias("t_hi"),
+        F.expr(f"CAST(tie_t % {_MW_SPLIT} AS BIGINT)").alias("t_lo"),
+    )
+    split = float(_MW_SPLIT)
+    u2_d = F.col("u2_hi").cast("double") * split + F.col("u2_lo")
+    t_d = F.col("t_hi").cast("double") * split + F.col("t_lo")
+    nr_d = F.col("n_r").cast("double")
+    na_d = F.col("n_a").cast("double")
+    n_d = F.col("n").cast("double")
+    return d.select(
+        F.col("n_r").alias("n_ret"),
+        F.col("n_a").alias("n_acc"),
+        F.col("u2").cast("long").alias("u_stat2"),
+        (
+            (u2_d - nr_d * na_d)
+            / F.sqrt(
+                (nr_d * na_d * ((n_d + F.lit(1.0)) - t_d / (n_d * (n_d - F.lit(1.0)))))
+                / F.lit(3.0)
+            )
+        ).alias("z_value"),
+    )

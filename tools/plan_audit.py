@@ -48,6 +48,23 @@ ALLOW: dict[str, dict[str, str]] = {
         "dense source x term frequency grid — constant-size both sides "
         "(appears once per re-read of the persisted grid lineage)",
     },
+    "mann_whitney_u": {
+        "BroadcastNestedLoopJoin": "the 50x50 quantity-histogram pair "
+        "join (bounded 1..50 value domain, va > vb range condition) "
+        "plus the 1-row totals scalar cross — constant-size all sides; "
+        "the data-sized work is one map-side-combined groupBy",
+    },
+    "cohens_kappa": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar aggregates "
+        "(totals x expected-agreement mass) crossed for the final "
+        "kappa expression — the standard scalar-total pattern",
+    },
+    "map_at_10": {
+        "BroadcastNestedLoopJoin": "one 1-row corpus-scalar frame "
+        "(n_doc, n_tok, df) crossed onto per-doc BM25 rows per panel "
+        "query — the bm25_ranking scalar pattern, once per of the 3 "
+        "panel branches",
+    },
     "qq_source_lengths": {
         "BroadcastNestedLoopJoin": "9-row decile frame broadcast-crossed "
         "onto the bounded distinct-length histogram (O(#lengths) rows) "
