@@ -3106,3 +3106,129 @@ def q_funnel_step_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_value"),
     )
+
+
+# --- HITS hubs/authorities on the customer -> supplier order graph -----------
+
+_HITS_SCALE = 1048576  # 2^20 fixed-point unit per normalization round
+
+
+def _hits_round_sql(i: int, prev_h: str) -> str:
+    """One authority+hub update with max-normalized integer scores."""
+    return f"""
+a{i}r AS MATERIALIZED (
+    SELECT s, SUM(CAST(e.w AS HUGEINT) * {prev_h}.h) AS a
+    FROM edges e JOIN {prev_h} ON e.c = {prev_h}.c GROUP BY s
+),
+a{i} AS MATERIALIZED (
+    SELECT s, CAST(CAST(a AS HUGEINT) * {_HITS_SCALE}
+                   // (SELECT MAX(a) FROM a{i}r) AS BIGINT) AS a
+    FROM a{i}r
+),
+h{i}r AS MATERIALIZED (
+    SELECT c, SUM(CAST(e.w AS HUGEINT) * a{i}.a) AS h
+    FROM edges e JOIN a{i} ON e.s = a{i}.s GROUP BY c
+),
+h{i} AS MATERIALIZED (
+    SELECT c, CAST(CAST(h AS HUGEINT) * {_HITS_SCALE}
+                   // (SELECT MAX(h) FROM h{i}r) AS BIGINT) AS h
+    FROM h{i}r
+)"""
+
+
+HITS_ORACLE = (
+    f"""
+WITH edges AS MATERIALIZED (
+    SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+),
+h0 AS MATERIALIZED (
+    SELECT DISTINCT c, CAST({_HITS_SCALE} AS BIGINT) AS h FROM edges
+),"""
+    + ",".join(_hits_round_sql(i, f"h{i - 1}") for i in (1, 2, 3))
+    + """
+SELECT s AS suppkey, a AS authority_scaled
+FROM a3 ORDER BY a DESC, s LIMIT 10
+"""
+)
+
+
+@register("hits_supplier_authority", HITS_ORACLE)
+def q_hits_supplier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs/authorities) on the bipartite customer ->
+    supplier order graph: authoritative suppliers are the ones bought
+    from by high-hub customers, mutually reinforcing over 3 rounds —
+    the link-analysis sibling of pagerank_near_dup.
+
+    Exactness: scores are max-normalized 2^20 fixed-point integers each
+    round — products run in HUGEINT/decimal, the normalized score is
+    (a·2^20) div max(a) (truncating div == DuckDB //, both toward
+    zero), so every intermediate is an exact integer and no float enters
+    the iteration. The oracle unrolls the 3 rounds as MATERIALIZED CTEs
+    (the kcore_near_dup lesson: un-materialized chains re-expand
+    exponentially).
+
+    Scale: the iteration state is one score per node; each round is two
+    keyed join+agg passes over the aggregated (cust, supp) edge list.
+    Each round is localCheckpoint-ed — the power-iteration lesson: a
+    scalar-cross (the MAX normalizer) re-executes its input lineage,
+    which compounds exponentially across rounds otherwise. Reference
+    tie-in: CrossPOp outer-product semantics (src/outer_product.rs) as
+    the E·EᵀE chain of link analysis."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count("*").alias("w"))
+        .persist()  # re-read twice per round x 3 rounds
+    )
+    h = edges.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for rnd in range(3):
+        ar = (
+            edges.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum(F.expr("CAST(w AS DECIMAL(19,0)) * h")).alias("ar"))
+        )
+        amax = ar.agg(F.max("ar").alias("amax"))
+        a = (
+            ar.crossJoin(F.broadcast(amax))
+            .select(
+                "s",
+                F.expr(
+                    f"CAST(CAST(ar AS DECIMAL(38,0)) * {_HITS_SCALE}"
+                    " div amax AS BIGINT)"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        if rnd == 2:
+            break  # the final hub update feeds nothing
+        hr = (
+            edges.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum(F.expr("CAST(w AS DECIMAL(19,0)) * a")).alias("hr"))
+        )
+        hmax = hr.agg(F.max("hr").alias("hmax"))
+        h = (
+            hr.crossJoin(F.broadcast(hmax))
+            .select(
+                "c",
+                F.expr(
+                    f"CAST(CAST(hr AS DECIMAL(38,0)) * {_HITS_SCALE}"
+                    " div hmax AS BIGINT)"
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        a.select(F.col("s").alias("suppkey"), F.col("a").alias("authority_scaled"))
+        .orderBy(F.desc("authority_scaled"), F.asc("suppkey"))
+        .limit(10)
+    )

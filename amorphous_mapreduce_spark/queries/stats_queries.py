@@ -1643,3 +1643,368 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_value"),
     )
+
+
+# --- CUPED variance-reduced A/B comparison -----------------------------------
+
+_CUPED_CUT = "2024-01-16"
+
+CUPED_ORACLE = f"""
+WITH pv AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS BIGINT) AS arm,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+           CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+           CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+    FROM pv
+),
+d AS (
+    SELECT n, n0, n1, sx0, sy0, sx1, sy1,
+           CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                // 1099511627776 AS BIGINT) AS cov_hi,
+           CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                % 1099511627776 AS BIGINT) AS cov_lo,
+           CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                // 1099511627776 AS BIGINT) AS vx_hi,
+           CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                % 1099511627776 AS BIGINT) AS vx_lo,
+           CAST((CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                // 1099511627776 AS BIGINT) AS vy_hi,
+           CAST((CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                % 1099511627776 AS BIGINT) AS vy_lo
+    FROM mom
+)
+SELECT n0 AS n_even, n1 AS n_odd,
+       CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS raw_diff_cents,
+       (CAST(cov_hi AS DOUBLE) * 1099511627776.0 + cov_lo)
+       / (CAST(vx_hi AS DOUBLE) * 1099511627776.0 + vx_lo) AS theta,
+       (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       - ((CAST(cov_hi AS DOUBLE) * 1099511627776.0 + cov_lo)
+          / (CAST(vx_hi AS DOUBLE) * 1099511627776.0 + vx_lo))
+         * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS cuped_diff_cents,
+       ((CAST(cov_hi AS DOUBLE) * 1099511627776.0 + cov_lo)
+        * (CAST(cov_hi AS DOUBLE) * 1099511627776.0 + cov_lo))
+       / ((CAST(vx_hi AS DOUBLE) * 1099511627776.0 + vx_lo)
+          * (CAST(vy_hi AS DOUBLE) * 1099511627776.0 + vy_lo)) AS rho_sq
+FROM d
+"""
+
+
+@register("cuped_adjusted_lift", CUPED_ORACLE)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): the
+    variance-reduction standard in modern A/B platforms. Pre-period
+    purchase value (before Jan 16) is the covariate; theta = cov(x,y)/
+    var(x) pooled across arms; the adjusted treatment effect is
+    (ȳ₀-ȳ₁) - θ(x̄₀-x̄₁), and rho² reports the variance fraction CUPED
+    removes.
+
+    Exactness: per-user pre/post sums are exact cents (the
+    value->DECIMAL(12,2)->cents ladder, ewma_user_value precedent);
+    the pooled moment products n·Sxy - Sx·Sy live in HUGEINT/decimal
+    and reach double via the 2^40 hi/lo split (int128->double DuckDB
+    mis-rounding gotcha); theta, the adjusted diff, and rho² are ONE
+    identical double expression tree on both engines.
+
+    Scale: one map-side-combined per-user aggregate, then a 1-row
+    moment aggregate — no joins, no windows. Reference tie-in: VecOp
+    reduce semantics (src/op.rs:18-35) as an experimentation
+    primitive."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    cut = F.lit(_CUPED_CUT + " 00:00:00").cast("timestamp")
+    pv = ev.groupBy("user_id").agg(
+        F.max(F.col("user_id") % 2).alias("arm"),
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).cast("long").alias("y"),
+    )
+    mom = pv.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).cast("long").alias("sx0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).cast("long").alias("sy0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).cast("long").alias("sx1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).cast("long").alias("sy1"),
+    )
+    d = mom.select(
+        "n",
+        "n0",
+        "n1",
+        "sx0",
+        "sy0",
+        "sx1",
+        "sy1",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy)"
+            f" div {_MW_SPLIT} AS BIGINT)"
+        ).alias("cov_hi"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy)"
+            f" % {_MW_SPLIT} AS BIGINT)"
+        ).alias("cov_lo"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx)"
+            f" div {_MW_SPLIT} AS BIGINT)"
+        ).alias("vx_hi"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx)"
+            f" % {_MW_SPLIT} AS BIGINT)"
+        ).alias("vx_lo"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy)"
+            f" div {_MW_SPLIT} AS BIGINT)"
+        ).alias("vy_hi"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy)"
+            f" % {_MW_SPLIT} AS BIGINT)"
+        ).alias("vy_lo"),
+    )
+    split = float(_MW_SPLIT)
+    cov_d = F.col("cov_hi").cast("double") * split + F.col("cov_lo")
+    vx_d = F.col("vx_hi").cast("double") * split + F.col("vx_lo")
+    vy_d = F.col("vy_hi").cast("double") * split + F.col("vy_lo")
+    ybar0 = F.col("sy0").cast("double") / F.col("n0").cast("double")
+    ybar1 = F.col("sy1").cast("double") / F.col("n1").cast("double")
+    xbar0 = F.col("sx0").cast("double") / F.col("n0").cast("double")
+    xbar1 = F.col("sx1").cast("double") / F.col("n1").cast("double")
+    theta = cov_d / vx_d
+    return d.select(
+        F.col("n0").cast("long").alias("n_even"),
+        F.col("n1").cast("long").alias("n_odd"),
+        (ybar0 - ybar1).alias("raw_diff_cents"),
+        theta.alias("theta"),
+        ((ybar0 - ybar1) - theta * (xbar0 - xbar1)).alias("cuped_diff_cents"),
+        ((cov_d * cov_d) / (vx_d * vy_d)).alias("rho_sq"),
+    )
+
+
+# --- Multiple OLS via exact 3x3 Cramer determinants ---------------------------
+
+_MLR_SPLIT = 1152921504606846976  # 2^60: dets reach ~1e34 (int128) at sf1000
+
+MLR_ORACLE = f"""
+WITH rows_m AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x1,
+           CAST(l_quantity AS BIGINT) AS x2
+    FROM lineitem
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x1) AS BIGINT) AS s1,
+           CAST(SUM(x2) AS BIGINT) AS s2,
+           CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+           CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+           CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+           SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM rows_m
+),
+dets AS (
+    SELECT n, sy, s1y, s2y, syy,
+           CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12)
+         - CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2)
+         + CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2)
+             AS det,
+           CAST(sy AS HUGEINT) * (CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12)
+         - CAST(s1 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2y)
+         + CAST(s2 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2y)
+             AS det0,
+           CAST(n AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2y)
+         - CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2)
+         + CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y - CAST(s1y AS HUGEINT) * s2)
+             AS det1,
+           CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * s2y - CAST(s1y AS HUGEINT) * s12)
+         - CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y - CAST(s1y AS HUGEINT) * s2)
+         + CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2)
+             AS det2
+    FROM mom
+),
+split AS (
+    SELECT n, sy, s1y, s2y, syy,
+           CAST(det // {_MLR_SPLIT} AS BIGINT) AS d_hi,
+           CAST(det % {_MLR_SPLIT} AS BIGINT) AS d_lo,
+           CAST(det0 // {_MLR_SPLIT} AS BIGINT) AS d0_hi,
+           CAST(det0 % {_MLR_SPLIT} AS BIGINT) AS d0_lo,
+           CAST(det1 // {_MLR_SPLIT} AS BIGINT) AS d1_hi,
+           CAST(det1 % {_MLR_SPLIT} AS BIGINT) AS d1_lo,
+           CAST(det2 // {_MLR_SPLIT} AS BIGINT) AS d2_hi,
+           CAST(det2 % {_MLR_SPLIT} AS BIGINT) AS d2_lo,
+           CAST(sy // 1048576 AS BIGINT) AS sy_hi,
+           CAST(sy % 1048576 AS BIGINT) AS sy_lo,
+           CAST(s1y // 1048576 AS BIGINT) AS s1y_hi,
+           CAST(s1y % 1048576 AS BIGINT) AS s1y_lo,
+           CAST(s2y // 1048576 AS BIGINT) AS s2y_hi,
+           CAST(s2y % 1048576 AS BIGINT) AS s2y_lo,
+           CAST(syy // 1048576 AS BIGINT) AS syy_hi,
+           CAST(syy % 1048576 AS BIGINT) AS syy_lo
+    FROM dets
+)
+SELECT n,
+       (CAST(d0_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d0_lo)
+       / (CAST(d_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d_lo) AS beta0_cents,
+       (CAST(d1_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d1_lo)
+       / (CAST(d_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d_lo) AS beta1_cents_per_bp,
+       (CAST(d2_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d2_lo)
+       / (CAST(d_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d_lo) AS beta2_cents_per_unit,
+       (((CAST(d0_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d0_lo)
+         / (CAST(d_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d_lo))
+            * (CAST(sy_hi AS DOUBLE) * 1048576.0 + sy_lo)
+        + ((CAST(d1_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d1_lo)
+           / (CAST(d_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d_lo))
+            * (CAST(s1y_hi AS DOUBLE) * 1048576.0 + s1y_lo)
+        + ((CAST(d2_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d2_lo)
+           / (CAST(d_hi AS DOUBLE) * {_MLR_SPLIT}.0 + d_lo))
+            * (CAST(s2y_hi AS DOUBLE) * 1048576.0 + s2y_lo)
+        - (CAST(sy_hi AS DOUBLE) * 1048576.0 + sy_lo)
+          * (CAST(sy_hi AS DOUBLE) * 1048576.0 + sy_lo) / CAST(n AS DOUBLE))
+       / ((CAST(syy_hi AS DOUBLE) * 1048576.0 + syy_lo)
+          - (CAST(sy_hi AS DOUBLE) * 1048576.0 + sy_lo)
+            * (CAST(sy_hi AS DOUBLE) * 1048576.0 + sy_lo) / CAST(n AS DOUBLE))
+           AS r_sq
+FROM split
+"""
+
+
+@register("lineitem_mlr_pricing", MLR_ORACLE)
+def q_lineitem_mlr_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression price ~ discount + quantity solved in
+    closed form: the 3x3 normal equations via Cramer's rule on EXACT
+    integer moments — the grouped-OLS (brand_discount_ols) capability
+    extended to multiple regressors, no iterative solver.
+
+    Exactness: x1 = discount basis points, x2 = quantity, y = cents —
+    all exact ints; the nine moments are exact DECIMAL(38,0)/HUGEINT;
+    the four 3x3 determinants are pure int128 expressions (identical
+    cofactor expansion order both engines, |det| < ~1e34 at sf1000 —
+    inside int128); betas and R² reach double through the 2^60 hi/lo
+    split (lo rounds once in the BIGINT->double cast — correctly
+    rounded on BOTH engines, unlike the int128 direct cast) and ONE
+    identical expression tree.
+
+    Scale: a single map-side-combined moment aggregate; everything
+    after is 1 row. Reference tie-in: VecOp reduce (src/op.rs:18-35)
+    + CrossPOp normal-equation assembly (src/outer_product.rs)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("x1"),
+        F.col("l_quantity").cast("long").alias("x2"),
+    )
+    mom = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(19,0)) * y")).alias("s1y"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(19,0)) * y")).alias("s2y"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y")).alias("syy"),
+    )
+    d38 = lambda c: f"CAST({c} AS DECIMAL(38,0))"
+    det_sql = (
+        f"{d38('n')} * ({d38('s11')} * s22 - {d38('s12')} * s12)"
+        f" - {d38('s1')} * ({d38('s1')} * s22 - {d38('s12')} * s2)"
+        f" + {d38('s2')} * ({d38('s1')} * s12 - {d38('s11')} * s2)"
+    )
+    det0_sql = (
+        f"{d38('sy')} * ({d38('s11')} * s22 - {d38('s12')} * s12)"
+        f" - {d38('s1')} * ({d38('s1y')} * s22 - {d38('s12')} * s2y)"
+        f" + {d38('s2')} * ({d38('s1y')} * s12 - {d38('s11')} * s2y)"
+    )
+    det1_sql = (
+        f"{d38('n')} * ({d38('s1y')} * s22 - {d38('s12')} * s2y)"
+        f" - {d38('sy')} * ({d38('s1')} * s22 - {d38('s12')} * s2)"
+        f" + {d38('s2')} * ({d38('s1')} * s2y - {d38('s1y')} * s2)"
+    )
+    det2_sql = (
+        f"{d38('n')} * ({d38('s11')} * s2y - {d38('s1y')} * s12)"
+        f" - {d38('s1')} * ({d38('s1')} * s2y - {d38('s1y')} * s2)"
+        f" + {d38('sy')} * ({d38('s1')} * s12 - {d38('s11')} * s2)"
+    )
+    dets = mom.select(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        F.expr(f"CAST({det_sql} AS DECIMAL(38,0))").alias("det"),
+        F.expr(f"CAST({det0_sql} AS DECIMAL(38,0))").alias("det0"),
+        F.expr(f"CAST({det1_sql} AS DECIMAL(38,0))").alias("det1"),
+        F.expr(f"CAST({det2_sql} AS DECIMAL(38,0))").alias("det2"),
+    )
+    sp = dets.select(
+        "n",
+        *[
+            F.expr(f"CAST({c} div {_MLR_SPLIT} AS BIGINT)").alias(f"{a}_hi")
+            for c, a in (("det", "d"), ("det0", "d0"), ("det1", "d1"), ("det2", "d2"))
+        ],
+        *[
+            F.expr(f"CAST({c} % {_MLR_SPLIT} AS BIGINT)").alias(f"{a}_lo")
+            for c, a in (("det", "d"), ("det0", "d0"), ("det1", "d1"), ("det2", "d2"))
+        ],
+        *[
+            F.expr(f"CAST({c} div 1048576 AS BIGINT)").alias(f"{c}_hi")
+            for c in ("sy", "s1y", "s2y", "syy")
+        ],
+        *[
+            F.expr(f"CAST({c} % 1048576 AS BIGINT)").alias(f"{c}_lo")
+            for c in ("sy", "s1y", "s2y", "syy")
+        ],
+    )
+    big = float(_MLR_SPLIT)
+    rec = lambda a: F.col(f"{a}_hi").cast("double") * big + F.col(f"{a}_lo")
+    rec20 = lambda c: F.col(f"{c}_hi").cast("double") * 1048576.0 + F.col(f"{c}_lo")
+    n_d = F.col("n").cast("double")
+    b0 = rec("d0") / rec("d")
+    b1 = rec("d1") / rec("d")
+    b2 = rec("d2") / rec("d")
+    ssr = (
+        b0 * rec20("sy")
+        + b1 * rec20("s1y")
+        + b2 * rec20("s2y")
+        - rec20("sy") * rec20("sy") / n_d
+    )
+    sst = rec20("syy") - rec20("sy") * rec20("sy") / n_d
+    return sp.select(
+        "n",
+        b0.alias("beta0_cents"),
+        b1.alias("beta1_cents_per_bp"),
+        b2.alias("beta2_cents_per_unit"),
+        (ssr / sst).alias("r_sq"),
+    )

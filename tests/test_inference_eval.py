@@ -100,3 +100,72 @@ def test_map_relevance_labels_match_ndcg_hash(spark, sf_dir):
     # the binary rel rule is the >=2 cut of the ndcg graded rule
     h = int(hashlib.md5(b"rel:123").hexdigest()[:15], 16)
     assert h % 4 in (0, 1, 2, 3)
+
+
+def test_mlr_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["lineitem_mlr_pricing"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_discount", "l_quantity")
+        .collect()
+    )
+    y = np.array([round(row.l_extendedprice * 100) for row in rows], dtype=float)
+    X = np.column_stack(
+        [
+            np.ones(len(rows)),
+            [round(row.l_discount * 100) for row in rows],
+            [row.l_quantity for row in rows],
+        ]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert r.n == len(rows)
+    for got, want in zip(
+        (r.beta0_cents, r.beta1_cents_per_bp, r.beta2_cents_per_unit), beta
+    ):
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want))
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(r.r_sq - (1 - ss_res / ss_tot)) < 1e-9
+    assert 0.0 <= r.r_sq <= 1.0
+
+
+def test_cuped_theta_reduces_variance(spark, sf_dir):
+    r = QUERIES["cuped_adjusted_lift"](spark, sf_dir).collect()[0]
+    assert r.n_even > 0 and r.n_odd > 0
+    assert 0.0 <= r.rho_sq <= 1.0
+    # recompute theta/rho^2 from per-user pre/post sums
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    import collections
+    from datetime import datetime
+
+    pre = collections.defaultdict(int)
+    post = collections.defaultdict(int)
+    cut = datetime(2024, 1, 16)
+    for row in rows:
+        cents = round(row.value * 100)
+        (pre if row.ts < cut else post)[row.user_id] += cents
+    users = sorted(set(pre) | set(post))
+    xs = [pre.get(u, 0) for u in users]
+    ys = [post.get(u, 0) for u in users]
+    n = len(users)
+    sx, sy = sum(xs), sum(ys)
+    cov = n * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+    vx = n * sum(x * x for x in xs) - sx * sx
+    assert abs(r.theta - cov / vx) < 1e-12 * max(1.0, abs(cov / vx))
+
+
+def test_hits_authority_properties(spark, sf_dir):
+    rows = QUERIES["hits_supplier_authority"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scaled = [r.authority_scaled for r in rows]
+    assert scaled == sorted(scaled, reverse=True)
+    assert scaled[0] == 1 << 20  # the max-normalized leader is exactly 2^20
+    assert all(0 < s <= 1 << 20 for s in scaled)
