@@ -1,0 +1,346 @@
+"""Language-model scoring battery: unigram surprisal filtering, DSIR
+importance weights, and cross-source cross-entropy — the perplexity-
+style quality/selection ops of an LLM data-curation pipeline.
+
+All three need a logarithm; libm is not cross-engine reproducible, so
+every log goes through ``functions.intlog`` (exponent from binary
+string length + 256-entry mantissa LUT shared verbatim by both
+engines) — scores are exact integers, one final double division.
+
+Oracle notes:
+- DuckDB SUM(BIGINT) -> HUGEINT: every summed score is cast back.
+- hex-hash bucketing uses the portable 60-bit MD5 prefix (convention 2).
+- all ORDER BYs carry an id tie-break (convention 4).
+
+Reference tie-in: tokenize/count W3-W7 (src/word_count.rs:90-128)
+feeding VecOp reduce semantics (src/op.rs:18-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.intlog import (
+    LOG2_SCALE,
+    log2_scaled,
+    log2_scaled_sql,
+)
+from amorphous_mapreduce_spark.queries.dedup_queries import toks_cte
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+TOKS_CTE = toks_cte()
+
+SURPRISAL_TOP = 15
+
+SURPRISAL_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tf AS (SELECT id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM toks GROUP BY id, word),
+cw AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
+scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM cw),
+per_doc AS (
+    SELECT id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * {log2_scaled_sql("c")}) AS BIGINT) AS sum_lq
+    FROM tf JOIN cw USING (word) GROUP BY id
+)
+SELECT id,
+       n_tokens,
+       CAST({log2_scaled_sql("n_tok")} * n_tokens - sum_lq AS BIGINT)
+           AS surprisal_scaled,
+       CAST({log2_scaled_sql("n_tok")} * n_tokens - sum_lq AS DOUBLE)
+           / CAST(n_tokens * {LOG2_SCALE} AS DOUBLE) AS mean_bits
+FROM per_doc CROSS JOIN scal
+ORDER BY mean_bits DESC, id LIMIT {SURPRISAL_TOP}
+"""
+)
+
+
+@register("unigram_surprisal_filter", SURPRISAL_ORACLE)
+def q_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: rank documents by mean token
+    surprisal under the corpus's own unigram LM — the classic
+    "perplexity filtering" gate of LLM data curation (high mean
+    surprisal = rare-token gibberish, the first candidates to drop or
+    audit).
+
+    Exactness: surprisal of token w is log2(N) - log2(c_w); both logs
+    are intlog integer-scaled 2^20 values, so the per-doc sum is an
+    exact BIGINT and the mean is ONE double division identical on both
+    engines.
+
+    Scale: tokenize -> (doc, word) count -> corpus-count join keyed on
+    word (vocab-sized, hash join) -> per-doc aggregate; the corpus
+    total is a 1-row scalar crossed back. No windows, no all-pairs."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokenized(docs)
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    cw = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    scal = cw.agg(F.sum("c").alias("n_tok"))
+    per_doc = (
+        tf.join(cw, "word")
+        .select("id", "tf", (F.col("tf") * log2_scaled("c")).alias("wlq"))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("wlq").alias("sum_lq"))
+    )
+    joined = per_doc.crossJoin(F.broadcast(scal))
+    num = log2_scaled("n_tok") * F.col("n_tokens") - F.col("sum_lq")
+    return (
+        joined.select(
+            "id",
+            "n_tokens",
+            num.cast("long").alias("surprisal_scaled"),
+            (
+                num.cast("double")
+                / (F.col("n_tokens") * F.lit(LOG2_SCALE)).cast("double")
+            ).alias("mean_bits"),
+        )
+        .orderBy(F.desc("mean_bits"), F.asc("id"))
+        .limit(SURPRISAL_TOP)
+    )
+
+
+# --- DSIR importance weights --------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_TOP = 20
+
+_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('dsir:' || word), 1, 15) AS BIGINT)"
+    f" % {DSIR_BUCKETS}"
+)
+
+DSIR_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tb AS (
+    SELECT t.id, {_BUCKET_SQL} AS b, d.lang
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+       WHERE lang <> 'en' GROUP BY b),
+cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY b),
+scal AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tb WHERE lang <> 'en') AS nt,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tb) AS nr
+),
+dtf AS (SELECT id, b, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tb WHERE lang = 'en' GROUP BY id, b),
+per_doc AS (
+    SELECT dtf.id,
+           CAST(SUM(dtf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(dtf.tf * ({log2_scaled_sql("COALESCE(ct.c, 0) + 1")}
+                              - {log2_scaled_sql("cr.c + 1")}))
+                AS BIGINT) AS sum_ratio
+    FROM dtf JOIN cr USING (b) LEFT JOIN ct USING (b)
+    GROUP BY dtf.id
+)
+SELECT id, n_tokens,
+       CAST(sum_ratio - n_tokens
+            * ({log2_scaled_sql(f"nt + {DSIR_BUCKETS}")}
+               - {log2_scaled_sql(f"nr + {DSIR_BUCKETS}")}) AS BIGINT)
+           AS weight_scaled,
+       CAST(sum_ratio - n_tokens
+            * ({log2_scaled_sql(f"nt + {DSIR_BUCKETS}")}
+               - {log2_scaled_sql(f"nr + {DSIR_BUCKETS}")}) AS DOUBLE)
+           / CAST(n_tokens * {LOG2_SCALE} AS DOUBLE) AS bits_per_token
+FROM per_doc CROSS JOIN scal
+ORDER BY bits_per_token DESC, id LIMIT {DSIR_TOP}
+"""
+)
+
+
+@register("dsir_importance_weights", DSIR_ORACLE)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    score each raw-pool document (here: lang='en') by the hashed-unigram
+    log-likelihood ratio between a target distribution (non-English
+    docs) and the raw distribution — the published recipe for picking
+    pretraining data that "looks like" a target domain. Positive
+    bits_per_token = more target-like than an average raw doc.
+
+    Exactness: words hash into 512 buckets via the portable MD5 hash;
+    add-1-smoothed bucket log-probs are intlog integers, so the per-doc
+    log-ratio is an exact BIGINT; ONE double division for the per-token
+    normalization.
+
+    Scale: bucket count tables are <= 512 rows (broadcast); per-doc
+    (id, bucket) aggregate -> two broadcast joins -> per-doc reduce.
+    The feature space is fixed-width regardless of corpus size."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = (
+        tokenized(docs)
+        .select(
+            "id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("word"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("id"), "lang")), "id"
+        )
+        .persist()  # feeds target counts, raw counts, totals AND the pool
+    )
+    ct = tb.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    cr = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    scal = tb.agg(
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    dtf = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("tf"))
+    )
+    ratio = log2_scaled("COALESCE(ct, 0) + 1") - log2_scaled("cr + 1")
+    per_doc = (
+        dtf.join(F.broadcast(cr), "b")
+        .join(F.broadcast(ct), "b", "left")
+        .select("id", "tf", (F.col("tf") * ratio).alias("wr"))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("wr").alias("sum_ratio"))
+    )
+    base = log2_scaled(f"nt + {DSIR_BUCKETS}") - log2_scaled(f"nr + {DSIR_BUCKETS}")
+    weight = F.col("sum_ratio") - F.col("n_tokens") * base
+    return (
+        per_doc.crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            "n_tokens",
+            weight.cast("long").alias("weight_scaled"),
+            (
+                weight.cast("double")
+                / (F.col("n_tokens") * F.lit(LOG2_SCALE)).cast("double")
+            ).alias("bits_per_token"),
+        )
+        .orderBy(F.desc("bits_per_token"), F.asc("id"))
+        .limit(DSIR_TOP)
+    )
+
+
+# --- cross-language unigram cross-entropy matrix ------------------------------
+
+XENT_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tagged AS (
+    SELECT t.word, d.lang FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+cl AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tagged GROUP BY lang, word),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM cl GROUP BY lang),
+vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM tagged),
+pairs AS (
+    SELECT tr.lang AS train_lang, ev.lang AS eval_lang, ev.word,
+           ev.c AS tf, COALESCE(ct.c, 0) AS c_t
+    FROM cl ev
+    CROSS JOIN (SELECT lang FROM tot) tr
+    LEFT JOIN cl ct ON ct.lang = tr.lang AND ct.word = ev.word
+),
+num AS (
+    SELECT train_lang, eval_lang,
+           CAST(SUM(tf) AS BIGINT) AS eval_tokens,
+           CAST(SUM(tf * {log2_scaled_sql("c_t + 1")}) AS BIGINT) AS sum_lp
+    FROM pairs GROUP BY train_lang, eval_lang
+)
+SELECT train_lang, eval_lang, eval_tokens,
+       CAST({log2_scaled_sql("n_l + v")} * eval_tokens - sum_lp AS DOUBLE)
+           / CAST(eval_tokens * {LOG2_SCALE} AS DOUBLE) AS cross_entropy_bits
+FROM num
+JOIN tot ON tot.lang = num.train_lang
+CROSS JOIN vocab
+ORDER BY train_lang, eval_lang
+"""
+)
+
+
+@register("lang_cross_entropy_matrix", XENT_ORACLE)
+def q_lang_cross_entropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy H(eval || train) for every language pair:
+    train an add-1-smoothed unigram LM per language, evaluate every
+    language's token stream under it — the domain-proximity matrix that
+    drives dataset-mixing decisions (diagonal = in-domain entropy,
+    off-diagonal = transfer cost in bits/token).
+
+    Exactness: smoothed log-probs log2((c+1)/(N_l+V)) decompose into two
+    intlog integers; the per-pair numerator is an exact BIGINT; ONE
+    double division per output row.
+
+    Scale: the fan-out is (vocab x #languages) rows — language count is
+    a small constant, so the pair stage is a broadcast nested-loop over
+    a 5-row side; per-pair reduce is a hash aggregate. Vocab-bounded,
+    corpus-size-independent state."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = tokenized(docs).join(
+        F.broadcast(docs.select(F.col("doc_id").alias("id"), "lang")), "id"
+    )
+    cl = tagged.groupBy("lang", "word").agg(F.count("*").alias("c")).persist()
+    tot = cl.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = cl.agg(F.countDistinct("word").alias("v"))
+    ev = cl.select(
+        F.col("lang").alias("eval_lang"), "word", F.col("c").alias("tf")
+    )
+    tr = tot.select(F.col("lang").alias("train_lang"))
+    ct = cl.select(
+        F.col("lang").alias("train_lang"), "word", F.col("c").alias("c_t0")
+    )
+    pairs = (
+        ev.crossJoin(F.broadcast(tr))
+        .join(ct, ["train_lang", "word"], "left")
+        .select(
+            "train_lang",
+            "eval_lang",
+            "tf",
+            F.coalesce(F.col("c_t0"), F.lit(0)).alias("c_t"),
+        )
+    )
+    num = (
+        pairs.select(
+            "train_lang",
+            "eval_lang",
+            "tf",
+            (F.col("tf") * log2_scaled("c_t + 1")).alias("wlp"),
+        )
+        .groupBy("train_lang", "eval_lang")
+        .agg(F.sum("tf").alias("eval_tokens"), F.sum("wlp").alias("sum_lp"))
+    )
+    return (
+        num.join(
+            F.broadcast(tot.select(F.col("lang").alias("train_lang"), "n_l")),
+            "train_lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "train_lang",
+            "eval_lang",
+            "eval_tokens",
+            (
+                (log2_scaled("n_l + v") * F.col("eval_tokens") - F.col("sum_lp"))
+                .cast("double")
+                / (F.col("eval_tokens") * F.lit(LOG2_SCALE)).cast("double")
+            ).alias("cross_entropy_bits"),
+        )
+        .orderBy("train_lang", "eval_lang")
+    )

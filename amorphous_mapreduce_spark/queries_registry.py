@@ -58,6 +58,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     inference_queries,
     kmeans_queries,
     lakehouse_queries,
+    lm_queries,
     mining_queries,
     misc_queries,
     multimodal_queries,

@@ -42,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "unigram_surprisal_filter": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
+        "crossed back onto the per-doc surprisal frame — the standard "
+        "scalar-total pattern",
+    },
+    "lang_cross_entropy_matrix": {
+        "BroadcastNestedLoopJoin": "constant 5-row language list crossed "
+        "onto vocab-sized eval counts to enumerate (train, eval) pairs, "
+        "plus the 1-row vocab-size scalar crossed onto the 25-row "
+        "matrix — both sides constant-bounded",
+    },
     "burrows_delta": {
         "BroadcastNestedLoopJoin": "per-source token totals (~20 rows) "
         "crossed with the broadcast constant 40-term panel to build the "
