@@ -993,3 +993,97 @@ def q_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
             n(min_sim.join(em, ["qid", "nid"], "left_semi"), "n_all_three")
         )
     )
+
+
+# --- source modularity of the near-dup graph ---------------------------------
+
+MODULARITY_ORACLE = (
+    _NEARDUP_EDGES_PREFIX
+    + """
+, m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+ns AS (
+    SELECT d.source,
+           CAST(COUNT(DISTINCT e.a) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS deg_sum
+    FROM edges e JOIN documents d ON e.a = d.doc_id
+    GROUP BY d.source
+),
+es AS (
+    SELECT da.source, CAST(COUNT(*) AS BIGINT) AS internal_edges
+    FROM pairs p
+    JOIN documents da ON p.qid = da.doc_id
+    JOIN documents db ON p.nid = db.doc_id
+    WHERE da.source = db.source
+    GROUP BY da.source
+)
+SELECT ns.source, n_nodes, deg_sum,
+       COALESCE(internal_edges, 0) AS internal_edges,
+       CAST(4 * m * COALESCE(internal_edges, 0) - deg_sum * deg_sum AS DOUBLE)
+           / CAST(4 * m * m AS DOUBLE) AS q_contrib
+FROM ns LEFT JOIN es USING (source) CROSS JOIN m
+ORDER BY ns.source
+"""
+)
+
+
+@register("near_dup_source_modularity", MODULARITY_ORACLE)
+def q_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the MinHash-LSH
+    near-dup graph: does duplication concentrate within sources (high
+    Q — dedup shards can follow source boundaries) or cross them (low
+    Q — global dedup is mandatory)? Per-source contribution
+    e_s/m - (deg_s/2m)^2; the sum of q_contrib IS the partition's Q.
+
+    Exactness: the contribution is the cross-multiplied integer
+    (4*m*e_s - deg_s^2) over 4*m^2 — ONE double division per source row
+    (convention: never sum floats across groups).
+
+    Scale: edge list is LSH-bucketed (sub-quadratic); both tag joins are
+    keyed equi-joins on doc id; per-source aggregate state is
+    #sources rows; the pair total is a 1-row scalar crossed back."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    edges = pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b")).unionAll(
+        pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+    )
+    m = pairs.agg(F.count("*").alias("m"))
+    ns = (
+        edges.join(src.withColumnRenamed("id", "a"), "a")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("a").alias("n_nodes"),
+            F.count("*").alias("deg_sum"),
+        )
+    )
+    es = (
+        pairs.join(
+            src.select(F.col("id").alias("qid"), F.col("source").alias("src_a")),
+            "qid",
+        )
+        .join(
+            src.select(F.col("id").alias("nid"), F.col("source").alias("src_b")),
+            "nid",
+        )
+        .filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count("*").alias("internal_edges0"))
+    )
+    return (
+        ns.join(es, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_nodes",
+            "deg_sum",
+            F.coalesce(F.col("internal_edges0"), F.lit(0)).alias("internal_edges"),
+            (
+                (
+                    F.lit(4) * F.col("m") * F.coalesce(F.col("internal_edges0"), F.lit(0))
+                    - F.col("deg_sum") * F.col("deg_sum")
+                ).cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+            ).alias("q_contrib"),
+        )
+        .orderBy("source")
+    )

@@ -378,3 +378,174 @@ def q_quality_rule_cofire(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- JL random-projection distance distortion --------------------------------
+
+import hashlib as _hashlib
+
+JL_DIM = 64
+JL_K = 8
+JL_OFFSETS = (1, 7, 131)
+
+# Deterministic +-1 hyperplane signs shared verbatim by both engines
+# (computed from md5 in Python — a constant of the query, not an
+# engine hash).
+JL_SIGNS: list[list[int]] = [
+    [
+        1 if int(_hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest(), 16) & 1 else -1
+        for i in range(JL_DIM)
+    ]
+    for j in range(JL_K)
+]
+
+
+def _jl_y_sql(tbl: str) -> str:
+    """DuckDB: 8 exact integer projections of the int8 vector via
+    double dot products (values << 2^53, so double is exact)."""
+    comps = [
+        "CAST(list_dot_product(" + tbl + ".qvd, ["
+        + ", ".join(f"{s}.0" for s in signs)
+        + "]) AS BIGINT)"
+        for signs in JL_SIGNS
+    ]
+    return "[" + ", ".join(comps) + "]"
+
+
+JL_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(TRUNC(CAST(x AS DOUBLE)
+                               / list_max(list_transform(embedding,
+                                   v -> abs(CAST(v AS DOUBLE)))) * 127.0)
+                         AS INTEGER)) AS qv
+    FROM embeddings
+    WHERE list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) > 0
+),
+f AS (
+    SELECT id, qvd, {_jl_y_sql('t')} AS y
+    FROM (SELECT id, list_transform(qv, v -> CAST(v AS DOUBLE)) AS qvd
+          FROM q) t
+),
+pairs AS (
+    SELECT o.off,
+           CAST(list_dot_product(a.qvd, a.qvd)
+                - 2 * list_dot_product(a.qvd, b.qvd)
+                + list_dot_product(b.qvd, b.qvd) AS BIGINT) AS d2_orig,
+           CAST(list_sum(list_transform(range(1, {JL_K} + 1),
+                j -> CAST((a.y[j] - b.y[j]) * (a.y[j] - b.y[j]) AS BIGINT)))
+                AS BIGINT) AS d2_proj
+    FROM f a
+    CROSS JOIN (VALUES (1), (7), (131)) o(off)
+    JOIN f b ON b.id = a.id + o.off
+)
+SELECT CAST(off AS BIGINT) AS off,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d2_orig) AS BIGINT) AS sum_d2_orig,
+       CAST(SUM(d2_proj) AS BIGINT) AS sum_d2_proj,
+       CAST(SUM(d2_proj) AS DOUBLE)
+           / ({JL_K}.0 * CAST(SUM(d2_orig) AS DOUBLE)) AS ratio_of_sums,
+       MAX(CAST(d2_proj AS DOUBLE) / ({JL_K}.0 * CAST(d2_orig AS DOUBLE)))
+           AS max_ratio,
+       MIN(CAST(d2_proj AS DOUBLE) / ({JL_K}.0 * CAST(d2_orig AS DOUBLE)))
+           AS min_ratio
+FROM pairs WHERE d2_orig > 0
+GROUP BY off ORDER BY off
+"""
+
+
+@register("jl_projection_distortion", JL_ORACLE)
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project int8-quantized embeddings
+    onto 8 fixed +-1 hyperplanes (the cheap dimension reduction in
+    front of an ANN index) and measure how squared pair distances
+    distort — ratio_of_sums near 1.0 validates the projection; min/max
+    bound the per-pair damage. Pairs are deterministic id-offset
+    probes (offsets 1/7/131), not an all-pairs scan.
+
+    Exactness: quantized components, projections, and squared
+    distances are all exact integers (|y_j| <= 64*127, squares well
+    under 2^53, so DuckDB's double dot products are exact too); ratios
+    are single divisions of identical integers. d2_orig = 0 pairs are
+    excluded on both engines (ANSI-safe division).
+
+    Scale: per-row transform + three keyed self-join probes on
+    id+offset; the 3-row offset list is a broadcast constant. State is
+    O(rows), shuffle is the equi-join only. Reference tie-in: CrossPOp
+    row-pair semantics (src/outer_product.rs) restricted to a sparse
+    deterministic pairing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(absd)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: (x.cast("double") / F.col("scale") * F.lit(127.0)).cast("int"),
+    )
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(s) for s in signs]),
+                lambda a, b: (a * b).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for signs in JL_SIGNS
+    ]
+    f = (
+        emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding"), scale.alias("scale")
+        )
+        .filter(F.col("scale") > 0)
+        .withColumn("qv", qv)
+        .select("id", "qv", F.array(*proj).alias("y"))
+        .persist()  # both sides of the offset self-join
+    )
+    offsets = spark.createDataFrame([(o,) for o in JL_OFFSETS], "off long")
+    a = f.crossJoin(F.broadcast(offsets)).withColumn(
+        "bid", F.col("id") + F.col("off")
+    )
+    b = f.select(
+        F.col("id").alias("bid"),
+        F.col("qv").alias("qv_b"),
+        F.col("y").alias("y_b"),
+    )
+    d2_orig = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qv_b"), lambda x, y: ((x - y) * (x - y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2_proj = F.aggregate(
+        F.zip_with(
+            F.col("y"), F.col("y_b"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "bid")
+        .select("off", d2_orig.alias("d2_orig"), d2_proj.alias("d2_proj"))
+        .filter(F.col("d2_orig") > 0)
+    )
+    ratio = F.col("d2_proj").cast("double") / (
+        F.lit(float(JL_K)) * F.col("d2_orig").cast("double")
+    )
+    return (
+        pairs.groupBy("off")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("d2_orig").alias("sum_d2_orig"),
+            F.sum("d2_proj").alias("sum_d2_proj"),
+            (
+                F.sum("d2_proj").cast("double")
+                / (F.lit(float(JL_K)) * F.sum("d2_orig").cast("double"))
+            ).alias("ratio_of_sums"),
+            F.max(ratio).alias("max_ratio"),
+            F.min(ratio).alias("min_ratio"),
+        )
+        .orderBy("off")
+    )

@@ -2008,3 +2008,309 @@ def q_lineitem_mlr_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2.alias("beta2_cents_per_unit"),
         (ssr / sst).alias("r_sq"),
     )
+
+
+# --- split-conformal prediction intervals ------------------------------------
+
+_CONF_ALPHA_NUM = 9  # 1 - alpha = 9/10
+
+CONFORMAL_ORACLE = """
+WITH obs AS (
+    SELECT l_orderkey AS k1, l_linenumber AS k2,
+           CAST('0x' || substr(md5('conf:' || CAST(l_orderkey AS VARCHAR)
+                                   || ':' || CAST(l_linenumber AS VARCHAR)),
+                               1, 15) AS BIGINT) % 4 AS split,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM lineitem
+),
+tr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+                AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(15,0)))
+                AS DECIMAL(38,0)) AS sxy
+    FROM obs WHERE split <= 1
+),
+fit AS (
+    SELECT n AS n_train,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+    FROM tr
+),
+fit2 AS (
+    SELECT n_train, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+    FROM fit CROSS JOIN tr
+),
+calib AS (
+    SELECT k1, k2,
+           ABS(CAST(y AS DOUBLE) - (intercept + slope * CAST(x AS DOUBLE)))
+               AS r
+    FROM obs CROSS JOIN fit2 WHERE split = 2
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
+pick AS (
+    SELECT r AS qhat
+    FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r, k1, k2) AS rn FROM calib)
+    CROSS JOIN nc
+    WHERE rn = (9 * (n_calib + 1) + 9) // 10
+),
+test AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN
+               ABS(CAST(y AS DOUBLE) - (intercept + slope * CAST(x AS DOUBLE)))
+               <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    FROM obs CROSS JOIN fit2 CROSS JOIN pick WHERE split = 3
+)
+SELECT n_train, n_calib, n_test, slope, intercept, qhat AS qhat_cents,
+       n_covered,
+       CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+FROM fit2 CROSS JOIN nc CROSS JOIN pick CROSS JOIN test
+"""
+
+
+@register("conformal_price_intervals", CONFORMAL_ORACLE)
+def q_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction: hash-split lineitem 50/25/25 into
+    train/calibration/test, fit price ~ quantity by OLS on train, take
+    the ceil(0.9*(n+1))-th smallest absolute calibration residual as the
+    interval half-width, and report empirical test coverage — the
+    distribution-free uncertainty-quantification recipe (Vovk;
+    Angelopoulos & Bates 2023) guaranteeing coverage >= 90%.
+
+    Exactness: OLS comes from exact decimal moments collapsing to ONE
+    double expression (brand_discount_ols discipline); residuals are an
+    identical double tree on both engines; the quantile is an exact
+    order statistic (ceil via integer (9*(n+1)+9) div 10).
+
+    Scale: the calibration quantile avoids a global sort — residuals
+    bucket by floor(cents), ranks are bucket-partitioned row_numbers
+    plus a bucket-level prefix sum (bounded #distinct cent buckets),
+    the two-phase exact-selection pattern of the histogram-median
+    family. Everything else is scalar aggregates crossed back."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        ).alias("split"),
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    ).persist()  # three split slices re-read it
+    tr = li.filter(F.col("split") <= 1).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(15,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    fit = tr.select(
+        F.col("n").alias("n_train"),
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+    )
+    resid = F.abs(
+        F.col("y").cast("double")
+        - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+    )
+    calib = (
+        li.filter(F.col("split") == 2)
+        .crossJoin(F.broadcast(fit))
+        .select("k1", "k2", resid.alias("r"), F.floor(resid).alias("bucket"))
+    )
+    nc = calib.agg(F.count("*").alias("n_calib"))
+    # two-phase exact selection: per-bucket ranks + bucket prefix counts
+    bc = calib.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bprefix = bc.select(
+        "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("before")
+    )
+    rn_in = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("r", "k1", "k2")
+    )
+    k_rank = F.expr("(9 * (n_calib + 1) + 9) div 10")
+    pick = (
+        calib.select("bucket", "r", rn_in.alias("rn"))
+        .join(F.broadcast(bprefix), "bucket")
+        .crossJoin(F.broadcast(nc))
+        .filter(F.col("before") + F.col("rn") == k_rank)
+        .select(F.col("r").alias("qhat"))
+    )
+    test = (
+        li.filter(F.col("split") == 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(pick))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(resid <= F.col("qhat"), 1).otherwise(0)).alias(
+                "n_covered"
+            ),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(pick))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_calib",
+            "n_test",
+            "slope",
+            "intercept",
+            F.col("qhat").alias("qhat_cents"),
+            "n_covered",
+            (
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+# --- PSI: population stability index between halves of the month -------------
+
+from amorphous_mapreduce_spark.functions.intlog import (  # noqa: E402
+    LOG2_SCALE as _PSI_SCALE,
+    log2_scaled as _psi_log,
+    log2_scaled_sql as _psi_log_sql,
+)
+
+_PSI_CUT = "2024-01-16"
+_PSI_BAND_CENTS = 500  # $5 value bands
+_PSI_SMOOTH = 1024  # fixed add-1-of-1024 smoothing mass
+
+
+def _psi_lr_sql() -> str:
+    return (
+        f"({_psi_log_sql('c1 + 1')} - {_psi_log_sql(f'n1 + {_PSI_SMOOTH}')}"
+        f" - {_psi_log_sql('c2 + 1')} + {_psi_log_sql(f'n2 + {_PSI_SMOOTH}')})"
+    )
+
+
+PSI_ORACLE = f"""
+WITH v AS (
+    SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               // {_PSI_BAND_CENTS} AS bucket,
+           CASE WHEN ts < TIMESTAMP '{_PSI_CUT} 00:00:00' THEN 1 ELSE 2 END
+               AS period
+    FROM events WHERE event_type = 'purchase'
+),
+b AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+    FROM v GROUP BY bucket
+),
+tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM b
+),
+contrib AS (
+    SELECT CAST(SUM(((c1 * {_PSI_SCALE}) // n1 - (c2 * {_PSI_SCALE}) // n2)
+                    * {_psi_lr_sql()}) AS BIGINT) AS psi_scaled
+    FROM b CROSS JOIN tot
+)
+SELECT n1, n2, n_buckets, psi_scaled,
+       CAST(psi_scaled AS DOUBLE)
+       / ({_PSI_SCALE}.0 * {_PSI_SCALE}.0) AS psi_bits
+FROM contrib CROSS JOIN tot
+"""
+
+
+@register("psi_value_stability", PSI_ORACLE)
+def q_psi_value_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the purchase-value distribution
+    between the first and second half of the month — the model-ops
+    drift gate (rule of thumb: PSI < 0.1 stable, > 0.25 shifted),
+    complementing feature_drift_buckets' chi2 with the log-ratio
+    metric.
+
+    Exactness: proportions quantize to 2^-20 integers (floor div by the
+    period totals); the smoothed log-ratio is four intlog integers; each
+    bucket contribution is an exact int64 product (<= 2^20 * ~56*2^20 =
+    2^46-ish per bucket), so the sum needs no decimal ladder; ONE double
+    division at the end. PSI here is in bits (log2) — the deterministic
+    spec.
+
+    Scale: one map-side-combined bucket aggregate over the value bands,
+    then everything runs on #buckets rows with the 1-row totals scalar
+    crossed back."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = ev.select(
+        F.expr(
+            f"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            f" div {_PSI_BAND_CENTS}"
+        ).alias("bucket"),
+        F.when(
+            F.col("ts") < F.lit(f"{_PSI_CUT} 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("period"),
+    )
+    b = v.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    tot = b.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count("*").alias("n_buckets"),
+    )
+    lr = (
+        _psi_log("c1 + 1")
+        - _psi_log(f"n1 + {_PSI_SMOOTH}")
+        - _psi_log("c2 + 1")
+        + _psi_log(f"n2 + {_PSI_SMOOTH}")
+    )
+    dp = F.expr(f"(c1 * {_PSI_SCALE}) div n1 - (c2 * {_PSI_SCALE}) div n2")
+    contrib = (
+        b.crossJoin(F.broadcast(tot))
+        .agg(F.sum(dp * lr).alias("psi_scaled"))
+    )
+    return contrib.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "n_buckets",
+        F.col("psi_scaled").cast("long").alias("psi_scaled"),
+        (
+            F.col("psi_scaled").cast("double")
+            / F.lit(float(_PSI_SCALE) * float(_PSI_SCALE))
+        ).alias("psi_bits"),
+    )

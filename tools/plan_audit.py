@@ -42,6 +42,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "conformal_price_intervals": {
+        "BroadcastNestedLoopJoin": "1-row scalar frames (fit "
+        "coefficients, calibration count, qhat pick, test coverage) "
+        "crossed back onto each split slice and the final assembly — "
+        "every BNLJ side is exactly one row",
+        "Exchange SinglePartition": "bucket-level prefix-sum window over "
+        "the bounded floor(cent) residual histogram (#buckets <= price "
+        "range, data-size independent) — the two-phase exact-selection "
+        "pattern; plus the 1-row final assembly",
+    },
+    "jl_projection_distortion": {
+        "BroadcastNestedLoopJoin": "constant 3-row offset list crossed "
+        "onto the feature table to form the id+offset probe keys; the "
+        "pair join itself is a keyed equi-join",
+    },
+    "near_dup_source_modularity": {
+        "BroadcastNestedLoopJoin": "1-row pair-total scalar crossed back "
+        "onto the #sources-row modularity frame — the standard "
+        "scalar-total pattern",
+    },
+    "psi_value_stability": {
+        "BroadcastNestedLoopJoin": "1-row period-totals scalar crossed "
+        "onto the bounded value-band histogram and the 1-row final "
+        "summary — constant-size sides",
+    },
+    "dsir_importance_weights": {
+        "BroadcastNestedLoopJoin": "1-row target/raw token-total scalar "
+        "crossed back onto the per-doc log-ratio frame — the standard "
+        "scalar-total pattern (bucket joins themselves are keyed "
+        "broadcasts)",
+    },
     "unigram_surprisal_filter": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
         "crossed back onto the per-doc surprisal frame — the standard "
