@@ -1087,3 +1087,97 @@ def q_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- per-source knockout yield of the near-dup pair list ----------------------
+
+KNOCKOUT_ORACLE = (
+    _NEARDUP_EDGES_PREFIX
+    + """
+, m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+tagged AS (
+    SELECT p.qid, p.nid, da.source AS src_a, db.source AS src_b
+    FROM pairs p
+    JOIN documents da ON p.qid = da.doc_id
+    JOIN documents db ON p.nid = db.doc_id
+),
+incident AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_incident FROM (
+        SELECT qid, nid, src_a AS source FROM tagged
+        UNION
+        SELECT qid, nid, src_b AS source FROM tagged
+    ) GROUP BY source
+),
+internal AS (
+    SELECT src_a AS source, CAST(COUNT(*) AS BIGINT) AS n_internal
+    FROM tagged WHERE src_a = src_b GROUP BY src_a
+)
+SELECT i.source, n_incident,
+       COALESCE(n_internal, 0) AS n_internal,
+       n_incident - COALESCE(n_internal, 0) AS n_cross,
+       CAST(n_incident AS DOUBLE) / CAST(m AS DOUBLE) AS knockout_share
+FROM incident i LEFT JOIN internal USING (source) CROSS JOIN m
+ORDER BY i.source
+"""
+)
+
+
+@register("source_knockout_dup_yield", KNOCKOUT_ORACLE)
+def q_source_knockout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out dedup accounting: for each source, how many
+    near-dup pairs vanish if that source is excluded from the corpus
+    (pairs incident to it), split into within-source and cross-source
+    mass — the marginal-contribution ranking that decides which feed to
+    renegotiate or down-weight first (the knockout sibling of
+    markov_removal_attribution, applied to dedup yield).
+
+    Exactness: pure integer pair counts; one division by the 1-row pair
+    total. The UNION dedups (qid, nid, source) so a same-source pair
+    counts once toward its source.
+
+    Scale: LSH-bucketed pair list, two keyed doc-tag joins, a
+    per-source rollup — no quadratic stage; the pair total is a scalar
+    crossed back."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("id").alias("qid"), F.col("source").alias("src_a")),
+            "qid",
+        )
+        .join(
+            src.select(F.col("id").alias("nid"), F.col("source").alias("src_b")),
+            "nid",
+        )
+        .persist()  # incident, internal AND the total re-read it
+    )
+    m = tagged.agg(F.count("*").alias("m"))
+    incident = (
+        tagged.select("qid", "nid", F.col("src_a").alias("source"))
+        .unionAll(tagged.select("qid", "nid", F.col("src_b").alias("source")))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_incident"))
+    )
+    internal = (
+        tagged.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count("*").alias("n_internal0"))
+    )
+    return (
+        incident.join(internal, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_incident",
+            F.coalesce(F.col("n_internal0"), F.lit(0)).alias("n_internal"),
+            (
+                F.col("n_incident") - F.coalesce(F.col("n_internal0"), F.lit(0))
+            ).alias("n_cross"),
+            (
+                F.col("n_incident").cast("double") / F.col("m").cast("double")
+            ).alias("knockout_share"),
+        )
+        .orderBy("source")
+    )

@@ -344,3 +344,140 @@ def q_lang_cross_entropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_lang", "eval_lang")
     )
+
+
+# --- bigram-over-unigram perplexity gain per source ---------------------------
+
+BIGRAM_GAIN_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tagged AS (
+    SELECT t.id, t.pos, t.word, d.source
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+uni AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tagged GROUP BY source, word),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM uni GROUP BY source),
+vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM tagged),
+bg AS (
+    SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        SELECT source, id, word AS w1,
+               lead(word) OVER (PARTITION BY id ORDER BY pos) AS w2
+        FROM tagged
+    ) WHERE w2 IS NOT NULL GROUP BY source, w1, w2
+),
+h1 AS (
+    SELECT u.source,
+           CAST(SUM(u.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(u.c * ({log2_scaled_sql("n_s + v")}
+                           - {log2_scaled_sql("u.c + 1")})) AS BIGINT) AS bits1
+    FROM uni u JOIN stot USING (source) CROSS JOIN vocab
+    GROUP BY u.source
+),
+h2 AS (
+    SELECT bg.source,
+           CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c12 * ({log2_scaled_sql("u.c + v")}
+                           - {log2_scaled_sql("c12 + 1")})) AS BIGINT) AS bits2
+    FROM bg
+    JOIN uni u ON u.source = bg.source AND u.word = bg.w1
+    CROSS JOIN vocab
+    GROUP BY bg.source
+)
+SELECT h1.source, n_tokens, n_bigrams,
+       CAST(bits1 AS DOUBLE) / CAST(n_tokens * {LOG2_SCALE} AS DOUBLE)
+           AS unigram_bits,
+       CAST(bits2 AS DOUBLE) / CAST(n_bigrams * {LOG2_SCALE} AS DOUBLE)
+           AS bigram_bits,
+       CAST(bits1 AS DOUBLE) / CAST(n_tokens * {LOG2_SCALE} AS DOUBLE)
+       - CAST(bits2 AS DOUBLE) / CAST(n_bigrams * {LOG2_SCALE} AS DOUBLE)
+           AS gain_bits
+FROM h1 JOIN h2 ON h1.source = h2.source
+ORDER BY h1.source
+"""
+)
+
+
+@register("bigram_perplexity_gain", BIGRAM_GAIN_ORACLE)
+def q_bigram_perplexity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-order study per source: in-domain bits/token under an add-1
+    unigram LM vs an add-1-smoothed bigram LM (conditional
+    (c12+1)/(c1+V)) — the gain quantifies how much local word order
+    each source's text carries (boilerplate-heavy sources gain most),
+    informing tokenizer and context-length decisions.
+
+    Exactness: both entropies decompose into intlog integers; per-source
+    sums are exact BIGINTs; two double divisions per row.
+
+    Scale: unigram and bigram tables are vocab-bounded hash aggregates;
+    the bigram pass uses a per-doc window (partitioned by doc — never
+    global); the conditional join is keyed on (source, w1)."""
+    from pyspark.sql import Window
+
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = (
+        tokenized(docs)
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("id"), "source")), "id")
+        .persist()  # unigram, vocab AND bigram passes
+    )
+    uni = tagged.groupBy("source", "word").agg(F.count("*").alias("c")).persist()
+    stot = uni.groupBy("source").agg(F.sum("c").alias("n_s"))
+    vocab = tagged.agg(F.countDistinct("word").alias("v"))
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        tagged.select("source", "id", "pos", F.col("word").alias("w1"))
+        .withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("source", "w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    h1 = (
+        uni.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "c",
+            (F.col("c") * (log2_scaled("n_s + v") - log2_scaled("c + 1"))).alias(
+                "wb"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("c").alias("n_tokens"), F.sum("wb").alias("bits1"))
+    )
+    h2 = (
+        bg.join(
+            uni.select("source", F.col("word").alias("w1"), F.col("c").alias("c1")),
+            ["source", "w1"],
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "c12",
+            (
+                F.col("c12") * (log2_scaled("c1 + v") - log2_scaled("c12 + 1"))
+            ).alias("wb"),
+        )
+        .groupBy("source")
+        .agg(F.sum("c12").alias("n_bigrams"), F.sum("wb").alias("bits2"))
+    )
+    u_bits = F.col("bits1").cast("double") / (
+        F.col("n_tokens") * F.lit(LOG2_SCALE)
+    ).cast("double")
+    b_bits = F.col("bits2").cast("double") / (
+        F.col("n_bigrams") * F.lit(LOG2_SCALE)
+    ).cast("double")
+    return (
+        h1.join(h2, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_bigrams",
+            u_bits.alias("unigram_bits"),
+            b_bits.alias("bigram_bits"),
+            (u_bits - b_bits).alias("gain_bits"),
+        )
+        .orderBy("source")
+    )

@@ -549,3 +549,146 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("off")
     )
+
+
+# --- per-dimension audit of the int8-quantized embedding space ----------------
+
+DIM_AUDIT_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(TRUNC(CAST(x AS DOUBLE)
+                               / list_max(list_transform(embedding,
+                                   v -> abs(CAST(v AS DOUBLE)))) * 127.0)
+                         AS INTEGER)) AS qv
+    FROM embeddings
+    WHERE list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) > 0
+),
+dims AS (
+    SELECT generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v FROM q
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_q,
+       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_q2,
+       CAST(MIN(v) AS BIGINT) AS min_q,
+       CAST(MAX(v) AS BIGINT) AS max_q,
+       CAST(SUM(CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q,
+       (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE)
+        - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+       / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) AS var_q
+FROM dims GROUP BY dim ORDER BY dim
+"""
+
+
+@register("embedding_dim_audit", DIM_AUDIT_ORACLE)
+def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health audit of the int8-quantized embedding space:
+    mean/variance/min/max/saturation per coordinate — the pre-index
+    check that catches dead dimensions (var ~ 0 -> wasted index width)
+    and hot ones (saturation -> quantization clipping) before an ANN
+    build commits to a layout.
+
+    Exactness: quantized components are exact integers (the
+    embedding_quantize expression), so all moments are integer sums;
+    mean and population variance are single double expressions of
+    exact integers.
+
+    Scale: posexplode fans out rows x 64 — a constant factor — then one
+    hash aggregate onto 64 groups. No joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: (x.cast("double") / F.col("scale") * F.lit(127.0)).cast("int"),
+    )
+    dims = (
+        emb.select(F.col("vec_id").alias("id"), "embedding",
+                   F.array_max(absd).alias("scale"))
+        .filter(F.col("scale") > 0)
+        .select(F.posexplode(qv).alias("dim", "v"))
+    )
+    n, s, s2 = F.count("*"), F.sum("v"), F.sum(F.col("v").cast("long") * F.col("v"))
+    return (
+        dims.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            n.alias("n"),
+            s.alias("sum_q"),
+            s2.alias("sum_q2"),
+            F.min("v").cast("long").alias("min_q"),
+            F.max("v").cast("long").alias("max_q"),
+            F.sum(F.when(F.abs(F.col("v")) == 127, 1).otherwise(0)).alias("n_sat"),
+            (s.cast("double") / n.cast("double")).alias("mean_q"),
+            (
+                (n.cast("double") * s2.cast("double")
+                 - s.cast("double") * s.cast("double"))
+                / (n.cast("double") * n.cast("double"))
+            ).alias("var_q"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --- curation waterfall: first-failing-rule attribution -----------------------
+
+WATERFALL_ORACLE = f"""
+WITH q AS ( {QUALITY_ORACLE} ),
+staged AS (
+    SELECT id, n_words,
+           CASE WHEN n_words < 30 THEN 'a_short'
+                WHEN top_bigram_frac > 0.1 THEN 'b_repetitive'
+                WHEN uniq_frac < 0.3 THEN 'c_low_diversity'
+                WHEN stop_frac = 0 THEN 'd_no_stopwords'
+                ELSE 'e_pass' END AS stage
+    FROM q
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM staged)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_docs) AS DOUBLE) AS doc_share
+FROM staged CROSS JOIN tot
+GROUP BY stage ORDER BY stage
+"""
+
+
+@register("curation_waterfall", WATERFALL_ORACLE)
+def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel waterfall: every document attributed to the FIRST
+    Gopher rule it fails (short -> repetitive -> low-diversity ->
+    no-stopwords -> pass), with doc and token mass per stage — the
+    drop-report a data pipeline publishes per ingest batch (cofire
+    gives correlations; this gives the accounting that sums to 100%).
+
+    Exactness: rule fractions are single exact divisions
+    (quality_rules discipline); stage labels are deterministic CASE
+    priority; shares are one division by the 1-row total.
+
+    Scale: rides the quality_rules per-doc aggregates; the stage rollup
+    is 5 rows."""
+    q = quality_rules(_docs(spark, sf_dir))
+    staged = q.select(
+        "id",
+        "n_words",
+        F.when(F.col("n_words") < 30, "a_short")
+        .when(F.col("top_bigram_frac") > 0.1, "b_repetitive")
+        .when(F.col("uniq_frac") < 0.3, "c_low_diversity")
+        .when(F.col("stop_frac") == 0, "d_no_stopwords")
+        .otherwise("e_pass")
+        .alias("stage"),
+    )
+    tot = staged.agg(F.count("*").alias("n_all"))
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            (
+                F.count("*").cast("double")
+                / F.max("n_all").cast("double")
+            ).alias("doc_share"),
+        )
+        .orderBy("stage")
+    )

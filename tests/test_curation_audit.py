@@ -1,0 +1,110 @@
+"""Bigram gain, dim audit, waterfall, knockout: Python replays and
+invariants (imports via queries_registry)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from amorphous_mapreduce_spark.queries_registry import QUERIES
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _toks(text: str) -> list[str]:
+    return [w for w in re.sub(r"\s+", " ", text.strip().lower()).split(" ") if w]
+
+
+def test_bigram_gain_replay(spark, sf_dir):
+    from amorphous_mapreduce_spark.functions.intlog import LOG2_LUT, LOG2_SCALE
+
+    def l(c: int) -> int:
+        e = c.bit_length() - 1
+        return e * LOG2_SCALE + LOG2_LUT[(c * 256) // (1 << e) - 256]
+
+    rows = {r.source: r for r in QUERIES["bigram_perplexity_gain"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    uni: dict[str, Counter] = defaultdict(Counter)
+    bg: dict[str, Counter] = defaultdict(Counter)
+    vocab = set()
+    for d in docs:
+        ts = _toks(d.text)
+        vocab.update(ts)
+        uni[d.source].update(ts)
+        bg[d.source].update(zip(ts, ts[1:]))
+    v = len(vocab)
+    for s, cu in uni.items():
+        n_s = sum(cu.values())
+        bits1 = sum(c * (l(n_s + v) - l(c + 1)) for c in cu.values())
+        n_bg = sum(bg[s].values())
+        bits2 = sum(
+            c12 * (l(cu[w1] + v) - l(c12 + 1)) for (w1, _), c12 in bg[s].items()
+        )
+        r = rows[s]
+        assert (r.n_tokens, r.n_bigrams) == (n_s, n_bg)
+        assert r.unigram_bits == pytest.approx(bits1 / (n_s * LOG2_SCALE), abs=1e-12)
+        assert r.bigram_bits == pytest.approx(bits2 / (n_bg * LOG2_SCALE), abs=1e-12)
+        # bigram conditioning should not hurt in-domain fit materially
+        assert r.gain_bits > -0.5
+
+
+def test_dim_audit_replay(spark, sf_dir):
+    import numpy as np
+
+    rows = QUERIES["embedding_dim_audit"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    qs = []
+    for r in emb:
+        v = np.array(r.embedding, dtype=np.float64)
+        s = np.abs(v).max()
+        if s > 0:
+            qs.append(np.trunc(v / s * 127.0).astype(np.int64))
+    q = np.stack(qs)
+    for r in rows:
+        col = q[:, r.dim]
+        assert r.n == len(col)
+        assert r.sum_q == int(col.sum())
+        assert r.sum_q2 == int((col.astype(object) ** 2).sum())
+        assert (r.min_q, r.max_q) == (int(col.min()), int(col.max()))
+        assert r.n_sat == int((np.abs(col) == 127).sum())
+        assert r.var_q == pytest.approx(
+            (r.n * r.sum_q2 - r.sum_q**2) / (r.n * r.n), rel=1e-12
+        )
+        assert r.var_q >= 0
+
+
+def test_waterfall_accounts_for_every_doc(spark, sf_dir):
+    rows = QUERIES["curation_waterfall"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.doc_share for r in rows) == pytest.approx(1.0, abs=1e-12)
+    stages = [r.stage for r in rows]
+    assert stages == sorted(stages)
+    assert set(stages) <= {
+        "a_short",
+        "b_repetitive",
+        "c_low_diversity",
+        "d_no_stopwords",
+        "e_pass",
+    }
+    # the pass stage must exist and dominate on the synthetic corpus
+    byname = {r.stage: r for r in rows}
+    assert byname["e_pass"].n_docs > 0
+
+
+def test_knockout_invariants(spark, sf_dir):
+    rows = QUERIES["source_knockout_dup_yield"](spark, sf_dir).collect()
+    assert rows
+    m = None
+    for r in rows:
+        assert 0 <= r.n_internal <= r.n_incident
+        assert r.n_cross == r.n_incident - r.n_internal
+        assert 0 < r.knockout_share <= 1.0
+        got_m = round(r.n_incident / r.knockout_share)
+        m = m or got_m
+        assert abs(got_m - m) <= 1  # same pair total behind every row
+    # every pair touches 1 or 2 sources: sum(incident) between m and 2m
+    tot_inc = sum(r.n_incident for r in rows)
+    assert m <= tot_inc <= 2 * m

@@ -42,6 +42,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "bigram_perplexity_gain": {
+        "BroadcastNestedLoopJoin": "1-row joint-vocab-size scalar "
+        "crossed onto the unigram and bigram count frames — the "
+        "standard scalar-total pattern, once per entropy branch",
+    },
+    "curation_waterfall": {
+        "BroadcastNestedLoopJoin": "1-row document-total scalar crossed "
+        "onto the per-doc stage frame before the 5-row rollup",
+    },
+    "source_knockout_dup_yield": {
+        "BroadcastNestedLoopJoin": "1-row pair-total scalar crossed back "
+        "onto the #sources-row knockout frame",
+    },
     "conformal_price_intervals": {
         "BroadcastNestedLoopJoin": "1-row scalar frames (fit "
         "coefficients, calibration count, qhat pick, test coverage) "
