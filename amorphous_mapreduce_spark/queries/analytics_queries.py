@@ -3232,3 +3232,128 @@ def q_hits_supplier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_scaled"), F.asc("suppkey"))
         .limit(10)
     )
+
+
+# --- offline bandit policy evaluation by replay -------------------------------
+
+_BANDIT_WINDOW_US = 30 * 60 * 1000000  # 30-minute reward window
+
+BANDIT_ORACLE = f"""
+WITH v AS (
+    SELECT event_id, user_id,
+           epoch_us(ts) AS vus,
+           CAST('0x' || substr(md5('arm:' || CAST(event_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 3 AS logged_arm,
+           CAST('0x' || substr(md5('pol:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 3 AS policy_arm
+    FROM events WHERE event_type = 'view'
+),
+r AS (
+    SELECT v.*,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = v.user_id
+                 AND epoch_us(c.ts) > v.vus
+                 AND epoch_us(c.ts) <= v.vus + {_BANDIT_WINDOW_US}
+           ) THEN 1 ELSE 0 END AS reward
+    FROM v
+)
+SELECT logged_arm AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(reward) AS BIGINT) AS n_rewarded,
+       CAST(SUM(reward) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS logged_ctr,
+       CAST(SUM(CASE WHEN policy_arm = logged_arm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN policy_arm = logged_arm THEN reward ELSE 0 END)
+            AS BIGINT) AS n_matched_rewarded,
+       CASE WHEN SUM(CASE WHEN policy_arm = logged_arm THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE CAST(SUM(CASE WHEN policy_arm = logged_arm
+                               THEN reward ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN policy_arm = logged_arm
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS replay_ctr
+FROM r GROUP BY logged_arm ORDER BY logged_arm
+"""
+
+
+@register("bandit_replay_eval", BANDIT_ORACLE)
+def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit evaluation by replay (Li et al. 2011): the logged
+    arm of each view is a uniform MD5 draw (replayable randomization,
+    the dp_randomized_response discipline); the candidate personalized
+    policy picks an arm per user; replay keeps only views where the
+    logged arm equals the policy's choice, and their reward rate is an
+    unbiased estimate of the policy's online CTR. Reward = a click by
+    the same user within 30 minutes (epoch-us comparisons, funnel
+    convention).
+
+    Exactness: arms and matches are integer hash arithmetic; reward is
+    an EXISTS over an equi-join band; CTRs are single divisions of
+    exact counts (NULL-guarded denominators — Spark ANSI raises where
+    DuckDB returns nan).
+
+    Scale: one keyed user join with a bounded time band (per-user
+    fanout only), one rollup onto 3 arm rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("vus"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("arm:"), F.col("event_id").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("logged_arm"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("pol:"), F.col("user_id").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("policy_arm"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.unix_micros("ts").alias("cus")
+    )
+    rewarded = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cus") > F.col("vus"))
+            & (F.col("cus") <= F.col("vus") + _BANDIT_WINDOW_US),
+            "left_semi",
+        )
+        .select("event_id")
+        .withColumn("reward", F.lit(1))
+    )
+    r = v.join(rewarded, "event_id", "left").withColumn(
+        "reward", F.coalesce(F.col("reward"), F.lit(0))
+    )
+    matched = F.when(F.col("policy_arm") == F.col("logged_arm"), 1).otherwise(0)
+    n_matched = F.sum(matched)
+    n_matched_rew = F.sum(
+        F.when(F.col("policy_arm") == F.col("logged_arm"), F.col("reward")).otherwise(0)
+    )
+    return (
+        r.groupBy(F.col("logged_arm").alias("arm"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("reward").alias("n_rewarded"),
+            (F.sum("reward").cast("double") / F.count("*").cast("double")).alias(
+                "logged_ctr"
+            ),
+            n_matched.alias("n_matched"),
+            n_matched_rew.alias("n_matched_rewarded"),
+            F.when(
+                n_matched == 0, F.lit(None).cast("double")
+            )
+            .otherwise(n_matched_rew.cast("double") / n_matched.cast("double"))
+            .alias("replay_ctr"),
+        )
+        .orderBy("arm")
+    )

@@ -2314,3 +2314,108 @@ def q_psi_value_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_PSI_SCALE) * float(_PSI_SCALE))
         ).alias("psi_bits"),
     )
+
+
+# --- empirical-Bayes shrinkage of per-part return rates -----------------------
+
+_EB_Q = 1048576  # 2^20 rate quantum
+EB_TOP = 15
+
+EB_ORACLE = f"""
+WITH per AS (
+    SELECT l_partkey AS part,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM lineitem GROUP BY l_partkey
+),
+q AS (SELECT part, n, k, (k * {_EB_Q}) // n AS p FROM per),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(p) AS BIGINT) AS s1,
+           SUM(CAST(p AS HUGEINT) * p) AS s2
+    FROM q
+),
+ab AS (
+    SELECT np, s1,
+           CAST(s1 AS DOUBLE) / (CAST(np AS DOUBLE) * {_EB_Q}.0) AS mu,
+           (CAST(np AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(np AS DOUBLE) * CAST(np AS DOUBLE)
+              * {_EB_Q}.0 * {_EB_Q}.0) AS var
+    FROM mom
+),
+prior AS (
+    SELECT mu, var,
+           mu * (mu * (1.0 - mu) / var - 1.0) AS alpha,
+           (1.0 - mu) * (mu * (1.0 - mu) / var - 1.0) AS beta
+    FROM ab
+)
+SELECT part, n, k,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+       alpha, beta,
+       (CAST(k AS DOUBLE) + alpha)
+       / (CAST(n AS DOUBLE) + alpha + beta) AS posterior_rate
+FROM q CROSS JOIN prior
+ORDER BY posterior_rate DESC, part LIMIT {EB_TOP}
+"""
+
+
+@register("eb_return_rate_shrinkage", EB_ORACLE)
+def q_eb_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-part return
+    rates: fit a Beta prior to the population by method of moments,
+    then rank parts by posterior mean (k+alpha)/(n+alpha+beta) — the
+    small-sample-safe leaderboard (a 1/1 part no longer beats a 40/50
+    part), the standard ranking fix for sparse per-key rates.
+
+    Exactness: per-part rates quantize to 2^-20 integers BEFORE the
+    cross-part moment sums (the neyman quantize-then-sum rule); moments
+    reach doubles once; prior and posterior are ONE shared double tree;
+    ordering ties break on part id.
+
+    Scale: one keyed aggregate to per-part counts, a 1-row moment
+    aggregate, the prior crossed back, distributed top-k
+    (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
+    )
+    q = per.withColumn("p", F.expr(f"(k * {_EB_Q}) div n"))
+    mom = q.agg(
+        F.count("*").alias("np"),
+        F.sum("p").alias("s1"),
+        F.sum(F.col("p").cast("decimal(19,0)") * F.col("p"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    npd = F.col("np").cast("double")
+    s1d = F.col("s1").cast("double")
+    mu = s1d / (npd * F.lit(float(_EB_Q)))
+    var = (npd * F.col("s2").cast("double") - s1d * s1d) / (
+        npd * npd * F.lit(float(_EB_Q)) * F.lit(float(_EB_Q))
+    )
+    v = mu * (F.lit(1.0) - mu) / var - F.lit(1.0)
+    prior = mom.select(
+        (mu * v).alias("alpha"), ((F.lit(1.0) - mu) * v).alias("beta")
+    )
+    return (
+        q.crossJoin(F.broadcast(prior))
+        .select(
+            "part",
+            "n",
+            "k",
+            (F.col("k").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            "alpha",
+            "beta",
+            (
+                (F.col("k").cast("double") + F.col("alpha"))
+                / (F.col("n").cast("double") + F.col("alpha") + F.col("beta"))
+            ).alias("posterior_rate"),
+        )
+        .orderBy(F.desc("posterior_rate"), F.asc("part"))
+        .limit(EB_TOP)
+    )

@@ -935,3 +935,129 @@ def q_topic_shift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_boundary_block"
         ),
     )
+
+
+# --- RAKE keyphrase extraction ------------------------------------------------
+
+RAKE_MAX_LEN = 4
+RAKE_TOP = 15
+_RAKE_Q = 1048576  # 2^20 word-score quantum
+
+RAKE_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, marked AS (
+    SELECT id, pos, word,
+           CASE WHEN word IN ({_SQL_STOP}) THEN 1 ELSE 0 END AS is_stop
+    FROM toks
+),
+runs AS (
+    SELECT id, pos, word, is_stop,
+           SUM(is_stop) OVER (PARTITION BY id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS run
+    FROM marked
+),
+pw AS (SELECT id, run, pos, word FROM runs WHERE is_stop = 0),
+plen AS (
+    SELECT id, run, CAST(COUNT(*) AS BIGINT) AS plen
+    FROM pw GROUP BY id, run
+),
+kept AS (
+    SELECT pw.id, pw.run, pw.pos, pw.word, plen
+    FROM pw JOIN plen USING (id, run) WHERE plen <= {RAKE_MAX_LEN}
+),
+ws AS (
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS deg
+    FROM kept GROUP BY word
+),
+scored AS (
+    SELECT k.id, k.run,
+           string_agg(k.word, ' ' ORDER BY k.pos) AS phrase,
+           CAST(SUM((ws.deg * {_RAKE_Q}) // ws.freq) AS BIGINT) AS score_q
+    FROM kept k JOIN ws USING (word)
+    GROUP BY k.id, k.run
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_q) AS BIGINT) AS score_scaled,
+       CAST(MAX(score_q) AS DOUBLE) / {_RAKE_Q}.0 AS score
+FROM scored
+GROUP BY phrase
+ORDER BY score_scaled DESC, phrase LIMIT {RAKE_TOP}
+"""
+)
+
+
+@register("rake_keyphrases", RAKE_ORACLE)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): phrases are maximal
+    stopword-delimited token runs (capped at 4 words); word score is
+    degree/frequency over the phrase graph; phrase score sums its word
+    scores — the classic unsupervised keyphrase ranker for corpus
+    labeling and topic seeding.
+
+    Exactness: deg/freq quantizes to a 2^-20 integer per word BEFORE the
+    per-phrase sum (quantize-then-sum rule), so phrase scores are exact
+    BIGINTs; identical phrases collapse with MAX (scores are equal by
+    construction); ONE double division renders the human-readable score.
+
+    Scale: phrase segmentation is a per-doc running sum (window
+    partitioned by doc, never global); word stats are a vocab-bounded
+    aggregate joined back keyed on word; the final top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from amorphous_mapreduce_spark.operators.text_analysis import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = tokenized(docs).withColumn(
+        "is_stop", F.col("word").isin(*STOPWORDS).cast("int")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pw = (
+        marked.withColumn("run", F.sum("is_stop").over(w))
+        .filter(F.col("is_stop") == 0)
+        .select("id", "run", "pos", "word")
+    )
+    plen = pw.groupBy("id", "run").agg(F.count("*").alias("plen"))
+    kept = pw.join(plen, ["id", "run"]).filter(
+        F.col("plen") <= RAKE_MAX_LEN
+    ).persist()  # word stats AND phrase assembly re-read it
+    ws = kept.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        kept.join(ws, "word")
+        .withColumn("wscore", F.expr(f"(deg * {_RAKE_Q}) div freq"))
+        .groupBy("id", "run")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x.word,
+                ),
+            ).alias("phrase"),
+            F.sum("wscore").alias("score_q"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("score_q").alias("score_scaled"),
+            (F.max("score_q").cast("double") / F.lit(float(_RAKE_Q))).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score_scaled"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )

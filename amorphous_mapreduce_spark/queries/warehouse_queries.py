@@ -1509,3 +1509,137 @@ def q_hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("subtree_cents"), F.asc("node"))
         .limit(HIER_TOP)
     )
+
+
+# --- incremental aggregate maintenance (IVM delta proof) ----------------------
+
+_IVM_H = (
+    "CAST('0x' || substr(md5('ivm:' || CAST(l_orderkey AS VARCHAR) || ':'"
+    " || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 10"
+)
+
+IVM_ORACLE = f"""
+WITH base AS (
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           {_IVM_H} AS h
+    FROM lineitem
+),
+agg_old AS (
+    SELECT rf, ls, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sq, CAST(SUM(cents) AS BIGINT) AS sc
+    FROM base WHERE h <> 9 GROUP BY rf, ls
+),
+agg_del AS (
+    SELECT rf, ls, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sq, CAST(SUM(cents) AS BIGINT) AS sc
+    FROM base WHERE h = 0 GROUP BY rf, ls
+),
+agg_ins AS (
+    SELECT rf, ls, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sq, CAST(SUM(cents) AS BIGINT) AS sc
+    FROM base WHERE h = 9 GROUP BY rf, ls
+),
+agg_full AS (
+    SELECT rf, ls, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sq, CAST(SUM(cents) AS BIGINT) AS sc
+    FROM base WHERE h <> 0 GROUP BY rf, ls
+)
+SELECT f.rf AS returnflag, f.ls AS linestatus,
+       f.n AS n_full, f.sq AS sum_qty_full, f.sc AS sum_cents_full,
+       o.n - COALESCE(d.n, 0) + COALESCE(i.n, 0) AS n_incr,
+       o.sq - COALESCE(d.sq, 0) + COALESCE(i.sq, 0) AS sum_qty_incr,
+       o.sc - COALESCE(d.sc, 0) + COALESCE(i.sc, 0) AS sum_cents_incr,
+       (f.n = o.n - COALESCE(d.n, 0) + COALESCE(i.n, 0)
+        AND f.sq = o.sq - COALESCE(d.sq, 0) + COALESCE(i.sq, 0)
+        AND f.sc = o.sc - COALESCE(d.sc, 0) + COALESCE(i.sc, 0)) AS matches
+FROM agg_full f
+JOIN agg_old o ON f.rf = o.rf AND f.ls = o.ls
+LEFT JOIN agg_del d ON f.rf = d.rf AND f.ls = d.ls
+LEFT JOIN agg_ins i ON f.rf = i.rf AND f.ls = i.ls
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("incremental_agg_maintenance", IVM_ORACLE)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance proof for the Q1-style rollup: apply
+    a 10% delete batch and a 10% insert batch to a 90% 'old' snapshot
+    (deterministic hash split), maintain the aggregate as
+    old - delta_del + delta_ins, and emit it side-by-side with the full
+    recompute plus per-group equality flags — the self-auditing IVM
+    pattern that lets a 100 TB rollup refresh touch only the deltas.
+
+    Exactness: counts and integer-cent sums are exact on both engines
+    (HUGEINT cast back); the incremental combine is pure integer
+    arithmetic, so `matches` must be uniformly true — the query output
+    IS the proof.
+
+    Scale: ONE scan of the base feeds all four branch aggregates (the
+    persisted tagged frame); each branch is a map-side-combined rollup
+    onto 6 (rf, ls) groups; joins run on those 6 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ivm:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("h"),
+    ).persist()  # four branch aggregates share one scan
+
+    def agg(df, pa, pb, pc):
+        return df.groupBy("rf", "ls").agg(
+            F.count("*").alias(pa), F.sum("qty").alias(pb), F.sum("cents").alias(pc)
+        )
+
+    o = agg(base.filter(F.col("h") != 9), "n_o", "sq_o", "sc_o")
+    d = agg(base.filter(F.col("h") == 0), "n_d", "sq_d", "sc_d")
+    i = agg(base.filter(F.col("h") == 9), "n_i", "sq_i", "sc_i")
+    f = agg(base.filter(F.col("h") != 0), "n_f", "sq_f", "sc_f")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    n_incr = F.col("n_o") - z("n_d") + z("n_i")
+    sq_incr = F.col("sq_o") - z("sq_d") + z("sq_i")
+    sc_incr = F.col("sc_o") - z("sc_d") + z("sc_i")
+    return (
+        f.join(o, ["rf", "ls"])
+        .join(d, ["rf", "ls"], "left")
+        .join(i, ["rf", "ls"], "left")
+        .select(
+            F.col("rf").alias("returnflag"),
+            F.col("ls").alias("linestatus"),
+            F.col("n_f").alias("n_full"),
+            F.col("sq_f").alias("sum_qty_full"),
+            F.col("sc_f").alias("sum_cents_full"),
+            n_incr.alias("n_incr"),
+            sq_incr.alias("sum_qty_incr"),
+            sc_incr.alias("sum_cents_incr"),
+            (
+                (F.col("n_f") == n_incr)
+                & (F.col("sq_f") == sq_incr)
+                & (F.col("sc_f") == sc_incr)
+            ).alias("matches"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )

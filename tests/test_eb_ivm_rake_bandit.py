@@ -1,0 +1,107 @@
+"""EB shrinkage, IVM proof, RAKE, bandit replay: Python replays and
+invariants (imports via queries_registry)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from amorphous_mapreduce_spark.queries_registry import QUERIES
+from amorphous_mapreduce_spark.sources import load_table
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_eb_shrinkage_properties(spark, sf_dir):
+    rows = QUERIES["eb_return_rate_shrinkage"](spark, sf_dir).collect()
+    assert rows
+    a, b = rows[0].alpha, rows[0].beta
+    assert a > 0 and b > 0
+    mu = a / (a + b)
+    for r in rows:
+        assert (r.alpha, r.beta) == (a, b)
+        assert r.posterior_rate == pytest.approx(
+            (r.k + a) / (r.n + a + b), rel=1e-12
+        )
+        # shrinkage: posterior sits strictly between raw rate and prior mean
+        lo, hi = sorted((r.raw_rate, mu))
+        assert lo - 1e-12 <= r.posterior_rate <= hi + 1e-12
+    posts = [r.posterior_rate for r in rows]
+    assert posts == sorted(posts, reverse=True)
+
+
+def test_ivm_proof_holds(spark, sf_dir):
+    rows = QUERIES["incremental_agg_maintenance"](spark, sf_dir).collect()
+    assert len(rows) == 6  # 3 returnflags x 2 linestatus
+    for r in rows:
+        assert r.matches is True
+        assert r.n_full == r.n_incr
+        assert r.sum_qty_full == r.sum_qty_incr
+        assert r.sum_cents_full == r.sum_cents_incr
+
+
+def test_rake_replay(spark, sf_dir):
+    from amorphous_mapreduce_spark.operators.text_analysis import STOPWORDS
+
+    rows = QUERIES["rake_keyphrases"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    stop = set(STOPWORDS)
+    phrases = []
+    for d in docs:
+        toks = [
+            w
+            for w in re.sub(r"\s+", " ", d.text.strip().lower()).split(" ")
+            if w
+        ]
+        run: list[str] = []
+        for w in toks + ["the"]:  # sentinel stopword flushes the last run
+            if w in stop:
+                if 1 <= len(run) <= 4:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    scored: dict[tuple, int] = {}
+    occ: Counter = Counter()
+    for p in phrases:
+        occ[p] += 1
+        scored[p] = sum((deg[w] * 1048576) // freq[w] for w in p)
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+    got = [(r.phrase, r.score_scaled, r.n_occurrences) for r in rows]
+    want = [(" ".join(p), s, occ[p]) for p, s in top[: len(rows)]]
+    assert got == want
+
+
+def test_bandit_replay_consistency(spark, sf_dir):
+    rows = QUERIES["bandit_replay_eval"](spark, sf_dir).collect()
+    assert [r.arm for r in rows] == [0, 1, 2]
+    ev = load_table(spark, sf_dir, "events").collect()
+    views = [e for e in ev if e.event_type == "view"]
+    n_per_arm = Counter(_h(f"arm:{e.event_id}") % 3 for e in views)
+    clicks = defaultdict(list)
+    for e in ev:
+        if e.event_type == "click":
+            clicks[e.user_id].append(e.ts)
+    for r in rows:
+        assert r.n_views == n_per_arm[r.arm]
+        assert 0 <= r.n_matched_rewarded <= r.n_matched <= r.n_views
+        assert r.logged_ctr == pytest.approx(r.n_rewarded / r.n_views)
+        if r.n_matched:
+            assert r.replay_ctr == pytest.approx(
+                r.n_matched_rewarded / r.n_matched
+            )
+    # uniform logging: arms should split views roughly evenly
+    tot = sum(r.n_views for r in rows)
+    for r in rows:
+        assert r.n_views > tot / 6

@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "eb_return_rate_shrinkage": {
+        "BroadcastNestedLoopJoin": "1-row beta-prior scalar (alpha, "
+        "beta from the moment aggregate) crossed back onto the per-part "
+        "rate frame — the standard scalar-total pattern",
+    },
     "bigram_perplexity_gain": {
         "BroadcastNestedLoopJoin": "1-row joint-vocab-size scalar "
         "crossed onto the unigram and bigram count frames — the "
