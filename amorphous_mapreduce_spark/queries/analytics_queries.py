@@ -3357,3 +3357,89 @@ def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- matched-basket Fisher price index by year --------------------------------
+
+_PIDX_BASE_YEAR = 1995
+
+PRICE_INDEX_ORACLE = f"""
+WITH py AS (
+    SELECT l_partkey AS part, CAST(year(l_shipdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY l_partkey, year(l_shipdate)
+),
+up AS (SELECT part, yr, qty, rev_cents // qty AS p_cents FROM py),
+base AS (SELECT part, qty AS q0, p_cents AS p0 FROM up
+         WHERE yr = {_PIDX_BASE_YEAR}),
+matched AS (
+    SELECT u.yr, u.part, u.p_cents AS pm, u.qty AS qm, b.p0, b.q0
+    FROM up u JOIN base b USING (part) WHERE u.yr <> {_PIDX_BASE_YEAR}
+),
+agg AS (
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+           CAST(SUM(pm * q0) AS BIGINT) AS l_num,
+           CAST(SUM(p0 * q0) AS BIGINT) AS l_den,
+           CAST(SUM(pm * qm) AS BIGINT) AS p_num,
+           CAST(SUM(p0 * qm) AS BIGINT) AS p_den
+    FROM matched GROUP BY yr
+)
+SELECT yr, n_matched_parts,
+       CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) AS laspeyres,
+       CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS paasche,
+       sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+            * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))) AS fisher
+FROM agg ORDER BY yr
+"""
+
+
+@register("fisher_price_index", PRICE_INDEX_ORACLE)
+def q_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-basket price indices vs the {_PIDX_BASE_YEAR} base year:
+    Laspeyres (base-quantity weights), Paasche (current-quantity
+    weights) and their geometric mean, the Fisher ideal index — the
+    standard inflation/repricing decomposition over a part basket
+    restricted to parts traded in both periods.
+
+    Exactness: per-(part, year) unit prices quantize to integer cents
+    by truncating division (Spark div == DuckDB //); index numerators
+    and denominators are exact integer sums; each index is ONE double
+    division (sqrt is engine-safe).
+
+    Scale: one (part, year) rollup, a keyed self-join on part against
+    the base-year basket, a per-year aggregate. No windows, no
+    quadratic stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("rev_cents"),
+    )
+    up = py.withColumn("p_cents", F.expr("rev_cents div qty")).persist()
+    base = up.filter(F.col("yr") == _PIDX_BASE_YEAR).select(
+        "part", F.col("qty").alias("q0"), F.col("p_cents").alias("p0")
+    )
+    matched = up.filter(F.col("yr") != _PIDX_BASE_YEAR).join(base, "part")
+    agg = matched.groupBy("yr").agg(
+        F.count("*").alias("n_matched_parts"),
+        F.sum(F.col("p_cents") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("p_cents") * F.col("qty")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("qty")).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        "yr",
+        "n_matched_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    ).orderBy("yr")

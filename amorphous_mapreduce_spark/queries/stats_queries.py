@@ -2419,3 +2419,151 @@ def q_eb_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("posterior_rate"), F.asc("part"))
         .limit(EB_TOP)
     )
+
+
+# --- k-fold cross-validation by moment subtraction ----------------------------
+
+_CV_FOLDS = 4
+
+CV_ORACLE = f"""
+WITH obs AS (
+    SELECT CAST('0x' || substr(md5('cv:' || CAST(l_orderkey AS VARCHAR)
+                                   || ':' || CAST(l_linenumber AS VARCHAR)),
+                               1, 15) AS BIGINT) % {_CV_FOLDS} AS fold,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+    FROM lineitem
+),
+fm AS (
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+                AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(15,0)))
+                AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(CAST(y AS DECIMAL(15,0)) * CAST(y AS DECIMAL(15,0)))
+                AS DECIMAL(38,0)) AS syy
+    FROM obs GROUP BY fold
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+           CAST(SUM(sy) AS BIGINT) AS tsy,
+           CAST(SUM(sxx) AS DECIMAL(38,0)) AS tsxx,
+           CAST(SUM(sxy) AS DECIMAL(38,0)) AS tsxy
+    FROM fm
+),
+fit AS (
+    SELECT fold, n, sx, sy, sxx, sxy, syy,
+           tn - n AS n_train,
+           (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+            - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+           / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+              - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)) AS b
+    FROM fm CROSS JOIN tot
+),
+fit2 AS (
+    SELECT fold, n, sx, sy, sxx, sxy, syy, n_train, b,
+           (CAST(tsy - sy AS DOUBLE) - b * CAST(tsx - sx AS DOUBLE))
+           / CAST(n_train AS DOUBLE) AS a
+    FROM fit CROSS JOIN tot
+)
+SELECT fold, n_train, n AS n_test, b AS slope, a AS intercept,
+       sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a * a
+             + b * b * CAST(sxx AS DOUBLE)
+             - 2.0 * a * CAST(sy AS DOUBLE) - 2.0 * b * CAST(sxy AS DOUBLE)
+             + 2.0 * a * b * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS rmse_cents
+FROM fit2 ORDER BY fold
+"""
+
+
+@register("kfold_cv_price_model", CV_ORACLE)
+def q_kfold_cv_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validated OLS (price ~ quantity) where each fold's
+    training fit comes from MOMENT SUBTRACTION — total sufficient
+    statistics minus the held-out fold's — so k folds cost ONE scan
+    instead of k (the leave-out algebra that makes CV viable at
+    100 TB). Held-out RMSE expands to the closed form
+    syy + n*a^2 + b^2*sxx - 2a*sy - 2b*sxy + 2ab*sx, so no residual
+    pass is needed either.
+
+    Exactness: fold moments are exact decimal/integer; train moments
+    are exact differences; slope/intercept/RMSE are ONE shared double
+    tree (sqrt is engine-safe).
+
+    Scale: a single map-side-combined aggregate onto 4 fold rows, a
+    4-row total, and 4-row arithmetic. Nothing else touches the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cv:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CV_FOLDS
+        ).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    fm = obs.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(15,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(15,0)") * F.col("y").cast("decimal(15,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    ).persist()  # totals AND per-fold fits re-read the 4-row frame
+    tot = fm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("tsxx"),
+        F.sum("sxy").cast("decimal(38,0)").alias("tsxy"),
+    )
+    j = fm.crossJoin(F.broadcast(tot))
+    ntr = (F.col("tn") - F.col("n")).cast("double")
+    dsx = (F.col("tsx") - F.col("sx")).cast("double")
+    dsy = (F.col("tsy") - F.col("sy")).cast("double")
+    dsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    dsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    b = (ntr * dsxy - dsx * dsy) / (ntr * dsxx - dsx * dsx)
+    a = (dsy - b * dsx) / ntr
+    nd = F.col("n").cast("double")
+    sse = (
+        F.col("syy").cast("double")
+        + nd * a * a
+        + b * b * F.col("sxx").cast("double")
+        - F.lit(2.0) * a * F.col("sy").cast("double")
+        - F.lit(2.0) * b * F.col("sxy").cast("double")
+        + F.lit(2.0) * a * b * F.col("sx").cast("double")
+    )
+    return j.select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n_train"),
+        F.col("n").alias("n_test"),
+        b.alias("slope"),
+        a.alias("intercept"),
+        F.sqrt(sse / nd).alias("rmse_cents"),
+    ).orderBy("fold")

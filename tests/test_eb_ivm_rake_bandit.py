@@ -105,3 +105,45 @@ def test_bandit_replay_consistency(spark, sf_dir):
     tot = sum(r.n_views for r in rows)
     for r in rows:
         assert r.n_views > tot / 6
+
+
+def test_kfold_cv_replay(spark, sf_dir):
+    import numpy as np
+
+    rows = QUERIES["kfold_cv_price_model"](spark, sf_dir).collect()
+    assert [r.fold for r in rows] == [0, 1, 2, 3]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    folds = defaultdict(list)
+    for r in li:
+        f = _h(f"cv:{r.l_orderkey}:{r.l_linenumber}") % 4
+        folds[f].append((float(r.l_quantity), round(float(r.l_extendedprice) * 100)))
+    for r in rows:
+        train = [o for f, obs in folds.items() if f != r.fold for o in obs]
+        test = folds[r.fold]
+        assert (r.n_train, r.n_test) == (len(train), len(test))
+        X = np.column_stack([np.ones(len(train)), [x for x, _ in train]])
+        y = np.array([v for _, v in train])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert r.intercept == pytest.approx(beta[0], rel=1e-9)
+        assert r.slope == pytest.approx(beta[1], rel=1e-9)
+        pred = np.array([r.intercept + r.slope * x for x, _ in test])
+        rmse = float(np.sqrt(((np.array([v for _, v in test]) - pred) ** 2).mean()))
+        assert r.rmse_cents == pytest.approx(rmse, rel=1e-9)
+
+
+def test_fisher_index_properties(spark, sf_dir):
+    rows = QUERIES["fisher_price_index"](spark, sf_dir).collect()
+    assert rows and all(r.yr != 1995 for r in rows)
+    for r in rows:
+        assert r.n_matched_parts > 0
+        assert 0 < r.laspeyres and 0 < r.paasche
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        # Fisher is the geometric mean: strictly between its factors
+        assert lo - 1e-12 <= r.fisher <= hi + 1e-12
+        assert r.fisher == pytest.approx(
+            (r.laspeyres * r.paasche) ** 0.5, rel=1e-12
+        )

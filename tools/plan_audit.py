@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "kfold_cv_price_model": {
+        "BroadcastNestedLoopJoin": "1-row total-moments scalar crossed "
+        "back onto the 4-row fold-moment frame for the leave-fold-out "
+        "subtraction — constant-size both sides",
+    },
     "eb_return_rate_shrinkage": {
         "BroadcastNestedLoopJoin": "1-row beta-prior scalar (alpha, "
         "beta from the moment aggregate) crossed back onto the per-part "
