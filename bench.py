@@ -115,6 +115,12 @@ HEADLINE = [
     "topic_shift_boundaries",
     "abc_xyz_matrix",
     "shapley_channel_attribution",
+    # LM-scoring / uncertainty / warehouse-maintenance families (this
+    # session: driver round 2, third sitting)
+    "unigram_surprisal_filter",
+    "dsir_importance_weights",
+    "conformal_price_intervals",
+    "incremental_agg_maintenance",
 ]
 
 
