@@ -455,3 +455,147 @@ def q_dsar_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("events").alias("table_name"), "*")
 
     return c_sum.unionByName(o_sum).unionByName(l_sum).unionByName(e_sum)
+
+
+# --- t-closeness audit (ordered EMD) ------------------------------------------
+
+TCLOSE_TOP = 15
+
+TCLOSE_ORACLE = f"""
+WITH rows_b AS (
+    SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+               AS band
+    FROM customer
+),
+cb AS (
+    SELECT nat, seg, band, CAST(COUNT(*) AS BIGINT) AS n
+    FROM rows_b GROUP BY nat, seg, band
+),
+gb AS (SELECT band, CAST(SUM(n) AS BIGINT) AS gn FROM cb GROUP BY band),
+bands AS (
+    SELECT band, gn,
+           CAST(SUM(gn) OVER (ORDER BY band
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+    FROM gb
+),
+tot AS (SELECT CAST(SUM(gn) AS BIGINT) AS ng,
+               CAST(COUNT(*) AS BIGINT) AS nb FROM bands),
+classes AS (SELECT nat, seg, CAST(SUM(n) AS BIGINT) AS nc
+            FROM cb GROUP BY nat, seg),
+grid AS (
+    SELECT c.nat, c.seg, c.nc, b.band, b.gcum, COALESCE(cb.n, 0) AS n
+    FROM classes c CROSS JOIN bands b
+    LEFT JOIN cb ON cb.nat = c.nat AND cb.seg = c.seg AND cb.band = b.band
+),
+cum AS (
+    SELECT nat, seg, nc, band, gcum,
+           CAST(SUM(n) OVER (PARTITION BY nat, seg ORDER BY band
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum
+    FROM grid
+),
+emd AS (
+    SELECT nat, seg, nc,
+           CAST(SUM(ABS(ng * ccum - nc * gcum)) AS BIGINT) AS emd_scaled
+    FROM cum CROSS JOIN tot
+    GROUP BY nat, seg, nc
+)
+SELECT nat AS nationkey, seg AS mktsegment, nc AS n_rows, emd_scaled,
+       CAST(emd_scaled AS DOUBLE)
+       / (CAST(nc AS DOUBLE) * CAST(ng AS DOUBLE) * CAST(nb - 1 AS DOUBLE))
+           AS t_value
+FROM emd CROSS JOIN tot
+ORDER BY t_value DESC, nationkey, mktsegment LIMIT {TCLOSE_TOP}
+"""
+
+
+@register("t_closeness_audit", TCLOSE_ORACLE)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the k-anonymity /
+    DP release battery: for each quasi-identifier class (nation,
+    segment), the Earth Mover's Distance between its ordered
+    sensitive-attribute distribution (balance bands) and the global
+    one — classes with high t leak balance information even when k is
+    large. For ordered 1-D bands, EMD = sum |CDF_class - CDF_global| /
+    (B-1).
+
+    Exactness: the CDF difference cross-multiplies to the integer
+    |N_g*cum_c - n_c*cum_g| (the label_centroid_drift discipline), so
+    emd_scaled is an exact BIGINT; ONE double division normalizes to
+    t in [0, 1].
+
+    Scale: band domain is bounded (~12 balance bands), so the grid is
+    #classes x #bands; all windows are per-class or over the bounded
+    band frame — never over raw rows. At petabyte class counts the
+    nc*ng product moves to DECIMAL; int64 holds through bench SFs."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal").cast("decimal(12,2)") / F.lit(1000)).cast(
+        "long"
+    )
+    cb = (
+        cust.select(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            band.alias("band"),
+        )
+        .groupBy("nat", "seg", "band")
+        .agg(F.count("*").alias("n"))
+        .persist()  # global bands, class totals AND the grid re-read it
+    )
+    gb = cb.groupBy("band").agg(F.sum("n").alias("gn"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    bands = gb.select("band", "gn", F.sum("gn").over(wb).alias("gcum"))
+    tot = bands.agg(F.sum("gn").alias("ng"), F.count("*").alias("nb"))
+    classes = cb.groupBy("nat", "seg").agg(F.sum("n").alias("nc"))
+    grid = (
+        classes.crossJoin(F.broadcast(bands.select("band", "gcum")))
+        .join(cb, ["nat", "seg", "band"], "left")
+        .select(
+            "nat",
+            "seg",
+            "nc",
+            "band",
+            "gcum",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    wc = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("ccum", F.sum("n").over(wc))
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "nat",
+            "seg",
+            "nc",
+            F.abs(F.col("ng") * F.col("ccum") - F.col("nc") * F.col("gcum")).alias(
+                "d"
+            ),
+        )
+        .groupBy("nat", "seg", "nc")
+        .agg(F.sum("d").alias("emd_scaled"))
+    )
+    return (
+        emd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nat").alias("nationkey"),
+            F.col("seg").alias("mktsegment"),
+            F.col("nc").alias("n_rows"),
+            "emd_scaled",
+            (
+                F.col("emd_scaled").cast("double")
+                / (
+                    F.col("nc").cast("double")
+                    * F.col("ng").cast("double")
+                    * (F.col("nb") - 1).cast("double")
+                )
+            ).alias("t_value"),
+        )
+        .orderBy(F.desc("t_value"), F.asc("nationkey"), F.asc("mktsegment"))
+        .limit(TCLOSE_TOP)
+    )

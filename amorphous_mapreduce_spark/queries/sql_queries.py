@@ -135,3 +135,40 @@ def q_sql_funnel_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py bfs_hops."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(REACHABILITY_SQL)
+
+
+# LATERAL correlated table subquery through the SQL front door: top-2
+# orders per high-balance customer. Catalyst plans the LATERAL as a
+# ranked window/join (DuckDB runs the same text natively) — the
+# per-row-subquery shape every BI tool emits for "top N per entity".
+LATERAL_TOPN_SQL = """
+SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
+       t.o_orderkey AS orderkey, t.cents AS order_cents, t.rk AS order_rank
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           ROW_NUMBER() OVER (ORDER BY
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               DESC, o_orderkey) AS rk
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+ORDER BY custkey, order_rank
+"""
+
+
+@register("sql_lateral_topn", LATERAL_TOPN_SQL)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per high-balance customer via a LATERAL correlated
+    subquery — ONE SQL string on both engines (Spark 4 LATERAL =
+    DuckDB LATERAL). The acctbal filter prunes the outer side before
+    the correlation; cents and the in-subquery rank carry total-order
+    tie-breaks so the row set is engine-exact."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_TOPN_SQL)

@@ -1198,3 +1198,234 @@ def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("abs_err").cast("double") / F.sum("actual").cast("double")
         ).alias("wape"),
     )
+
+
+# --- pinball-loss backtest of day-of-week quantile forecasts -------------------
+
+_PIN_CUT = "2000-01-01"
+
+PINBALL_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           (CAST(epoch(CAST(o_orderdate AS DATE)) // 86400 AS BIGINT) + 4)
+               % 7 AS dow,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+),
+qd AS (SELECT unnest([1, 5, 9]) AS qn),
+tr AS (
+    SELECT dow, cents,
+           ROW_NUMBER() OVER (PARTITION BY dow ORDER BY cents, day) AS rn,
+           COUNT(*) OVER (PARTITION BY dow) AS n
+    FROM daily WHERE day < DATE '{_PIN_CUT}'
+),
+fc AS (
+    SELECT tr.dow, qd.qn, tr.n AS n_train, tr.cents AS f
+    FROM tr JOIN qd ON tr.rn = (qd.qn * (tr.n + 1) + 9) // 10
+),
+ho AS (SELECT dow, cents FROM daily WHERE day >= DATE '{_PIN_CUT}'),
+loss AS (
+    SELECT fc.qn,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           CAST(SUM(GREATEST(fc.qn * (ho.cents - fc.f),
+                             (fc.qn - 10) * (ho.cents - fc.f)))
+                AS BIGINT) AS pinball10_sum,
+           CAST(SUM(CASE WHEN ho.cents <= fc.f THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered
+    FROM ho JOIN fc ON ho.dow = fc.dow
+    GROUP BY fc.qn
+)
+SELECT 'p' || CAST(qn * 10 AS VARCHAR) AS quantile,
+       n_test_days,
+       CAST(pinball10_sum AS DOUBLE) / (10.0 * CAST(n_test_days AS DOUBLE))
+           AS mean_pinball_cents,
+       CAST(n_covered AS DOUBLE) / CAST(n_test_days AS DOUBLE) AS coverage
+FROM loss ORDER BY qn
+"""
+
+
+@register("quantile_forecast_pinball", PINBALL_ORACLE)
+def q_quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-forecast backtest: P10/P50/P90 daily-revenue
+    forecasts from same-weekday training history (exact order-statistic
+    quantiles, rank = ceil(q*(n+1))), scored on the 2000+ holdout with
+    pinball (quantile) loss and empirical coverage — the standard
+    evaluation pair for quantile forecasters (coverage ~ q calibrates,
+    pinball ranks sharpness).
+
+    Exactness: day-of-week is the engine-independent (epoch_day + 4) %
+    7; quantile picks are exact ranks with (cents, day) tie-breaks;
+    pinball losses scale by 10 into exact integers (max of two integer
+    products — no float before the final mean); coverage is one
+    division.
+
+    Scale: daily rollup is calendar-bounded; rank windows partition by
+    weekday over day-grain rows; the forecast table is 21 rows joined
+    back by weekday."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (
+            (
+                F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("cents")
+    ).persist()  # train ranks AND holdout slice share the rollup
+    qd = daily.sparkSession.createDataFrame([(1,), (5,), (9,)], "qn long")
+    wtr = Window.partitionBy("dow").orderBy("cents", "day")
+    tr = (
+        daily.filter(F.col("day") < F.lit(_PIN_CUT).cast("date"))
+        .withColumn("rn", F.row_number().over(wtr))
+        .withColumn("n", F.count("*").over(Window.partitionBy("dow")))
+    )
+    fc = tr.join(
+        F.broadcast(qd),
+        F.col("rn") == F.expr("(qn * (n + 1) + 9) div 10"),
+    ).select("dow", "qn", F.col("cents").alias("f"))
+    ho = daily.filter(F.col("day") >= F.lit(_PIN_CUT).cast("date")).select(
+        "dow", "cents"
+    )
+    diff = F.col("cents") - F.col("f")
+    loss = (
+        ho.join(F.broadcast(fc), "dow")
+        .groupBy("qn")
+        .agg(
+            F.count("*").alias("n_test_days"),
+            F.sum(
+                F.greatest(F.col("qn") * diff, (F.col("qn") - 10) * diff)
+            ).alias("pinball10_sum"),
+            F.sum(F.when(F.col("cents") <= F.col("f"), 1).otherwise(0)).alias(
+                "n_covered"
+            ),
+        )
+    )
+    return loss.select(
+        F.concat(F.lit("p"), (F.col("qn") * 10).cast("string")).alias("quantile"),
+        "n_test_days",
+        (
+            F.col("pinball10_sum").cast("double")
+            / (F.lit(10.0) * F.col("n_test_days").cast("double"))
+        ).alias("mean_pinball_cents"),
+        (
+            F.col("n_covered").cast("double") / F.col("n_test_days").cast("double")
+        ).alias("coverage"),
+    ).orderBy("qn")
+
+
+# --- hierarchical forecast reconciliation (bottom-up vs top-down) --------------
+
+HIER_FC_ORACLE = """
+WITH rev AS (
+    SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+),
+nat AS (
+    SELECT region, nation,
+           CAST(SUM(CASE WHEN yr = 2000 THEN cents ELSE 0 END) AS BIGINT)
+               AS fc_bu,
+           CAST(SUM(CASE WHEN yr < 2001 THEN cents ELSE 0 END) AS BIGINT)
+               AS hist,
+           CAST(SUM(CASE WHEN yr = 2001 THEN cents ELSE 0 END) AS BIGINT)
+               AS actual
+    FROM rev GROUP BY region, nation
+),
+reg AS (
+    SELECT region,
+           CAST(SUM(fc_bu) AS BIGINT) AS reg_fc,
+           CAST(SUM(hist) AS BIGINT) AS reg_hist
+    FROM nat GROUP BY region
+)
+SELECT n.region, n.nation, n.actual AS actual_2001_cents,
+       n.fc_bu AS forecast_bu_cents,
+       CAST(r.reg_fc AS DOUBLE) * CAST(n.hist AS DOUBLE)
+           / CAST(r.reg_hist AS DOUBLE) AS forecast_td_cents,
+       ABS(CAST(n.fc_bu - n.actual AS DOUBLE)) AS abs_err_bu,
+       ABS(CAST(r.reg_fc AS DOUBLE) * CAST(n.hist AS DOUBLE)
+           / CAST(r.reg_hist AS DOUBLE) - CAST(n.actual AS DOUBLE))
+           AS abs_err_td
+FROM nat n JOIN reg r USING (region)
+ORDER BY region, nation
+"""
+
+
+@register("hierarchical_forecast_reconcile", HIER_FC_ORACLE)
+def q_hierarchical_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-forecasting reconciliation study over the region ->
+    nation revenue hierarchy: the bottom-up naive forecast (each
+    nation's year-2000 revenue) vs the top-down one (the region's
+    2000 total disaggregated by 1995-2000 historical shares), both
+    scored against actual 2001 — the coherence trade-off every
+    hierarchical forecast system (ERP rollups, demand planning)
+    navigates. By construction BU sums exactly to the region forecast;
+    TD matches it too (shares sum to 1) but reallocates across nations.
+
+    Exactness: all yearly revenues are exact integer cents; the
+    top-down share applies as ONE double expression (reg_fc * hist /
+    reg_hist); errors are single-subtraction doubles.
+
+    Scale: one three-table keyed join to (region, nation, year)
+    rollups — 25 nations x 7 years — then 5-region arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    nat = rev.groupBy("region", "nation").agg(
+        F.sum(F.when(F.col("yr") == 2000, F.col("cents")).otherwise(0)).alias(
+            "fc_bu"
+        ),
+        F.sum(F.when(F.col("yr") < 2001, F.col("cents")).otherwise(0)).alias(
+            "hist"
+        ),
+        F.sum(F.when(F.col("yr") == 2001, F.col("cents")).otherwise(0)).alias(
+            "actual"
+        ),
+    )
+    reg = nat.groupBy("region").agg(
+        F.sum("fc_bu").alias("reg_fc"), F.sum("hist").alias("reg_hist")
+    )
+    td = (
+        F.col("reg_fc").cast("double")
+        * F.col("hist").cast("double")
+        / F.col("reg_hist").cast("double")
+    )
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .select(
+            "region",
+            "nation",
+            F.col("actual").alias("actual_2001_cents"),
+            F.col("fc_bu").alias("forecast_bu_cents"),
+            td.alias("forecast_td_cents"),
+            F.abs((F.col("fc_bu") - F.col("actual")).cast("double")).alias(
+                "abs_err_bu"
+            ),
+            F.abs(td - F.col("actual").cast("double")).alias("abs_err_td"),
+        )
+        .orderBy("region", "nation")
+    )

@@ -42,6 +42,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "quantile_forecast_pinball": {
+        "BroadcastNestedLoopJoin": "constant 3-row quantile list joined "
+        "to the 7-row weekday rank frame on the computed ceil-rank "
+        "equality — both sides constant-bounded",
+    },
+    "t_closeness_audit": {
+        "BroadcastNestedLoopJoin": "bounded ~12-row balance-band frame "
+        "crossed onto the #classes frame to build the CDF grid, plus "
+        "the 1-row global-total scalar crossed twice — all constant "
+        "sides",
+        "Exchange SinglePartition": "global CDF prefix window over the "
+        "bounded band frame (~12 rows, value-domain bounded, "
+        "data-size independent)",
+    },
     "kfold_cv_price_model": {
         "BroadcastNestedLoopJoin": "1-row total-moments scalar crossed "
         "back onto the 4-row fold-moment frame for the leave-fold-out "
