@@ -481,3 +481,95 @@ def q_bigram_perplexity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- leave-one-source-out surprisal influence ---------------------------------
+
+LOO_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tf AS (SELECT id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM toks GROUP BY id, word),
+cw AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
+scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM cw),
+contrib AS (
+    SELECT d.source,
+           CAST(SUM(tf) AS BIGINT) AS t_s,
+           CAST(SUM(tf * ({log2_scaled_sql("n_tok")}
+                          - {log2_scaled_sql("c")})) AS BIGINT) AS bits_s
+    FROM tf JOIN cw USING (word) JOIN documents d ON tf.id = d.doc_id
+    CROSS JOIN scal
+    GROUP BY d.source
+),
+tot AS (
+    SELECT CAST(SUM(t_s) AS BIGINT) AS t_all,
+           CAST(SUM(bits_s) AS BIGINT) AS bits_all
+    FROM contrib
+)
+SELECT source, t_s AS n_tokens,
+       CAST(bits_s AS DOUBLE)
+           / (CAST(t_s AS DOUBLE) * {LOG2_SCALE}.0) AS source_mean_bits,
+       CAST(bits_all - bits_s AS DOUBLE)
+           / (CAST(t_all - t_s AS DOUBLE) * {LOG2_SCALE}.0)
+       - CAST(bits_all AS DOUBLE)
+           / (CAST(t_all AS DOUBLE) * {LOG2_SCALE}.0) AS loo_influence_bits
+FROM contrib CROSS JOIN tot
+ORDER BY source
+"""
+)
+
+
+@register("loo_source_influence", LOO_ORACLE)
+def q_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on corpus mean surprisal under the
+    FIXED full-corpus unigram LM: dropping source s moves the corpus
+    evaluation mean by (B-b_s)/(T-t_s) - B/T — the data-valuation
+    screen (negative influence = the source drags quality up; large
+    positive = it supplies the surprising mass). One scan serves all 20
+    knockouts via the kfold moment-subtraction algebra.
+
+    Exactness: per-source surprisal masses are intlog BIGINTs; each
+    influence is ONE double expression of four exact integers.
+
+    Scale: a (doc, word) count, one vocab join, a per-source rollup,
+    20-row arithmetic — data touched once."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = tokenized(docs).groupBy("id", "word").agg(F.count("*").alias("tf"))
+    cw = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    scal = cw.agg(F.sum("c").alias("n_tok"))
+    contrib = (
+        tf.join(cw, "word")
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("id"), "source")), "id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "source",
+            "tf",
+            (F.col("tf") * (log2_scaled("n_tok") - log2_scaled("c"))).alias("wb"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tf").alias("t_s"), F.sum("wb").alias("bits_s"))
+    )
+    tot = contrib.agg(
+        F.sum("t_s").alias("t_all"), F.sum("bits_s").alias("bits_all")
+    )
+    sc = F.lit(float(LOG2_SCALE))
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            (
+                F.col("bits_s").cast("double") / (F.col("t_s").cast("double") * sc)
+            ).alias("source_mean_bits"),
+            (
+                (F.col("bits_all") - F.col("bits_s")).cast("double")
+                / ((F.col("t_all") - F.col("t_s")).cast("double") * sc)
+                - F.col("bits_all").cast("double")
+                / (F.col("t_all").cast("double") * sc)
+            ).alias("loo_influence_bits"),
+        )
+        .orderBy("source")
+    )

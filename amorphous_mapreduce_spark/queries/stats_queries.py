@@ -2567,3 +2567,134 @@ def q_kfold_cv_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.alias("intercept"),
         F.sqrt(sse / nd).alias("rmse_cents"),
     ).orderBy("fold")
+
+
+# --- standardized-mean-difference covariate balance ---------------------------
+
+SMD_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS BIGINT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS purchase_cents,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+),
+long_f AS (
+    SELECT arm, 'n_events' AS covariate, n_events AS x FROM per_user
+    UNION ALL
+    SELECT arm, 'n_types', n_types FROM per_user
+    UNION ALL
+    SELECT arm, 'purchase_cents', purchase_cents FROM per_user
+),
+mom AS (
+    SELECT covariate, arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s1,
+           SUM(CAST(x AS HUGEINT) * x) AS s2
+    FROM long_f GROUP BY covariate, arm
+),
+wide AS (
+    SELECT t.covariate,
+           t.n AS n_t, t.s1 AS s1_t, CAST(t.s2 AS DOUBLE) AS s2_t,
+           c.n AS n_c, c.s1 AS s1_c, CAST(c.s2 AS DOUBLE) AS s2_c
+    FROM mom t JOIN mom c ON t.covariate = c.covariate
+    WHERE t.arm = 0 AND c.arm = 1
+)
+SELECT covariate, n_t AS n_even, n_c AS n_odd,
+       CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_diff,
+       CASE WHEN (s2_t / CAST(n_t AS DOUBLE)
+                  - (CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                    * (CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                 + (s2_c / CAST(n_c AS DOUBLE)
+                    - (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                      * (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))) = 0
+            THEN NULL
+            ELSE (CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                 / sqrt(((s2_t / CAST(n_t AS DOUBLE)
+                          - (CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                            * (CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                         + (s2_c / CAST(n_c AS DOUBLE)
+                            - (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                              * (CAST(s1_c AS DOUBLE)
+                                 / CAST(n_c AS DOUBLE)))) / 2.0)
+       END AS smd
+FROM wide ORDER BY covariate
+"""
+
+
+@register("smd_covariate_balance", SMD_ORACLE)
+def q_smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance check for the user_id-parity experiment split:
+    standardized mean difference (Cohen's d with pooled variance) of
+    per-user activity covariates across arms — the table every
+    causal-inference readout leads with (|SMD| < 0.1 = balanced; the
+    pre-test for ab_test_welch / cuped_adjusted_lift / diff_in_diff).
+
+    Exactness: per-user covariates are exact integers; per-arm moments
+    are exact (HUGEINT/decimal squares); mean and SMD are ONE shared
+    double tree per covariate (sqrt engine-safe).
+
+    Scale: one per-user aggregate, a 3x explode to covariate-long form,
+    a 6-row moment rollup, 3-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(12,2)") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("purchase_cents"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    long_f = per_user.select(
+        "arm",
+        F.expr(
+            "stack(3, 'n_events', n_events, 'n_types', n_types,"
+            " 'purchase_cents', purchase_cents) AS (covariate, x)"
+        ),
+    )
+    mom = long_f.groupBy("covariate", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    t = mom.filter(F.col("arm") == 0).select(
+        "covariate",
+        F.col("n").alias("n_t"),
+        F.col("s1").alias("s1_t"),
+        F.col("s2").cast("double").alias("s2_t"),
+    )
+    c = mom.filter(F.col("arm") == 1).select(
+        "covariate",
+        F.col("n").alias("n_c"),
+        F.col("s1").alias("s1_c"),
+        F.col("s2").cast("double").alias("s2_c"),
+    )
+    mt = F.col("s1_t").cast("double") / F.col("n_t").cast("double")
+    mc = F.col("s1_c").cast("double") / F.col("n_c").cast("double")
+    vt = F.col("s2_t") / F.col("n_t").cast("double") - mt * mt
+    vc = F.col("s2_c") / F.col("n_c").cast("double") - mc * mc
+    return (
+        t.join(c, "covariate")
+        .select(
+            "covariate",
+            F.col("n_t").alias("n_even"),
+            F.col("n_c").alias("n_odd"),
+            (mt - mc).alias("mean_diff"),
+            # zero pooled variance (a constant covariate) -> NULL on both
+            # engines; Spark ANSI raises on /0 where DuckDB returns inf
+            F.when(vt + vc == 0, F.lit(None).cast("double"))
+            .otherwise((mt - mc) / F.sqrt((vt + vc) / F.lit(2.0)))
+            .alias("smd"),
+        )
+        .orderBy("covariate")
+    )

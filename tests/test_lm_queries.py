@@ -120,3 +120,74 @@ def test_dsir_weights_replay(spark, sf_dir):
     assert [(r.id, r.n_tokens, r.weight_scaled) for r in rows] == [
         (d, n, num) for _, d, n, num in scored[: len(rows)]
     ]
+
+
+def test_loo_influence_replay(spark, sf_dir):
+    rows = {r.source: r for r in QUERIES["loo_source_influence"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    cw: Counter = Counter()
+    per_src: dict[str, list] = defaultdict(list)
+    for d in docs:
+        ts = _toks(d.text)
+        cw.update(ts)
+        per_src[d.source].extend(ts)
+    n_tok = sum(cw.values())
+    bits_all = t_all = 0
+    per = {}
+    for s, ts in per_src.items():
+        b = sum(_l(n_tok) - _l(cw[w]) for w in ts)
+        per[s] = (len(ts), b)
+        bits_all += b
+        t_all += len(ts)
+    for s, (t_s, b_s) in per.items():
+        r = rows[s]
+        assert r.n_tokens == t_s
+        assert r.source_mean_bits == pytest.approx(
+            b_s / (t_s * LOG2_SCALE), abs=1e-12
+        )
+        want = (bits_all - b_s) / ((t_all - t_s) * LOG2_SCALE) - bits_all / (
+            t_all * LOG2_SCALE
+        )
+        assert r.loo_influence_bits == pytest.approx(want, abs=1e-12)
+    # influences telescope around zero: mass-weighted mean shift is bounded
+    assert sum(rows[s].loo_influence_bits for s in rows) == pytest.approx(
+        sum(
+            (bits_all - b) / ((t_all - t) * LOG2_SCALE)
+            for t, b in per.values()
+        )
+        - len(per) * bits_all / (t_all * LOG2_SCALE),
+        abs=1e-9,
+    )
+
+
+def test_smd_balance_replay(spark, sf_dir):
+    rows = {r.covariate: r for r in QUERIES["smd_covariate_balance"](spark, sf_dir).collect()}
+    assert set(rows) == {"n_events", "n_types", "purchase_cents"}
+    ev = load_table(spark, sf_dir, "events").collect()
+    per: dict[int, dict] = {}
+    for e in ev:
+        u = per.setdefault(
+            e.user_id, {"n_events": 0, "purchase_cents": 0, "types": set()}
+        )
+        u["n_events"] += 1
+        u["types"].add(e.event_type)
+        if e.event_type == "purchase":
+            u["purchase_cents"] += round(float(e.value) * 100)
+    for cov in ("n_events", "n_types", "purchase_cents"):
+        arms: dict[int, list[int]] = {0: [], 1: []}
+        for uid, u in per.items():
+            x = len(u["types"]) if cov == "n_types" else u[cov]
+            arms[uid % 2].append(x)
+        mt = sum(arms[0]) / len(arms[0])
+        mc = sum(arms[1]) / len(arms[1])
+        vt = sum(x * x for x in arms[0]) / len(arms[0]) - mt * mt
+        vc = sum(x * x for x in arms[1]) / len(arms[1]) - mc * mc
+        r = rows[cov]
+        assert (r.n_even, r.n_odd) == (len(arms[0]), len(arms[1]))
+        assert r.mean_diff == pytest.approx(mt - mc, abs=1e-9)
+        if vt + vc == 0:
+            assert r.smd is None
+        else:
+            assert r.smd == pytest.approx(
+                (mt - mc) / ((vt + vc) / 2) ** 0.5, rel=1e-9
+            )

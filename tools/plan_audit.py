@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "loo_source_influence": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
+        "crossed onto the token frame and the 1-row grand-total crossed "
+        "onto the 20-row source frame — standard scalar-total pattern "
+        "(appears once more through the shared lineage re-read)",
+    },
     "quantile_forecast_pinball": {
         "BroadcastNestedLoopJoin": "constant 3-row quantile list joined "
         "to the 7-row weekday rank frame on the computed ceil-rank "
