@@ -2698,3 +2698,62 @@ def q_smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("covariate")
     )
+
+
+# --- clustered-design effective sample size ------------------------------------
+
+DEFF_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(w) AS BIGINT) AS s1,
+           SUM(CAST(w AS HUGEINT) * w) AS s2
+    FROM per_user
+)
+SELECT n_users, s1 AS n_purchases,
+       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE)
+           AS effective_sample_size,
+       CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+       / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS design_effect,
+       CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_cluster_size
+FROM mom
+"""
+
+
+@register("cluster_design_effect", DEFF_ORACLE)
+def q_cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of user-level clustering for purchase-grain
+    experiment metrics: events from one user are correlated, so the
+    effective sample size is (sum w)^2 / sum w^2 (Kish), and deff =
+    n / ESS inflates every purchase-grain variance estimate — the power
+    correction that pairs with smd_covariate_balance / ab_test_welch
+    when randomization is by user but analysis is by event.
+
+    Exactness: counts and squared counts are exact integers (HUGEINT /
+    decimal squares); ESS and deff are single double expressions.
+
+    Scale: one map-side-combined per-user count, a 1-row moment
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per = ev.groupBy("user_id").agg(F.count("*").alias("w"))
+    mom = per.agg(
+        F.count("*").alias("n_users"),
+        F.sum("w").alias("s1"),
+        F.sum(F.col("w").cast("decimal(19,0)") * F.col("w"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return mom.select(
+        "n_users",
+        F.col("s1").alias("n_purchases"),
+        (s1d * s1d / s2d).alias("effective_sample_size"),
+        (s1d * s2d / (s1d * s1d)).alias("design_effect"),
+        (s1d / F.col("n_users").cast("double")).alias("mean_cluster_size"),
+    )

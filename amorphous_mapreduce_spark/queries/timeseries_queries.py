@@ -1429,3 +1429,100 @@ def q_hierarchical_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("region", "nation")
     )
+
+
+# --- Croston intermittent-demand forecast --------------------------------------
+
+CROSTON_K = 8  # demand events kept per part (7 intervals)
+CROSTON_TOP = 15
+
+CROSTON_ORACLE = f"""
+WITH dd AS (
+    SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+    SELECT part, day, qty,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY day DESC) AS j,
+           COUNT(*) OVER (PARTITION BY part) AS n_events,
+           lead(day) OVER (PARTITION BY part ORDER BY day DESC) AS prev_day
+    FROM dd
+),
+kept AS (SELECT * FROM ranked WHERE j <= {CROSTON_K} AND n_events > {CROSTON_K}),
+sm AS (
+    SELECT part, MAX(n_events) AS n_events,
+           CAST(SUM(qty * CAST(pow(2, {CROSTON_K} - j) AS BIGINT))
+                AS BIGINT) AS z_scaled,
+           CAST(SUM(CASE WHEN j <= {CROSTON_K} - 1 THEN
+                    (epoch(day) - epoch(prev_day)) // 86400
+                    * CAST(pow(2, {CROSTON_K} - 1 - j) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS p_scaled
+    FROM kept GROUP BY part
+)
+SELECT part, n_events, z_scaled, p_scaled,
+       CAST(z_scaled AS DOUBLE) * 127.0
+       / (255.0 * CAST(p_scaled AS DOUBLE)) AS demand_per_day
+FROM sm
+ORDER BY demand_per_day DESC, part LIMIT {CROSTON_TOP}
+"""
+
+
+@register("croston_intermittent_demand", CROSTON_ORACLE)
+def q_croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand: per part, exponentially
+    smooth the nonzero demand SIZES and the INTERVALS between demand
+    days separately (the spare-parts forecasting standard — plain EWMA
+    over-forecasts sparse series); forecast rate = size/interval.
+
+    Exactness: truncated geometric weights over the last 8 demand
+    events are dyadic integers (2^(K-j), denominators 255/127 fold into
+    the final expression), interval days are exact epoch-day integer
+    differences, so z and p are exact BIGINTs; ONE cross-multiplied
+    double division yields demand/day.
+
+    Scale: per-part windows only (rank + lead partitioned by part,
+    bounded to 8 kept rows each); one rollup; distributed top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dd = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    w = Window.partitionBy("part").orderBy(F.desc("day"))
+    ranked = dd.select(
+        "part",
+        "day",
+        "qty",
+        F.row_number().over(w).alias("j"),
+        F.count("*").over(Window.partitionBy("part")).alias("n_events"),
+        F.lead("day").over(w).alias("prev_day"),
+    )
+    kept = ranked.filter(
+        (F.col("j") <= CROSTON_K) & (F.col("n_events") > CROSTON_K)
+    )
+    zw = F.expr(f"qty * CAST(pow(2, {CROSTON_K} - j) AS BIGINT)")
+    pw = F.expr(
+        f"CASE WHEN j <= {CROSTON_K} - 1 THEN"
+        " datediff(day, prev_day)"
+        f" * CAST(pow(2, {CROSTON_K} - 1 - j) AS BIGINT) ELSE 0 END"
+    )
+    sm = kept.groupBy("part").agg(
+        F.max("n_events").alias("n_events"),
+        F.sum(zw).alias("z_scaled"),
+        F.sum(pw).alias("p_scaled"),
+    )
+    return (
+        sm.select(
+            "part",
+            "n_events",
+            "z_scaled",
+            "p_scaled",
+            (
+                F.col("z_scaled").cast("double")
+                * F.lit(127.0)
+                / (F.lit(255.0) * F.col("p_scaled").cast("double"))
+            ).alias("demand_per_day"),
+        )
+        .orderBy(F.desc("demand_per_day"), F.asc("part"))
+        .limit(CROSTON_TOP)
+    )

@@ -147,3 +147,47 @@ def test_fisher_index_properties(spark, sf_dir):
         assert r.fisher == pytest.approx(
             (r.laspeyres * r.paasche) ** 0.5, rel=1e-12
         )
+
+
+def test_croston_replay(spark, sf_dir):
+    rows = QUERIES["croston_intermittent_demand"](spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_quantity")
+        .collect()
+    )
+    dd: dict[int, Counter] = defaultdict(Counter)
+    for r in li:
+        dd[r.l_partkey][r.l_shipdate.date()] += int(r.l_quantity)
+    scored = []
+    for part, days in dd.items():
+        if len(days) <= 8:
+            continue
+        ordered = sorted(days, reverse=True)[:9]
+        z = sum(days[d] * (1 << (8 - j)) for j, d in enumerate(ordered[:8], 1))
+        p = sum(
+            (ordered[j] - ordered[j + 1]).days * (1 << (7 - (j + 1)))
+            for j in range(0, 7)
+        )
+        scored.append((z * 127.0 / (255.0 * p), part, len(days), z, p))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    got = [(r.part, r.n_events, r.z_scaled, r.p_scaled) for r in rows]
+    want = [(part, n, z, p) for _, part, n, z, p in scored[: len(rows)]]
+    assert got == want
+    for r, s in zip(rows, scored):
+        assert r.demand_per_day == pytest.approx(s[0], rel=1e-12)
+
+
+def test_design_effect_replay(spark, sf_dir):
+    r = QUERIES["cluster_design_effect"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type = 'purchase'"
+    ).collect()
+    w = Counter(e.user_id for e in ev)
+    s1 = sum(w.values())
+    s2 = sum(v * v for v in w.values())
+    assert (r.n_users, r.n_purchases) == (len(w), s1)
+    assert r.effective_sample_size == pytest.approx(s1 * s1 / s2, rel=1e-12)
+    assert r.design_effect == pytest.approx(s1 * s2 / (s1 * s1), rel=1e-12)
+    # ESS can never exceed the raw count; deff never drops below 1
+    assert r.effective_sample_size <= s1 and r.design_effect >= 1.0
