@@ -692,3 +692,115 @@ def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --- training-data release manifest (capstone composition) ---------------------
+
+_REL_SAMPLE_PCT = 50
+_REL_SHARDS = 4
+
+RELEASE_ORACLE = f"""
+WITH q AS ( {QUALITY_ORACLE} ),
+keepers AS (SELECT id, n_words FROM q WHERE rules_pass),
+digests AS (
+    SELECT d.doc_id AS id,
+           CAST('0x' || substr(md5({NORM}), 1, 15) AS BIGINT) AS h
+    FROM documents d
+),
+survivors AS (
+    SELECT MIN(k.id) AS id, MAX(dg.h) AS h
+    FROM keepers k JOIN digests dg ON k.id = dg.id
+    GROUP BY dg.h
+),
+sampled AS (
+    SELECT s.id, s.h, k.n_words,
+           CAST('0x' || substr(md5('shard:' || CAST(s.id AS VARCHAR)),
+                               1, 15) AS BIGINT) % {_REL_SHARDS} AS shard
+    FROM survivors s JOIN keepers k ON s.id = k.id
+    WHERE CAST('0x' || substr(md5('rel:' || CAST(s.id AS VARCHAR)),
+                              1, 15) AS BIGINT) % 100 < {_REL_SAMPLE_PCT}
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id,
+       bit_xor(h) AS content_xor
+FROM sampled GROUP BY shard ORDER BY shard
+"""
+
+
+@register("training_release_manifest", RELEASE_ORACLE)
+def q_training_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-manifest capstone: the full publish path of a training
+    snapshot — Gopher quality gate -> exact-dedup survivor (min id per
+    content digest) -> deterministic 50% sample -> 4-way hash sharding
+    -> per-shard manifest row (doc count, token mass, id range, and an
+    order-independent bit_xor content proof a downstream loader can
+    re-verify). Composes quality_rules + exact_dedup + hash sampling +
+    epoch sharding into the artifact a data release actually ships.
+
+    Exactness: every stage is hash/integer arithmetic (portable MD5
+    prefix, convention 2); the manifest columns are exact integers —
+    including the checksum (bit_xor commutes, so shard parallelism
+    cannot change it).
+
+    Scale: quality and digests are per-doc passes; the survivor pick is
+    one groupBy on the content digest; sample + shard are stateless
+    filters; the manifest is {_REL_SHARDS} rows."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    q = quality_rules(docs)
+    keepers = q.filter(F.col("rules_pass")).select("id", "n_words")
+    digests = docs.select(
+        F.col("doc_id").alias("id"), hex_hash64(normalize_text("text")).alias("h")
+    )
+    survivors = (
+        keepers.join(digests, "id")
+        .groupBy("h")
+        .agg(F.min("id").alias("id"))
+    )
+    sampled = (
+        survivors.join(keepers, "id")
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rel:"), F.col("id").cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < _REL_SAMPLE_PCT
+        )
+        .select(
+            "id",
+            "h",
+            "n_words",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("shard:"), F.col("id").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _REL_SHARDS
+            ).alias("shard"),
+        )
+    )
+    return (
+        sampled.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.expr("bit_xor(h)").alias("content_xor"),
+        )
+        .orderBy("shard")
+    )

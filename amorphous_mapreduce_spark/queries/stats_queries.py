@@ -2025,14 +2025,20 @@ WITH obs AS (
     FROM lineitem
 ),
 tr AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+    SELECT CAST(SUM(CASE WHEN split <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN split <= 1 THEN x ELSE 0 END) AS BIGINT) AS sx,
+           CAST(SUM(CASE WHEN split <= 1 THEN y ELSE 0 END) AS BIGINT) AS sy,
+           CAST(SUM(CASE WHEN split <= 1 THEN
+                    CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0))
+                    ELSE CAST(0 AS DECIMAL(12,0)) END)
                 AS DECIMAL(38,0)) AS sxx,
-           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(15,0)))
-                AS DECIMAL(38,0)) AS sxy
-    FROM obs WHERE split <= 1
+           CAST(SUM(CASE WHEN split <= 1 THEN
+                    CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(15,0))
+                    ELSE CAST(0 AS DECIMAL(12,0)) END)
+                AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_calib
+    FROM obs
 ),
 fit AS (
     SELECT n AS n_train,
@@ -2054,11 +2060,10 @@ calib AS (
                AS r
     FROM obs CROSS JOIN fit2 WHERE split = 2
 ),
-nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
 pick AS (
     SELECT r AS qhat
     FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r, k1, k2) AS rn FROM calib)
-    CROSS JOIN nc
+    CROSS JOIN tr
     WHERE rn = (9 * (n_calib + 1) + 9) // 10
 ),
 test AS (
@@ -2071,7 +2076,7 @@ test AS (
 SELECT n_train, n_calib, n_test, slope, intercept, qhat AS qhat_cents,
        n_covered,
        CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
-FROM fit2 CROSS JOIN nc CROSS JOIN pick CROSS JOIN test
+FROM fit2 CROSS JOIN tr CROSS JOIN pick CROSS JOIN test
 """
 
 
@@ -2123,16 +2128,30 @@ def q_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     ).persist()  # three split slices re-read it
-    tr = li.filter(F.col("split") <= 1).agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+    # ONE conditional pass yields train moments AND the calibration count
+    is_tr = F.col("split") <= 1
+    z12 = F.lit(0).cast("decimal(12,0)")
+    tr = li.agg(
+        F.sum(F.when(is_tr, 1).otherwise(0)).alias("n"),
+        F.sum(F.when(is_tr, F.col("x")).otherwise(0)).alias("sx"),
+        F.sum(F.when(is_tr, F.col("y")).otherwise(0)).alias("sy"),
+        F.sum(
+            F.when(
+                is_tr,
+                F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"),
+            ).otherwise(z12)
+        )
         .cast("decimal(38,0)")
         .alias("sxx"),
-        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(15,0)"))
+        F.sum(
+            F.when(
+                is_tr,
+                F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(15,0)"),
+            ).otherwise(z12)
+        )
         .cast("decimal(38,0)")
         .alias("sxy"),
+        F.sum(F.when(F.col("split") == 2, 1).otherwise(0)).alias("n_calib"),
     )
     nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
     syd = F.col("sy").cast("double")
@@ -2141,6 +2160,7 @@ def q_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fit = tr.select(
         F.col("n").alias("n_train"),
+        F.col("n_calib"),
         slope.alias("slope"),
         ((syd - slope * sxd) / nd).alias("intercept"),
     )
@@ -2151,9 +2171,14 @@ def q_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     calib = (
         li.filter(F.col("split") == 2)
         .crossJoin(F.broadcast(fit))
-        .select("k1", "k2", resid.alias("r"), F.floor(resid).alias("bucket"))
+        .select(
+            "k1",
+            "k2",
+            "n_calib",
+            resid.alias("r"),
+            F.floor(resid).alias("bucket"),
+        )
     )
-    nc = calib.agg(F.count("*").alias("n_calib"))
     # two-phase exact selection: per-bucket ranks + bucket prefix counts
     bc = calib.groupBy("bucket").agg(F.count("*").alias("cnt"))
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -2165,9 +2190,8 @@ def q_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k_rank = F.expr("(9 * (n_calib + 1) + 9) div 10")
     pick = (
-        calib.select("bucket", "r", rn_in.alias("rn"))
+        calib.select("bucket", "r", "n_calib", rn_in.alias("rn"))
         .join(F.broadcast(bprefix), "bucket")
-        .crossJoin(F.broadcast(nc))
         .filter(F.col("before") + F.col("rn") == k_rank)
         .select(F.col("r").alias("qhat"))
     )
@@ -2183,8 +2207,7 @@ def q_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        fit.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(pick))
+        fit.crossJoin(F.broadcast(pick))
         .crossJoin(F.broadcast(test))
         .select(
             "n_train",

@@ -108,3 +108,39 @@ def test_knockout_invariants(spark, sf_dir):
     # every pair touches 1 or 2 sources: sum(incident) between m and 2m
     tot_inc = sum(r.n_incident for r in rows)
     assert m <= tot_inc <= 2 * m
+
+
+def test_release_manifest_accounting(spark, sf_dir):
+    import hashlib
+
+    rows = QUERIES["training_release_manifest"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 4
+    q = {r.id: r for r in QUERIES["quality_rules"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    survivors = {}
+    for d in docs:
+        if d.doc_id in q and q[d.doc_id].rules_pass:
+            dg = h60(norm(d.text))
+            if dg not in survivors or d.doc_id < survivors[dg]:
+                survivors[dg] = d.doc_id
+    shards = {}
+    for dg, did in survivors.items():
+        if h60(f"rel:{did}") % 100 < 50:
+            s = h60(f"shard:{did}") % 4
+            st = shards.setdefault(s, [0, 0, None, None, 0])
+            st[0] += 1
+            st[1] += q[did].n_words
+            st[2] = did if st[2] is None else min(st[2], did)
+            st[3] = did if st[3] is None else max(st[3], did)
+            st[4] ^= dg
+    for r in rows:
+        want = shards[r.shard]
+        assert [r.n_docs, r.n_tokens, r.min_id, r.max_id, r.content_xor] == want
+    assert len(rows) == len(shards)

@@ -379,3 +379,68 @@ def test_streaming_drift_cells_merge_to_batch_verdicts(spark, sf_dir, tmp_path):
         tr, tc = tot[r.event_type]
         assert r.drifted == (abs(nr * tc - nc * tr) * 50 > tr * tc)
     assert len(got) == len(cells)
+
+
+def test_streaming_ivm_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental view maintenance through foreachBatch: micro-batches of
+    lineitem deltas maintain a (returnflag, linestatus) rollup by
+    mergeable-state addition; the final state must equal the one-shot
+    batch aggregate exactly (integer counts and cents)."""
+    import threading
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    src = str(tmp_path / "ivm_src")
+    li.repartition(8).write.mode("overwrite").parquet(src)
+
+    state: dict[tuple, list] = {}
+    lock = threading.Lock()
+
+    def upsert(batch_df, batch_id):
+        rows = (
+            batch_df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("qty").alias("sq"),
+                F.sum("cents").alias("sc"),
+            )
+            .collect()
+        )
+        with lock:
+            for r in rows:
+                k = (r.l_returnflag, r.l_linestatus)
+                cur = state.setdefault(k, [0, 0, 0])
+                cur[0] += r.n
+                cur[1] += r.sq
+                cur[2] += r.sc
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ivm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        (r.l_returnflag, r.l_linestatus): [r.n, r.sq, r.sc]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qty").alias("sq"),
+            F.sum("cents").alias("sc"),
+        )
+        .collect()
+    }
+    assert state == want
