@@ -513,3 +513,64 @@ def lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_probe_sweep_candidates(
+    emb: DataFrame,
+    n_cells: int = 16,
+    max_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scored IVF candidates tagged with the probe depth that reaches
+    them: [qid, nid, probe_needed, sim].
+
+    Each vector lives in exactly one cell, so a candidate's
+    ``probe_needed`` is the rank of its cell in the query's
+    centroid-similarity order — ONE assignment pass prices every probe
+    budget 1..max_probe at once (recall-vs-cost sweeps re-running the
+    index per setting would scan max_probe times).
+    """
+    centroids, assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    assigned = assigned.persist()
+    dot_qc = F.aggregate(
+        F.zip_with("vec", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("id").orderBy(F.desc("_score"), F.asc("cell"))
+    probes = (
+        assigned.select("id", "vec")
+        .crossJoin(F.broadcast(centroids))
+        .select("id", "vec", "cell", dot_qc.alias("_score"))
+        .withColumn("probe_needed", F.row_number().over(wprobe))
+        .filter(F.col("probe_needed") <= max_probe)
+        .select(
+            F.col("id").alias("qid"),
+            F.col("vec").alias("qv"),
+            "cell",
+            "probe_needed",
+        )
+    )
+    cands = probes.join(
+        assigned.select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell"),
+        "cell",
+    ).filter(F.col("qid") != F.col("nid"))
+    dot_qn = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return cands.select(
+        "qid",
+        "nid",
+        "probe_needed",
+        (dot_qn / (norm("qv") * norm("nv"))).alias("sim"),
+    ).distinct()

@@ -824,3 +824,122 @@ def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             selected.unionByName(pick).coalesce(1).localCheckpoint()
         )
     return selected
+
+
+# --- IVF probe-budget recall sweep ---------------------------------------------
+
+PROBE_SWEEP_CTES = f"""
+ivfseeds AS (
+    SELECT vec_id AS cell, embedding FROM embeddings
+    ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+             vec_id
+    LIMIT 16
+), ivfrank AS (
+    SELECT e.vec_id AS id, s.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[],
+                                         s.embedding::DOUBLE[]) DESC, s.cell
+           ) AS rk
+    FROM embeddings e, ivfseeds s
+), ivfassign AS (
+    SELECT id, cell FROM ivfrank WHERE rk = 1
+), cand AS (
+    SELECT r.id AS qid, a.id AS nid, r.rk AS probe_needed
+    FROM ivfrank r JOIN ivfassign a ON a.cell = r.cell AND a.id <> r.id
+    WHERE r.rk <= 4
+), scored AS (
+    SELECT c.qid, c.nid, c.probe_needed, {_COS_AB} AS sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.qid
+    JOIN embeddings b ON b.vec_id = c.nid
+), lv AS (SELECT unnest([1, 2, 3, 4]) AS p),
+candcnt AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM scored JOIN lv ON probe_needed <= p GROUP BY p
+), ranked AS (
+    SELECT p, qid, nid FROM (
+        SELECT lv.p, qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY lv.p, qid
+                                  ORDER BY sim DESC, nid) AS rnk
+        FROM scored JOIN lv ON probe_needed <= lv.p
+    ) WHERE rnk <= 5
+)"""
+
+PROBE_SWEEP_ORACLE = (
+    "WITH "
+    + _EXACT_CTE
+    + ", "
+    + PROBE_SWEEP_CTES
+    + """
+SELECT lv.p AS n_probe,
+       MAX(cc.n_candidates) AS n_candidates,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e
+CROSS JOIN lv
+JOIN candcnt cc ON cc.p = lv.p
+LEFT JOIN ranked t ON t.p = lv.p AND e.qid = t.qid AND e.nid = t.nid
+GROUP BY lv.p ORDER BY lv.p
+"""
+)
+
+
+@register("ivf_probe_sweep", PROBE_SWEEP_ORACLE)
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@5 and candidate cost for probe budgets
+    1..4 priced from ONE assignment pass — each candidate is tagged with
+    the probe depth that first reaches it (its cell's rank in the
+    query's centroid order), so the whole recall-vs-cost frontier costs
+    one index build instead of four. This is the sweep that picks
+    n_probe before a 100 TB ANN rollout.
+
+    Exactness: cosine scores follow the ordered-fold discipline (bit
+    identical to the DuckDB replay); ranks carry (sim desc, nid)
+    tie-breaks; recalls are single divisions of exact counts.
+
+    Scale: the candidate join is keyed on cell; the sweep explode is a
+    constant x4; rank windows partition by (probe level, query)."""
+    from amorphous_mapreduce_spark.operators.similarity import (
+        cosine_topk_blocked,
+        ivf_probe_sweep_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = ivf_probe_sweep_candidates(emb, n_cells=16, max_probe=4).persist()
+    lv = spark.createDataFrame([(p,) for p in (1, 2, 3, 4)], "p int")
+    widened = scored.crossJoin(F.broadcast(lv)).filter(
+        F.col("probe_needed") <= F.col("p")
+    )
+    candcnt = widened.groupBy("p").agg(F.count("*").alias("n_candidates"))
+    wk = Window.partitionBy("p", "qid").orderBy(F.desc("sim"), F.asc("nid"))
+    ann = (
+        widened.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+        .select("p", "qid", "nid")
+        .withColumn("_hit", F.lit(1))
+    )
+    exact = cosine_topk_blocked(emb, k=5, n_blocks=16).select("qid", "nid")
+    return (
+        exact.crossJoin(F.broadcast(lv))
+        .join(ann, ["p", "qid", "nid"], "left")
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .join(F.broadcast(candcnt), "p")
+        .select(
+            F.col("p").cast("long").alias("n_probe"),
+            "n_candidates",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("n_probe")
+    )

@@ -97,3 +97,19 @@ def test_sql_lateral_topn_is_per_customer_top2(spark, sf_dir):
     for ck, bal in cust.items():
         if bal > 9000 and orders[ck]:
             assert ck in per
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    rows = QUERIES["ivf_probe_sweep"](spark, sf_dir).collect()
+    assert [r.n_probe for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        # more probes can only add candidates and recall
+        assert a.n_candidates <= b.n_candidates
+        assert a.n_hits <= b.n_hits
+        assert a.n_exact == b.n_exact
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall == pytest.approx(r.n_hits / r.n_exact)
+    # the full 4-probe setting must match the registered ivf recall query
+    full = QUERIES["similarity_ivf_recall"](spark, sf_dir).collect()[0]
+    assert rows[-1].n_hits == full.n_hits and rows[-1].n_exact == full.n_exact

@@ -42,6 +42,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "ivf_probe_sweep": {
+        "BroadcastNestedLoopJoin": "constant-side crosses only: the "
+        "16-row centroid broadcast (ivf assignment, as in "
+        "similarity_ivf_*), the 4-row probe-level frame crossed onto "
+        "candidates and onto the exact top-k, and the 16x16 block-pair "
+        "enumeration inside the blocked exact kernel — every BNLJ side "
+        "is constant-bounded",
+    },
     "loo_source_influence": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
         "crossed onto the token frame and the 1-row grand-total crossed "
