@@ -1181,3 +1181,143 @@ def q_source_knockout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- LSH band-width sweep vs exact Jaccard truth -------------------------------
+
+SWEEP_WIDTHS = (2, 4, 8)
+SWEEP_TRUTH_J = 0.5
+SWEEP_MAX_DF = 64
+
+
+def _sweep_band_sql(w: int) -> str:
+    return f"""
+SELECT {w} AS w, a.id AS qid, b.id AS nid FROM (
+    SELECT id, hid // {w} AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // {w}
+) a JOIN (
+    SELECT id, hid // {w} AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // {w}
+) b USING (band, sig)
+WHERE a.id < b.id"""
+
+
+BAND_SWEEP_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+),
+capped AS (
+    SELECT s.id, s.sh FROM shingles s
+    JOIN (SELECT sh FROM shingles GROUP BY sh
+"""
+    + f"          HAVING COUNT(*) <= {SWEEP_MAX_DF}) rare USING (sh)\n"
+    + f"""),
+sizes AS (SELECT id, COUNT(*) AS sz FROM capped GROUP BY id),
+truth AS (
+    SELECT qid, nid FROM (
+        SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
+        FROM capped a JOIN capped b USING (sh) WHERE a.id < b.id
+        GROUP BY a.id, b.id
+    ) i
+    JOIN sizes qs ON qs.id = i.qid
+    JOIN sizes ns ON ns.id = i.nid
+    WHERE CAST(inter AS DOUBLE) / (qs.sz + ns.sz - inter) >= {SWEEP_TRUTH_J}
+),
+cands AS (SELECT DISTINCT w, qid, nid FROM ("""
+    + "\nUNION ALL".join(_sweep_band_sql(w) for w in SWEEP_WIDTHS)
+    + """
+)),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+SELECT CAST(w AS BIGINT) AS band_width,
+       CAST(16 // w AS BIGINT) AS n_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       MAX(nt.n_true) AS n_true,
+       CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(MAX(nt.n_true) AS DOUBLE) AS recall,
+       CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS precision
+FROM cands c
+LEFT JOIN truth t ON c.qid = t.qid AND c.nid = t.nid
+CROSS JOIN nt
+GROUP BY w ORDER BY w
+"""
+)
+
+
+@register("lsh_band_sweep", BAND_SWEEP_ORACLE)
+def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding S-curve sweep: candidate volume, recall, and
+    precision against exact Jaccard >= 0.5 truth for band widths 2/4/8
+    rows — all three configurations re-band the SAME 16-value
+    signatures, so the whole tuning frontier costs one signature pass
+    (the dedup sibling of ivf_probe_sweep). Narrow bands (w=2) cast a
+    wide net (high recall, low precision); wide bands (w=8) the
+    reverse — the curve picks the production config.
+
+    Exactness: signatures and candidates are integer hash arithmetic;
+    truth is the capped exact-Jaccard pair set (ngram_jaccard
+    discipline); recalls/precisions are single divisions.
+
+    Scale: banding is a per-doc rollup repeated 3x over the persisted
+    signature frame; candidate joins are (band, sig) hash joins; truth
+    is the inverted-index join with the hot-shingle cap."""
+    from amorphous_mapreduce_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16).persist()
+    truth = (
+        jaccard_pairs(docs, threshold=SWEEP_TRUTH_J, max_df=SWEEP_MAX_DF)
+        .select("qid", "nid")
+        .withColumn("_t", F.lit(1))
+        .persist()
+    )
+    cands = None
+    for w in SWEEP_WIDTHS:
+        b = minhash_band_buckets(sigs, band_bits=w).persist()
+        cw = (
+            b.select(F.col("id").alias("qid"), "band", "sig")
+            .join(b.select(F.col("id").alias("nid"), "band", "sig"), ["band", "sig"])
+            .filter(F.col("qid") < F.col("nid"))
+            .select("qid", "nid")
+            .distinct()
+            .withColumn("w", F.lit(w))
+        )
+        cands = cw if cands is None else cands.unionByName(cw)
+    nt = truth.agg(F.count("*").alias("n_true"))
+    return (
+        cands.join(truth, ["qid", "nid"], "left")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max("n_true").alias("n_true"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            F.col("w").cast("long").alias("band_width"),
+            F.expr("CAST(16 div w AS BIGINT)").alias("n_bands"),
+            "n_candidates",
+            "n_true",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall"
+            ),
+            (
+                F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")
+            ).alias("precision"),
+        )
+        .orderBy("band_width")
+    )

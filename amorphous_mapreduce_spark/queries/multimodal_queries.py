@@ -162,3 +162,100 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").alias("n_bytes"),
         F.hex("content").alias("content_hex"),
     )
+
+
+# --- content-addressed chunk dedup over binary media ---------------------------
+
+# Sibling-structured blobs: ids 2k/2k+1 share their first 7 chunks (the
+# "re-encoded copy" case), so chunk-level dedup MUST find exactly the
+# even/odd pairs — a built-in correctness invariant.
+_SIB_HX = " || ".join(
+    f"md5((r.range // 2) || '_{i}')" for i in range(7)
+) + " || md5(r.range || '_tail')"
+
+CHUNK_DEDUP_ORACLE = f"""
+WITH media AS (
+    SELECT r.range AS media_id, {_SIB_HX} AS hx
+    FROM range({N_MEDIA}) r
+),
+chunks AS (
+    SELECT media_id, i.range AS idx,
+           substr(hx, CAST(32 * i.range + 1 AS BIGINT), 32) AS ch
+    FROM media, range(8) i
+),
+pairs AS (
+    SELECT a.media_id AS qid, b.media_id AS nid,
+           CAST(COUNT(*) AS BIGINT) AS shared_chunks
+    FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.media_id < b.media_id
+    GROUP BY a.media_id, b.media_id
+)
+SELECT qid, nid, shared_chunks,
+       CAST(shared_chunks AS DOUBLE) / 8.0 AS chunk_overlap
+FROM pairs WHERE shared_chunks >= 6
+ORDER BY qid, nid
+"""
+
+
+@register("media_chunk_near_dup", CHUNK_DEDUP_ORACLE)
+def q_media_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level binary dedup over opaque media blobs (the
+    rsync/backup-store technique applied to multimodal columns): blobs
+    split into fixed 16-byte chunks, chunks matched content-addressed
+    (by hash, position-free), pairs sharing >= 6 of 8 chunks flagged as
+    re-encoded copies. The synthetic blobs are sibling-structured
+    (2k and 2k+1 share 7 chunks) so the expected answer is exactly the
+    even/odd pairs — the query self-certifies.
+
+    Exactness: chunks replay as md5 hex substrings (the multimodal
+    blob-slicing convention); counts are exact; ONE division renders
+    the overlap.
+
+    Scale: the chunk store is a keyed equi-join on chunk hash (the
+    content-addressed index); per-pair rollup; no quadratic stage —
+    fanout is bounded by chunk duplication, which is the signal
+    itself."""
+    hx = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.expr("CAST(id div 2 AS STRING)"), F.lit(f"_{i}")
+                )
+            )
+            for i in range(7)
+        ],
+        F.md5(F.concat(F.col("id").cast("string"), F.lit("_tail"))),
+    )
+    media = spark.range(N_MEDIA).select(
+        F.col("id").alias("media_id"), hx.alias("hx")
+    )
+    chunks = media.select(
+        "media_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: F.substring(
+                    F.col("hx"), i.cast("int") * 32 + 1, 32
+                ),
+            )
+        ).alias("idx", "ch"),
+    )
+    a = chunks.select(F.col("media_id").alias("qid"), "ch")
+    b = chunks.select(F.col("media_id").alias("nid"), "ch")
+    pairs = (
+        a.join(b, "ch")
+        .filter(F.col("qid") < F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("shared_chunks"))
+    )
+    return (
+        pairs.filter(F.col("shared_chunks") >= 6)
+        .select(
+            "qid",
+            "nid",
+            "shared_chunks",
+            (F.col("shared_chunks").cast("double") / F.lit(8.0)).alias(
+                "chunk_overlap"
+            ),
+        )
+        .orderBy("qid", "nid")
+    )

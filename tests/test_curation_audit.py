@@ -144,3 +144,29 @@ def test_release_manifest_accounting(spark, sf_dir):
         want = shards[r.shard]
         assert [r.n_docs, r.n_tokens, r.min_id, r.max_id, r.content_xor] == want
     assert len(rows) == len(shards)
+
+
+def test_media_chunk_near_dup_finds_exactly_siblings(spark, sf_dir):
+    rows = QUERIES["media_chunk_near_dup"](spark, sf_dir).collect()
+    # 64 sibling-structured blobs -> exactly the 32 even/odd pairs
+    assert len(rows) == 32
+    for r in rows:
+        assert r.nid == r.qid + 1 and r.qid % 2 == 0
+        assert r.shared_chunks == 7
+        assert r.chunk_overlap == 7 / 8
+
+
+def test_lsh_band_sweep_tradeoff(spark, sf_dir):
+    rows = QUERIES["lsh_band_sweep"](spark, sf_dir).collect()
+    assert [r.band_width for r in rows] == [2, 4, 8]
+    n_true = {r.n_true for r in rows}
+    assert len(n_true) == 1 and n_true.pop() > 0
+    for a, b in zip(rows, rows[1:]):
+        # wider bands = stricter AND across more rows = fewer candidates
+        assert a.n_candidates >= b.n_candidates
+        assert a.n_hits >= b.n_hits
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+        assert r.n_bands * r.band_width == 16
+    # the narrowest banding must catch most true pairs on this fixture
+    assert rows[0].recall >= 0.9

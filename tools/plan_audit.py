@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "lsh_band_sweep": {
+        "BroadcastNestedLoopJoin": "1-row true-pair-count scalar crossed "
+        "onto the candidate frame before the 3-row width rollup — the "
+        "standard scalar-total pattern",
+    },
     "ivf_probe_sweep": {
         "BroadcastNestedLoopJoin": "constant-side crosses only: the "
         "16-row centroid broadcast (ivf assignment, as in "
