@@ -233,6 +233,64 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| >= threshold:
+    [qid, nid, inter, qsz, nsz, containment].
+
+    Containment (Broder's asymmetric resemblance) is the quote/partial-dup
+    detector Jaccard misses: a short document wholly embedded in a long one
+    has low Jaccard (the union is dominated by the long doc) but
+    containment ~ 1 from the short side. Pairs are ORDERED — qid is the
+    contained candidate, nid the container — and emitted in both
+    directions when both clear the threshold.
+
+    Reference tie-in: per-key count over hashed shingles (W6/W7,
+    src/word_count.rs:105-124) feeding an inverted-index equi-join.
+
+    Scale: identical posture to ``jaccard_pairs`` — one inverted-index
+    equi-join on shingle hash (sub-quadratic for non-degenerate corpora),
+    ``max_df`` capping hot-shingle fanout, with the cap applied to sizes
+    AND intersections so the score stays exact over the capped
+    vocabulary. The only double is one division of two int64s.
+    """
+    sh = shingles(docs, shingle_size, id_col, text_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    # sizes + both join sides read the shingle table — persist (self-join
+    # lineage gotcha).
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col("id").alias("qid"), "sh")
+        .join(sh.select(F.col("id").alias("nid"), "sh"), "sh")
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("qid"), F.col("sz").alias("qsz")), "qid"
+        )
+        .join(sizes.select(F.col("id").alias("nid"), F.col("sz").alias("nsz")), "nid")
+        .withColumn("containment", F.col("inter") / F.col("qsz"))
+        .filter(F.col("containment") >= threshold)
+        .select("qid", "nid", "inter", "qsz", "nsz", "containment")
+    )
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

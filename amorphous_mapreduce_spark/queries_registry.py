@@ -56,6 +56,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     forensics_queries,
     gemm_queries,
     inference_queries,
+    insight_queries,
     kmeans_queries,
     lakehouse_queries,
     lm_queries,

@@ -42,6 +42,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "brand_association_rules": {
+        "BroadcastNestedLoopJoin": "1-row basket-total scalar crossed "
+        "onto the <=600-row (25 brands squared) rule frame for the "
+        "SF-relative support threshold — standard scalar-total pattern",
+    },
+    "mi_lang_source": {
+        "BroadcastNestedLoopJoin": "1-row corpus-total scalar crossed "
+        "onto the |langs|x|sources| cell frame, then the three 1-row "
+        "partial scorecards (MI, H(lang), H(source)) crossed together "
+        "for the single output row — all sides constant-bounded",
+    },
+    "nelson_aalen_hazard": {
+        "CartesianProduct": "triangular suffix join over the "
+        "month-indexed death frame — cardinality bounded by the "
+        "calendar (~tens of rows), data-size independent",
+        "BroadcastNestedLoopJoin": "same calendar-bounded frame on the "
+        "risk-set and cumulative-hazard prefix joins",
+    },
     "lsh_band_sweep": {
         "BroadcastNestedLoopJoin": "1-row true-pair-count scalar crossed "
         "onto the candidate frame before the 3-row width rollup — the "
