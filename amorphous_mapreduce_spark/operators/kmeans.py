@@ -66,14 +66,18 @@ def _assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Cluster assignments after ``iters`` Lloyd iterations: [id, cell]."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations; return (quantized, assigned,
+    centroids) where assigned = [id, qv, cell] against the FINAL
+    centroids [cell, cv] — callers needing the model (silhouette,
+    scoring new points) use the centroid frame, callers needing only
+    labels use ``kmeans_assign``."""
     q = _quantize(emb, id_col, vec_col).persist()
     centroids = (
         q.orderBy(hex_hash64(F.col("id").cast("string")), F.col("id"))
@@ -98,6 +102,19 @@ def kmeans_assign(
             )
         )
         assigned = _assign(q, means)
+        centroids = means
+    return q, assigned, centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignments after ``iters`` Lloyd iterations: [id, cell]."""
+    _, assigned, _ = kmeans_fit(emb, k, iters, id_col, vec_col)
     return assigned.select("id", "cell")
 
 

@@ -404,3 +404,100 @@ def cms_join_size(
             (F.col("cms_est") - F.col("exact_rows")).alias("overestimate"),
         )
     )
+
+
+def hll_pairwise_overlap(
+    docs: DataFrame,
+    m: int = 64,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus partitions from MERGED
+    HyperLogLog registers: [src_a, src_b, denom_a, denom_b, denom_union,
+    est_a, est_b, est_union, est_intersection].
+
+    The algebra that makes HLL a SET sketch, not just a counter: the
+    union register is max(reg_a, reg_b) per bucket — equivalently the
+    MIN of the dyadic terms 2^(55-reg) — so |A∪B| is estimated from the
+    merged sketch and |A∩B| follows by inclusion-exclusion. Registers
+    are padded dense (absent bucket = register 0 = term 2^55), so every
+    pair's denominators are exact BIGINTs and the three estimates are
+    single double divisions combined in one fixed expression.
+
+    Scale: sketch state is m rows per key forever; the pair join runs on
+    #keys * m rows (KB), not on data. The one data-sized stage is the
+    distinct (key, word) tagging — identical to hll_cardinality's.
+    Reference: bounded-state per-key agg (W7, src/word_count.rs:121-123).
+    """
+    toks = tokenized(docs, id_col, text_col)
+    keys = docs.select(F.col(id_col).alias("id"), F.col(key_col).alias("src"))
+    h = hex_hash64(F.concat(F.lit("hll_"), F.col("word")))
+    w = F.shiftright(h, 6)
+    per_bucket = (
+        toks.join(F.broadcast(keys), "id")
+        .select("src", "word")
+        .distinct()
+        .select(
+            "src",
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            F.when(w == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        .groupBy("src", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    srcs = docs.select(F.col(key_col).alias("src")).distinct()
+    dense = (
+        srcs.select(
+            "src", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket")
+        )
+        .join(per_bucket, ["src", "bucket"], "left")
+        .select(
+            "src",
+            "bucket",
+            F.pow(F.lit(2.0), F.lit(55) - F.coalesce(F.col("reg"), F.lit(0)))
+            .cast("long")
+            .alias("term"),
+        )
+        .persist()  # both pair-join sides + the per-key sums read this
+    )
+    sums = dense.groupBy("src").agg(F.sum("term").alias("denom"))
+    pairs = (
+        dense.select(F.col("src").alias("src_a"), "bucket", F.col("term").alias("ta"))
+        .join(
+            dense.select(
+                F.col("src").alias("src_b"), "bucket", F.col("term").alias("tb")
+            ),
+            "bucket",
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.least("ta", "tb")).alias("denom_union"))
+    )
+    alpha = F.lit(_HLL_EST_NUM_64)
+    out = (
+        pairs.join(
+            F.broadcast(sums.select(F.col("src").alias("src_a"), F.col("denom").alias("denom_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sums.select(F.col("src").alias("src_b"), F.col("denom").alias("denom_b"))),
+            "src_b",
+        )
+    )
+    ea = alpha / F.col("denom_a").cast("double")
+    eb = alpha / F.col("denom_b").cast("double")
+    eu = alpha / F.col("denom_union").cast("double")
+    return out.select(
+        "src_a",
+        "src_b",
+        "denom_a",
+        "denom_b",
+        "denom_union",
+        ea.alias("est_a"),
+        eb.alias("est_b"),
+        eu.alias("est_union"),
+        (ea + eb - eu).alias("est_intersection"),
+    )

@@ -601,3 +601,84 @@ def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+# --- context-length sweep (truncate-vs-pad budget audit) --------------------
+
+# The tune-from-one-pass pattern applied to the context-length decision:
+# ONE tokenize pass, then the constant config levels (512..4096) explode
+# against the per-doc lengths, so choosing a training context length is
+# one scan, not four.
+CTX_LEVELS = (512, 1024, 2048, 4096)
+
+CTX_SWEEP_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, dls AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY id)
+SELECT ctx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN dl > ctx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated,
+       CAST(SUM(CASE WHEN dl > ctx THEN dl - ctx ELSE 0 END) AS BIGINT)
+           AS tokens_lost,
+       CAST(SUM(CASE WHEN dl <= ctx THEN ctx - dl ELSE 0 END) AS BIGINT)
+           AS pad_waste_unpacked,
+       CAST((SUM(CASE WHEN dl > ctx THEN ctx ELSE dl END) + ctx - 1) // ctx
+            AS BIGINT) AS packed_seqs_lb,
+       CAST(SUM(CASE WHEN dl > ctx THEN dl - ctx ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(dl) AS DOUBLE) AS truncation_loss_share
+FROM dls CROSS JOIN (VALUES ({CTX_LEVELS[0]}), ({CTX_LEVELS[1]}),
+                            ({CTX_LEVELS[2]}), ({CTX_LEVELS[3]})) AS c(ctx)
+GROUP BY ctx
+"""
+)
+
+
+@register("context_length_sweep", CTX_SWEEP_ORACLE)
+def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training context-length sweep: per candidate context (512/1024/
+    2048/4096 tokens), how many docs get truncated and how many tokens
+    that loses, the padding waste if each doc rode its own sequence,
+    and the packed-sequence lower bound ceil(kept/ctx) — the one-scan
+    scorecard behind the truncate-vs-pack budget decision
+    (complements sequence_packing, which lays out the chosen config).
+
+    All integers (ceil as (x+ctx-1) div ctx); the loss share is one
+    double division. Scale: one tokenize -> per-doc count, then a
+    4x constant explode into a 4-row aggregate."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    dls = tokenized(docs).groupBy("id").agg(F.count("*").alias("dl"))
+    kept = F.when(F.col("dl") > F.col("ctx"), F.col("ctx")).otherwise(F.col("dl"))
+    lost = F.when(F.col("dl") > F.col("ctx"), F.col("dl") - F.col("ctx")).otherwise(
+        F.lit(0)
+    )
+    pad = F.when(F.col("dl") <= F.col("ctx"), F.col("ctx") - F.col("dl")).otherwise(
+        F.lit(0)
+    )
+    return (
+        dls.select(
+            "dl",
+            F.explode(
+                F.array(*[F.lit(c).cast("long") for c in CTX_LEVELS])
+            ).alias("ctx"),
+        )
+        .groupBy("ctx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("tokens_total"),
+            F.sum((F.col("dl") > F.col("ctx")).cast("bigint")).alias("n_truncated"),
+            F.sum(lost).alias("tokens_lost"),
+            F.sum(pad).alias("pad_waste_unpacked"),
+            F.expr(
+                "CAST((sum(CASE WHEN dl > ctx THEN ctx ELSE dl END) + ctx - 1)"
+                " div ctx AS BIGINT)"
+            ).alias("packed_seqs_lb"),
+            (
+                F.sum(lost).cast("double") / F.sum("dl").cast("double")
+            ).alias("truncation_loss_share"),
+        )
+    )

@@ -128,3 +128,104 @@ def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 16)
     )
+
+
+# --- simplified silhouette (cluster-quality scorecard) ----------------------
+
+# Shared literal: squared distance to a centroid, derived from the SAME
+# score expression the assignment uses (d2 = q.q - 2*(q.c - c.c/2)), so
+# the floats match the assignment bit-for-bit. The per-point silhouette
+# s = (b - a) / b (a = dist to own centroid, b = dist to nearest other;
+# b >= a by construction) is floor-quantized to 2^20 BEFORE the per-cell
+# mean — cross-row double sums are never exact, 2^20-scaled int sums are.
+_SIL_SQ = """CAST(floor(CASE WHEN b2 <= 0 THEN 0.0
+     ELSE (sqrt(greatest(b2, CAST(0 AS DOUBLE)))
+           - sqrt(greatest(a2, CAST(0 AS DOUBLE))))
+          / sqrt(greatest(b2, CAST(0 AS DOUBLE))) END * 1048576)
+ AS BIGINT)"""
+
+_SIL_DOT = "list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)), {b})"
+_SIL_SCORE = (
+    _SIL_DOT.format(b="s.cv") + " - list_dot_product(s.cv, s.cv) / 2"
+)
+
+SILHOUETTE_ORACLE = KMEANS_ORACLE.replace(
+    "SELECT id, cell FROM a2",
+    f"""SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_q) AS BIGINT) AS sil_sum_q,
+       CAST(SUM(s_q) AS DOUBLE) / CAST(COUNT(*) * 1048576 AS DOUBLE)
+           AS mean_sil
+FROM (
+    SELECT own_cell AS cell, {_SIL_SQ} AS s_q
+    FROM (
+        SELECT id,
+               MAX(CASE WHEN rk = 1 THEN cell END) AS own_cell,
+               MAX(CASE WHEN rk = 1 THEN d2 END) AS a2,
+               MAX(CASE WHEN rk = 2 THEN d2 END) AS b2
+        FROM (
+            SELECT q.id, s.cell,
+                   {_SIL_DOT.format(b="list_transform(q.qv, x -> CAST(x AS DOUBLE))")}
+                   - 2 * ({_SIL_SCORE}) AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.id
+                       ORDER BY ({_SIL_SCORE}) DESC, s.cell) AS rk
+            FROM q, cent2 s
+        ) WHERE rk <= 2 GROUP BY id
+    )
+) GROUP BY cell
+""",
+)
+
+
+@register("kmeans_silhouette", SILHOUETTE_ORACLE)
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cell: a = the
+    point's distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b-a)/b — the cluster-quality scorecard that
+    says which cells are tight and which are split candidates.
+
+    Distances reuse the assignment's argmax score floats exactly
+    (d2 = q.q - 2*score); sqrt is correctly rounded on both engines;
+    per-point s is floor-quantized to 2^20 before the per-cell sum so
+    the mean is one exact integer division, never a float accumulation.
+
+    Scale: the dominant cost is one broadcast join of the corpus against
+    k centroids (same as each Lloyd iteration) + one keyed aggregate;
+    ranks are per-point windows over k rows."""
+    from amorphous_mapreduce_spark.operators.kmeans import _score, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, _, cents = kmeans_fit(emb, k=K, iters=2)
+    qq = F.aggregate(
+        F.zip_with("qv", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    dd = (
+        q.crossJoin(F.broadcast(cents))
+        .select("id", "cell", qq.alias("qq"), _score("qv", "cv").alias("s"))
+        .withColumn("d2", F.col("qq") - 2 * F.col("s"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("s"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    per = dd.groupBy("id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("cell"))).alias("own_cell"),
+        F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("a2"),
+        F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("b2"),
+    )
+    sil = per.select(F.col("own_cell").alias("cell"), F.expr(_SIL_SQ).alias("s_q"))
+    return sil.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.sum("s_q").alias("sil_sum_q"),
+        (
+            F.sum("s_q").cast("double")
+            / (F.count("*") * 1048576).cast("double")
+        ).alias("mean_sil"),
+    )

@@ -921,3 +921,64 @@ def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     return out
 
+
+
+# --- HLL pairwise source overlap (sketch set algebra) -----------------------
+
+HLL_OVERLAP_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, tagged AS (
+    SELECT DISTINCT d.source AS src, t.word
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+),
+pb AS (
+    SELECT src, h % 64 AS bucket,
+           MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(h >> 6)) END) AS reg
+    FROM (SELECT src, {_HLL_H} AS h FROM tagged)
+    GROUP BY src, h % 64
+),
+dense AS (
+    SELECT s.src, b.range AS bucket,
+           CAST(power(2.0, 55 - COALESCE(pb.reg, 0)) AS BIGINT) AS term
+    FROM (SELECT DISTINCT source AS src FROM documents) s
+    CROSS JOIN range(64) b
+    LEFT JOIN pb ON pb.src = s.src AND pb.bucket = b.range
+),
+sums AS (SELECT src, CAST(SUM(term) AS BIGINT) AS denom FROM dense GROUP BY src),
+pairs AS (
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(SUM(LEAST(a.term, b.term)) AS BIGINT) AS denom_union
+    FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT src_a, src_b, sa.denom AS denom_a, sb.denom AS denom_b, denom_union,
+       1.046802484394006e20 / CAST(sa.denom AS DOUBLE) AS est_a,
+       1.046802484394006e20 / CAST(sb.denom AS DOUBLE) AS est_b,
+       1.046802484394006e20 / CAST(denom_union AS DOUBLE) AS est_union,
+       1.046802484394006e20 / CAST(sa.denom AS DOUBLE)
+         + 1.046802484394006e20 / CAST(sb.denom AS DOUBLE)
+         - 1.046802484394006e20 / CAST(denom_union AS DOUBLE)
+           AS est_intersection
+FROM pairs
+JOIN sums sa ON sa.src = src_a
+JOIN sums sb ON sb.src = src_b
+"""
+)
+
+
+@register("hll_source_overlap", HLL_OVERLAP_ORACLE)
+def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources from merged HLL
+    registers: per source pair, the exact dyadic denominators and the
+    |A|, |B|, |A∪B| estimates plus inclusion-exclusion |A∩B| — the
+    sketch SET algebra (union = per-bucket register max) that the
+    per-key hll_cardinality / hll_merge_rollup family was building
+    toward. The KMV twin (kmv_set_similarity) estimates the same
+    quantities from bottom-k hashes; shipping both is how an engine
+    cross-checks its sketches."""
+    from amorphous_mapreduce_spark.operators.sketches import hll_pairwise_overlap
+
+    return hll_pairwise_overlap(load_table(spark, sf_dir, "documents"))

@@ -172,3 +172,49 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(LATERAL_TOPN_SQL)
+
+
+# Rolling market share through the SQL front door: monthly brand revenue,
+# share of the month's total (window over month), and the 3-month rolling
+# share (named-WINDOW frame over the brand's month series). Integer-cents
+# window sums (each CAST back from DuckDB's HUGEINT) with single double
+# divisions; the WINDOW clause itself is part of the dialect surface this
+# battery proves.
+ROLLING_SHARE_SQL = """
+WITH m AS (
+    SELECT p.p_brand AS brand,
+           year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS month_idx,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY p.p_brand, year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+),
+w AS (
+    SELECT brand, month_idx, cents,
+           CAST(SUM(cents) OVER (PARTITION BY month_idx) AS BIGINT) AS mt
+    FROM m
+)
+SELECT brand, month_idx, cents, mt AS month_cents,
+       CAST(cents AS DOUBLE) / CAST(mt AS DOUBLE) AS share,
+       CAST(SUM(cents) OVER wb AS BIGINT) AS cents_3m,
+       CAST(SUM(mt) OVER wb AS BIGINT) AS month_cents_3m,
+       CAST(CAST(SUM(cents) OVER wb AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(mt) OVER wb AS BIGINT) AS DOUBLE) AS share_3m
+FROM w
+WINDOW wb AS (PARTITION BY brand ORDER BY month_idx
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("sql_rolling_share", ROLLING_SHARE_SQL)
+def q_sql_rolling_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly brand revenue share + 3-month rolling share via ONE SQL
+    string on both engines — exercises the named-WINDOW clause, framed
+    window sums, and the integer-cents share discipline through the raw
+    SQL entry point. All windows are keyed (month / brand) — no global
+    partitions."""
+    for t in ("lineitem", "part", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ROLLING_SHARE_SQL)

@@ -1061,3 +1061,107 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_scaled"), F.asc("phrase"))
         .limit(RAKE_TOP)
     )
+
+
+# --- Dirichlet-smoothed query-likelihood retrieval --------------------------
+
+# The language-model retrieval twin of bm25_ranking: score(q, d) =
+# sum_i log p(q_i | d) with Dirichlet smoothing,
+#   p(q_i|d) = (tf_i + MU * cf_i / C) / (dl + MU)
+#            = (tf_i*C + MU*cf_i) / ((dl + MU) * C)      -- all integers!
+# so each term's log is a DIFFERENCE OF TWO INTEGER LOG2s from the
+# shared LUT (functions.intlog) — the whole score is one exact integer
+# per doc, bit-identical across engines, no libm anywhere.
+QLM_MU = 2000
+QLM_TERMS = BM25_TERMS  # same fixed 3-term query as bm25_ranking
+
+from amorphous_mapreduce_spark.functions.intlog import (  # noqa: E402
+    LOG2_SCALE,
+    log2_scaled,
+    log2_scaled_sql,
+)
+
+_QLM_TERM_SQL = [
+    f"({log2_scaled_sql(f'tf_{i} * _n_tok + {QLM_MU} * _cf_{i}')}"
+    f" - {log2_scaled_sql(f'(dl + {QLM_MU}) * _n_tok')})"
+    for i in range(3)
+]
+
+QLM_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, per_doc AS (
+    SELECT id, COUNT(*) AS dl,
+           CAST(SUM(CASE WHEN word = '{QLM_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+           CAST(SUM(CASE WHEN word = '{QLM_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+           CAST(SUM(CASE WHEN word = '{QLM_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+    FROM toks GROUP BY id
+),
+scal AS (
+    SELECT CAST(SUM(dl) AS BIGINT) AS _n_tok,
+           CAST(SUM(tf_0) AS BIGINT) AS _cf_0,
+           CAST(SUM(tf_1) AS BIGINT) AS _cf_1,
+           CAST(SUM(tf_2) AS BIGINT) AS _cf_2
+    FROM per_doc
+)
+SELECT id, dl, tf_0, tf_1, tf_2,
+       CAST({_QLM_TERM_SQL[0]} + {_QLM_TERM_SQL[1]} + {_QLM_TERM_SQL[2]}
+            AS BIGINT) AS qlm_scaled,
+       CAST({_QLM_TERM_SQL[0]} + {_QLM_TERM_SQL[1]} + {_QLM_TERM_SQL[2]}
+            AS DOUBLE) / {LOG2_SCALE} AS qlm_bits
+FROM per_doc CROSS JOIN scal
+ORDER BY qlm_scaled DESC, id
+LIMIT 15
+"""
+)
+
+
+@register("qlm_retrieval", QLM_ORACLE)
+def q_qlm_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (mu=2000), the
+    language-model ranking beside BM25: top-15 docs for the same 3-term
+    query, scored sum_i [log2s(tf_i*C + mu*cf_i) - log2s((dl+mu)*C)] —
+    the classic LM score made INTEGER-exact by clearing the rational
+    p(q_i|d) to one numerator/denominator pair and taking LUT log2s of
+    each (functions.intlog). Smoothing means every doc scores (zero-tf
+    docs rank by length), so the top-k is over the full corpus with an
+    id tie-break.
+
+    Scale: same shape as bm25_ranking — one tokenize pass, one 1-row
+    scalar broadcast-crossed back, TakeOrderedAndProject top-k."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    per_doc = toks.groupBy("id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(QLM_TERMS)
+        ],
+    )
+    scalars = per_doc.agg(
+        F.sum("dl").alias("_n_tok"),
+        *[F.sum(f"tf_{i}").alias(f"_cf_{i}") for i in range(3)],
+    )
+    terms = [
+        log2_scaled(f"tf_{i} * _n_tok + {QLM_MU} * _cf_{i}")
+        - log2_scaled(f"(dl + {QLM_MU}) * _n_tok")
+        for i in range(3)
+    ]
+    score = (terms[0] + terms[1] + terms[2]).cast("bigint")
+    return (
+        per_doc.crossJoin(F.broadcast(scalars))
+        .select(
+            "id",
+            "dl",
+            "tf_0",
+            "tf_1",
+            "tf_2",
+            score.alias("qlm_scaled"),
+            (score.cast("double") / F.lit(LOG2_SCALE)).alias("qlm_bits"),
+        )
+        .orderBy(F.desc("qlm_scaled"), F.asc("id"))
+        .limit(15)
+    )

@@ -523,6 +523,17 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row centroid frame broadcast onto "
         "vectors each iteration — bounded by k, never data-sized",
     },
+    "kmeans_silhouette": {
+        "BroadcastNestedLoopJoin": "k-row centroid frame broadcast (same "
+        "as kmeans_clusters; one more cross for the final all-centroid "
+        "distance scoring — still bounded by k)",
+    },
+    "qlm_retrieval": {
+        "BroadcastNestedLoopJoin": "1-row collection-statistics scalar "
+        "(total tokens + per-term collection frequencies) crossed onto "
+        "the per-doc frame — standard scalar-total pattern (same as "
+        "bm25_ranking)",
+    },
     "kmeans_cluster_sizes": {
         "BroadcastNestedLoopJoin": "k-row centroid frame broadcast (same "
         "as kmeans_clusters)",
