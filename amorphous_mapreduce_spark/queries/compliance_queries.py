@@ -599,3 +599,72 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("t_value"), F.asc("nationkey"), F.asc("mktsegment"))
         .limit(TCLOSE_TOP)
     )
+
+
+# --- central-DP released counts (two-sided geometric mechanism) -------------
+
+# The central-DP partner of dp_randomized_response (local DP): per cell,
+# add two-sided geometric noise P(|k|) ~ 2^-|k| drawn from the cell's MD5
+# bits — sign = bit 0, magnitude = leading-zero count of the remaining
+# bits (a geometric(1/2) draw, the exact trick the HLL rho register
+# uses). Deterministic, replayable, oracle-checkable, and the mechanism a
+# real release pipeline would run with a secret seed instead of 'dpg_'.
+_DPG_H = (
+    "CAST('0x' || substr(md5('dpg_' || CAST(c_nationkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+DPG_ORACLE = f"""
+WITH cells AS (
+    SELECT c_nationkey,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           {_DPG_H} AS h
+    FROM customer GROUP BY c_nationkey
+),
+noise AS (
+    SELECT c_nationkey, n_true,
+           (h % 2) * 2 - 1 AS sign,
+           CASE WHEN (h >> 1) = 0 THEN 54
+                ELSE 54 - length(bin(h >> 1)) END AS mag
+    FROM cells
+)
+SELECT c_nationkey, n_true,
+       CAST(sign * mag AS BIGINT) AS noise,
+       CAST(n_true + sign * mag AS BIGINT) AS n_noisy,
+       CAST(greatest(n_true + sign * mag, 0) AS BIGINT) AS n_released
+FROM noise
+"""
+
+
+@register("dp_geometric_counts", DPG_ORACLE)
+def q_dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-DP count release: BUILDING-segment customers per nation
+    with two-sided geometric noise (epsilon = ln 2 sign-magnitude
+    mechanism), the true count for calibration and the non-negative
+    released value. The geometric(1/2) magnitude is the leading-zero
+    count of the cell's MD5 bits (the HLL rho trick as a noise
+    generator) — shiftright + length(bin(..)), never double division
+    (the dp_randomized_response bit-extraction gotcha).
+
+    Scale: one keyed aggregate over customers; noise is a per-cell
+    projection on the 25-row result."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey").agg(
+        F.sum((F.col("c_mktsegment") == "BUILDING").cast("bigint")).alias(
+            "n_true"
+        )
+    )
+    h = hex_hash64(F.concat(F.lit("dpg_"), F.col("c_nationkey").cast("string")))
+    w = F.shiftright(h, 1)
+    sign = F.pmod(h, F.lit(2)) * 2 - 1
+    mag = F.when(w == 0, F.lit(54)).otherwise(F.lit(54) - F.length(F.bin(w)))
+    return cells.select(
+        "c_nationkey",
+        "n_true",
+        (sign * mag).cast("long").alias("noise"),
+        (F.col("n_true") + sign * mag).cast("long").alias("n_noisy"),
+        F.greatest(F.col("n_true") + sign * mag, F.lit(0).cast("long"))
+        .cast("long")
+        .alias("n_released"),
+    )

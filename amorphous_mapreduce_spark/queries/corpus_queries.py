@@ -682,3 +682,70 @@ def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("truncation_loss_share"),
         )
     )
+
+
+# --- lexical richness scorecard (Yule's K / Simpson's D / TTR) --------------
+
+RICHNESS_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + """
+, tagged AS (
+    SELECT d.source, t.word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+    GROUP BY d.source, t.word
+)
+SELECT source,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(tf * tf) - SUM(tf) AS BIGINT) AS yule_num,
+       CAST(10000 * (SUM(tf * tf) - SUM(tf)) AS DOUBLE)
+           / CAST(SUM(tf) * SUM(tf) AS DOUBLE) AS yules_k,
+       CAST(SUM(tf * (tf - 1)) AS DOUBLE)
+           / CAST(SUM(tf) * (SUM(tf) - 1) AS DOUBLE) AS simpson_d,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr
+FROM tagged GROUP BY source
+"""
+)
+
+
+@register("lexical_richness", RICHNESS_ORACLE)
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness scorecard per source: Yule's K (10^4 * (sum tf^2
+    - N)/N^2, the length-robust repeat-rate), Simpson's D (probability
+    two random tokens are the same type), type-token ratio and hapax
+    count — the vocabulary-quality block of a dataset card (synthetic /
+    templated sources show high K and D, natural text low).
+
+    Every statistic is an integer numerator (sum tf, sum tf^2, counts)
+    with ONE double division — no accumulation-order hazard anywhere.
+
+    Scale: one (source, word) keyed aggregate (map-side combined) then
+    a per-source rollup; identical shape to term_freq_by_lang."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    keys = docs.select(F.col("doc_id").alias("id"), "source")
+    tagged = (
+        toks.join(F.broadcast(keys), "id")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = F.sum("tf")
+    s2 = F.sum(F.col("tf") * F.col("tf"))
+    return tagged.groupBy("source").agg(
+        n.alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("tf") == 1).cast("bigint")).alias("n_hapax"),
+        (s2 - n).alias("yule_num"),
+        ((F.lit(10000) * (s2 - n)).cast("double") / (n * n).cast("double")).alias(
+            "yules_k"
+        ),
+        (
+            F.sum(F.col("tf") * (F.col("tf") - 1)).cast("double")
+            / (n * (n - 1)).cast("double")
+        ).alias("simpson_d"),
+        (F.count("*").cast("double") / n.cast("double")).alias("ttr"),
+    )

@@ -1384,3 +1384,94 @@ def q_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# --- ERR@10 (expected reciprocal rank) --------------------------------------
+
+# ERR = sum_r (1/r) * R_r * prod_{i<r} (1 - R_i), with graded stop
+# probabilities R = (2^rel - 1)/8 from the SAME hash labels as nDCG.
+# Every R and (1-R) is a dyadic rational (denominator 8), so the cascade
+# products and the per-term values are EXACT doubles (all numerators fit
+# 53 bits); 1/r is cleared by the lcm(1..10)=2520 integer-weights trick
+# (rbo_rankings precedent). The final sum has denominator 2^30 — the
+# BIGINT anchor err_scaled_2e30 proves exactness.
+_ERR_RV = "CASE rel WHEN 0 THEN 0.0 WHEN 1 THEN 0.125 WHEN 2 THEN 0.375 ELSE 0.875 END"
+
+ERR_ORACLE = (
+    "WITH base AS ("
+    + _bm25_oracle()
+    + f"""
+),
+ranked AS (
+    SELECT id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, id) AS pos,
+           {_NDCG_REL_SQL} AS rel
+    FROM base
+),
+rr AS (
+    SELECT pos, {_ERR_RV} AS rv
+    FROM ranked WHERE pos <= 10
+),
+casc AS (
+    SELECT a.pos, a.rv,
+           COALESCE(product(1.0 - b.rv), 1.0) AS stopprod
+    FROM rr a LEFT JOIN rr b ON b.pos < a.pos
+    GROUP BY a.pos, a.rv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM((2520 // pos) * rv * stopprod) AS err_2520,
+       CAST(floor(SUM((2520 // pos) * rv * stopprod) * 1073741824)
+            AS BIGINT) AS err_scaled_2e30,
+       SUM((2520 // pos) * rv * stopprod) / 2520.0 AS err
+FROM casc
+"""
+)
+
+
+@register("err_at_10", ERR_ORACLE)
+def q_err_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@10 (expected reciprocal rank, Chapelle's cascade metric) of
+    the BM25 ranking under the shared hash-graded relevance labels —
+    the user-model companion to nDCG@10: positions after a
+    highly-relevant result are discounted by the probability the user
+    already stopped.
+
+    Engine-exact with NO quantization: stop probabilities are dyadic
+    (den 8), cascade products stay within 53 mantissa bits, 1/r is
+    cleared by 2520 — the doubles themselves are exact, and the
+    err_scaled_2e30 BIGINT anchor proves it. The cascade product is a
+    triangular self-join + product() aggregate over the CONSTANT 10-row
+    frame."""
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+    from amorphous_mapreduce_spark.queries.text_queries import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        bm25_scores(docs, BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+    )
+    rel = F.pmod(
+        hex_hash64(F.concat(F.lit("rel:"), F.col("id").cast("string"))),
+        F.lit(4),
+    )
+    rvals = F.array(F.lit(0.0), F.lit(0.125), F.lit(0.375), F.lit(0.875))
+    rr = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("id")))
+        .alias("pos"),
+        F.element_at(rvals, (rel + 1).cast("int")).alias("rv"),
+    )
+    b = rr.select(F.col("pos").alias("bpos"), F.col("rv").alias("brv"))
+    casc = (
+        rr.join(b, F.col("bpos") < F.col("pos"), "left")
+        .groupBy("pos", "rv")
+        .agg(F.coalesce(F.product(1.0 - F.col("brv")), F.lit(1.0)).alias("stopprod"))
+    )
+    term = F.expr("(2520 div pos)") * F.col("rv") * F.col("stopprod")
+    return casc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(term).alias("err_2520"),
+        F.floor(F.sum(term) * 1073741824).cast("bigint").alias("err_scaled_2e30"),
+        (F.sum(term) / 2520.0).alias("err"),
+    )

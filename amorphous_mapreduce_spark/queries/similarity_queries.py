@@ -943,3 +943,86 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe")
     )
+
+
+# --- TwoNN intrinsic-dimension estimate -------------------------------------
+
+# Facco et al.'s TwoNN: the ratio mu = d2/d1 of each point's two nearest
+# neighbor distances follows Pareto(dim), so dim ~ n / sum(ln mu). Run
+# here on cosine distance (1 - sim) from the exact blocked top-2; each
+# log goes through the shared integer LUT on the 2^20-quantized distance
+# (floor before cast — the Spark-truncates/DuckDB-rounds gotcha), so the
+# sum is an exact BIGINT and the estimate is one fixed double expression.
+_TWONN_Q = "CAST(floor((1.0 - sim) * 1048576) AS BIGINT)"
+
+from amorphous_mapreduce_spark.functions.intlog import (  # noqa: E402
+    log2_scaled,
+    log2_scaled_sql,
+)
+
+TWONN_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id <> b.vec_id
+),
+top2 AS (
+    SELECT qid, {_TWONN_Q} AS dq,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    FROM pairs
+),
+mu AS (
+    SELECT a.qid,
+           {log2_scaled_sql('b.dq')} - {log2_scaled_sql('a.dq')} AS lg
+    FROM top2 a JOIN top2 b ON a.qid = b.qid AND a.rnk = 1 AND b.rnk = 2
+    WHERE a.dq >= 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(lg) AS BIGINT) AS log_sum_scaled,
+       CAST(COUNT(*) AS DOUBLE) * 1048576.0
+           / (0.6931471805599453 * CAST(CAST(SUM(lg) AS BIGINT) AS DOUBLE))
+           AS dim_est
+FROM mu
+"""
+
+
+@register("intrinsic_dim_twonn", TWONN_ORACLE)
+def q_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold:
+    dim ~ n / sum(ln(d2/d1)) over each vector's two exact nearest
+    neighbors (cosine distance) — the curse-of-dimensionality dial that
+    says whether ANN indexing (IVF/LSH bucket counts) has room to work.
+    Points with quantized d1 = 0 (near-duplicate vectors) are excluded,
+    as the estimator requires.
+
+    ln(d2/d1) = ln2 * (log2s(q2) - log2s(q1)) / 2^20 with LUT log2s, so
+    the per-point contributions sum as exact BIGINTs; the estimate is
+    one fixed double expression of two exact integers.
+
+    Scale: rides the blocked exact top-k kernel (O(b^2) block pairs,
+    not an O(n^2) row cartesian); everything after is one keyed join on
+    qid and a scalar aggregate."""
+    from amorphous_mapreduce_spark.operators.similarity import cosine_topk_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top2 = cosine_topk_blocked(emb, k=2, n_blocks=16).select(
+        "qid", "rnk", F.expr(_TWONN_Q).alias("dq")
+    )
+    a = top2.filter((F.col("rnk") == 1) & (F.col("dq") >= 1)).select(
+        "qid", F.col("dq").alias("d1")
+    )
+    b = top2.filter(F.col("rnk") == 2).select("qid", F.col("dq").alias("d2"))
+    mu = a.join(b, "qid").select(
+        (log2_scaled("d2") - log2_scaled("d1")).alias("lg")
+    )
+    n_used = F.count("*")
+    s = F.sum("lg").cast("bigint")
+    return mu.agg(
+        n_used.alias("n_used"),
+        s.alias("log_sum_scaled"),
+        (
+            n_used.cast("double")
+            * 1048576.0
+            / (0.6931471805599453 * s.cast("double"))
+        ).alias("dim_est"),
+    )

@@ -440,6 +440,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-size scalar (N for idf) "
         "crossed onto term frequencies",
     },
+    "err_at_10": {
+        "BroadcastNestedLoopJoin": "bm25_ranking 1-row scalar cross, plus "
+        "the triangular cascade-product join over the CONSTANT 10-row "
+        "top-k frame",
+    },
+    "intrinsic_dim_twonn": {
+        "BroadcastNestedLoopJoin": "block-pair generation of the blocked "
+        "E·Eᵀ kernel (same as similarity_topk) — tiny block-id frames, "
+        "row data moves through hash joins",
+    },
     "bm25_ranking": {
         "BroadcastNestedLoopJoin": "1-row scalar frame (N, total tokens, "
         "per-term df) crossed onto per-doc term counts",
