@@ -179,8 +179,21 @@ def distributed_prefix_sum(
         .alias("_cum_local"),
         F.row_number().over(wp).alias("_rn_local"),
     )
+    # CRITICAL: both the offset aggregate and the final probe side read
+    # `part`. Without pinning one materialisation, the two evaluations
+    # can range-partition differently (AQE/sampled split points), and the
+    # _pid-keyed offsets then describe a DIFFERENT layout than the local
+    # sums they're joined to — silently wrong prefix sums (caught by
+    # wasserstein_price_segments' dense ~500k-row grid; the smaller
+    # vocab-scale inputs happened to partition identically).
+    part = part.persist()
     totals = part.groupBy("_pid").agg(
-        F.max("_cum_local").alias("_psum"), F.max("_rn_local").alias("_pcnt")
+        # the partition TOTAL is the sum of the raw values — NOT
+        # max(_cum_local), which only equals the total when every value
+        # is non-negative (signed deltas, e.g. the Wasserstein CDF
+        # difference, made that shortcut silently wrong)
+        F.sum(value_col).alias("_psum"),
+        F.max("_rn_local").alias("_pcnt"),
     )
     # Offset merge: one window over O(#partitions) rows — bounded by the
     # cluster size, never by data volume.

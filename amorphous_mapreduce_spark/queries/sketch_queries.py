@@ -982,3 +982,146 @@ def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.sketches import hll_pairwise_overlap
 
     return hll_pairwise_overlap(load_table(spark, sf_dir, "documents"))
+
+
+# --- trailing-7-day active users: HLL vs exact, same window ----------------
+
+_HLL_UH = "CAST('0x' || substr(md5('hllu_' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+import math as _math  # noqa: E402
+
+# linear-counting table: _HLL_LC64[V-1] = 64*ln(64/V) (V = zero registers)
+_HLL_LC64 = [64 * _math.log(64 / v) for v in range(1, 65)]
+
+
+HLL_ROLLING_ORACLE = f"""
+WITH e AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+    FROM events
+),
+days AS (SELECT DISTINCT day_idx FROM e),
+contrib AS (
+    SELECT user_id, day_idx + k.range AS target_day
+    FROM e, range(7) k
+),
+win AS (
+    SELECT c.user_id, d.day_idx
+    FROM days d JOIN contrib c ON c.target_day = d.day_idx
+),
+pb AS (
+    SELECT day_idx, h % 64 AS bucket,
+           MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(h >> 6)) END) AS reg,
+           COUNT(DISTINCT user_id) AS nw
+    FROM (SELECT DISTINCT day_idx, user_id, {_HLL_UH} AS h FROM win)
+    GROUP BY day_idx, h % 64
+),
+pl AS (
+    SELECT day_idx,
+           CAST(SUM(nw) AS BIGINT) AS wau7_exact,
+           COUNT(*) AS registers_used,
+           CAST(SUM(CAST(power(2.0, 55 - reg) AS BIGINT)) AS BIGINT)
+               AS present_scaled
+    FROM pb GROUP BY day_idx
+)
+SELECT day_idx, wau7_exact, hll_sum_scaled, zero_registers,
+       raw_est AS wau7_raw_est,
+       CASE WHEN zero_registers > 0 AND raw_est <= 160.0
+            THEN ([266.168517335019, 221.8070977791825, 195.85733086025996, 177.445678223346, 163.16449093923657, 151.4959113044235, 141.63026779547894, 133.0842586675095, 125.54614438550095, 118.80307138340008, 112.70321987592328, 107.13449174858698, 102.01175845748065, 97.26884823964244, 92.85330446447756, 88.722839111673, 84.84286331542117, 81.18472482966446, 77.7244226683668, 74.44165182756358, 71.31908132071992, 68.34180032008679, 65.49688751555341, 62.773072192750476, 60.160464543454154, 57.650338901644155, 55.23495791074193, 52.907428683805946, 50.66158421588466, 48.491884908641055, 46.393336247969636, 44.3614195558365, 42.39203340116426, 40.48144375958467, 38.62624139969652, 36.823305273827955, 35.06977092578864, 33.36300311253031, 31.700571982721627, 30.08023227172708, 28.499905065943302, 26.957661764883422, 25.451709930631004, 23.980380764250285, 22.542117989718538, 21.135467959716916, 19.759070825575247, 18.411652636913974, 17.09201825593889, 15.799044987617652, 14.531676840662149, 13.28891934580765, 12.069834867683198, 10.873538354905435, 9.699193480140856, 8.546009127969445, 7.413236193607785, 6.300164660048161, 5.206120925052954, 4.1304653528045545, 3.0725900279270824, 2.0319166921331373, 1.0078948459609032, 0.0])[CAST(zero_registers AS INT)]
+            ELSE raw_est END AS wau7_est,
+       CASE WHEN zero_registers > 0 AND raw_est <= 160.0
+            THEN ([266.168517335019, 221.8070977791825, 195.85733086025996, 177.445678223346, 163.16449093923657, 151.4959113044235, 141.63026779547894, 133.0842586675095, 125.54614438550095, 118.80307138340008, 112.70321987592328, 107.13449174858698, 102.01175845748065, 97.26884823964244, 92.85330446447756, 88.722839111673, 84.84286331542117, 81.18472482966446, 77.7244226683668, 74.44165182756358, 71.31908132071992, 68.34180032008679, 65.49688751555341, 62.773072192750476, 60.160464543454154, 57.650338901644155, 55.23495791074193, 52.907428683805946, 50.66158421588466, 48.491884908641055, 46.393336247969636, 44.3614195558365, 42.39203340116426, 40.48144375958467, 38.62624139969652, 36.823305273827955, 35.06977092578864, 33.36300311253031, 31.700571982721627, 30.08023227172708, 28.499905065943302, 26.957661764883422, 25.451709930631004, 23.980380764250285, 22.542117989718538, 21.135467959716916, 19.759070825575247, 18.411652636913974, 17.09201825593889, 15.799044987617652, 14.531676840662149, 13.28891934580765, 12.069834867683198, 10.873538354905435, 9.699193480140856, 8.546009127969445, 7.413236193607785, 6.300164660048161, 5.206120925052954, 4.1304653528045545, 3.0725900279270824, 2.0319166921331373, 1.0078948459609032, 0.0])[CAST(zero_registers AS INT)]
+            ELSE raw_est END / CAST(wau7_exact AS DOUBLE) AS est_ratio
+FROM (
+    SELECT day_idx, wau7_exact,
+           CAST(present_scaled
+                + (64 - registers_used) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+               AS hll_sum_scaled,
+           CAST(64 - registers_used AS BIGINT) AS zero_registers,
+           1.046802484394006e20
+               / CAST(present_scaled
+                      + (64 - registers_used) * (CAST(1 AS BIGINT) << 55)
+                      AS DOUBLE) AS raw_est
+    FROM pl
+)
+"""
+
+
+@register("hll_rolling_actives", HLL_ROLLING_ORACLE)
+def q_hll_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day from MERGED daily HLL
+    registers, with the exact rolling distinct (rolling_wau_7d's
+    window semantics) riding the same plan as a self-audit: per day,
+    the exact WAU, the merged-sketch denominator, the HLL estimate and
+    the est/exact ratio — the sliding-window cardinality a streaming
+    dashboard serves from O(m) state per day instead of re-scanning a
+    week of raw events.
+
+    The merge is the register max across the 7 contributing days
+    (mergeability is the whole point of the sketch); the estimate is
+    the dyadic 2^55 harmonic form, so everything before the two final
+    divisions is exact integers.
+
+    Scale: the x7 contribution explode is bounded; register state is
+    64 rows/day forever. The exact branch's COUNT(DISTINCT) is the
+    validation rail — at 100 TB you'd drop it and keep the sketch."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        )
+        .distinct()
+    )
+    ev = ev.persist()  # read by the day list and the contribution explode
+    days = ev.select(F.col("day_idx").alias("obs_day")).distinct()
+    contrib = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + F.lit(6))
+        ).alias("target_day"),
+    )
+    win = (
+        contrib.join(days, contrib.target_day == days.obs_day)
+        .select(F.col("obs_day").alias("day_idx"), "user_id")
+        .distinct()
+    )
+    h = hex_hash64(F.concat(F.lit("hllu_"), F.col("user_id").cast("string")))
+    w = F.shiftright(h, 6)
+    pb = win.select(
+        "day_idx",
+        F.pmod(h, F.lit(64)).alias("bucket"),
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w)))
+        .alias("rho"),
+    ).groupBy("day_idx", "bucket").agg(
+        F.max("rho").alias("reg"), F.count("*").alias("nw")
+    )
+    pl = pb.groupBy("day_idx").agg(
+        F.sum("nw").alias("wau7_exact"),
+        F.count("*").alias("registers_used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(55) - F.col("reg")).cast("long")).alias(
+            "_present"
+        ),
+    )
+    denom = (
+        F.col("_present")
+        + (F.lit(64) - F.col("registers_used")).cast("long")
+        * F.lit(1 << 55).cast("long")
+    )
+    raw = F.lit(1.046802484394006e20) / denom.cast("double")
+    zeros = (F.lit(64) - F.col("registers_used")).cast("long")
+    # standard small-range (linear counting) correction: m*ln(m/V) from a
+    # literal table shared VERBATIM with the oracle SQL — no libm at
+    # query time on either engine
+    lc = F.element_at(F.array(*[F.lit(v) for v in _HLL_LC64]), zeros.cast("int"))
+    est = F.when((zeros > 0) & (raw <= 160.0), lc).otherwise(raw)
+    return pl.select(
+        "day_idx",
+        "wau7_exact",
+        denom.alias("hll_sum_scaled"),
+        zeros.alias("zero_registers"),
+        raw.alias("wau7_raw_est"),
+        est.alias("wau7_est"),
+        (est / F.col("wau7_exact").cast("double")).alias("est_ratio"),
+    )

@@ -380,6 +380,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "— one window over the O(#partitions) per-partition totals frame "
         "(bounded by cluster size, not data), same as vocab_coverage",
     },
+    "wasserstein_price_segments": {
+        "Exchange SinglePartition": "distributed_prefix_sum's offset "
+        "merge — one window over O(#partitions) rows (bounded by "
+        "cluster size, not data), same as vocab_coverage",
+    },
     "quantization_recall": {
         "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
         "(TakeOrdered limit 32) broadcast-crossed over the gallery with a "
