@@ -121,6 +121,13 @@ HEADLINE = [
     "dsir_importance_weights",
     "conformal_price_intervals",
     "incremental_agg_maintenance",
+    # association / LM-retrieval / sketch-set-algebra / survival /
+    # distribution-distance families (driver round 2, fourth sitting)
+    "brand_association_rules",
+    "qlm_retrieval",
+    "hll_source_overlap",
+    "nelson_aalen_hazard",
+    "wasserstein_price_segments",
 ]
 
 
