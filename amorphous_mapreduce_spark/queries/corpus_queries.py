@@ -749,3 +749,68 @@ def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simpson_d"),
         (F.count("*").cast("double") / n.cast("double")).alias("ttr"),
     )
+
+
+# --- Chao1 unseen-vocabulary estimate ---------------------------------------
+
+CHAO1_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + """
+, tagged AS (
+    SELECT d.source, t.word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks t JOIN documents d ON t.id = d.doc_id
+    GROUP BY d.source, t.word
+)
+SELECT source,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS v_obs,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(COUNT(*) AS DOUBLE)
+         + CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(2 * (SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) + 1)
+                  AS DOUBLE) AS chao1_est,
+       1.0 - CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(tf) AS DOUBLE) AS good_turing_coverage
+FROM tagged GROUP BY source
+"""
+)
+
+
+@register("chao1_vocab_richness", CHAO1_ORACLE)
+def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 estimate of each source's TOTAL vocabulary (observed +
+    unseen): V + f1²/(2(f2+1)) from the hapax/dis-legomena counts
+    (bias-corrected form, defined even when f2=0), plus the Good-Turing
+    sample coverage 1 - f1/N — 'how much vocabulary would more crawling
+    of this source still surface', the forward-looking companion to
+    vocab_growth's empirical curve and lexical_richness's repeat rates.
+
+    Integer frequency-of-frequency counts; two single divisions.
+    Scale: the same (source, word) aggregate shape as lexical_richness."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = (
+        tokenized(docs)
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("id"), "source")), "id")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    f1 = F.sum((F.col("tf") == 1).cast("bigint"))
+    f2 = F.sum((F.col("tf") == 2).cast("bigint"))
+    return tagged.groupBy("source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("v_obs"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        (
+            F.count("*").cast("double")
+            + (f1 * f1).cast("double") / (2 * (f2 + 1)).cast("double")
+        ).alias("chao1_est"),
+        (
+            F.lit(1.0) - f1.cast("double") / F.sum("tf").cast("double")
+        ).alias("good_turing_coverage"),
+    )

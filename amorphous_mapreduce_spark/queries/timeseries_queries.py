@@ -1526,3 +1526,79 @@ def q_croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("demand_per_day"), F.asc("part"))
         .limit(CROSTON_TOP)
     )
+
+
+# --- capture-recapture population estimate ----------------------------------
+
+# Two 'capture occasions' = the first and second half of the event
+# horizon. Chapman's bias-corrected Lincoln-Petersen estimator:
+#   N_hat = (n1+1)(n2+1)/(m+1) - 1
+# against the TRUE population (distinct users overall) as the
+# self-audit — the ecology estimator data teams reuse to size 'how many
+# users exist that we've only partially observed'.
+CAPTURE_ORACLE = """
+WITH span AS (
+    SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+),
+occ AS (
+    SELECT e.user_id,
+           CASE WHEN epoch_us(e.ts) * 2 < s.t0 + s.t1 THEN 0 ELSE 1 END
+               AS half
+    FROM events e CROSS JOIN span s
+),
+per_user AS (
+    SELECT user_id,
+           CAST(MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+           CAST(MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in2
+    FROM occ GROUP BY user_id
+)
+SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+       CAST(SUM(in2) AS BIGINT) AS n2,
+       CAST(SUM(in1 * in2) AS BIGINT) AS m_both,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST((SUM(in1) + 1) * (SUM(in2) + 1) AS DOUBLE)
+           / CAST(SUM(in1 * in2) + 1 AS DOUBLE) - 1.0 AS chapman_est
+FROM per_user
+"""
+
+
+@register("capture_recapture_actives", CAPTURE_ORACLE)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user population
+    from two capture occasions (first vs second half of the event
+    horizon), beside the true distinct count as calibration — the
+    partial-observability population estimator (mark-recapture) in its
+    data-pipeline form. Integer capture counts, one division.
+
+    Scale: one 1-row horizon scalar broadcast, one keyed per-user
+    aggregate, one scalar rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    occ = ev.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1"), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    per_user = occ.groupBy("user_id").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("in1"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("in2"),
+    )
+    n1 = F.sum("in1")
+    n2 = F.sum("in2")
+    m = F.sum(F.col("in1") * F.col("in2"))
+    return per_user.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        m.alias("m_both"),
+        F.count("*").alias("n_true"),
+        (
+            ((n1 + 1) * (n2 + 1)).cast("double") / (m + 1).cast("double")
+            - F.lit(1.0)
+        ).alias("chapman_est"),
+    )

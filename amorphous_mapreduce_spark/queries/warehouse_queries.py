@@ -1643,3 +1643,229 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+# --- Little's law audit (L = lambda * W, proven by an independent sweep) ----
+
+# Session spans use peak_concurrent_sessions' exact definition (30-min
+# gap, [min_us, max_us + 1)). The concurrency INTEGRAL is computed two
+# independent ways: (a) sum of session durations, (b) the boundary-sweep
+# integral — per day, (carry + running delta) x gap-to-next-boundary,
+# with the carry from a triangular join over the gap-filled calendar.
+# Both are exact integer microseconds; `matches` proves the sweep
+# machinery agrees with the direct sum, and Little's L = lambda * W
+# follows from the same integers.
+_DAY_US = 86_400_000_000
+
+LITTLE_ORACLE = f"""
+WITH lagged AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, us, event_id,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sess AS (
+    SELECT user_id, us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), spans AS (
+    SELECT user_id, session_id, MIN(us) AS s_us, MAX(us) + 1 AS e_us
+    FROM sess GROUP BY user_id, session_id
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(e_us - s_us) AS BIGINT) AS total_dur_us,
+           CAST(MIN(s_us) AS BIGINT) AS t0,
+           CAST(MAX(e_us) AS BIGINT) AS t1
+    FROM spans
+), bounds AS (
+    SELECT s_us AS us, 1 AS delta FROM spans
+    UNION ALL
+    SELECT e_us AS us, -1 AS delta FROM spans
+), perb AS (
+    SELECT us // {_DAY_US} AS day_idx, us, delta,
+           SUM(delta) OVER (PARTITION BY us // {_DAY_US}
+                            ORDER BY us, delta DESC
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+           LEAD(us) OVER (PARTITION BY us // {_DAY_US}
+                          ORDER BY us, delta DESC) AS next_us
+    FROM bounds
+), daylist AS (
+    SELECT unnest(generate_series(t0 // {_DAY_US}, (t1 - 1) // {_DAY_US}))
+               AS day_idx
+    FROM tot
+), dnet AS (
+    SELECT day_idx, CAST(SUM(delta) AS BIGINT) AS net,
+           CAST(MIN(us) AS BIGINT) AS first_us
+    FROM perb GROUP BY day_idx
+), carry AS (
+    SELECT dl.day_idx,
+           CAST(COALESCE(SUM(d2.net), 0) AS BIGINT) AS c,
+           MAX(dn.first_us) AS first_us
+    FROM daylist dl
+    LEFT JOIN dnet d2 ON d2.day_idx < dl.day_idx
+    LEFT JOIN dnet dn ON dn.day_idx = dl.day_idx
+    GROUP BY dl.day_idx
+), dint AS (
+    SELECT c.day_idx,
+           CASE WHEN c.first_us IS NULL THEN c.c * {_DAY_US}
+                ELSE c.c * (c.first_us - c.day_idx * {_DAY_US})
+                     + (SELECT CAST(SUM((c.c + p.prefix) *
+                             (COALESCE(p.next_us,
+                                       (c.day_idx + 1) * {_DAY_US}) - p.us))
+                          AS BIGINT)
+                        FROM perb p WHERE p.day_idx = c.day_idx)
+           END AS day_integral
+    FROM carry c
+)
+SELECT t.n_sessions, t.total_dur_us,
+       CAST(SUM(d.day_integral) AS BIGINT) AS sweep_integral_us,
+       CAST(SUM(d.day_integral) AS BIGINT) = t.total_dur_us AS matches,
+       t.t1 - t.t0 AS horizon_us,
+       CAST(t.n_sessions * 3600000000 AS DOUBLE)
+           / CAST(t.t1 - t.t0 AS DOUBLE) AS lambda_per_hour,
+       CAST(t.total_dur_us AS DOUBLE)
+           / CAST(t.n_sessions * 1000000 AS DOUBLE) AS w_mean_s,
+       CAST(SUM(d.day_integral) AS DOUBLE)
+           / CAST(t.t1 - t.t0 AS DOUBLE) AS l_avg_concurrency
+FROM dint d CROSS JOIN tot t
+GROUP BY t.n_sessions, t.total_dur_us, t.t0, t.t1
+"""
+
+
+@register("littles_law_audit", LITTLE_ORACLE)
+def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law scorecard over gap-sessionized events: arrival rate
+    lambda (sessions/hour), mean session duration W, and average
+    concurrency L — with L's integral computed by an INDEPENDENT
+    boundary sweep (per-day running delta x gap-to-next-boundary plus a
+    calendar carry) and proven equal to the direct duration sum by the
+    `matches` column. The queueing identity L = lambda x W then holds in
+    the integers themselves, not approximately.
+
+    Scale: the sweep windows are keyed by day (running delta + lead);
+    the carry is a triangular join over the gap-filled calendar
+    (bounded ~tens of rows); nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    wlag = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.when(
+            F.lag(us).over(wlag).isNull()
+            | (us - F.lag(us).over(wlag) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("s_us"), (F.max("us") + 1).alias("e_us")
+    )
+    spans = spans.persist()  # read by totals and both bound branches
+    tot = spans.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).alias("total_dur_us"),
+        F.min("s_us").alias("t0"),
+        F.max("e_us").alias("t1"),
+    )
+    bounds = spans.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    day = F.expr(f"us div {_DAY_US}")
+    wday = Window.partitionBy("day_idx").orderBy("us", F.desc("delta"))
+    perb = bounds.select(day.alias("day_idx"), "us", "delta").select(
+        "day_idx",
+        "us",
+        "delta",
+        F.sum("delta").over(wday.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.lead("us").over(wday).alias("next_us"),
+    )
+    perb = perb.persist()  # read by dnet and the per-day integral
+    daylist = tot.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"t0 div {_DAY_US}"), F.expr(f"(t1 - 1) div {_DAY_US}")
+            )
+        ).alias("day_idx")
+    )
+    dnet = perb.groupBy("day_idx").agg(
+        F.sum("delta").alias("net"), F.min("us").alias("first_us")
+    )
+    d2 = dnet.select(F.col("day_idx").alias("d2"), F.col("net").alias("net2"))
+    carry = (
+        daylist.join(d2, F.col("d2") < F.col("day_idx"), "left")
+        .groupBy("day_idx")
+        .agg(F.coalesce(F.sum("net2"), F.lit(0)).alias("c"))
+        .join(dnet.select("day_idx", "first_us"), "day_idx", "left")
+    )
+    seg = perb.withColumn(
+        "gap",
+        F.coalesce(F.col("next_us"), (F.col("day_idx") + 1) * F.lit(_DAY_US))
+        - F.col("us"),
+    )
+    segint = seg.groupBy("day_idx").agg(
+        F.sum(F.col("prefix") * F.col("gap")).alias("pint"),
+        F.sum("gap").alias("gsum"),
+    )
+    dint = (
+        carry.join(segint, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.when(
+                F.col("first_us").isNull(), F.col("c") * F.lit(_DAY_US)
+            )
+            .otherwise(
+                F.col("c") * (F.col("first_us") - F.col("day_idx") * F.lit(_DAY_US))
+                + F.col("pint")
+                + F.col("c") * F.col("gsum")
+            )
+            .alias("day_integral"),
+        )
+    )
+    out = dint.crossJoin(F.broadcast(tot))
+    integral = F.sum("day_integral").cast("long")
+    return out.groupBy("n_sessions", "total_dur_us", "t0", "t1").agg(
+        integral.alias("sweep_integral_us"),
+        (integral == F.col("total_dur_us")).alias("matches"),
+        (F.col("t1") - F.col("t0")).alias("horizon_us"),
+        (
+            (F.col("n_sessions") * F.lit(3_600_000_000)).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double")
+        ).alias("lambda_per_hour"),
+        (
+            F.col("total_dur_us").cast("double")
+            / (F.col("n_sessions") * F.lit(1_000_000)).cast("double")
+        ).alias("w_mean_s"),
+        (
+            integral.cast("double") / (F.col("t1") - F.col("t0")).cast("double")
+        ).alias("l_avg_concurrency"),
+    ).select(
+        "n_sessions",
+        "total_dur_us",
+        "sweep_integral_us",
+        "matches",
+        "horizon_us",
+        "lambda_per_hour",
+        "w_mean_s",
+        "l_avg_concurrency",
+    )

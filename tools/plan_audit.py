@@ -53,6 +53,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "partial scorecards (MI, H(lang), H(source)) crossed together "
         "for the single output row — all sides constant-bounded",
     },
+    "capture_recapture_actives": {
+        "BroadcastNestedLoopJoin": "1-row horizon scalar (t0, t1) "
+        "crossed onto events for the half-split — standard scalar-total "
+        "pattern",
+    },
+    "littles_law_audit": {
+        "BroadcastNestedLoopJoin": "calendar-bounded triangular carry "
+        "join over the gap-filled day list (~tens of rows) + the 1-row "
+        "session-totals scalar crossed onto the per-day integrals",
+    },
     "nelson_aalen_hazard": {
         "CartesianProduct": "triangular suffix join over the "
         "month-indexed death frame — cardinality bounded by the "
