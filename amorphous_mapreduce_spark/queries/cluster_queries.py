@@ -672,3 +672,99 @@ def q_near_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_closed").cast("double") / F.col("n_wedges").cast("double"),
         ).alias("transitivity"),
     )
+
+
+# --- rich-club coefficient of the near-dup graph ----------------------------
+
+RICH_CLUB_LEVELS = (1, 2, 3, 5, 8)
+
+_RC_LEVELS_SQL = ", ".join(f"({k})" for k in RICH_CLUB_LEVELS)
+
+RICH_CLUB_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + f"""
+, deg AS (
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM edges GROUP BY a
+),
+und AS (
+    SELECT e.qid AS a, e.nid AS b, da.deg AS da, db.deg AS db
+    FROM pairs e
+    JOIN deg da ON e.qid = da.node
+    JOIN deg db ON e.nid = db.node
+),
+lv AS (SELECT * FROM (VALUES {_RC_LEVELS_SQL}) AS t(k)),
+nodes_k AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes_k
+    FROM deg CROSS JOIN lv WHERE deg > k GROUP BY k
+),
+edges_k AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges_k
+    FROM und CROSS JOIN lv WHERE da > k AND db > k GROUP BY k
+)
+SELECT n.k, n.n_nodes_k, COALESCE(e.n_edges_k, 0) AS n_edges_k,
+       CASE WHEN n.n_nodes_k < 2 THEN NULL
+            ELSE CAST(2 * COALESCE(e.n_edges_k, 0) AS DOUBLE)
+                 / CAST(n.n_nodes_k * (n.n_nodes_k - 1) AS DOUBLE) END
+           AS phi
+FROM nodes_k n LEFT JOIN edges_k e ON n.k = e.k
+"""
+)
+
+
+@register("rich_club_coefficient", RICH_CLUB_ORACLE)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the MinHash near-dup graph at
+    degree thresholds 1/2/3/5/8: the edge density among nodes of degree
+    > k — whether heavily-duplicated documents preferentially duplicate
+    EACH OTHER (template farms form a clique-ish core) or spread across
+    the corpus. Completes the graph-metric battery beside assortativity
+    / clustering coefficient / k-core.
+
+    The threshold sweep is the constant-level explode pattern (ONE
+    degree table, 5 constant levels); counts are integers, phi one
+    guarded division.
+
+    Scale: degrees via one hash aggregate; the undirected edge list
+    joins degree twice (keyed); level frames are 5 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = prs.select(F.col("qid").alias("a"), F.col("nid").alias("b")).unionAll(
+        prs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+    )
+    deg = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    und = (
+        prs.join(deg.select(F.col("node").alias("qid"), F.col("deg").alias("da")), "qid")
+        .join(deg.select(F.col("node").alias("nid"), F.col("deg").alias("db")), "nid")
+    )
+    lv = F.explode(F.array(*[F.lit(k) for k in RICH_CLUB_LEVELS])).alias("k")
+    nodes_k = (
+        deg.select("deg", lv)
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_nodes_k"))
+    )
+    edges_k = (
+        und.select("da", "db", lv)
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_edges_k"))
+    )
+    out = nodes_k.join(edges_k, "k", "left").select(
+        "k",
+        "n_nodes_k",
+        F.coalesce(F.col("n_edges_k"), F.lit(0)).alias("n_edges_k"),
+        F.when(F.col("n_nodes_k") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            (2 * F.coalesce(F.col("n_edges_k"), F.lit(0))).cast("double")
+            / (F.col("n_nodes_k") * (F.col("n_nodes_k") - 1)).cast("double")
+        )
+        .alias("phi"),
+    )
+    return out

@@ -1475,3 +1475,90 @@ def q_err_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum(term) * 1073741824).cast("bigint").alias("err_scaled_2e30"),
         (F.sum(term) / 2520.0).alias("err"),
     )
+
+
+# --- Markov entropy rate of the event stream --------------------------------
+
+from amorphous_mapreduce_spark.functions.intlog import (  # noqa: E402
+    LOG2_SCALE as _LS,
+    log2_scaled,
+    log2_scaled_sql,
+)
+
+ENTROPY_RATE_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+), seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS to_type
+    FROM ev
+), trans AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+), rows_ AS (
+    SELECT from_type,
+           CAST(SUM(c) AS BIGINT) AS from_total,
+           CAST(SUM(c * {log2_scaled_sql('c')}) AS BIGINT) AS clogc
+    FROM trans GROUP BY from_type
+), nn AS (SELECT CAST(SUM(from_total) AS BIGINT) AS n FROM rows_)
+SELECT from_type, from_total,
+       CAST(from_total * {log2_scaled_sql('from_total')} - clogc AS BIGINT)
+           AS ent_num,
+       CAST(from_total * {log2_scaled_sql('from_total')} - clogc AS DOUBLE)
+           / CAST(from_total * {_LS} AS BIGINT) AS h_cond_bits,
+       CAST(from_total AS DOUBLE) / CAST(n AS DOUBLE) AS pi_weight,
+       CAST(from_total * {log2_scaled_sql('from_total')} - clogc AS DOUBLE)
+           / CAST(n * {_LS} AS BIGINT) AS rate_contrib_bits
+FROM rows_ CROSS JOIN nn
+"""
+
+
+@register("markov_entropy_rate", ENTROPY_RATE_ORACLE)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event stream under its first-order
+    Markov model: per from-state, the conditional next-event entropy
+    H(next|s) (LUT log2, integer numerator), its empirical stationary
+    weight, and the rate contribution pi_s*H_s — summing the last
+    column gives bits-per-event, the sequence-predictability dial
+    behind session-model and compression-budget decisions (the
+    sequential companion to the cross-sectional mi_lang_source).
+
+    Scale: same keyed lead + two hash aggregates as event_transitions;
+    everything after is on the |types|^2 frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+    )
+    rows_ = trans.groupBy("from_type").agg(
+        F.sum("c").alias("from_total"),
+        F.sum(F.col("c") * log2_scaled("c")).alias("clogc"),
+    )
+    nn = rows_.agg(F.sum("from_total").alias("n"))
+    ent = (
+        F.col("from_total") * log2_scaled("from_total") - F.col("clogc")
+    ).cast("long")
+    return rows_.crossJoin(F.broadcast(nn)).select(
+        "from_type",
+        "from_total",
+        ent.alias("ent_num"),
+        (
+            ent.cast("double") / (F.col("from_total") * _LS).cast("long").cast("double")
+        ).alias("h_cond_bits"),
+        (F.col("from_total").cast("double") / F.col("n").cast("double")).alias(
+            "pi_weight"
+        ),
+        (
+            ent.cast("double") / (F.col("n") * _LS).cast("long").cast("double")
+        ).alias("rate_contrib_bits"),
+    )

@@ -1125,3 +1125,74 @@ def q_hll_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("wau7_est"),
         (est / F.col("wau7_exact").cast("double")).alias("est_ratio"),
     )
+
+
+# --- correlated-sampling join-cardinality estimate --------------------------
+
+# The sampling twin of cms_join_size, on the SAME join: keep a key k iff
+# md5('cs_'||k) % 16 == 0 on BOTH sides (the same hash — correlated /
+# coordinated sampling), join the samples, scale by 16. Key-synchronized
+# sampling is unbiased for join size where independent row Bernoulli
+# sampling scales by 1/p² with huge variance; the estimate is exact
+# integer arithmetic end-to-end.
+_CS_P = 16
+_CS_H = "CAST('0x' || substr(md5('cs_' || CAST({k} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+SAMPLED_JOIN_ORACLE = f"""
+WITH le AS (
+    SELECT user_id AS k FROM events
+    WHERE {_CS_H.format(k='user_id')} % {_CS_P} = 0
+),
+ro AS (
+    SELECT o_custkey AS k FROM orders
+    WHERE {_CS_H.format(k='o_custkey')} % {_CS_P} = 0
+),
+samp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS sampled_pairs
+    FROM le JOIN ro ON le.k = ro.k
+),
+exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+)
+SELECT sampled_pairs,
+       CAST(sampled_pairs * {_CS_P} AS BIGINT) AS est_pairs,
+       exact_pairs,
+       CAST(sampled_pairs * {_CS_P} AS DOUBLE) / CAST(exact_pairs AS DOUBLE)
+           AS est_ratio
+FROM samp CROSS JOIN exact
+"""
+
+
+@register("sampled_join_cardinality", SAMPLED_JOIN_ORACLE)
+def q_sampled_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by CORRELATED key sampling (keep a
+    key on both sides iff its shared hash lands in 1 of 16 residues,
+    join the samples, scale by 16) beside the exact join size — the
+    second estimator a cost model consults next to cms_join_size's
+    sketch inner product. Key-synchronized sampling is the unbiased
+    scheme for joins; independent row sampling needs 1/p² scaling and
+    blows up the variance.
+
+    Scale: the sampled join moves 1/16 of the keyspace; the exact
+    branch is the validation rail you'd drop at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    od = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    keep = lambda c: F.pmod(  # noqa: E731
+        hex_hash64(F.concat(F.lit("cs_"), c.cast("string"))), F.lit(_CS_P)
+    ) == 0
+    samp = (
+        ev.filter(keep(F.col("k")))
+        .join(od.filter(keep(F.col("k"))), "k")
+        .agg(F.count("*").alias("sampled_pairs"))
+    )
+    exact = ev.join(od, "k").agg(F.count("*").alias("exact_pairs"))
+    return samp.crossJoin(F.broadcast(exact)).select(
+        "sampled_pairs",
+        (F.col("sampled_pairs") * _CS_P).alias("est_pairs"),
+        "exact_pairs",
+        (
+            (F.col("sampled_pairs") * _CS_P).cast("double")
+            / F.col("exact_pairs").cast("double")
+        ).alias("est_ratio"),
+    )

@@ -53,6 +53,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "partial scorecards (MI, H(lang), H(source)) crossed together "
         "for the single output row — all sides constant-bounded",
     },
+    "markov_entropy_rate": {
+        "BroadcastNestedLoopJoin": "1-row transition-total scalar "
+        "crossed onto the |event_types| row frame — standard "
+        "scalar-total pattern",
+    },
+    "sampled_join_cardinality": {
+        "BroadcastNestedLoopJoin": "1-row exact-join-count scalar "
+        "crossed onto the 1-row sampled-count frame — two scalars "
+        "meeting for the final scorecard row",
+    },
     "capture_recapture_actives": {
         "BroadcastNestedLoopJoin": "1-row horizon scalar (t0, t1) "
         "crossed onto events for the half-split — standard scalar-total "
