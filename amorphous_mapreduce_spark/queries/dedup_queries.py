@@ -1321,3 +1321,140 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_width")
     )
+
+
+# --- winnowing fingerprints (MOSS-style positional selection) ---------------
+
+# Schleimer/Wilkerson/Aiken winnowing: slide a window of W consecutive
+# shingle hashes and keep each window's minimum (min-position tie-break
+# here — deterministic on both engines). Guarantees any match of length
+# >= W + shingle_size - 1 tokens shares a fingerprint, while storing only
+# ~2/(W+1) of the shingles — the position-aware selection scheme the
+# density-based MinHash family can't express.
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 1000
+
+WINNOW_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, grams AS (
+    SELECT id, pos,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+               AS gram,
+           lead(word, 2) OVER w AS last2
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+), sh AS (
+    SELECT id,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS spos,
+           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+    FROM grams WHERE last2 IS NOT NULL
+), wins AS (
+    SELECT id, spos AS e,
+           MIN(h) OVER (PARTITION BY id ORDER BY spos
+                        ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS wmin
+    FROM sh
+), sel AS (
+    SELECT DISTINCT a.id, MIN(a.spos) OVER (PARTITION BY a.id, w.e) AS fp_pos,
+           w.wmin AS h
+    FROM wins w
+    JOIN sh a ON a.id = w.id AND a.h = w.wmin
+              AND a.spos BETWEEN w.e - {WINNOW_W - 1} AND w.e
+    WHERE w.e >= {WINNOW_W}
+), fp AS (SELECT DISTINCT id, h FROM sel),
+capped AS (
+    SELECT f.id, f.h FROM fp f
+    JOIN (SELECT h FROM fp GROUP BY h
+          HAVING COUNT(*) <= {WINNOW_MAX_DF}) rare USING (h)
+)
+SELECT a.id AS qid, b.id AS nid, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+FROM capped a JOIN capped b ON a.h = b.h AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+)
+
+
+@register("winnowing_fingerprint_pairs", WINNOW_ORACLE)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 WINNOWED fingerprints — the MOSS
+    plagiarism-detection scheme: per sliding window of 4 consecutive
+    3-gram hashes keep the minimum (min-position tie-break), giving a
+    ~2/(W+1)-density fingerprint set with a positional match GUARANTEE
+    (any shared run of >= 6 tokens surfaces) that uniform-density
+    MinHash sampling cannot make. Candidates then flow through the
+    standard df-capped inverted-index join.
+
+    Scale: the selection windows are keyed per doc (running min + a
+    bounded W-row back-join); fingerprint density cuts the index join's
+    input ~2.5x vs full shingles; the df cap bounds hot-key fanout."""
+    docs = load_table(spark, sf_dir, "documents")
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from pyspark.sql import Window as W
+
+    toks = tokenized(docs)
+    wdoc = W.partitionBy("id").orderBy("pos")
+    grams = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.col("word"),
+            F.lead("word", 1).over(wdoc),
+            F.lead("word", 2).over(wdoc),
+        ).alias("gram"),
+        F.lead("word", 2).over(wdoc).alias("_last"),
+    )
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    sh = (
+        grams.filter(F.col("_last").isNotNull())
+        .select(
+            "id",
+            F.row_number().over(wdoc).alias("spos"),
+            hex_hash64(F.col("gram")).alias("h"),
+        )
+    )
+    sh = sh.persist()  # read by the window pass AND the argmin back-join
+    wins = sh.select(
+        "id",
+        F.col("spos").alias("e"),
+        F.min("h")
+        .over(
+            W.partitionBy("id")
+            .orderBy("spos")
+            .rowsBetween(-(WINNOW_W - 1), 0)
+        )
+        .alias("wmin"),
+    ).filter(F.col("e") >= WINNOW_W)
+    a = sh.select("id", F.col("spos").alias("apos"), F.col("h").alias("ah"))
+    sel = (
+        wins.join(
+            a,
+            (wins.id == a.id)
+            & (F.col("ah") == F.col("wmin"))
+            & (F.col("apos").between(F.col("e") - (WINNOW_W - 1), F.col("e"))),
+        )
+        .select(wins.id.alias("id"), "e", "wmin", "apos")
+        .groupBy("id", "e", "wmin")
+        .agg(F.min("apos").alias("fp_pos"))
+    )
+    fp = sel.select("id", F.col("wmin").alias("h")).distinct()
+    fp = fp.persist()  # df cap + both inverted-index join sides
+    rare = (
+        fp.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    capped = fp.join(rare, "h")
+    return (
+        capped.select(F.col("id").alias("qid"), "h")
+        .join(capped.select(F.col("id").alias("nid"), "h"), "h")
+        .filter(F.col("qid") < F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+    )
