@@ -768,3 +768,173 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("phi"),
     )
     return out
+
+
+# --- ANF / HyperBall: neighborhood-function sketch --------------------------
+
+# Palmer/Gibbons/Faloutsos ANF with HyperBall's register propagation:
+# each node starts with the 1-element HLL of itself; each round every
+# node takes the bucket-wise MAX of its own and its neighbors' registers
+# — after t rounds the registers sketch the t-hop ball. Register state
+# is m rows per node forever; a round is ONE keyed join + MAX aggregate,
+# which is how neighborhood sizes are estimated on graphs where exact
+# t-hop closure is quadratic.
+_ANF_ROUNDS = 2
+_ANF_NH = "CAST('0x' || substr(md5('anf_' || CAST({v} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _anf_reg_sql(hexpr: str) -> str:
+    return (
+        f"CASE WHEN ({hexpr} >> 6) = 0 THEN 55 "
+        f"ELSE 55 - length(bin({hexpr} >> 6)) END"
+    )
+
+
+def _anf_oracle() -> str:
+    from amorphous_mapreduce_spark.queries.sketch_queries import _HLL_LC64
+
+    lc = ", ".join(repr(v) for v in _HLL_LC64)
+    h = _ANF_NH.format(v="node")
+    ctes = [
+        "base AS MATERIALIZED (\n"
+        + "    SELECT a AS node, b AS nbr FROM edges\n)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM base)",
+        f"""r0 AS MATERIALIZED (
+    SELECT node, {h} % 64 AS bucket, CAST({_anf_reg_sql(h)} AS BIGINT) AS reg
+    FROM nodes
+)""",
+    ]
+    for t in range(1, _ANF_ROUNDS + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+    SELECT node, bucket, CAST(MAX(reg) AS BIGINT) AS reg FROM (
+        SELECT node, bucket, reg FROM r{t - 1}
+        UNION ALL
+        SELECT e.node, r.bucket, r.reg
+        FROM base e JOIN r{t - 1} r ON r.node = e.nbr
+    ) GROUP BY node, bucket
+)"""
+        )
+    ctes.append(
+        f"""ball2 AS MATERIALIZED (
+    SELECT a.node, COUNT(DISTINCT c) AS n_exact FROM (
+        SELECT node, node AS c FROM nodes
+        UNION ALL
+        SELECT node, nbr AS c FROM base
+        UNION ALL
+        SELECT e1.node, e2.nbr AS c
+        FROM base e1 JOIN base e2 ON e2.node = e1.nbr
+    ) a GROUP BY a.node
+)"""
+    )
+    return (
+        "WITH "
+        + SHINGLES_CTE.strip()
+        + MINHASH_EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+, agg AS (
+    SELECT r.node,
+           CAST(COUNT(*) AS BIGINT) AS registers_used,
+           CAST(64 - COUNT(*) AS BIGINT) AS zero_registers,
+           CAST(SUM(CAST(power(2.0, 55 - reg) AS BIGINT))
+                + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+               AS sum_scaled
+    FROM r{_ANF_ROUNDS} r GROUP BY r.node
+)
+SELECT a.node, b.n_exact AS ball2_exact, a.registers_used, a.sum_scaled,
+       CASE WHEN a.zero_registers > 0
+                 AND 1.046802484394006e20 / CAST(a.sum_scaled AS DOUBLE)
+                     <= 160.0
+            THEN ([{lc}])[CAST(a.zero_registers AS INT)]
+            ELSE 1.046802484394006e20 / CAST(a.sum_scaled AS DOUBLE) END
+           AS ball2_est
+FROM agg a JOIN ball2 b ON a.node = b.node
+"""
+    )
+
+
+ANF_ORACLE = _anf_oracle()
+
+
+@register("anf_neighborhood_sketch", ANF_ORACLE)
+def q_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / HyperBall 2-hop neighborhood sizes on the MinHash near-dup
+    graph: per node, the HLL estimate of its radius-2 ball from two
+    rounds of bucket-wise register-max propagation (with the
+    linear-counting small-range correction), beside the exact 2-hop
+    closure as the validation rail — the sketch that answers 'how big
+    is each duplicate neighborhood' with O(m) state per node where the
+    exact closure is quadratic on hub nodes.
+
+    Scale: a propagation round is one keyed join (edges x registers) +
+    one MAX aggregate — never a closure materialisation; the exact
+    branch is the audit you drop at 100 TB. localCheckpoint per round
+    pins the iterate (operators/graph convention)."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.queries.sketch_queries import _HLL_LC64
+
+    docs = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = prs.select(F.col("qid").alias("node"), F.col("nid").alias("nbr")).unionAll(
+        prs.select(F.col("nid").alias("node"), F.col("qid").alias("nbr"))
+    )
+    edges = edges.persist()  # every round + the exact 2-hop branch
+    nodes = edges.select("node").distinct()
+    h = hex_hash64(F.concat(F.lit("anf_"), F.col("node").cast("string")))
+    w = F.shiftright(h, 6)
+    regs = nodes.select(
+        "node",
+        F.pmod(h, F.lit(64)).alias("bucket"),
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("reg"),
+    ).localCheckpoint()
+    for _ in range(_ANF_ROUNDS):
+        prop = edges.join(
+            regs.select(F.col("node").alias("nbr"), "bucket", "reg"), "nbr"
+        ).select("node", "bucket", "reg")
+        regs = (
+            regs.unionAll(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint()
+        )
+    agg = regs.groupBy("node").agg(
+        F.count("*").alias("registers_used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(55) - F.col("reg")).cast("long")).alias(
+            "_present"
+        ),
+    )
+    zeros = (F.lit(64) - F.col("registers_used")).cast("long")
+    denom = F.col("_present") + zeros * F.lit(1 << 55).cast("long")
+    raw = F.lit(1.046802484394006e20) / denom.cast("double")
+    lc = F.element_at(F.array(*[F.lit(v) for v in _HLL_LC64]), zeros.cast("int"))
+    two_hop = (
+        edges.select("node", F.col("node").alias("c"))
+        .unionAll(edges.select("node", F.col("nbr").alias("c")))
+        .unionAll(
+            edges.select(F.col("node").alias("n0"), "nbr")
+            .join(
+                edges.select(F.col("nbr").alias("c"), F.col("node").alias("nbr")),
+                "nbr",
+            )
+            .select(F.col("n0").alias("node"), "c")
+        )
+        .groupBy("node")
+        .agg(F.count_distinct("c").alias("ball2_exact"))
+    )
+    return (
+        agg.join(two_hop, "node")
+        .select(
+            "node",
+            "ball2_exact",
+            "registers_used",
+            denom.alias("sum_scaled"),
+            F.when((zeros > 0) & (raw <= 160.0), lc).otherwise(raw).alias(
+                "ball2_est"
+            ),
+        )
+    )

@@ -573,3 +573,128 @@ def q_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Kneser-Ney smoothed bigram model ---------------------------------------
+
+# Interpolated KN with discount d = 3/4 (exact rational):
+#   P(w2|w1) = max(c-d,0)/c1 + d*N1p(w1)/c1 * Ncont(w2)/T
+#            = [max(4c-3,0)*T + 3*N1p(w1)*Ncont(w2)] / (4*c1*T)
+# ONE integer numerator over ONE integer denominator (both < 2^53), so
+# the probability is a single exact double division — the full smoothed
+# LM, not an approximation of it.
+KN_TOP_CONTEXTS = 5
+KN_TOP_CONT = 5
+
+KN_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, seq AS (
+    SELECT id, pos, word AS w1,
+           lead(word) OVER (PARTITION BY id ORDER BY pos) AS w2
+    FROM toks
+), bi AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE w2 IS NOT NULL GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n1p
+    FROM bi GROUP BY w1
+), cont AS (
+    SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bi GROUP BY w2
+), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bi),
+topctx AS (
+    SELECT w1, c1, n1p FROM ctx ORDER BY c1 DESC, w1 LIMIT {KN_TOP_CONTEXTS}
+),
+scored AS (
+    SELECT b.w1, b.w2, b.c, x.c1, x.n1p, n.ncont, tt.t,
+           CAST(greatest(4 * b.c - 3, 0) * tt.t
+                + 3 * x.n1p * n.ncont AS BIGINT) AS p_num,
+           CAST(4 * x.c1 * tt.t AS BIGINT) AS p_den
+    FROM bi b
+    JOIN topctx x ON b.w1 = x.w1
+    JOIN cont n ON b.w2 = n.w2
+    CROSS JOIN tt
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                                 ORDER BY p_num DESC, w2) AS rnk
+    FROM scored
+)
+SELECT w1, w2, c, c1, n1p, ncont, p_num, p_den,
+       CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_kn, rnk
+FROM ranked WHERE rnk <= {KN_TOP_CONT}
+"""
+)
+
+
+@register("kneser_ney_bigrams", KN_ORACLE)
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (discount 3/4) for
+    the top-5 continuations of the 5 most frequent context words — the
+    production n-gram smoothing (continuation counts, absolute
+    discounting, proper interpolation mass) cleared to ONE exact
+    integer numerator/denominator pair per bigram, so the smoothed
+    probability itself is hash-checkable. Completes the LM battery
+    beside pmi_bigrams / bigram_perplexity_gain / bpe_merge_pairs.
+
+    Scale: one keyed lead + three hash aggregates (bigrams, contexts,
+    continuations); the context shortlist is a 5-row TakeOrdered; the
+    per-context rank windows are keyed. Ranking uses p_num (same
+    denominator within a context) — integer-only ordering."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from pyspark.sql import Window as W
+
+    toks = tokenized(load_table(spark, sf_dir, "documents"))
+    w = W.partitionBy("id").orderBy("pos")
+    bi = (
+        toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = bi.persist()  # contexts, continuations, totals, and the join
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1p")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("ncont"))
+    tt = bi.agg(F.count("*").alias("t"))
+    topctx = ctx.orderBy(F.desc("c1"), F.asc("w1")).limit(KN_TOP_CONTEXTS)
+    scored = (
+        bi.join(F.broadcast(topctx), "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            "n1p",
+            "ncont",
+            (
+                F.greatest(4 * F.col("c") - 3, F.lit(0)) * F.col("t")
+                + 3 * F.col("n1p") * F.col("ncont")
+            ).cast("long").alias("p_num"),
+            (4 * F.col("c1") * F.col("t")).cast("long").alias("p_den"),
+        )
+    )
+    wr = W.partitionBy("w1").orderBy(F.desc("p_num"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= KN_TOP_CONT)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            "n1p",
+            "ncont",
+            "p_num",
+            "p_den",
+            (F.col("p_num").cast("double") / F.col("p_den").cast("double")).alias(
+                "p_kn"
+            ),
+            "rnk",
+        )
+    )

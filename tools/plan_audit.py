@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "partial scorecards (MI, H(lang), H(source)) crossed together "
         "for the single output row — all sides constant-bounded",
     },
+    "kneser_ney_bigrams": {
+        "BroadcastNestedLoopJoin": "1-row bigram-type-total scalar "
+        "crossed onto the shortlisted-context bigram frame — standard "
+        "scalar-total pattern",
+    },
     "markov_entropy_rate": {
         "BroadcastNestedLoopJoin": "1-row transition-total scalar "
         "crossed onto the |event_types| row frame — standard "
