@@ -1562,3 +1562,125 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent.cast("double") / (F.col("n") * _LS).cast("long").cast("double")
         ).alias("rate_contrib_bits"),
     )
+
+
+# --- variance explained by the top principal component ----------------------
+
+PCA_VAR_ORACLE = POWER_ITER_ORACLE.replace(
+    f"\nSELECT dim, v AS v_q FROM v{PI_ITERS}",
+    f"""
+, vfin AS MATERIALIZED (SELECT dim, v FROM v{PI_ITERS}),
+num AS (
+    SELECT SUM(CAST(a.v AS HUGEINT) * g.g * b.v) AS nraw
+    FROM g JOIN vfin a ON g.i = a.dim JOIN vfin b ON g.j = b.dim
+),
+den AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM vfin),
+tr AS (SELECT CAST(SUM(g) AS BIGINT) AS trace_q FROM g WHERE i = j)
+SELECT CAST((SELECT COUNT(*) FROM vfin) AS BIGINT) AS n_dims,
+       den.vv, tr.trace_q,
+       CAST((num.nraw // 1073741824) AS BIGINT) AS rq_hi,
+       CAST((num.nraw % 1073741824) AS BIGINT) AS rq_lo,
+       (CAST((num.nraw // 1073741824) AS BIGINT) * 1073741824.0
+        + CAST((num.nraw % 1073741824) AS BIGINT))
+           / CAST(den.vv AS DOUBLE) AS lambda1_q,
+       (CAST((num.nraw // 1073741824) AS BIGINT) * 1073741824.0
+        + CAST((num.nraw % 1073741824) AS BIGINT))
+           / CAST(den.vv AS DOUBLE) / CAST(tr.trace_q AS DOUBLE)
+           AS var_explained_top1
+FROM num CROSS JOIN den CROSS JOIN tr
+""",
+)
+
+
+@register("pca_variance_explained", PCA_VAR_ORACLE)
+def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of embedding variance captured by the top principal
+    component: the Rayleigh quotient v'Gv / v'v of the power-iteration
+    eigenvector over the Gram trace — the 'is this embedding space
+    one-dimensional' collapse dial behind whitening and dimension-
+    reduction decisions.
+
+    v'Gv exceeds int64, so it accumulates in DECIMAL(38,0)/HUGEINT and
+    reconstructs in double via a hi/lo 2^30 split (the
+    rolling_correlation gotcha: DuckDB's int128->double cast mis-rounds
+    past 2^63); vv and the trace are exact int64; the two final
+    divisions are the identical IEEE sequence on both engines.
+
+    Scale: one corpus-sized Gram aggregate (shuffle bounded by d², same
+    as embedding_gram); the quotient runs on d² rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * GRAM_QUANT).cast("long"),
+            )
+        ).alias("dim", "qx"),
+    )
+    a0 = q.select("vec_id", F.col("dim").alias("i"), F.col("qx").alias("ax"))
+    b0 = q.select("vec_id", F.col("dim").alias("j"), F.col("qx").alias("bx"))
+    gram = (
+        a0.join(b0, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("g"))
+        .persist()
+    )
+    v = (
+        gram.select(F.col("i").alias("dim"))
+        .distinct()
+        .select("dim", F.lit(PI_SCALE).cast("long").alias("v"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for _ in range(PI_ITERS):
+        gv = (
+            gram.join(v, gram["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        m = gv.agg(F.max(F.abs(F.col("gv"))).alias("mx"))
+        v = gv.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("dim"),
+            F.expr(
+                f"gv div greatest(CAST(1 AS BIGINT), mx div {PI_SCALE})"
+            ).alias("v"),
+        )
+    v = v.localCheckpoint()
+    va = v.select(F.col("dim").alias("i"), F.col("v").alias("av"))
+    vb = v.select(F.col("dim").alias("j"), F.col("v").alias("bv"))
+    num = (
+        gram.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(
+            F.sum(
+                (F.col("av") * F.col("g") * F.col("bv")).cast("decimal(38,0)")
+            ).alias("nraw")
+        )
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    tr = gram.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").alias("trace_q")
+    )
+    nd = v.agg(F.count("*").alias("n_dims"))
+    out = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(nd))
+    )
+    hi = F.expr("CAST(nraw div 1073741824 AS BIGINT)")
+    lo = F.expr("CAST(nraw % 1073741824 AS BIGINT)")
+    lam = (hi.cast("double") * F.lit(1073741824.0) + lo.cast("double")) / F.col(
+        "vv"
+    ).cast("double")
+    return out.select(
+        "n_dims",
+        "vv",
+        "trace_q",
+        hi.alias("rq_hi"),
+        lo.alias("rq_lo"),
+        lam.alias("lambda1_q"),
+        (lam / F.col("trace_q").cast("double")).alias("var_explained_top1"),
+    )

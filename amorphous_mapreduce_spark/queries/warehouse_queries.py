@@ -1869,3 +1869,95 @@ def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_mean_s",
         "l_avg_concurrency",
     )
+
+
+# --- Apdex score per day ----------------------------------------------------
+
+APDEX_ORACLE = f"""
+WITH lagged AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, us, event_id,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sess AS (
+    SELECT user_id, us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), spans AS (
+    SELECT user_id, session_id, MIN(us) AS s_us,
+           MAX(us) + 1 - MIN(us) AS dur_us
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT s_us // {_DAY_US} AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN dur_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_satisfied,
+       CAST(SUM(CASE WHEN dur_us > 60000000 AND dur_us <= 240000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       CAST(2 * SUM(CASE WHEN dur_us <= 60000000 THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN dur_us > 60000000 AND dur_us <= 240000000
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(2 * COUNT(*) AS DOUBLE) AS apdex
+FROM spans GROUP BY 1
+"""
+
+
+@register("apdex_daily_score", APDEX_ORACLE)
+def q_apdex_daily_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Apdex score of session durations (satisfied <= 60 s,
+    tolerating <= 240 s): the (satisfied + tolerating/2) / total SLO
+    summary, cross-multiplied to (2*sat + tol)/(2*n) so the only double
+    is one division — the ops-dashboard companion to littles_law_audit
+    on the same session spans.
+
+    Scale: keyed sessionize windows + one hash aggregate per day."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    wlag = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.when(
+            F.lag(us).over(wlag).isNull()
+            | (us - F.lag(us).over(wlag) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("s_us"),
+        (F.max("us") + 1 - F.min("us")).alias("dur_us"),
+    )
+    sat = F.sum((F.col("dur_us") <= 60_000_000).cast("bigint"))
+    tol = F.sum(
+        (
+            (F.col("dur_us") > 60_000_000) & (F.col("dur_us") <= 240_000_000)
+        ).cast("bigint")
+    )
+    return spans.groupBy(F.expr(f"s_us div {_DAY_US}").alias("day_idx")).agg(
+        F.count("*").alias("n_sessions"),
+        sat.alias("n_satisfied"),
+        tol.alias("n_tolerating"),
+        (
+            (2 * sat + tol).cast("double") / (2 * F.count("*")).cast("double")
+        ).alias("apdex"),
+    )
