@@ -335,3 +335,53 @@ def kcore(
     return cur.groupBy(F.col("a").alias("id")).agg(
         F.count("*").alias("core_deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src: str = "qid",
+    dst: str = "nid",
+) -> DataFrame:
+    """[id, community]: synchronous label propagation (LPA) community
+    detection — every node adopts its neighbourhood's modal label each
+    round, ties broken by the smallest label, labels initialised to the
+    node id. Deterministic by construction (the classic async LPA is
+    order-dependent; the synchronous + total-order-tie-break variant is
+    a pure dataflow fixpoint both engines can replay).
+
+    The round count is part of the query spec: the SQL oracle unrolls
+    the identical ``n_rounds``, so oscillating 2-cycles (possible on
+    bipartite-ish structures under synchronous updates) resolve the
+    same way on both engines. Each round is one keyed join + one hash
+    aggregate + one bounded per-node window (partitioned by node — no
+    global window); localCheckpoint cuts the growing lineage per round
+    exactly like connected_components. At 100 TB: rounds are linear
+    passes over the edge list; label state is one row per node.
+
+    Reference tie-in: iterative reduce-over-neighbours is VecOp
+    accumulate semantics (src/op.rs:18-35) applied per wave (G4).
+    """
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    rn_w = W.partitionBy("a").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(n_rounds):
+        labels = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("id"), "label")
+            .localCheckpoint()
+        )
+    return labels.withColumnRenamed("label", "community")

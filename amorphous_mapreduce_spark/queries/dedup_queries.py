@@ -1458,3 +1458,71 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
     )
+
+
+# --- label-propagation communities of the near-dup graph ---------------------
+
+LPA_ROUNDS = 4
+
+
+def _lpa_round(i: int) -> str:
+    # MATERIALIZED for the same reason as _kcore_round: each round feeds
+    # the next, and DuckDB would otherwise inline/re-expand the chain.
+    return f"""
+l{i} AS MATERIALIZED (
+    SELECT id, label FROM (
+        SELECT e.a AS id, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.a
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN l{i - 1} l ON e.b = l.id
+        GROUP BY e.a, l.label
+    ) WHERE rn = 1
+)"""
+
+
+LPA_ORACLE = (
+    _NEARDUP_EDGES_PREFIX
+    + ", l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM edges),"
+    + ",".join(_lpa_round(i) for i in range(1, LPA_ROUNDS + 1))
+    + f"""
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM l{LPA_ROUNDS} GROUP BY label
+ORDER BY n_members DESC, community
+"""
+)
+
+
+@register("label_propagation_communities", LPA_ORACLE)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities of the MinHash-LSH
+    near-dup graph — the third clustering lens beside connected
+    components (near_dup_clusters: everything reachable merges) and
+    k-core (kcore_near_dup: density survivors). LPA splits a connected
+    blob into locally-cohesive duplicate families, which is what a
+    'keep one per template' dedup policy actually wants when chains of
+    weak pair links bridge unrelated templates.
+
+    Determinism: synchronous rounds + (count DESC, label ASC) modal
+    tie-break + label init = node id, with the fixed round count part
+    of the spec — the SQL oracle unrolls the identical 4 rounds, so
+    even not-yet-converged or oscillating states compare equal.
+
+    Scale: per round one keyed equi-join (edge list, LSH-bucketed and
+    sub-quadratic) + hash aggregate + per-node bounded window; no
+    global window, no all-pairs; label state is one row per node."""
+    from amorphous_mapreduce_spark.operators.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
+    lab = label_propagation(pairs, n_rounds=LPA_ROUNDS)
+    return (
+        lab.groupBy(F.col("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+    )

@@ -698,3 +698,192 @@ def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- trained naive-Bayes language classifier ----------------------------------
+
+NB_SPLIT_SQL = (
+    "CAST('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 5"
+)
+
+NB_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, split AS (
+    SELECT doc_id, lang,
+           CASE WHEN {NB_SPLIT_SQL} = 0 THEN 1 ELSE 0 END AS is_test
+    FROM documents
+),
+cl AS (
+    SELECT s.lang, t.word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks t JOIN split s ON t.id = s.doc_id
+    WHERE s.is_test = 0 GROUP BY s.lang, t.word
+),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM cl GROUP BY lang),
+vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM cl),
+prior AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l
+    FROM split WHERE is_test = 0 GROUP BY lang
+),
+ttf AS (
+    SELECT t.id, t.word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks t JOIN split s ON t.id = s.doc_id
+    WHERE s.is_test = 1 GROUP BY t.id, t.word
+),
+scored AS (
+    SELECT f.id, tr.lang,
+           CAST(SUM(f.tf * {log2_scaled_sql("COALESCE(c.c, 0) + 1")})
+                AS BIGINT) AS sum_lp,
+           CAST(SUM(f.tf) AS BIGINT) AS n_tokens
+    FROM ttf f
+    CROSS JOIN (SELECT lang FROM tot) tr
+    LEFT JOIN cl c ON c.lang = tr.lang AND c.word = f.word
+    GROUP BY f.id, tr.lang
+),
+final AS (
+    SELECT s.id, s.lang,
+           CAST(s.sum_lp
+                - s.n_tokens * {log2_scaled_sql("n_l + v")}
+                + {log2_scaled_sql("d_l")} AS BIGINT) AS score
+    FROM scored s
+    JOIN tot USING (lang) JOIN prior USING (lang) CROSS JOIN vocab
+),
+pred AS (
+    SELECT id, lang AS pred_lang FROM (
+        SELECT id, lang,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM final) WHERE rn = 1
+)
+SELECT s.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (s.lang = p.pred_lang) AS is_correct
+FROM pred p JOIN split s ON p.id = s.doc_id
+GROUP BY 1, 2, 4 ORDER BY 1, 2
+"""
+)
+
+
+@register("naive_bayes_langid", NB_ORACLE)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identifier: multinomial naive Bayes with add-1
+    smoothing, fit on an 80% hash split and evaluated on the held-out
+    20% — the supervised counterpart of the heuristic language_id /
+    langid_confusion queries (train per-language unigram LMs + log
+    priors, classify each test doc by argmax posterior). Output is the
+    held-out confusion matrix.
+
+    Exactness: every log goes through the intlog kernel, so each
+    (doc, lang) posterior is an exact BIGINT
+    (sum_lp - n_tokens*L(N_l+V) + L(d_l)); argmax ties break on lang —
+    the whole query is integer-deterministic, no floats at all.
+
+    Scale: train counts are a (lang x vocab) hash aggregate; scoring
+    fans each test token-count row out by #languages (small constant)
+    and joins train counts on (lang, word) — keyed equi-joins; the
+    argmax is a per-doc bounded window. No all-pairs, no global sort."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    split = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.pmod(
+                hex_hash64(
+                    F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(5),
+            )
+            == 0
+        )
+        .cast("int")
+        .alias("is_test"),
+    )
+    toks = tokenized(docs).join(
+        F.broadcast(split.withColumnRenamed("doc_id", "id")), "id"
+    )
+    cl = (
+        toks.filter(F.col("is_test") == 0)
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    tot = cl.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = cl.agg(F.countDistinct("word").alias("v"))
+    prior = (
+        split.filter(F.col("is_test") == 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("d_l"))
+    )
+    ttf = (
+        toks.filter(F.col("is_test") == 1)
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    tr = tot.select(F.col("lang").alias("tr_lang"))
+    ct = cl.select(F.col("lang").alias("tr_lang"), "word", F.col("c").alias("c0"))
+    scored = (
+        ttf.crossJoin(F.broadcast(tr))
+        .join(ct, ["tr_lang", "word"], "left")
+        .select(
+            "id",
+            "tr_lang",
+            "tf",
+            (F.col("tf") * log2_scaled("COALESCE(c0, 0) + 1")).alias("wlp"),
+        )
+        .groupBy("id", "tr_lang")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("wlp").alias("sum_lp"))
+    )
+    final = (
+        scored.join(
+            F.broadcast(tot.select(F.col("lang").alias("tr_lang"), "n_l")),
+            "tr_lang",
+        )
+        .join(
+            F.broadcast(prior.select(F.col("lang").alias("tr_lang"), "d_l")),
+            "tr_lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "tr_lang",
+            (
+                F.col("sum_lp")
+                - F.col("n_tokens") * log2_scaled("n_l + v")
+                + log2_scaled("d_l")
+            ).cast("long").alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    pred = (
+        final.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.desc("score"), F.asc("tr_lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("tr_lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(
+            F.broadcast(
+                split.select(F.col("doc_id").alias("id"), F.col("lang"))
+            ),
+            "id",
+        )
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            "pred_lang",
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select("true_lang", "pred_lang", "n_docs", "is_correct")
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -42,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "naive_bayes_langid": {
+        "BroadcastNestedLoopJoin": "the 5-row train-language frame "
+        "fanned onto test token counts (constant-bounded classifier "
+        "fan-out) + the 1-row vocab scalar crossed onto per-doc scores "
+        "— standard scalar-total pattern",
+    },
+    "pca_variance_explained": {
+        "BroadcastNestedLoopJoin": "three 1-row scalars (v'v, trace, "
+        "n_dims) crossed onto the 1-row Rayleigh numerator — scalars "
+        "meeting for the single output row",
+    },
     "brand_association_rules": {
         "BroadcastNestedLoopJoin": "1-row basket-total scalar crossed "
         "onto the <=600-row (25 brands squared) rule frame for the "
