@@ -1684,3 +1684,146 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam.alias("lambda1_q"),
         (lam / F.col("trace_q").cast("double")).alias("var_explained_top1"),
     )
+
+
+# --- Brier score + reliability (calibration) bins ---------------------------
+
+_BRIER_PIVOT = "1995-06-01"
+_BRIER_SCALE = 1048576  # 2^20 probability fixed point
+
+
+BRIER_ORACLE = f"""
+WITH tagged AS (
+    SELECT p.p_brand AS brand, o.o_orderdate < DATE '{_BRIER_PIVOT}' AS is_train,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+),
+rates AS (
+    SELECT brand,
+           CAST(({_BRIER_SCALE} * CAST(SUM(y) AS BIGINT))
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS p_q
+    FROM tagged WHERE is_train GROUP BY brand
+),
+g AS (
+    SELECT CAST(({_BRIER_SCALE} * CAST(SUM(y) AS BIGINT))
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS g_q
+    FROM tagged WHERE is_train
+),
+scored AS (
+    SELECT COALESCE(r.p_q, g.g_q) AS p_q, t.y
+    FROM tagged t LEFT JOIN rates r USING (brand) CROSS JOIN g
+    WHERE NOT t.is_train
+),
+binned AS (
+    SELECT LEAST((p_q * 100) // {_BRIER_SCALE}, 99) AS bin, p_q, y,
+           (p_q - y * {_BRIER_SCALE}) AS e
+    FROM scored
+),
+agg AS (
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_returned,
+           CAST(SUM(p_q) AS BIGINT) AS sum_pq,
+           SUM(CAST(e AS HUGEINT) * e) AS sq
+    FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_rows, n_returned, sum_pq,
+       CAST(sq // 1073741824 AS BIGINT) AS sq_hi,
+       CAST(sq % 1073741824 AS BIGINT) AS sq_lo,
+       CAST(sum_pq AS DOUBLE)
+           / (CAST(n_rows AS DOUBLE) * {_BRIER_SCALE}.0) AS mean_pred,
+       CAST(n_returned AS DOUBLE) / CAST(n_rows AS DOUBLE) AS obs_rate,
+       (CAST(sq // 1073741824 AS BIGINT) * 1073741824.0
+        + CAST(sq % 1073741824 AS BIGINT))
+           / (CAST(n_rows AS DOUBLE) * 1099511627776.0) AS brier_bin
+FROM agg ORDER BY bin
+"""
+
+
+@register("brier_calibration_bins", BRIER_ORACLE)
+def q_brier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of a trained probabilistic predictor: per-brand
+    return rates fit on pre-{_BRIER_PIVOT} orders predict each later
+    lineitem's return; outputs the reliability diagram (predicted-
+    probability centile bins vs observed rate) plus the per-bin Brier score —
+    the standard 'is the model's confidence honest' diagnostic next to
+    the rank-based AUC/KS queries (a model can rank perfectly and still
+    be badly calibrated).
+
+    Exactness: predictions are integer fixed-point (2^20 * ret) div n;
+    squared errors accumulate in DECIMAL/HUGEINT and reconstruct via the
+    hi/lo 2^30 split (the int128->double rounding gotcha); mean_pred /
+    obs_rate / brier_bin are fixed double expressions per bin row.
+
+    Scale: two big keyed joins (lineitem-orders-part: the q3/q5 shape);
+    rate state is #brands rows broadcast back; bins are a 10-row hash
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    pt = load_table(spark, sf_dir, "part")
+    tagged = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.col("o_orderdate") < F.lit(_BRIER_PIVOT).cast("date")).alias(
+                "is_train"
+            ),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .persist()
+    )
+    train = tagged.filter("is_train")
+    rates = train.groupBy("brand").agg(
+        F.expr(f"CAST(({_BRIER_SCALE} * SUM(y)) div COUNT(*) AS BIGINT)").alias(
+            "p_q"
+        )
+    )
+    g = train.agg(
+        F.expr(f"CAST(({_BRIER_SCALE} * SUM(y)) div COUNT(*) AS BIGINT)").alias(
+            "g_q"
+        )
+    )
+    scored = (
+        tagged.filter(~F.col("is_train"))
+        .join(F.broadcast(rates), "brand", "left")
+        .crossJoin(F.broadcast(g))
+        .select(F.coalesce(F.col("p_q"), F.col("g_q")).alias("p_q"), "y")
+    )
+    binned = scored.select(
+        F.least((F.col("p_q") * 100 / _BRIER_SCALE).cast("long"), F.lit(99)).alias(
+            "bin"
+        ),
+        "p_q",
+        (F.col("p_q") - F.col("y") * _BRIER_SCALE).alias("e"),
+        "y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("y").alias("n_returned"),
+        F.sum("p_q").alias("sum_pq"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)")).alias("sq"),
+    )
+    hi = F.expr("CAST(sq div 1073741824 AS BIGINT)")
+    lo = F.expr("CAST(sq % 1073741824 AS BIGINT)")
+    return agg.select(
+        "bin",
+        "n_rows",
+        "n_returned",
+        "sum_pq",
+        hi.alias("sq_hi"),
+        lo.alias("sq_lo"),
+        (
+            F.col("sum_pq").cast("double")
+            / (F.col("n_rows").cast("double") * F.lit(float(_BRIER_SCALE)))
+        ).alias("mean_pred"),
+        (F.col("n_returned").cast("double") / F.col("n_rows").cast("double")).alias(
+            "obs_rate"
+        ),
+        (
+            (hi.cast("double") * F.lit(1073741824.0) + lo.cast("double"))
+            / (F.col("n_rows").cast("double") * F.lit(1099511627776.0))
+        ).alias("brier_bin"),
+    ).orderBy("bin")

@@ -1196,3 +1196,238 @@ def q_sampled_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_pairs").cast("double")
         ).alias("est_ratio"),
     )
+
+
+# --- DDSketch relative-error quantiles ---------------------------------------
+
+# gamma = 2^(1/8): bucket index = floor(8 * log2(cents)) via the intlog
+# kernel (the approximation IS the spec). 2^(j/8) step table + the
+# 2^(1/16) half-step, as shared full-precision literals.
+_DD_STEP = [
+    1.0, 1.0905077326652577, 1.189207115002721, 1.2968395546510096,
+    1.4142135623730951, 1.5422108254079407, 1.681792830507429,
+    1.8340080864093424,
+]
+_DD_HALF = 1.044273782427414
+_DD_QS = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+_DD_SHARDS = 16
+
+_DD_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+def _dd_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    idx = f"(8 * {log2_scaled_sql('cents')}) // 1048576"
+    step_case = " ".join(
+        f"WHEN {j} THEN {v!r}" for j, v in enumerate(_DD_STEP)
+    )
+    qvals = ", ".join(f"('{n}', {qn}, {qd})" for n, qn, qd in _DD_QS)
+    return f"""
+WITH base AS (
+    SELECT {_DD_CENTS} AS cents, l_orderkey, l_linenumber,
+           l_orderkey % {_DD_SHARDS} AS shard
+    FROM lineitem
+),
+bx AS (SELECT cents, l_orderkey, l_linenumber, shard, {idx} AS idx FROM base),
+direct AS (
+    SELECT idx, CAST(COUNT(*) AS BIGINT) AS cnt FROM bx GROUP BY idx
+),
+sharded AS (
+    SELECT shard, idx, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bx GROUP BY shard, idx
+),
+merged AS (
+    SELECT idx, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sharded GROUP BY idx
+),
+proof AS (
+    SELECT MIN(CASE WHEN d.cnt = m.cnt THEN 1 ELSE 0 END) = 1 AS merge_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM direct d JOIN merged m USING (idx)
+),
+cum AS (
+    SELECT idx, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY idx
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+    FROM direct
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM direct),
+qs AS (SELECT * FROM (VALUES {qvals}) AS q(q_label, qn, qd)),
+ranks AS (
+    SELECT q_label, (qn * n + qd - 1) // qd AS rnk, n
+    FROM qs CROSS JOIN tot
+),
+chosen AS (
+    SELECT r.q_label, r.rnk, r.n, MIN(c.idx) AS idx
+    FROM ranks r JOIN cum c ON c.c >= r.rnk
+    GROUP BY r.q_label, r.rnk, r.n
+),
+loc AS (
+    SELECT ch.q_label, ch.rnk, ch.n, ch.idx,
+           ch.rnk - (c.c - c.cnt) AS rank_in_bucket
+    FROM chosen ch JOIN cum c ON ch.idx = c.idx
+),
+exact AS (
+    SELECT q_label, cents AS exact_cents FROM (
+        SELECT l.q_label, b.cents, l.rank_in_bucket,
+               ROW_NUMBER() OVER (PARTITION BY l.q_label
+                                  ORDER BY b.cents, b.l_orderkey,
+                                           b.l_linenumber) AS rn
+        FROM loc l JOIN bx b ON b.idx = l.idx
+    ) WHERE rn = rank_in_bucket
+),
+est AS (
+    SELECT q_label, rnk, n, idx, rank_in_bucket,
+           CAST(CAST(pow(2, idx // 8) AS BIGINT) AS DOUBLE)
+               * (CASE idx % 8 {step_case} END) * {_DD_HALF!r} AS est_cents
+    FROM loc
+)
+SELECT e.q_label, e.n AS n_rows, e.rnk AS rank_pick, e.idx AS bucket_idx,
+       e.rank_in_bucket, e.est_cents, x.exact_cents,
+       ABS(e.est_cents - CAST(x.exact_cents AS DOUBLE))
+           / CAST(x.exact_cents AS DOUBLE) AS rel_err,
+       ABS(e.est_cents - CAST(x.exact_cents AS DOUBLE))
+           / CAST(x.exact_cents AS DOUBLE) <= 0.05 AS within_alpha,
+       p.merge_ok, p.n_buckets
+FROM est e JOIN exact x USING (q_label) CROSS JOIN proof p
+ORDER BY e.q_label
+"""
+
+
+DDSKETCH_ORACLE = _dd_oracle()
+
+
+@register("ddsketch_price_quantiles", DDSKETCH_ORACLE)
+def q_ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (relative-error quantile sketch): log-spaced buckets
+    idx = floor(8*log2(cents)) via the intlog kernel (gamma = 2^(1/8),
+    ~4.4% relative accuracy), per-shard sketches merged by bucket-count
+    addition (merge proof in-plan, like hll_merge_rollup), quantile =
+    first bucket whose cumulative count reaches ceil(q*n). The sketch
+    estimate is audited against the EXACT order statistic (two-phase
+    rank pick: bucket counts locate the bucket, a per-bucket window
+    finds the rank within it — no global sort) and the within-alpha
+    guarantee is a self-auditing output column.
+
+    Completes the quantile-summary family beside the equi-width
+    mergeable histogram (approx_median_hist): DDSketch's log buckets
+    keep RELATIVE error constant across 5 orders of magnitude of spend,
+    which is what latency/price SLO percentiles need at 100 TB.
+
+    Exactness: bucket assignment, counts, ranks are integers; the
+    estimate is integer-power-of-two x shared step-table literals (one
+    IEEE multiply chain); the audit division is per-output-row.
+
+    Scale: one hash aggregate to ~8*log2(max) ~ 190 buckets; the
+    cumulative window runs on that constant-bounded bucket frame; the
+    exact-pick window is partitioned per chosen bucket (~alpha share of
+    rows each). Sketch state is O(log(max)) integers — mergeable across
+    shards/days by addition."""
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr(_DD_CENTS).alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % _DD_SHARDS).alias("shard"),
+    )
+    bx = base.select(
+        "cents",
+        "l_orderkey",
+        "l_linenumber",
+        "shard",
+        ((F.lit(8) * log2_scaled("cents")) / F.lit(1048576))
+        .cast("long")
+        .alias("idx"),
+    ).persist()
+    direct = bx.groupBy("idx").agg(F.count("*").alias("cnt")).persist()
+    merged = (
+        bx.groupBy("shard", "idx")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("mcnt"))
+    )
+    proof = (
+        direct.join(merged, "idx")
+        .agg(
+            (
+                F.min(F.when(F.col("cnt") == F.col("mcnt"), 1).otherwise(0))
+                == 1
+            ).alias("merge_ok"),
+            F.count("*").alias("n_buckets"),
+        )
+    )
+    cum = direct.select(
+        "idx",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("c"),
+    )
+    tot = direct.agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame(_DD_QS, ["q_label", "qn", "qd"])
+    ranks = qs.crossJoin(F.broadcast(tot)).select(
+        "q_label",
+        F.expr("(qn * n + qd - 1) div qd").alias("rnk"),
+        "n",
+    )
+    chosen = (
+        F.broadcast(ranks)
+        .join(cum, F.col("c") >= F.col("rnk"))
+        .groupBy("q_label", "rnk", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    loc = chosen.join(cum, "idx").select(
+        "q_label",
+        "rnk",
+        "n",
+        "idx",
+        (F.col("rnk") - (F.col("c") - F.col("cnt"))).alias("rank_in_bucket"),
+    ).persist()
+    w = Window.partitionBy("q_label").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    exact = (
+        F.broadcast(loc)
+        .join(bx, "idx")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("rank_in_bucket"))
+        .select("q_label", F.col("cents").alias("exact_cents"))
+    )
+    step = F.array(*[F.lit(v) for v in _DD_STEP])
+    est = loc.select(
+        "q_label",
+        "rnk",
+        "n",
+        "idx",
+        "rank_in_bucket",
+        (
+            F.expr("CAST(pow(2, idx div 8) AS BIGINT)").cast("double")
+            * F.element_at(step, (F.col("idx") % 8 + 1).cast("int"))
+            * F.lit(_DD_HALF)
+        ).alias("est_cents"),
+    )
+    rel = F.abs(
+        F.col("est_cents") - F.col("exact_cents").cast("double")
+    ) / F.col("exact_cents").cast("double")
+    return (
+        est.join(exact, "q_label")
+        .crossJoin(F.broadcast(proof))
+        .select(
+            "q_label",
+            F.col("n").alias("n_rows"),
+            F.col("rnk").alias("rank_pick"),
+            F.col("idx").alias("bucket_idx"),
+            "rank_in_bucket",
+            "est_cents",
+            "exact_cents",
+            rel.alias("rel_err"),
+            (rel <= 0.05).alias("within_alpha"),
+            "merge_ok",
+            "n_buckets",
+        )
+        .orderBy("q_label")
+    )

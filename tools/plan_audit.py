@@ -53,6 +53,19 @@ ALLOW: dict[str, dict[str, str]] = {
         "n_dims) crossed onto the 1-row Rayleigh numerator — scalars "
         "meeting for the single output row",
     },
+    "brier_calibration_bins": {
+        "BroadcastNestedLoopJoin": "1-row global-train-rate scalar "
+        "crossed onto test rows as the unseen-brand fallback — standard "
+        "scalar-total pattern",
+    },
+    "ddsketch_price_quantiles": {
+        "BroadcastNestedLoopJoin": "1-row total / 3-row quantile-spec "
+        "frames crossed onto the constant-bounded bucket frame (and the "
+        "1-row merge proof onto 3 output rows) — scalar/spec patterns",
+        "Exchange SinglePartition": "cumulative window + rank probes run "
+        "on the bucket frame, O(8*log2(max_cents)) ~ 190 rows regardless "
+        "of data volume — constant-bounded by construction",
+    },
     "brand_association_rules": {
         "BroadcastNestedLoopJoin": "1-row basket-total scalar crossed "
         "onto the <=600-row (25 brands squared) rule frame for the "
