@@ -3443,3 +3443,146 @@ def q_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     ).orderBy("yr")
+
+
+# --- log-log price elasticity of demand per brand ----------------------------
+
+_ELA_P53 = 9007199254740992  # 2^53 hi/lo split unit (values reach ~2^84)
+
+
+def _ela_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    xs = log2_scaled_sql(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    )
+    ys = log2_scaled_sql("CAST(l_quantity AS BIGINT)")
+    # NOTE DuckDB types a `N.0` literal as DECIMAL, not DOUBLE — the
+    # reconstruction must cast every piece to DOUBLE explicitly or the
+    # downstream numd*numd product overflows DECIMAL(38).
+    recon = (
+        lambda v: f"(CAST(CAST({v} // {_ELA_P53} AS BIGINT) AS DOUBLE)"
+        f" * CAST({_ELA_P53} AS DOUBLE)"
+        f" + CAST(CAST({v} % {_ELA_P53} AS BIGINT) AS DOUBLE))"
+    )
+    return f"""
+WITH obs AS (
+    SELECT p_brand AS brand, {xs} AS x, {ys} AS y
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+stats AS (
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM obs GROUP BY brand
+),
+c AS (
+    SELECT brand, n,
+           n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+           n * sxx - CAST(sx AS HUGEINT) * sx AS den,
+           n * syy - CAST(sy AS HUGEINT) * sy AS deny
+    FROM stats
+),
+d AS (
+    SELECT brand, n,
+           {recon("num")} AS numd,
+           {recon("den")} AS dend,
+           {recon("deny")} AS denyd
+    FROM c
+)
+SELECT brand, n,
+       CASE WHEN dend = 0.0 THEN NULL ELSE numd / dend END AS elasticity,
+       CASE WHEN dend * denyd = 0.0 THEN NULL
+            ELSE numd * numd / (dend * denyd) END AS r2
+FROM d ORDER BY brand
+"""
+
+
+ELASTICITY_ORACLE = _ela_oracle()
+
+
+@register("price_elasticity_loglog", ELASTICITY_ORACLE)
+def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of log2(quantity)
+    on log2(price) — the economist's log-log regression where the slope
+    IS the elasticity (%-change in demand per %-change in price), plus
+    r² for fit quality. Composes the intlog kernel with the grouped-OLS
+    moment template (brand_discount_ols): both logs are 2^20-scaled
+    integers, so the scale factors cancel exactly in the slope ratio.
+
+    Exactness: x,y are intlog integers (~2^24); second moments reach
+    ~2^66 and the cross-multiplied num/den ~2^84 — accumulated in
+    DECIMAL(38,0)/HUGEINT and converted via a hi/lo 2^53 split (one
+    identical IEEE rounding on both engines; div/% truncate toward zero
+    identically for the negative covariances).
+
+    Scale: one lineitem-part equi-join, one hash aggregate to #brands
+    rows, constant-size final arithmetic."""
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    obs = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        log2_scaled(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        log2_scaled("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+    st = obs.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    c = st.select(
+        "brand",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+        ).alias("num"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).alias("den"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("syy")
+            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+        ).alias("deny"),
+    )
+
+    def recon(v: str):
+        return (
+            F.expr(f"CAST({v} div {_ELA_P53} AS BIGINT)").cast("double")
+            * F.lit(float(_ELA_P53))
+            + F.expr(f"CAST({v} % {_ELA_P53} AS BIGINT)").cast("double")
+        )
+
+    d = c.select(
+        "brand",
+        "n",
+        recon("num").alias("numd"),
+        recon("den").alias("dend"),
+        recon("deny").alias("denyd"),
+    )
+    return d.select(
+        "brand",
+        "n",
+        F.when(F.col("dend") == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.col("numd") / F.col("dend"))
+        .alias("elasticity"),
+        F.when(
+            F.col("dend") * F.col("denyd") == 0.0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("numd") * F.col("numd") / (F.col("dend") * F.col("denyd"))
+        )
+        .alias("r2"),
+    ).orderBy("brand")

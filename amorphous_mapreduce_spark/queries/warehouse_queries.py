@@ -1961,3 +1961,205 @@ def q_apdex_daily_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * sat + tol).cast("double") / (2 * F.count("*")).cast("double")
         ).alias("apdex"),
     )
+
+
+# --- zone-map (min/max statistics) pruning audit -----------------------------
+
+_ZM_FILES = 64  # simulated file count (shard width = max_okey/64, SF-relative)
+
+# (pred_id, kind, lo, hi): okey bounds are PERCENT of max(l_orderkey)
+# (SF-relative); day bounds are epoch days; cents bounds absolute.
+_ZM_REL = [("okey_mid_decile", 10, 12), ("okey_top_tail", 90, 100)]
+_ZM_ABS = [
+    ("ship_30d_window", "day", 9131, 9161),       # 1995-01-01..31
+    ("ship_before_93", "day", 0, 8400),           # < 1992-12-31
+    ("price_top_band", "cents", 9_000_000, 11_000_000),
+    ("price_floor", "cents", 0, 100_000),
+]
+
+ZM_ORACLE = f"""
+WITH base0 AS (
+    SELECT l_orderkey AS okey,
+           CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+               AS day,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem
+),
+mx AS (SELECT CAST(MAX(okey) AS BIGINT) AS maxk,
+              GREATEST(CAST(1 AS BIGINT),
+                       (CAST(MAX(okey) AS BIGINT) + {_ZM_FILES} - 1)
+                           // {_ZM_FILES}) AS w
+       FROM base0),
+base AS (
+    SELECT okey // w AS shard, okey, day, cents FROM base0 CROSS JOIN mx
+),
+preds AS (
+    SELECT pred_id, 'okey' AS kind,
+           (maxk * p1) // 100 AS lo, (maxk * p2) // 100 AS hi
+    FROM (VALUES {", ".join(f"('{p}', {a}, {b})" for p, a, b in _ZM_REL)})
+         AS r(pred_id, p1, p2) CROSS JOIN mx
+    UNION ALL
+    SELECT pred_id, kind, CAST(lo AS BIGINT), CAST(hi AS BIGINT)
+    FROM (VALUES {", ".join(f"('{p}', '{k}', {a}, {b})" for p, k, a, b in _ZM_ABS)})
+         AS a(pred_id, kind, lo, hi)
+),
+zones AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(okey) AS okey_min, MAX(okey) AS okey_max,
+           MIN(day) AS day_min, MAX(day) AS day_max,
+           MIN(cents) AS cents_min, MAX(cents) AS cents_max
+    FROM base GROUP BY shard
+),
+zp AS (
+    SELECT p.pred_id, z.n_rows,
+           CASE p.kind WHEN 'okey' THEN z.okey_max WHEN 'day' THEN z.day_max
+                       ELSE z.cents_max END < p.lo
+           OR CASE p.kind WHEN 'okey' THEN z.okey_min WHEN 'day' THEN z.day_min
+                          ELSE z.cents_min END > p.hi AS skipped
+    FROM zones z CROSS JOIN preds p
+),
+skips AS (
+    SELECT pred_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped
+    FROM zp GROUP BY pred_id
+),
+matches AS (
+    SELECT p.pred_id,
+           CAST(SUM(CASE WHEN (CASE p.kind WHEN 'okey' THEN b.okey
+                               WHEN 'day' THEN b.day ELSE b.cents END)
+                              BETWEEN p.lo AND p.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+    FROM base b CROSS JOIN preds p GROUP BY p.pred_id
+)
+SELECT s.pred_id, s.n_shards, s.n_skipped,
+       CAST(s.n_skipped AS DOUBLE) / CAST(s.n_shards AS DOUBLE) AS skip_frac,
+       s.rows_total, s.rows_skipped, m.n_matches,
+       CAST(m.n_matches AS DOUBLE) / CAST(s.rows_total AS DOUBLE)
+           AS selectivity
+FROM skips s JOIN matches m USING (pred_id)
+ORDER BY s.pred_id
+"""
+
+
+@register("zone_map_skipping", ZM_ORACLE)
+def q_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max statistics) pruning audit: simulate a
+    ~64-file layout of equal orderkey ranges (SF-relative width), build each shard's
+    min/max zone for three columns, and price a 6-predicate panel —
+    what fraction of files (and rows) would data skipping eliminate at
+    the scan? Clustered-column predicates (l_orderkey ranges) should
+    skip ~proportionally to selectivity; unclustered columns (shipdate,
+    price) skip ~nothing at the same selectivity — the measured
+    argument for sort/Z-order layout beside zorder_layout, and the same
+    accounting a lakehouse manifest pruner does at 100 TB.
+
+    Exactness: zones / skip decisions / row counts are pure integers;
+    skip_frac and selectivity are one double division per output row.
+
+    Scale: one hash aggregate to #shards zone rows; the panel join is a
+    constant 6-row broadcast fanout; the match counts are one more
+    aggregate over the same scan (a real system reads zones from the
+    manifest instead)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base0 = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    ).persist()
+    mx = base0.agg(
+        F.max("okey").alias("maxk"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(CAST(MAX(okey) AS BIGINT) + {_ZM_FILES} - 1) div {_ZM_FILES}"),
+        ).alias("w"),
+    )
+    base = base0.crossJoin(F.broadcast(mx)).select(
+        F.expr("okey div w").alias("shard"), "okey", "day", "cents"
+    ).persist()
+    rel = spark.createDataFrame(_ZM_REL, ["pred_id", "p1", "p2"])
+    preds_rel = rel.crossJoin(F.broadcast(mx)).select(
+        "pred_id",
+        F.lit("okey").alias("kind"),
+        F.expr("(maxk * p1) div 100").alias("lo"),
+        F.expr("(maxk * p2) div 100").alias("hi"),
+    )
+    preds_abs = spark.createDataFrame(
+        _ZM_ABS, ["pred_id", "kind", "lo", "hi"]
+    ).select("pred_id", "kind", F.col("lo").cast("long"), F.col("hi").cast("long"))
+    preds = preds_rel.unionByName(preds_abs).persist()
+    zones = base.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min("okey").alias("okey_min"),
+        F.max("okey").alias("okey_max"),
+        F.min("day").alias("day_min"),
+        F.max("day").alias("day_max"),
+        F.min("cents").alias("cents_min"),
+        F.max("cents").alias("cents_max"),
+    )
+    vmax = (
+        F.when(F.col("kind") == "okey", F.col("okey_max"))
+        .when(F.col("kind") == "day", F.col("day_max"))
+        .otherwise(F.col("cents_max"))
+    )
+    vmin = (
+        F.when(F.col("kind") == "okey", F.col("okey_min"))
+        .when(F.col("kind") == "day", F.col("day_min"))
+        .otherwise(F.col("cents_min"))
+    )
+    zp = zones.crossJoin(F.broadcast(preds)).select(
+        "pred_id",
+        "n_rows",
+        ((vmax < F.col("lo")) | (vmin > F.col("hi"))).alias("skipped"),
+    )
+    skips = zp.groupBy("pred_id").agg(
+        F.count("*").alias("n_shards"),
+        F.sum(F.col("skipped").cast("long")).alias("n_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(F.col("skipped"), F.col("n_rows")).otherwise(0)).alias(
+            "rows_skipped"
+        ),
+    )
+    val = (
+        F.when(F.col("kind") == "okey", F.col("okey"))
+        .when(F.col("kind") == "day", F.col("day"))
+        .otherwise(F.col("cents"))
+    )
+    matches = (
+        base.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id")
+        .agg(
+            F.sum(
+                F.when(val.between(F.col("lo"), F.col("hi")), 1).otherwise(0)
+            ).alias("n_matches")
+        )
+    )
+    return (
+        skips.join(matches, "pred_id")
+        .select(
+            "pred_id",
+            "n_shards",
+            "n_skipped",
+            (
+                F.col("n_skipped").cast("double")
+                / F.col("n_shards").cast("double")
+            ).alias("skip_frac"),
+            "rows_total",
+            "rows_skipped",
+            "n_matches",
+            (
+                F.col("n_matches").cast("double")
+                / F.col("rows_total").cast("double")
+            ).alias("selectivity"),
+        )
+        .orderBy("pred_id")
+    )

@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "n_dims) crossed onto the 1-row Rayleigh numerator — scalars "
         "meeting for the single output row",
     },
+    "zone_map_skipping": {
+        "BroadcastNestedLoopJoin": "1-row max-orderkey/shard-width "
+        "scalar crossed onto the scan, and the constant 6-row predicate "
+        "panel fanned onto zones and rows — scalar/spec patterns",
+    },
     "brier_calibration_bins": {
         "BroadcastNestedLoopJoin": "1-row global-train-rate scalar "
         "crossed onto test rows as the unseen-brand fallback — standard "
