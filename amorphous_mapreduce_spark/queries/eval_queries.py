@@ -1827,3 +1827,240 @@ def q_brier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_rows").cast("double") * F.lit(1099511627776.0))
         ).alias("brier_bin"),
     ).orderBy("bin")
+
+
+# --- linear CKA: how much geometry survives quantization ---------------------
+
+_CKA_P53 = 9007199254740992
+
+
+def _cka_recon_sql(v: str) -> str:
+    # 3-piece non-negative HUGEINT -> double (values reach ~2^110)
+    q1 = f"CAST(({v}) // {_CKA_P53} AS BIGINT)"
+    r0 = f"CAST(({v}) % {_CKA_P53} AS BIGINT)"
+    return (
+        f"((CAST({q1} // {_CKA_P53} AS DOUBLE) * CAST({_CKA_P53} AS DOUBLE)"
+        f" + CAST({q1} % {_CKA_P53} AS DOUBLE)) * CAST({_CKA_P53} AS DOUBLE)"
+        f" + CAST({r0} AS DOUBLE))"
+    )
+
+
+CKA_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * {1000})
+                AS BIGINT) AS x,
+           CAST(TRUNC(CAST(unnest(embedding) AS DOUBLE)
+                      / list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) * 127)
+                AS BIGINT) AS y8,
+           CAST(CASE WHEN CAST(unnest(embedding) AS DOUBLE) > 0 THEN 1
+                     WHEN CAST(unnest(embedding) AS DOUBLE) < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS y1
+    FROM embeddings
+    WHERE list_max(list_transform(embedding,
+                                  v -> abs(CAST(v AS DOUBLE)))) > 0
+),
+dims AS (
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y8) AS BIGINT) AS s8,
+           CAST(SUM(y1) AS BIGINT) AS s1
+    FROM q GROUP BY dim
+),
+gram AS (
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS sxx,
+           CAST(SUM(a.x * b.y8) AS BIGINT) AS sxy8,
+           CAST(SUM(a.y8 * b.y8) AS BIGINT) AS s88,
+           CAST(SUM(a.x * b.y1) AS BIGINT) AS sxy1,
+           CAST(SUM(a.y1 * b.y1) AS BIGINT) AS s11
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY a.dim, b.dim
+),
+terms AS (
+    SELECT g.i, g.j,
+           di.n AS n,
+           di.n * g.sxx  - di.sx * dj.sx AS txx,
+           di.n * g.sxy8 - di.sx * dj.s8 AS txy8,
+           di.n * g.s88  - di.s8 * dj.s8 AS t88,
+           di.n * g.sxy1 - di.sx * dj.s1 AS txy1,
+           di.n * g.s11  - di.s1 * dj.s1 AS t11
+    FROM gram g JOIN dims di ON g.i = di.dim JOIN dims dj ON g.j = dj.dim
+),
+fro AS (
+    SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS d2,
+           SUM(CAST(txx AS HUGEINT) * txx) AS fxx,
+           SUM(CAST(txy8 AS HUGEINT) * txy8) AS fxy8,
+           SUM(CAST(t88 AS HUGEINT) * t88) AS f88,
+           SUM(CAST(txy1 AS HUGEINT) * txy1) AS fxy1,
+           SUM(CAST(t11 AS HUGEINT) * t11) AS f11
+    FROM terms
+)
+SELECT 'int8' AS variant, n, d2,
+       {_cka_recon_sql('fxy8')} AS f_cross,
+       {_cka_recon_sql('fxx')} AS f_x,
+       {_cka_recon_sql('f88')} AS f_y,
+       {_cka_recon_sql('fxy8')}
+           / sqrt({_cka_recon_sql('fxx')} * {_cka_recon_sql('f88')}) AS cka
+FROM fro
+UNION ALL
+SELECT 'sign' AS variant, n, d2,
+       {_cka_recon_sql('fxy1')},
+       {_cka_recon_sql('fxx')},
+       {_cka_recon_sql('f11')},
+       {_cka_recon_sql('fxy1')}
+           / sqrt({_cka_recon_sql('fxx')} * {_cka_recon_sql('f11')})
+FROM fro
+ORDER BY variant
+"""
+
+
+@register("cka_quantization", CKA_ORACLE)
+def q_cka_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between the exact
+    embedding space and its int8 / 1-bit quantizations — THE
+    representation-similarity metric (Kornblith et al.): CKA =
+    ||C_xy||²_F / (||C_xx||_F ||C_yy||_F) over n-scaled centered
+    cross-covariances, answering 'how much of the embedding geometry
+    survives 8-bit storage vs sign-only hashing' with one number per
+    variant (1.0 = isometric, jl_projection_distortion's global
+    cousin).
+
+    Exactness: all three representations are integers (round(x*1000);
+    trunc(x/scale*127) — one identical IEEE division per element; sign),
+    every moment is an exact BIGINT, Frobenius sums accumulate in
+    DECIMAL/HUGEINT (~2^110) and convert via a 3-piece 2^53 split; the
+    final sqrt/divide is a fixed double expression.
+
+    Scale: the d² fan-out feeds a map-side-combined hash aggregate
+    keyed on (i, j) — shuffle is #partitions x d² x 5 sums, independent
+    of row count (embedding_gram's bound); dim sums are d rows
+    broadcast back; Frobenius is one scalar aggregate over d² rows."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(32)
+    scale = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    q = (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda v: F.round(v.cast("double") * 1000).cast("long"),
+            ).alias("ax"),
+            F.transform(
+                "embedding",
+                lambda v: (v.cast("double") / F.col("scale") * 127.0).cast(
+                    "long"
+                ),
+            ).alias("a8"),
+            F.transform(
+                "embedding",
+                lambda v: F.signum(v.cast("double")).cast("long"),
+            ).alias("a1"),
+        )
+    )
+    z = q.select(
+        "vec_id", F.arrays_zip("ax", "a8", "a1").alias("z")
+    )
+    a = z.select("vec_id", "z", F.posexplode("z").alias("i", "u"))
+    b = a.select(
+        "i",
+        F.col("u.ax").alias("xi"),
+        F.col("u.a8").alias("e8i"),
+        F.col("u.a1").alias("e1i"),
+        F.posexplode("z").alias("j", "w"),
+    )
+    gram = b.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("w.ax")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("w.a8")).alias("sxy8"),
+        F.sum(F.col("e8i") * F.col("w.a8")).alias("s88"),
+        F.sum(F.col("xi") * F.col("w.a1")).alias("sxy1"),
+        F.sum(F.col("e1i") * F.col("w.a1")).alias("s11"),
+    )
+    dims = (
+        q.select(F.posexplode(F.arrays_zip("ax", "a8", "a1")).alias("dim", "u"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("u.ax").alias("sx"),
+            F.sum("u.a8").alias("s8"),
+            F.sum("u.a1").alias("s1"),
+        )
+    )
+    di = dims.select(
+        F.col("dim").alias("i"),
+        F.col("n"),
+        F.col("sx").alias("sx_i"),
+        F.col("s8").alias("s8_i"),
+        F.col("s1").alias("s1_i"),
+    )
+    dj = dims.select(
+        F.col("dim").alias("j"),
+        F.col("sx").alias("sx_j"),
+        F.col("s8").alias("s8_j"),
+        F.col("s1").alias("s1_j"),
+    )
+    terms = (
+        gram.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "n",
+            (F.col("n") * F.col("sxx") - F.col("sx_i") * F.col("sx_j")).alias(
+                "txx"
+            ),
+            (F.col("n") * F.col("sxy8") - F.col("sx_i") * F.col("s8_j")).alias(
+                "txy8"
+            ),
+            (F.col("n") * F.col("s88") - F.col("s8_i") * F.col("s8_j")).alias(
+                "t88"
+            ),
+            (F.col("n") * F.col("sxy1") - F.col("sx_i") * F.col("s1_j")).alias(
+                "txy1"
+            ),
+            (F.col("n") * F.col("s11") - F.col("s1_i") * F.col("s1_j")).alias(
+                "t11"
+            ),
+        )
+    )
+    sq = lambda c: F.sum((F.col(c).cast("decimal(38,0)") * F.col(c)))
+    fro = terms.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("d2"),
+        sq("txx").alias("fxx"),
+        sq("txy8").alias("fxy8"),
+        sq("t88").alias("f88"),
+        sq("txy1").alias("fxy1"),
+        sq("t11").alias("f11"),
+    )
+
+    def recon(v: str):
+        q1 = F.expr(f"CAST({v} div {_CKA_P53} AS BIGINT)")
+        r0 = F.expr(f"CAST({v} % {_CKA_P53} AS BIGINT)")
+        p = F.lit(float(_CKA_P53))
+        return (
+            (
+                F.expr(f"CAST(CAST({v} div {_CKA_P53} AS BIGINT) div {_CKA_P53} AS BIGINT)").cast("double") * p
+                + F.expr(f"CAST(CAST({v} div {_CKA_P53} AS BIGINT) % {_CKA_P53} AS BIGINT)").cast("double")
+            )
+            * p
+            + r0.cast("double")
+        )
+
+    def row(variant: str, fxy: str, fy: str):
+        return fro.select(
+            F.lit(variant).alias("variant"),
+            "n",
+            "d2",
+            recon(fxy).alias("f_cross"),
+            recon("fxx").alias("f_x"),
+            recon(fy).alias("f_y"),
+            (recon(fxy) / F.sqrt(recon("fxx") * recon(fy))).alias("cka"),
+        )
+
+    return row("int8", "fxy8", "f88").unionByName(
+        row("sign", "fxy1", "f11")
+    ).orderBy("variant")

@@ -1165,3 +1165,135 @@ def q_qlm_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qlm_scaled"), F.asc("id"))
         .limit(15)
     )
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+
+TEXTRANK_ROUNDS = 3
+TEXTRANK_SCALE = 1048576  # 2^20 fixed-point rank unit
+TEXTRANK_TOP = 20
+
+
+def _textrank_round_sql(i: int) -> str:
+    # MATERIALIZED: each iterate feeds the next (kcore/pagerank
+    # discipline — DuckDB would re-expand the chain otherwise).
+    return f"""
+r{i} AS MATERIALIZED (
+    SELECT n.word,
+           (3 * {TEXTRANK_SCALE}
+            + 17 * COALESCE(s.spread, 0)) // 20 AS rank_q
+    FROM nodes n LEFT JOIN (
+        SELECT e.b AS word,
+               CAST(SUM((r.rank_q * e.wgt) // o.outw) AS BIGINT) AS spread
+        FROM edges e
+        JOIN r{i - 1} r ON e.a = r.word
+        JOIN outw o ON e.a = o.word
+        GROUP BY e.b
+    ) s ON n.word = s.word
+)"""
+
+
+TEXTRANK_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, adj AS (
+    SELECT t1.word AS a, t2.word AS b
+    FROM toks t1 JOIN toks t2
+      ON t1.id = t2.id AND t2.pos = t1.pos + 1
+    WHERE t1.word <> t2.word
+),
+edges AS MATERIALIZED (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS wgt FROM (
+        SELECT a, b FROM adj UNION ALL SELECT b, a FROM adj
+    ) GROUP BY a, b
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS word FROM edges),
+outw AS MATERIALIZED (
+    SELECT a AS word, CAST(SUM(wgt) AS BIGINT) AS outw FROM edges GROUP BY a
+),
+r0 AS (SELECT word, CAST({TEXTRANK_SCALE} AS BIGINT) AS rank_q FROM nodes),
+"""
+    + ",".join(_textrank_round_sql(i) for i in range(1, TEXTRANK_ROUNDS + 1))
+    + f"""
+SELECT r.word, r.rank_q,
+       CAST(r.rank_q AS DOUBLE) / {TEXTRANK_SCALE} AS rank,
+       o.outw AS degree_w
+FROM r{TEXTRANK_ROUNDS} r JOIN outw o USING (word)
+ORDER BY r.rank_q DESC, r.word LIMIT {TEXTRANK_TOP}
+"""
+)
+
+
+@register("textrank_keywords", TEXTRANK_ORACLE)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    word co-occurrence graph (adjacent-token edges, symmetrized, edge
+    weight = corpus co-occurrence count), weighted spread r*w/outw per
+    edge, damping 0.85 as the exact rational (3*2^20 + 17*spread)//20 —
+    the graph-centrality counterpart of tfidf_top_terms / rake_keyphrases
+    (frequency vs degree vs centrality: three keyword lenses now
+    in-repo).
+
+    Exactness: fixed-point integer ranks; every per-edge contribution is
+    one truncating division (Spark div == DuckDB //); 3 synchronous
+    rounds unrolled identically in the oracle; top-20 with a word
+    tie-break.
+
+    Scale: edge list is vocab-bounded (hash aggregate over adjacent
+    token pairs); each round is one keyed join + hash aggregate over
+    edges; rank state is one row per vocab word. localCheckpoint per
+    round cuts lineage (pagerank discipline)."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    nxt = toks.select(
+        "id", (F.col("pos") + 1).alias("pos"), F.col("word").alias("w_prev")
+    )
+    adj = toks.join(nxt, ["id", "pos"]).filter(
+        F.col("word") != F.col("w_prev")
+    ).select(F.col("w_prev").alias("a"), F.col("word").alias("b"))
+    edges = (
+        adj.unionAll(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("wgt"))
+        .persist()
+    )
+    outw = edges.groupBy(F.col("a").alias("word")).agg(
+        F.sum("wgt").alias("outw")
+    ).persist()
+    nodes = outw.select("word")
+    r = nodes.select("word", F.lit(TEXTRANK_SCALE).cast("long").alias("rank_q"))
+    for _ in range(TEXTRANK_ROUNDS):
+        spread = (
+            edges.join(r.withColumnRenamed("word", "a"), "a")
+            .join(outw.withColumnRenamed("word", "a"), "a")
+            .select(
+                F.col("b").alias("word"),
+                F.expr("(rank_q * wgt) div outw").alias("contrib"),
+            )
+            .groupBy("word")
+            .agg(F.sum("contrib").alias("spread"))
+        )
+        r = (
+            nodes.join(spread, "word", "left")
+            .select(
+                "word",
+                F.expr(
+                    f"(3 * {TEXTRANK_SCALE} + 17 * COALESCE(spread, 0)) div 20"
+                ).alias("rank_q"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.join(outw, "word")
+        .select(
+            "word",
+            "rank_q",
+            (F.col("rank_q").cast("double") / TEXTRANK_SCALE).alias("rank"),
+            F.col("outw").alias("degree_w"),
+        )
+        .orderBy(F.desc("rank_q"), F.asc("word"))
+        .limit(TEXTRANK_TOP)
+    )
