@@ -2163,3 +2163,235 @@ def q_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_id")
     )
+
+
+# --- log-rank test: session survival between user cohorts --------------------
+
+_LR_CENSOR_S = 600  # administrative censoring horizon (seconds)
+_LR_SCALE = 1048576
+
+
+LOGRANK_ORACLE = f"""
+WITH lagged AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, us, event_id,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sess AS (
+    SELECT user_id, us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), spans AS (
+    SELECT user_id % 2 AS grp,
+           (MAX(us) + 1 - MIN(us)) // 1000000 AS dur_s
+    FROM sess GROUP BY user_id, session_id
+), obs AS (
+    SELECT grp, LEAST(dur_s, {_LR_CENSOR_S}) AS t,
+           CASE WHEN dur_s < {_LR_CENSOR_S} THEN 1 ELSE 0 END AS ev
+    FROM spans
+), hist AS (
+    SELECT grp, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(ev) AS BIGINT) AS d
+    FROM obs GROUP BY grp, t
+), ng AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_g FROM hist GROUP BY grp),
+tp AS (SELECT t FROM hist GROUP BY t HAVING SUM(d) >= 1),
+risk AS (
+    SELECT tp.t, g.grp,
+           g.n_g - COALESCE(CAST((SELECT SUM(h.cnt) FROM hist h
+                                  WHERE h.grp = g.grp AND h.t < tp.t)
+                                 AS BIGINT), 0) AS at_risk,
+           COALESCE((SELECT h2.d FROM hist h2
+                     WHERE h2.grp = g.grp AND h2.t = tp.t), 0) AS d_g
+    FROM tp CROSS JOIN ng g
+), wide AS (
+    SELECT t,
+           MAX(CASE WHEN grp = 0 THEN at_risk END) AS n1,
+           MAX(CASE WHEN grp = 1 THEN at_risk END) AS n2,
+           MAX(CASE WHEN grp = 0 THEN d_g END) AS d1,
+           MAX(CASE WHEN grp = 1 THEN d_g END) AS d2
+    FROM risk GROUP BY t
+), terms AS (
+    SELECT t, n1, n2, d1, d2, n1 + n2 AS n, d1 + d2 AS d
+    FROM wide WHERE n1 + n2 >= 2 AND d1 + d2 >= 1
+), contrib AS (
+    SELECT t,
+           d1 * {_LR_SCALE} - (d * n1 * {_LR_SCALE}) // n AS ome_q,
+           CAST((CAST(d AS HUGEINT) * n1 * n2 * (n - d) * {_LR_SCALE})
+                // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS v_q
+    FROM terms
+), tots AS (
+    SELECT CAST(SUM(ome_q) AS BIGINT) AS sum_ome_q,
+           CAST(SUM(v_q) AS BIGINT) AS sum_v_q,
+           CAST(COUNT(*) AS BIGINT) AS n_timepoints
+    FROM contrib
+), gg AS (
+    SELECT CAST(SUM(CASE WHEN grp = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN grp = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN grp = 0 THEN d ELSE 0 END) AS BIGINT)
+               AS events_a,
+           CAST(SUM(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT)
+               AS events_b
+    FROM hist
+)
+SELECT n_a, n_b, events_a, events_b, n_timepoints, sum_ome_q, sum_v_q,
+       (CAST(sum_ome_q AS DOUBLE) * CAST(sum_ome_q AS DOUBLE))
+           / ({_LR_SCALE}.0 * CAST(sum_v_q AS DOUBLE)) AS chi2
+FROM tots CROSS JOIN gg
+"""
+
+
+@register("logrank_survival_test", LOGRANK_ORACLE)
+def q_logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two user cohorts' session-survival curves
+    (even vs odd user ids), with administrative censoring at
+    {_LR_CENSOR_S} s: per event time, observed-minus-expected cohort-A
+    deaths under the shared-hazard null plus the hypergeometric
+    variance; chi² = (ΣO-E)²/ΣV — the inferential companion to
+    session_survival_curve / nelson_aalen_hazard / cohort_half_life
+    (curves describe, the log-rank DECIDES whether two curves differ).
+
+    Exactness: per-timepoint terms are rationals quantized to 2^20
+    fixed point with one truncating integer division each (variance in
+    DECIMAL/HUGEINT — d*n1*n2*(n-d)*2^20 passes int64); the sums are
+    exact BIGINTs; chi² is one fixed double expression.
+
+    Scale: sessionize is the standard keyed-window pass; the
+    second-grain + censoring cap bounds the time axis at
+    {_LR_CENSOR_S + 1} points, so the risk-set computation is a
+    constant-size triangular join over per-cohort histograms, never
+    over raw sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    wlag = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.when(
+            F.lag(us).over(wlag).isNull()
+            | (us - F.lag(us).over(wlag) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.expr("(MAX(us) + 1 - MIN(us)) div 1000000").alias("dur_s")
+    )
+    obs = spans.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.least(F.col("dur_s"), F.lit(_LR_CENSOR_S)).alias("t"),
+        F.when(F.col("dur_s") < _LR_CENSOR_S, 1).otherwise(0).alias("ev"),
+    )
+    hist = (
+        obs.groupBy("grp", "t")
+        .agg(F.count("*").alias("cnt"), F.sum("ev").alias("d"))
+        .persist()
+    )
+    ng = hist.groupBy("grp").agg(F.sum("cnt").alias("n_g"))
+    tp = hist.groupBy("t").agg(F.sum("d").alias("dt")).filter(
+        F.col("dt") >= 1
+    ).select("t")
+    # at-risk via the bounded triangular join over per-cohort histograms
+    before = (
+        tp.crossJoin(F.broadcast(ng))
+        .join(
+            hist.select(
+                F.col("grp").alias("hgrp"),
+                F.col("t").alias("ht"),
+                "cnt",
+            ),
+            (F.col("hgrp") == F.col("grp")) & (F.col("ht") < F.col("t")),
+            "left",
+        )
+        .groupBy("t", "grp", "n_g")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_before"))
+    )
+    risk = (
+        before.select(
+            "t",
+            "grp",
+            (F.col("n_g") - F.col("n_before")).alias("at_risk"),
+        )
+        .join(
+            hist.select("grp", "t", F.col("d").alias("d_g")),
+            ["grp", "t"],
+            "left",
+        )
+        .na.fill({"d_g": 0})
+    )
+    wide = risk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("at_risk"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("at_risk"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 0, F.col("d_g"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 1, F.col("d_g"))).alias("d2"),
+    )
+    terms = wide.select(
+        "t",
+        "n1",
+        "n2",
+        "d1",
+        "d2",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        (F.col("d1") + F.col("d2")).alias("d"),
+    ).filter((F.col("n") >= 2) & (F.col("d") >= 1))
+    contrib = terms.select(
+        F.expr(f"d1 * {_LR_SCALE} - (d * n1 * {_LR_SCALE}) div n").alias(
+            "ome_q"
+        ),
+        F.expr(
+            f"CAST((CAST(d AS DECIMAL(38,0)) * n1 * n2 * (n - d)"
+            f" * {_LR_SCALE}) div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            f" AS BIGINT)"
+        ).alias("v_q"),
+    )
+    tots = contrib.agg(
+        F.sum("ome_q").alias("sum_ome_q"),
+        F.sum("v_q").alias("sum_v_q"),
+        F.count("*").alias("n_timepoints"),
+    )
+    gg = hist.agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("cnt")).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("grp") == 1, F.col("cnt")).otherwise(0)).alias(
+            "n_b"
+        ),
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(0)).alias(
+            "events_a"
+        ),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0)).alias(
+            "events_b"
+        ),
+    )
+    return tots.crossJoin(F.broadcast(gg)).select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        "n_timepoints",
+        "sum_ome_q",
+        "sum_v_q",
+        (
+            F.col("sum_ome_q").cast("double")
+            * F.col("sum_ome_q").cast("double")
+            / (F.lit(float(_LR_SCALE)) * F.col("sum_v_q").cast("double"))
+        ).alias("chi2"),
+    )

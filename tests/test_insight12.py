@@ -99,3 +99,57 @@ def test_textrank_python_replay(spark):
     for r in out.itertuples():
         assert r.rank == r.rank_q / TEXTRANK_SCALE
         assert r.degree_w == outw[r.word]
+
+
+def test_logrank_python_replay(spark):
+    import numpy as np
+
+    out = QUERIES["logrank_survival_test"](spark, SF).toPandas().iloc[0]
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["us"] = ev.ts.astype("int64") // 1000
+    S = 1 << 20
+    L = 600
+    obs = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        start = prev = None
+        for u in g.us:
+            if prev is None or u - prev > 1_800_000_000:
+                if start is not None:
+                    obs.append((uid % 2, prev + 1 - start))
+                start = u
+            prev = u
+        obs.append((uid % 2, prev + 1 - start))
+    grp = np.array([g for g, _ in obs])
+    dur = np.array([d // 1_000_000 for _, d in obs])
+    t_obs = np.minimum(dur, L)
+    event = (dur < L).astype(int)
+    assert out.n_a == (grp == 0).sum() and out.n_b == (grp == 1).sum()
+    assert out.events_a == event[grp == 0].sum()
+    assert out.events_b == event[grp == 1].sum()
+    times = np.unique(t_obs[event == 1])
+    sum_ome = sum_v = 0
+    ref_ome = ref_v = 0.0
+    npts = 0
+    for t in times:
+        n1 = int(((grp == 0) & (t_obs >= t)).sum())
+        n2 = int(((grp == 1) & (t_obs >= t)).sum())
+        d1 = int(((grp == 0) & (t_obs == t) & (event == 1)).sum())
+        d2 = int(((grp == 1) & (t_obs == t) & (event == 1)).sum())
+        n, d = n1 + n2, d1 + d2
+        if n < 2 or d < 1:
+            continue
+        npts += 1
+        sum_ome += d1 * S - (d * n1 * S) // n
+        sum_v += (d * n1 * n2 * (n - d) * S) // (n * n * (n - 1))
+        ref_ome += d1 - d * n1 / n
+        ref_v += d * n1 * n2 * (n - d) / (n * n * (n - 1))
+    assert out.n_timepoints == npts
+    assert out.sum_ome_q == sum_ome
+    assert out.sum_v_q == sum_v
+    assert out.chi2 == (float(sum_ome) ** 2) / (float(S) * float(sum_v))
+    # quantization fidelity: matches the float log-rank to ~1e-3
+    ref_chi2 = ref_ome * ref_ome / ref_v
+    assert abs(out.chi2 - ref_chi2) <= max(1e-3, 0.01 * ref_chi2)
+    # null sanity: parity cohorts share the hazard — chi2 is small
+    assert out.chi2 < 15

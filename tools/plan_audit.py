@@ -53,6 +53,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "n_dims) crossed onto the 1-row Rayleigh numerator — scalars "
         "meeting for the single output row",
     },
+    "logrank_survival_test": {
+        "BroadcastNestedLoopJoin": "triangular at-risk join runs over "
+        "per-cohort duration HISTOGRAMS, bounded at 601 censored "
+        "second-grain points x 2 cohorts regardless of data volume; "
+        "plus the 1-row cohort-totals scalar crossed onto the 1-row "
+        "test statistic",
+    },
     "zone_map_skipping": {
         "BroadcastNestedLoopJoin": "1-row max-orderkey/shard-width "
         "scalar crossed onto the scan, and the constant 6-row predicate "
