@@ -887,3 +887,100 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("true_lang", "pred_lang", "n_docs", "is_correct")
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --- greedy autoregressive decode over the corpus bigram LM -------------------
+
+DECODE_STEPS = 8
+
+
+def _decode_step_sql(i: int) -> str:
+    return f"""
+s{i} AS MATERIALIZED (
+    SELECT b.w2 AS word, b.c AS in_count
+    FROM bg b JOIN s{i - 1} p ON b.w1 = p.word
+    ORDER BY b.c DESC, b.w2 LIMIT 1
+)"""
+
+
+DECODE_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, adj AS (
+    SELECT t1.word AS w1, t2.word AS w2
+    FROM toks t1 JOIN toks t2 ON t1.id = t2.id AND t2.pos = t1.pos + 1
+),
+bg AS MATERIALIZED (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM adj GROUP BY w1, w2
+),
+s0 AS MATERIALIZED (
+    SELECT word, CAST(NULL AS BIGINT) AS in_count FROM (
+        SELECT w1 AS word, CAST(SUM(c) AS BIGINT) AS tot FROM bg GROUP BY w1
+        ORDER BY tot DESC, word LIMIT 1
+    )
+),
+"""
+    + ",".join(_decode_step_sql(i) for i in range(1, DECODE_STEPS + 1))
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, word, in_count FROM s{i}"
+        for i in range(0, DECODE_STEPS + 1)
+    )
+    + ") ORDER BY step"
+)
+
+
+@register("greedy_lm_decode", DECODE_ORACLE)
+def q_greedy_lm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy autoregressive decode as pure dataflow: train the corpus
+    bigram LM, start from the highest-outflow token, and take 8 argmax
+    steps (ties break lexicographically) — the toy-scale demonstration
+    that an autoregressive generation loop is expressible as iterated
+    keyed joins + top-1 picks, the same shape a distributed beam-search
+    re-scorer takes at 100 TB (the LM table shards by context; each
+    step is one broadcast probe of a 1-row frontier).
+
+    Exactness: integer bigram counts, deterministic tie-breaks, fixed
+    step count unrolled identically in the oracle (greedy cycles are
+    part of the spec). The decode path and every count it used are the
+    output."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    nxt = toks.select(
+        "id", (F.col("pos") + 1).alias("pos"), F.col("word").alias("w1")
+    )
+    bg = (
+        toks.join(nxt, ["id", "pos"])
+        .select("w1", F.col("word").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    start = (
+        bg.groupBy("w1")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("w1"))
+        .limit(1)
+        .select(
+            F.col("w1").alias("word"), F.lit(None).cast("long").alias("in_count")
+        )
+    )
+    steps = [start.select(F.lit(0).alias("step"), "word", "in_count")]
+    cur = start.select("word").localCheckpoint()
+    for i in range(1, DECODE_STEPS + 1):
+        nxt_row = (
+            bg.join(F.broadcast(cur.withColumnRenamed("word", "w1")), "w1")
+            .orderBy(F.desc("c"), F.asc("w2"))
+            .limit(1)
+            .select(F.col("w2").alias("word"), F.col("c").alias("in_count"))
+            .localCheckpoint()
+        )
+        steps.append(nxt_row.select(F.lit(i).alias("step"), "word", "in_count"))
+        cur = nxt_row.select("word")
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

@@ -2395,3 +2395,156 @@ def q_logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(_LR_SCALE)) * F.col("sum_v_q").cast("double"))
         ).alias("chi2"),
     )
+
+
+# --- RLE compression audit: layout x column run structure ---------------------
+
+_RLE_SHARD = 4096  # rows per simulated row group (natural layout)
+
+_RLE_COLS = [("returnflag", 1), ("shipday", 4), ("qty", 8)]
+
+
+def _rle_layout_sql(layout: str, part: str, order: str) -> str:
+    # a run starts where the value differs from its predecessor OR at a
+    # row-group boundary (LAG is NULL there and IS DISTINCT FROM counts
+    # it) — so n_runs == the flag sum, no +1
+    flags = ", ".join(
+        f"""CASE WHEN {c} IS DISTINCT FROM
+                LAG({c}) OVER (PARTITION BY {part} ORDER BY {order})
+            THEN 1 ELSE 0 END AS chg_{c}"""
+        for c, _ in _RLE_COLS
+    )
+    runs = ", ".join(
+        f"CAST(SUM(chg_{c}) AS BIGINT) AS runs_{c}" for c, _ in _RLE_COLS
+    )
+    return f"""
+SELECT '{layout}' AS layout, CAST(COUNT(*) AS BIGINT) AS n_rows, {runs}
+FROM (SELECT {flags} FROM base) GROUP BY ()
+"""
+
+
+RLE_ORACLE = f"""
+WITH base AS (
+    SELECT l_orderkey AS okey, l_linenumber AS ln,
+           l_orderkey // {_RLE_SHARD} AS shard,
+           l_returnflag AS returnflag,
+           CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+               AS shipday,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+lay AS (
+    {_rle_layout_sql("natural", "shard",
+                     "okey, ln, returnflag, shipday, qty")}
+    UNION ALL
+    {_rle_layout_sql("by_shipdate", "shipday // 32",
+                     "shipday, okey, ln, returnflag, qty")}
+),
+longf AS (
+    {" UNION ALL ".join(
+        f"SELECT layout, '{c}' AS col, n_rows, runs_{c} AS n_changes, "
+        f"{w} AS width FROM lay"
+        for c, w in _RLE_COLS
+    )}
+)
+SELECT layout, col, n_rows,
+       n_changes AS n_runs,
+       CAST(n_rows AS DOUBLE) / CAST(n_changes AS DOUBLE) AS avg_run_len,
+       n_changes * (width + 4) AS est_rle_bytes,
+       n_rows * width AS raw_bytes,
+       CAST(n_rows * width AS DOUBLE)
+           / CAST(n_changes * (width + 4) AS DOUBLE) AS compression_ratio
+FROM longf ORDER BY layout, col
+"""
+
+
+@register("rle_compression_audit", RLE_ORACLE)
+def q_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding audit of two physical layouts: count value
+    runs of (returnflag, shipdate, quantity) under the natural
+    orderkey order vs a shipdate-sorted rewrite, and price each as
+    RLE bytes — the measured 'sort order buys compression' argument
+    that complements zone_map_skipping's 'sort order buys pruning'
+    (the two halves of a lakehouse OPTIMIZE decision). Sorting by
+    shipdate turns the date column into ~one run per day but shreds
+    the orderkey clustering — the trade-off is the output.
+
+    Exactness: runs are LAG-compare counts per simulated row group
+    (IS DISTINCT FROM, so NULL-safe), integer byte formulas; ratios
+    are one double division per row.
+
+    Scale: both window passes are keyed by bounded row groups
+    ({_RLE_SHARD} orderkeys / 32-day buckets) — no global sort; the
+    final frame is 6 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        F.expr(f"l_orderkey div {_RLE_SHARD}").alias("shard"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("shipday"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).persist()
+
+    def layout(name: str, part, order):
+        w = Window.partitionBy(part).orderBy(*order)
+        sel = base.select(
+            *[
+                (
+                    ~F.col(c).eqNullSafe(F.lag(c).over(w))
+                ).cast("long").alias(f"chg_{c}")
+                for c, _ in _RLE_COLS
+            ]
+        )
+        return sel.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_rows"),
+            *[F.sum(f"chg_{c}").alias(f"runs_{c}") for c, _ in _RLE_COLS],
+        )
+
+    # (okey, ln) is NOT unique in the synthetic lineitem — include the
+    # value columns in the sort so the order is total and runs are
+    # engine-deterministic
+    lay = layout(
+        "natural",
+        F.col("shard"),
+        [F.col("okey"), F.col("ln"), F.col("returnflag"), F.col("shipday"),
+         F.col("qty")],
+    ).unionByName(
+        layout(
+            "by_shipdate",
+            F.expr("shipday div 32"),
+            [F.col("shipday"), F.col("okey"), F.col("ln"),
+             F.col("returnflag"), F.col("qty")],
+        )
+    )
+    parts = [
+        lay.select(
+            "layout",
+            F.lit(c).alias("col"),
+            "n_rows",
+            F.col(f"runs_{c}").alias("n_changes"),
+            F.lit(w).cast("long").alias("width"),
+        )
+        for c, w in _RLE_COLS
+    ]
+    longf = parts[0]
+    for p in parts[1:]:
+        longf = longf.unionByName(p)
+    return longf.select(
+        "layout",
+        "col",
+        "n_rows",
+        F.col("n_changes").alias("n_runs"),
+        (
+            F.col("n_rows").cast("double") / F.col("n_changes").cast("double")
+        ).alias("avg_run_len"),
+        (F.col("n_changes") * (F.col("width") + 4)).alias("est_rle_bytes"),
+        (F.col("n_rows") * F.col("width")).alias("raw_bytes"),
+        (
+            (F.col("n_rows") * F.col("width")).cast("double")
+            / (F.col("n_changes") * (F.col("width") + 4)).cast("double")
+        ).alias("compression_ratio"),
+    ).orderBy("layout", "col")
