@@ -1526,3 +1526,65 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_members"), F.asc("community"))
     )
+
+
+# --- per-edge triangle support of the near-dup graph --------------------------
+
+EDGE_SUPPORT_ORACLE = (
+    _NEARDUP_EDGES_PREFIX
+    + """
+, sup AS (
+    SELECT p.qid, p.nid, CAST(COUNT(e2.b) AS BIGINT) AS support
+    FROM pairs p
+    LEFT JOIN edges e1 ON e1.a = p.qid
+    LEFT JOIN edges e2 ON e2.a = p.nid AND e2.b = e1.b
+    GROUP BY p.qid, p.nid
+)
+SELECT support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       support >= 1 AS in_3truss
+FROM sup GROUP BY support ORDER BY support
+"""
+)
+
+
+@register("near_dup_edge_support", EDGE_SUPPORT_ORACLE)
+def q_near_dup_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support of the MinHash-LSH near-dup graph
+    (support = common neighbours of the endpoints), as a histogram —
+    the edge-level density signal under k-truss: support >= k-2 is the
+    k-truss membership condition, so support 0 edges are one-off pair
+    links (chain bridges a transitive dedup should distrust) and
+    support >= 1 edges are triangle-embedded (genuine template
+    families). Complements the node-level kcore_near_dup and the
+    global clustering coefficient.
+
+    Scale: support is one wedge join (edges joined to edges through the
+    shared endpoint — the near_dup_triangles kernel, LSH-bucketed and
+    sub-quadratic on the capped edge list); the histogram is a bounded
+    hash aggregate."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    edges = (
+        pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b"))
+        .unionAll(pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b")))
+        .persist()
+    )
+    e1 = edges.select(F.col("a").alias("qid"), F.col("b").alias("cn"))
+    e2 = edges.select(F.col("a").alias("nid2"), F.col("b").alias("cn2"))
+    sup = (
+        pairs.join(e1, "qid", "left")
+        .join(
+            e2,
+            (F.col("nid") == F.col("nid2")) & (F.col("cn") == F.col("cn2")),
+            "left",
+        )
+        .groupBy("qid", "nid")
+        .agg(F.count("cn2").alias("support"))
+    )
+    return (
+        sup.groupBy("support")
+        .agg(F.count("*").alias("n_edges"))
+        .select("support", "n_edges", (F.col("support") >= 1).alias("in_3truss"))
+        .orderBy("support")
+    )

@@ -18,7 +18,7 @@ feeding VecOp reduce semantics (src/op.rs:18-35).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.intlog import (
@@ -984,3 +984,130 @@ def q_greedy_lm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+# --- beam-search decode (k=3) over the bigram LM ------------------------------
+
+BEAM_K = 3
+BEAM_STEPS = 5
+
+
+def _beam_step_sql(i: int) -> str:
+    lp = log2_scaled_sql("b.c")
+    lt = log2_scaled_sql("o.tot")
+    return f"""
+b{i} AS MATERIALIZED (
+    SELECT p.path || ' ' || b.w2 AS path, b.w2 AS word,
+           CAST(p.score_q + {lp} - {lt} AS BIGINT) AS score_q
+    FROM b{i - 1} p
+    JOIN bg b ON b.w1 = p.word
+    JOIN outf o ON o.w1 = p.word
+    ORDER BY score_q DESC, path LIMIT {BEAM_K}
+)"""
+
+
+BEAM_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, adj AS (
+    SELECT t1.word AS w1, t2.word AS w2
+    FROM toks t1 JOIN toks t2 ON t1.id = t2.id AND t2.pos = t1.pos + 1
+),
+bg AS MATERIALIZED (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM adj GROUP BY w1, w2
+),
+outf AS MATERIALIZED (
+    SELECT w1, CAST(SUM(c) AS BIGINT) AS tot FROM bg GROUP BY w1
+),
+b0 AS MATERIALIZED (
+    SELECT w1 AS path, w1 AS word, CAST(0 AS BIGINT) AS score_q
+    FROM outf ORDER BY tot DESC, w1 LIMIT 1
+),
+"""
+    + ",".join(_beam_step_sql(i) for i in range(1, BEAM_STEPS + 1))
+    + f"""
+SELECT ROW_NUMBER() OVER (ORDER BY score_q DESC, path) AS beam_rank,
+       path, word AS last_word, score_q,
+       -CAST(score_q AS DOUBLE) / {LOG2_SCALE} AS total_bits
+FROM b{BEAM_STEPS} ORDER BY beam_rank
+"""
+)
+
+
+@register("beam_search_decode", BEAM_ORACLE)
+def q_beam_search_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search decode (k={BEAM_K}, {BEAM_STEPS} steps) over the
+    corpus bigram LM: each step expands every frontier hypothesis
+    through the sharded bigram table, scores continuations with exact
+    intlog log-probs (L(c) - L(outflow)), and keeps the top-k by
+    cumulative score — greedy_lm_decode's big sibling and the actual
+    shape of distributed rescoring: the LM table is the big sharded
+    side, the frontier is a tiny broadcast side, and the top-k cut is a
+    TakeOrdered.
+
+    Exactness: cumulative scores are exact BIGINT sums of intlog
+    integers; ties break on the full hypothesis string, which is unique
+    by construction; the oracle unrolls the identical {BEAM_STEPS}
+    rounds.
+
+    Scale: per step one broadcast probe of <= k rows against the
+    vocab-bounded bigram table + a distributed top-k; no global state
+    beyond the k-row frontier."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    nxt = toks.select(
+        "id", (F.col("pos") + 1).alias("pos"), F.col("word").alias("w1")
+    )
+    bg = (
+        toks.join(nxt, ["id", "pos"])
+        .select("w1", F.col("word").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    outf = bg.groupBy("w1").agg(F.sum("c").alias("tot")).persist()
+    beam = (
+        outf.orderBy(F.desc("tot"), F.asc("w1"))
+        .limit(1)
+        .select(
+            F.col("w1").alias("path"),
+            F.col("w1").alias("word"),
+            F.lit(0).cast("long").alias("score_q"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(BEAM_STEPS):
+        beam = (
+            bg.join(
+                F.broadcast(
+                    beam.select(
+                        F.col("word").alias("w1"), "path", "score_q"
+                    )
+                ),
+                "w1",
+            )
+            .join(F.broadcast(outf), "w1")
+            .select(
+                F.expr("path || ' ' || w2").alias("path"),
+                F.col("w2").alias("word"),
+                (
+                    F.col("score_q")
+                    + log2_scaled("c")
+                    - log2_scaled("tot")
+                ).cast("long").alias("score_q"),
+            )
+            .orderBy(F.desc("score_q"), F.asc("path"))
+            .limit(BEAM_K)
+            .localCheckpoint()
+        )
+    w = Window.orderBy(F.desc("score_q"), F.asc("path"))
+    return beam.select(
+        F.row_number().over(w).alias("beam_rank"),
+        "path",
+        F.col("word").alias("last_word"),
+        "score_q",
+        (-F.col("score_q").cast("double") / LOG2_SCALE).alias("total_bits"),
+    ).orderBy("beam_rank")

@@ -100,3 +100,77 @@ def test_rle_layout_pandas_replay(spark):
         o.loc[("by_shipdate", "shipday")].n_runs
         < o.loc[("natural", "shipday")].n_runs / 2
     )
+
+
+def test_beam_search_python_replay(spark):
+    from amorphous_mapreduce_spark.functions.intlog import LOG2_LUT, LOG2_SCALE
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from amorphous_mapreduce_spark.queries.lm_queries import (
+        BEAM_K,
+        BEAM_STEPS,
+    )
+
+    def ilog(c):
+        e = c.bit_length() - 1
+        return e * LOG2_SCALE + LOG2_LUT[(c * 256) // (1 << e) - 256]
+
+    toks = tokenized(load_table(spark, SF, "documents")).collect()
+    by_doc = defaultdict(dict)
+    for t in toks:
+        by_doc[t.id][t.pos] = t.word
+    bg = Counter()
+    for doc in by_doc.values():
+        for p, w in doc.items():
+            nxt = doc.get(p + 1)
+            if nxt is not None:
+                bg[(w, nxt)] += 1
+    outflow = Counter()
+    nbrs = defaultdict(list)
+    for (a, b), c in bg.items():
+        outflow[a] += c
+        nbrs[a].append((b, c))
+    start = min(outflow, key=lambda w: (-outflow[w], w))
+    beam = [(start, start, 0)]
+    for _ in range(BEAM_STEPS):
+        cands = []
+        for path, word, score in beam:
+            for b, c in nbrs[word]:
+                cands.append(
+                    (path + " " + b, b, score + ilog(c) - ilog(outflow[word]))
+                )
+        cands.sort(key=lambda t: (-t[2], t[0]))
+        beam = cands[:BEAM_K]
+    out = QUERIES["beam_search_decode"](spark, SF).toPandas()
+    got = [(r.path, r.last_word, r.score_q) for r in out.itertuples()]
+    assert got == beam
+    # beam dominance: the top beam's score is >= the greedy path score
+    greedy = QUERIES["greedy_lm_decode"](spark, SF).toPandas()
+    gw = list(greedy.word)
+    gscore = sum(
+        ilog(bg[(gw[i], gw[i + 1])]) - ilog(outflow[gw[i]])
+        for i in range(len(gw) - 1)
+    )
+    assert beam[0][2] >= gscore
+    for r in out.itertuples():
+        assert r.total_bits == -r.score_q / LOG2_SCALE
+
+
+def test_edge_support_python_replay(spark):
+    from amorphous_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF, "documents")
+    pairs = [
+        (r.qid, r.nid)
+        for r in minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    hist = Counter(len(adj[a] & adj[b]) for a, b in pairs)
+    out = QUERIES["near_dup_edge_support"](spark, SF).toPandas()
+    got = {r.support: r.n_edges for r in out.itertuples()}
+    assert got == dict(hist)
+    for r in out.itertuples():
+        assert r.in_3truss == (r.support >= 1)
+    assert out.n_edges.sum() == len(pairs)

@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "n_dims) crossed onto the 1-row Rayleigh numerator — scalars "
         "meeting for the single output row",
     },
+    "beam_search_decode": {
+        "Exchange SinglePartition": "final beam_rank window runs on the "
+        "k=3-row frontier (constant-bounded); per-step top-k cuts plan "
+        "as distributed TakeOrderedAndProject",
+    },
     "logrank_survival_test": {
         "BroadcastNestedLoopJoin": "triangular at-risk join runs over "
         "per-cohort duration HISTOGRAMS, bounded at 601 censored "
