@@ -1431,3 +1431,159 @@ def q_ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_label")
     )
+
+
+# --- Misra-Gries / space-saving heavy hitters (mergeable summaries) ---------
+
+_MG_K = 12  # summary capacity: at most k words survive each reduce
+_MG_SHARDS = 8
+_MG_SHARD = "CAST('0x' || substr(md5('mg_' || id), 1, 15) AS BIGINT) % 8"
+
+MG_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, sc AS (
+    SELECT {_MG_SHARD} AS shard, word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+),
+ranked AS (
+    SELECT shard, word, c,
+           row_number() OVER (PARTITION BY shard ORDER BY c DESC, word) AS rn
+    FROM sc
+),
+ts AS (
+    SELECT shard,
+           CASE WHEN COUNT(*) < {_MG_K + 1} THEN 0 ELSE MIN(c) END AS t
+    FROM ranked WHERE rn <= {_MG_K + 1} GROUP BY shard
+),
+summaries AS (
+    SELECT sc.word, CAST(SUM(sc.c - ts.t) AS BIGINT) AS w
+    FROM sc JOIN ts USING (shard)
+    WHERE sc.c > ts.t
+    GROUP BY sc.word
+),
+mranked AS (
+    SELECT word, w, row_number() OVER (ORDER BY w DESC, word) AS rn
+    FROM summaries
+),
+bigt AS (
+    SELECT CASE WHEN COUNT(*) < {_MG_K + 1} THEN 0 ELSE MIN(w) END AS t
+    FROM mranked WHERE rn <= {_MG_K + 1}
+),
+final AS (
+    SELECT word, CAST(w - t AS BIGINT) AS mg_est
+    FROM summaries CROSS JOIN bigt WHERE w > t
+),
+bound AS (
+    SELECT CAST((SELECT SUM(t) FROM ts) + (SELECT t FROM bigt) AS BIGINT)
+        AS err_bound
+),
+exact AS (
+    SELECT word, CAST(SUM(c) AS BIGINT) AS exact_count
+    FROM sc GROUP BY word
+)
+SELECT e.word, e.exact_count,
+       CAST(COALESCE(f.mg_est, 0) AS BIGINT) AS mg_est,
+       CAST(e.exact_count - COALESCE(f.mg_est, 0) AS BIGINT) AS underestimate,
+       b.err_bound,
+       (COALESCE(f.mg_est, 0) <= e.exact_count
+        AND e.exact_count - COALESCE(f.mg_est, 0) <= b.err_bound)
+           AS within_bound
+FROM exact e LEFT JOIN final f USING (word) CROSS JOIN bound b
+ORDER BY e.exact_count DESC, e.word
+LIMIT 15
+"""
+)
+
+
+@register("misra_gries_heavy_hitters", MG_ORACLE)
+def q_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries (space-saving) heavy hitters with capacity k=12:
+    per-shard summaries reduced by the (k+1)-th largest count, merged by
+    weight addition, re-reduced — the canonical MERGEABLE counter
+    summary (Agarwal et al.), the deterministic sibling of the count-min
+    estimate (W7 per-key count, src/word_count.rs:121-123, in O(k)
+    state).
+
+    Reduce step is order-free (subtract the (k+1)-th largest count,
+    keep positive), so the whole summary — including the estimates and
+    the n/(k+1)-style error bound Σt — replays bit-identically in SQL.
+    Output: top-15 exact words with the MG estimate, the realized
+    underestimate, and the in-plan proof that every estimate sits inside
+    [exact - Σt, exact].
+
+    Scale: per-shard counts are one map-side-combined aggregate; each
+    shard contributes ≤ k rows to the merge, so the merge frame is
+    shards·k rows regardless of corpus size (here 96 → driver-tiny; the
+    final reduce runs on a broadcast-size frame, never on the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    toks = tokenized(docs)
+    sc = (
+        toks.withColumn(
+            "shard", F.pmod(hex_hash64(F.concat(F.lit("mg_"), F.col("id"))), F.lit(8))
+        )
+        .groupBy("shard", "word")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    w_shard = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("word"))
+    ts = (
+        sc.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _MG_K + 1)
+        .groupBy("shard")
+        .agg(
+            F.when(F.count("*") < _MG_K + 1, F.lit(0))
+            .otherwise(F.min("c"))
+            .alias("t")
+        )
+    )
+    summaries = (
+        sc.join(F.broadcast(ts), "shard")
+        .filter(F.col("c") > F.col("t"))
+        .groupBy("word")
+        .agg(F.sum(F.col("c") - F.col("t")).alias("w"))
+        .persist()
+    )
+    # merged frame is <= shards*k rows: the global (k+1)-th largest weight
+    # comes from a distributed TakeOrdered (orderBy.limit), no global window
+    bigt = (
+        summaries.orderBy(F.desc("w"), F.asc("word"))
+        .limit(_MG_K + 1)
+        .agg(
+            F.when(F.count("*") < _MG_K + 1, F.lit(0))
+            .otherwise(F.min("w"))
+            .alias("t")
+        )
+    )
+    final = (
+        summaries.crossJoin(F.broadcast(bigt))
+        .filter(F.col("w") > F.col("t"))
+        .select("word", (F.col("w") - F.col("t")).alias("mg_est"))
+    )
+    bound = (
+        ts.agg(F.sum("t").alias("_st"))
+        .crossJoin(F.broadcast(bigt))
+        .select((F.col("_st") + F.col("t")).alias("err_bound"))
+    )
+    exact = sc.groupBy("word").agg(F.sum("c").alias("exact_count"))
+    est = F.coalesce(F.col("mg_est"), F.lit(0).cast("long"))
+    return (
+        exact.join(F.broadcast(final), "word", "left")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "word",
+            "exact_count",
+            est.alias("mg_est"),
+            (F.col("exact_count") - est).alias("underestimate"),
+            "err_bound",
+            (
+                (est <= F.col("exact_count"))
+                & (F.col("exact_count") - est <= F.col("err_bound"))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(15)
+    )

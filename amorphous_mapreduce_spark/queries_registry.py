@@ -77,5 +77,6 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     text_queries,
     timeseries_queries,
     tpch_extra,
+    trend_queries,
     warehouse_queries,
 )

@@ -42,6 +42,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "misra_gries_heavy_hitters": {
+        "BroadcastNestedLoopJoin": "1-row scalars crossed back: the "
+        "(k+1)-th-largest merged weight T and the Σt error bound onto "
+        "the <=shards*k summary / top-15 output — scalar-total pattern",
+    },
+    "periodogram_weekly_power": {
+        "BroadcastNestedLoopJoin": "1-row scalars: floor-mean mu onto "
+        "the calendar-bounded daily grid (twice, once per period arm) "
+        "and the total-power scalar onto the 2-row arm frame",
+    },
     "naive_bayes_langid": {
         "BroadcastNestedLoopJoin": "the 5-row train-language frame "
         "fanned onto test token counts (constant-bounded classifier "
