@@ -2064,3 +2064,115 @@ def q_cka_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("int8", "fxy8", "f88").unionByName(
         row("sign", "fxy1", "f11")
     ).orderBy("variant")
+
+
+# --- isotonic calibration (PAVA as a bounded max-min lattice) ----------------
+
+ISOTONIC_ORACLE = """
+WITH bins AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+    FROM lineitem GROUP BY 1
+),
+ivals AS (
+    SELECT i.bin AS lo, j.bin AS hi,
+           CAST((1048576 * CAST(SUM(b.pos) AS BIGINT))
+                // CAST(SUM(b.n) AS BIGINT) AS BIGINT) AS m_q
+    FROM bins i JOIN bins j ON i.bin <= j.bin
+    JOIN bins b ON b.bin BETWEEN i.bin AND j.bin
+    GROUP BY 1, 2
+),
+inner_min AS (
+    SELECT k.bin AS k, iv.lo, MIN(iv.m_q) AS mn
+    FROM bins k JOIN ivals iv ON iv.lo <= k.bin AND iv.hi >= k.bin
+    GROUP BY 1, 2
+),
+fit AS (
+    SELECT k, MAX(mn) AS iso_q FROM inner_min GROUP BY k
+)
+SELECT b.bin, b.n, b.pos,
+       CAST((1048576 * b.pos) // b.n AS BIGINT) AS raw_q,
+       f.iso_q,
+       CAST(f.iso_q AS DOUBLE) / 1048576.0 AS iso_rate,
+       COALESCE(f.iso_q >= prev.iso_q, TRUE) AS monotone_ok
+FROM bins b JOIN fit f ON f.k = b.bin
+LEFT JOIN fit prev ON prev.k = b.bin - 1
+ORDER BY b.bin
+"""
+
+
+@register("isotonic_return_rate", ISOTONIC_ORACLE)
+def q_isotonic_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) of return rate on discount level — the
+    calibration map a scoring stack fits when it needs monotone
+    probabilities (the non-parametric sibling of Platt scaling; pairs
+    with brier_calibration_bins' reliability diagram).
+
+    Uses the max-min characterization g(k) = max_{i<=k} min_{j>=k}
+    mean(y[i..j]) instead of the sequential pool-adjacent-violators
+    sweep: with B score bins the whole lattice is B^2 interval means
+    over bin prefix aggregates — pure dataflow, no iteration. Interval
+    means are 2^20-quantized integer divisions (the quantized lattice IS
+    the spec, the intlog stance), so the fit replays exactly in SQL;
+    monotonicity comes out as an in-row proof column.
+
+    Scale: the only data-sized pass is the groupBy(bin) on lineitem;
+    everything after runs on the constant 11-bin frame (B^3 <= 1331
+    lattice rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bins = (
+        li.select(
+            (F.col("l_discount").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("bin"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("is_pos").alias("pos"))
+        .persist()
+    )
+    i, j, b = bins.alias("i"), bins.alias("j"), bins.alias("b")
+    ivals = (
+        i.join(F.broadcast(j), F.col("i.bin") <= F.col("j.bin"))
+        .join(
+            F.broadcast(b),
+            (F.col("b.bin") >= F.col("i.bin")) & (F.col("b.bin") <= F.col("j.bin")),
+        )
+        .groupBy(F.col("i.bin").alias("lo"), F.col("j.bin").alias("hi"))
+        .agg(
+            F.expr("CAST((1048576 * SUM(b.pos)) div SUM(b.n) AS BIGINT)").alias(
+                "m_q"
+            )
+        )
+    )
+    k = bins.select(F.col("bin").alias("k"))
+    fit = (
+        k.join(
+            F.broadcast(ivals),
+            (F.col("lo") <= F.col("k")) & (F.col("hi") >= F.col("k")),
+        )
+        .groupBy("k", "lo")
+        .agg(F.min("m_q").alias("mn"))
+        .groupBy("k")
+        .agg(F.max("mn").alias("iso_q"))
+        .persist()
+    )
+    prev = fit.select(F.col("k").alias("_pk"), F.col("iso_q").alias("_prev"))
+    return (
+        bins.join(F.broadcast(fit), bins.bin == fit.k)
+        .join(F.broadcast(prev), bins.bin - 1 == F.col("_pk"), "left")
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr("CAST((1048576 * pos) div n AS BIGINT)").alias("raw_q"),
+            "iso_q",
+            (F.col("iso_q").cast("double") / F.lit(1048576.0)).alias("iso_rate"),
+            F.coalesce(F.col("iso_q") >= F.col("_prev"), F.lit(True)).alias(
+                "monotone_ok"
+            ),
+        )
+        .orderBy("bin")
+    )

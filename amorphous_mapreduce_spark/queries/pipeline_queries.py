@@ -804,3 +804,85 @@ def q_training_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- weighted sampling manifest (Efraimidis-Spirakis via intlog) -------------
+
+_WS_K = 64
+# 52-bit uniform from md5 (13 hex chars), shifted to [1, 2^52] so the
+# intlog argument is always >= 1 and -log2(u/2^52) = 52*2^20 - log2(u) >= 0.
+_WS_U_SQL = "(CAST('0x' || substr(md5('ws_' || doc_id), 1, 13) AS BIGINT) + 1)"
+
+
+def _ws_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    return f"""
+WITH wdocs AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array({NORM}, ' ')) AS BIGINT) AS w_tokens,
+           {_WS_U_SQL} AS u
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, source, w_tokens,
+           CAST(((52 * 1048576 - {log2_scaled_sql('u')}) * 1048576)
+                // w_tokens AS BIGINT) AS key_q
+    FROM wdocs
+)
+SELECT doc_id, source, w_tokens, key_q
+FROM keyed ORDER BY key_q, doc_id LIMIT {_WS_K}
+"""
+
+
+@register("weighted_sample_manifest", _ws_oracle())
+def q_weighted_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement manifest (Efraimidis-Spirakis
+    A-ES): each doc gets key = -log2(u)/w with u an md5-derived 52-bit
+    uniform and w its token count; the k smallest keys ARE a weighted
+    sample ∝ w — the standard one-pass distributed sampler behind
+    source-mixing draws at training time.
+
+    The log is functions/intlog (2^20 fixed point, LUT mantissa), the
+    key is one integer division — so the manifest replays exactly in
+    SQL; ties impossible beyond the (key, doc_id) total order. Scale:
+    keys are a narrow map; selection is orderBy().limit(k) =
+    TakeOrderedAndProject (per-partition top-k, O(k) merge on the
+    driver-side reduce) — no global sort, no window, corpus-size
+    independent state."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws_"), F.col("doc_id"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    wdocs = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text("text"), " ")).cast("long").alias(
+            "w_tokens"
+        ),
+        u.alias("u"),
+    )
+    keyed = wdocs.select(
+        "doc_id",
+        "source",
+        "w_tokens",
+        (
+            ((F.lit(52 * 1048576).cast("long") - log2_scaled("u")) * F.lit(1048576))
+            .cast("long")
+        ).alias("_a"),
+    ).select(
+        "doc_id",
+        "source",
+        "w_tokens",
+        F.expr("CAST(_a div w_tokens AS BIGINT)").alias("key_q"),
+    )
+    return keyed.orderBy("key_q", "doc_id").limit(_WS_K)

@@ -1602,3 +1602,161 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("chapman_est"),
     )
+
+
+# --- SAX symbolic motifs over weekly revenue ---------------------------------
+
+SAX_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                AS BIGINT) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1
+),
+weekly AS (
+    SELECT day // 7 AS week, CAST(SUM(rev_c) AS BIGINT) AS wrev
+    FROM daily GROUP BY 1 HAVING COUNT(*) = 7
+),
+nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks FROM weekly),
+ranked AS (
+    SELECT a.week,
+           CAST(1 + COUNT(b.week) AS BIGINT) AS rnk
+    FROM weekly a LEFT JOIN weekly b
+      ON (b.wrev < a.wrev OR (b.wrev = a.wrev AND b.week < a.week))
+    GROUP BY a.week
+),
+sym AS (
+    SELECT week,
+           substr('abcd', CAST((4 * (rnk - 1)) // n_weeks AS INT) + 1, 1)
+               AS s
+    FROM ranked CROSS JOIN nw
+),
+contrib AS (
+    SELECT week - o.range AS start, o.range AS off, s
+    FROM sym CROSS JOIN range(4) o
+),
+words AS (
+    SELECT start,
+           MAX(CASE WHEN off = 0 THEN s END)
+           || MAX(CASE WHEN off = 1 THEN s END)
+           || MAX(CASE WHEN off = 2 THEN s END)
+           || MAX(CASE WHEN off = 3 THEN s END) AS word
+    FROM contrib GROUP BY start HAVING COUNT(*) = 4
+),
+wstats AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(start) AS BIGINT) AS first_week
+    FROM words GROUP BY word
+),
+gl AS (
+    SELECT MAX(cnt) AS max_cnt,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discords
+    FROM wstats
+)
+SELECT word, cnt, first_week,
+       cnt = gl.max_cnt AS is_motif,
+       gl.n_discords
+FROM wstats CROSS JOIN gl
+ORDER BY cnt DESC, word LIMIT 12
+"""
+
+
+@register("sax_weekly_motifs", SAX_ORACLE)
+def q_sax_weekly_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (symbolic aggregate approximation) motif mining on weekly
+    revenue: complete weeks -> rank-quantile 4-letter alphabet -> sliding
+    4-week words; the most frequent word is the recurring shape (motif),
+    words seen once are discord candidates — the classic cheap
+    subsequence-mining pass before any expensive matrix-profile run.
+
+    Symbolization is RANK-based (exact order statistics via a bounded
+    dominance count on the calendar-sized weekly frame), not
+    Gaussian-breakpoint, so every symbol is integer-exact on both
+    engines; PAA = the weekly sum itself (rank symbols are invariant
+    under the /7 mean). Word assembly is the explode-shift pattern
+    (each week contributes to the 4 words covering it) — no windows.
+
+    Scale: one keyed pass over orders; everything downstream is
+    calendar-bounded (|weeks| ~ n_days/7), and the dominance rank join
+    is quadratic only in that bounded frame (swap in the two-phase
+    prefix-rank template past ~10^5 weeks)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp")
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    weekly = (
+        daily.groupBy(F.expr("day div 7").alias("week"))
+        .agg(F.sum("rev_c").alias("wrev"), F.count("*").alias("_nd"))
+        .filter(F.col("_nd") == 7)
+        .select("week", "wrev")
+        .persist()
+    )
+    nw = weekly.agg(F.count("*").alias("n_weeks"))
+    a, b = weekly.alias("a"), weekly.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.wrev") < F.col("a.wrev"))
+            | ((F.col("b.wrev") == F.col("a.wrev")) & (F.col("b.week") < F.col("a.week"))),
+            "left",
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg((1 + F.count(F.col("b.week"))).alias("rnk"))
+    )
+    sym = ranked.crossJoin(F.broadcast(nw)).select(
+        "week",
+        F.substring(
+            F.lit("abcd"),
+            F.expr("CAST((4 * (rnk - 1)) div n_weeks AS INT)") + 1,
+            1,
+        ).alias("s"),
+    )
+    contrib = sym.select(
+        "week", "s", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("off")
+    ).select((F.col("week") - F.col("off")).alias("start"), "off", "s")
+    words = (
+        contrib.groupBy("start")
+        .agg(
+            F.concat(
+                *[
+                    F.max(F.when(F.col("off") == o, F.col("s")))
+                    for o in range(4)
+                ]
+            ).alias("word"),
+            F.count("*").alias("_n4"),
+        )
+        .filter(F.col("_n4") == 4)
+        .select("start", "word")
+    )
+    wstats = words.groupBy("word").agg(
+        F.count("*").alias("cnt"), F.min("start").alias("first_week")
+    )
+    gl = wstats.agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_discords"),
+    )
+    return (
+        wstats.crossJoin(F.broadcast(gl))
+        .select(
+            "word",
+            "cnt",
+            "first_week",
+            (F.col("cnt") == F.col("max_cnt")).alias("is_motif"),
+            "n_discords",
+        )
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(12)
+    )

@@ -42,6 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "isotonic_return_rate": {
+        "BroadcastNestedLoopJoin": "the PAVA max-min lattice: inequality "
+        "joins over the CONSTANT 11-bin discount frame (B^3 <= 1331 "
+        "rows) + the prev-bin monotonicity probe — all post-aggregate, "
+        "data-size independent",
+    },
+    "sax_weekly_motifs": {
+        "BroadcastNestedLoopJoin": "rank symbolization dominance join "
+        "over the calendar-bounded weekly frame (~350 rows) + 1-row "
+        "n_weeks / motif-max scalars crossed back — swap to the "
+        "two-phase prefix-rank template past ~1e5 weeks",
+    },
     "misra_gries_heavy_hitters": {
         "BroadcastNestedLoopJoin": "1-row scalars crossed back: the "
         "(k+1)-th-largest merged weight T and the Σt error bound onto "
