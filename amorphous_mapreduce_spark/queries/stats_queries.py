@@ -3003,3 +3003,209 @@ def q_hodges_lehmann_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2.0
         ).alias("hl_cents"),
     )
+
+
+# --- RANSAC robust line fit (hash-panel candidates) ---------------------------
+
+_RANSAC_T = 32  # candidate models
+_RANSAC_THR = 2000  # inlier threshold, cents
+
+_RANSAC_PANEL_SQL = ", ".join(
+    f"('a', {t}), ('b', {t})" for t in range(_RANSAC_T)
+)
+
+RANSAC_ORACLE = f"""
+WITH items AS (
+    SELECT p_partkey AS pk, CAST(p_size AS BIGINT) AS sx,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+    FROM part
+),
+hashed AS (
+    SELECT e.ep, e.t, i.pk, i.sx, i.yc,
+           CAST('0x' || substr(md5('ransac_' || e.ep || e.t || '_' || i.pk),
+                               1, 15) AS BIGINT) AS h
+    FROM items i CROSS JOIN (VALUES {_RANSAC_PANEL_SQL}) AS e(ep, t)
+),
+picked AS (
+    SELECT ep, t, sx, yc FROM (
+        SELECT ep, t, sx, yc,
+               row_number() OVER (PARTITION BY ep, t ORDER BY h, pk) AS rn
+        FROM hashed
+    ) WHERE rn = 1
+),
+cands AS (
+    SELECT t,
+           MAX(CASE WHEN ep = 'a' THEN sx END) AS xa,
+           MAX(CASE WHEN ep = 'a' THEN yc END) AS ya,
+           MAX(CASE WHEN ep = 'b' THEN sx END) AS xb,
+           MAX(CASE WHEN ep = 'b' THEN yc END) AS yb
+    FROM picked GROUP BY t
+),
+lines AS (
+    SELECT t, ((yb - ya) * 1048576) // (xb - xa) AS m_q,
+           ya * 1048576 - (((yb - ya) * 1048576) // (xb - xa)) * xa AS b_q
+    FROM cands WHERE xa <> xb
+),
+scored AS (
+    SELECT l.t, l.m_q, l.b_q,
+           CAST(SUM(CASE WHEN abs(i.yc * 1048576 - (l.m_q * i.sx + l.b_q))
+                              <= {_RANSAC_THR} * 1048576
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+    FROM lines l CROSS JOIN items i
+    GROUP BY l.t, l.m_q, l.b_q
+),
+winner AS (
+    SELECT t, m_q, b_q, n_inliers FROM scored
+    ORDER BY n_inliers DESC, t LIMIT 1
+),
+refit AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(i.sx) AS BIGINT) AS s_x,
+           CAST(SUM(i.yc) AS BIGINT) AS s_y,
+           CAST(SUM(i.sx * i.yc) AS BIGINT) AS s_xy,
+           CAST(SUM(i.sx * i.sx) AS BIGINT) AS s_xx
+    FROM items i CROSS JOIN winner w
+    WHERE abs(i.yc * 1048576 - (w.m_q * i.sx + w.b_q))
+          <= {_RANSAC_THR} * 1048576
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM items)
+SELECT w.t AS cand, w.m_q, w.b_q, w.n_inliers, np.n_points,
+       CAST(w.n_inliers AS DOUBLE) / CAST(np.n_points AS DOUBLE)
+           AS inlier_frac,
+       (CAST(r.n_in AS DOUBLE) * CAST(r.s_xy AS DOUBLE)
+        - CAST(r.s_x AS DOUBLE) * CAST(r.s_y AS DOUBLE))
+       / (CAST(r.n_in AS DOUBLE) * CAST(r.s_xx AS DOUBLE)
+          - CAST(r.s_x AS DOUBLE) * CAST(r.s_x AS DOUBLE)) AS refit_slope,
+       (CAST(r.s_y AS DOUBLE)
+        - (CAST(r.n_in AS DOUBLE) * CAST(r.s_xy AS DOUBLE)
+           - CAST(r.s_x AS DOUBLE) * CAST(r.s_y AS DOUBLE))
+          / (CAST(r.n_in AS DOUBLE) * CAST(r.s_xx AS DOUBLE)
+             - CAST(r.s_x AS DOUBLE) * CAST(r.s_x AS DOUBLE))
+          * CAST(r.s_x AS DOUBLE))
+       / CAST(r.n_in AS DOUBLE) AS refit_intercept
+FROM winner w CROSS JOIN refit r CROSS JOIN np
+"""
+
+
+@register("ransac_price_fit", RANSAC_ORACLE)
+def q_ransac_price_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of price-on-size: 32 candidate lines from
+    md5-chosen point pairs (the hash-panel trick from
+    quantization_recall — sampling as deterministic dataflow), inliers
+    counted within a fixed residual band, winner refit by exact OLS on
+    its inliers. The consensus sibling of theil_sen_trend (median
+    slope) and lineitem_mlr_pricing (L2): outliers can't drag the fit.
+
+    Candidate slopes/intercepts are 2^20-quantized integer rationals
+    (truncating div matches DuckDB //), so inlier sets replay exactly;
+    the refit is a fixed double expression over exact int64 moments
+    (size <= 50 keeps every moment in int64 through sf10).
+
+    Scale: endpoint picking is a 64-way partitioned argmin (two-phase
+    min-merge past local[*]); scoring joins the <=32-row broadcast line
+    panel onto one pass of part — no pairwise anything."""
+    part = load_table(spark, sf_dir, "part")
+    items = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_size").cast("long").alias("sx"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("yc"),
+    ).persist()
+    panel = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(e).alias("ep"), F.lit(t).alias("t"))
+                for t in range(_RANSAC_T)
+                for e in ("a", "b")
+            ]
+        )
+    )
+    hashed = items.select("pk", "sx", "yc", panel.alias("et")).select(
+        F.col("et.ep").alias("ep"),
+        F.col("et.t").alias("t"),
+        "pk",
+        "sx",
+        "yc",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ransac_"),
+                        F.col("et.ep"),
+                        F.col("et.t"),
+                        F.lit("_"),
+                        F.col("pk"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("ep", "t").orderBy("h", "pk")
+    picked = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ep", "t", "sx", "yc")
+    )
+    cands = picked.groupBy("t").agg(
+        F.max(F.when(F.col("ep") == "a", F.col("sx"))).alias("xa"),
+        F.max(F.when(F.col("ep") == "a", F.col("yc"))).alias("ya"),
+        F.max(F.when(F.col("ep") == "b", F.col("sx"))).alias("xb"),
+        F.max(F.when(F.col("ep") == "b", F.col("yc"))).alias("yb"),
+    )
+    lines = cands.filter(F.col("xa") != F.col("xb")).select(
+        "t",
+        F.expr("((yb - ya) * 1048576) div (xb - xa)").alias("m_q"),
+        F.expr(
+            "ya * 1048576 - (((yb - ya) * 1048576) div (xb - xa)) * xa"
+        ).alias("b_q"),
+    )
+    resid_ok = (
+        F.abs(
+            F.col("yc") * F.lit(1048576)
+            - (F.col("m_q") * F.col("sx") + F.col("b_q"))
+        )
+        <= F.lit(_RANSAC_THR * 1048576)
+    )
+    scored = (
+        items.crossJoin(F.broadcast(lines))
+        .groupBy("t", "m_q", "b_q")
+        .agg(F.sum(F.when(resid_ok, 1).otherwise(0)).alias("n_inliers"))
+    )
+    winner = scored.orderBy(F.desc("n_inliers"), F.asc("t")).limit(1)
+    refit = (
+        items.crossJoin(F.broadcast(winner))
+        .filter(resid_ok)
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum("sx").alias("s_x"),
+            F.sum("yc").alias("s_y"),
+            F.sum(F.col("sx") * F.col("yc")).alias("s_xy"),
+            F.sum(F.col("sx") * F.col("sx")).alias("s_xx"),
+        )
+    )
+    np_ = items.agg(F.count("*").alias("n_points"))
+    out = winner.crossJoin(F.broadcast(refit)).crossJoin(F.broadcast(np_))
+    nd = F.col("n_in").cast("double")
+    sx = F.col("s_x").cast("double")
+    sy = F.col("s_y").cast("double")
+    slope = (nd * F.col("s_xy").cast("double") - sx * sy) / (
+        nd * F.col("s_xx").cast("double") - sx * sx
+    )
+    return out.select(
+        F.col("t").alias("cand"),
+        "m_q",
+        "b_q",
+        "n_inliers",
+        "n_points",
+        (F.col("n_inliers").cast("double") / F.col("n_points").cast("double"))
+        .alias("inlier_frac"),
+        slope.alias("refit_slope"),
+        ((sy - slope * sx) / nd).alias("refit_intercept"),
+    )

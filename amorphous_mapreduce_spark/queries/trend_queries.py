@@ -344,3 +344,166 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# --- Kendall tau at scale: bucketed inversion counting -----------------------
+
+KENDALL_INV_ORACLE = """
+WITH items AS (
+    SELECT p_partkey AS pk,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+           CAST(p_size AS BIGINT) AS y,
+           LEAST(63, GREATEST(0,
+               (CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                - 90000) // 157)) AS b
+    FROM part
+),
+cells AS (
+    SELECT b, x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM items GROUP BY b, x, y
+),
+within AS (
+    SELECT CAST(COALESCE(SUM(c1.cnt * c2.cnt
+               * CASE WHEN c2.y > c1.y THEN 1
+                      WHEN c2.y < c1.y THEN -1 ELSE 0 END), 0) AS BIGINT)
+        AS cd
+    FROM cells c1 JOIN cells c2 ON c1.b = c2.b AND c1.x < c2.x
+),
+ml AS (
+    SELECT b, y, CAST(SUM(cnt) AS BIGINT) AS m
+    FROM cells GROUP BY b, y
+),
+crossb AS (
+    SELECT CAST(COALESCE(SUM(m1.m * m2.m
+               * CASE WHEN m2.y > m1.y THEN 1
+                      WHEN m2.y < m1.y THEN -1 ELSE 0 END), 0) AS BIGINT)
+        AS cd
+    FROM ml m1 JOIN ml m2 ON m1.b < m2.b
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items),
+xt AS (
+    SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS x_tie_pairs
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY x)
+),
+yt AS (
+    SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS y_tie_pairs
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY y)
+)
+SELECT n, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST(w.cd + c.cd AS BIGINT) AS c_minus_d,
+       x_tie_pairs, y_tie_pairs,
+       CAST(w.cd + c.cd AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0) AS tau_a,
+       CAST(w.cd + c.cd AS DOUBLE)
+           / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0
+                   - CAST(x_tie_pairs AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0
+                     - CAST(y_tie_pairs AS DOUBLE))) AS tau_b
+FROM nn CROSS JOIN within w CROSS JOIN crossb c
+CROSS JOIN xt CROSS JOIN yt
+"""
+
+
+@register("kendall_inversions_parts", KENDALL_INV_ORACLE)
+def q_kendall_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau (a and b) between part price and part size over
+    the WHOLE part table via bucketed inversion counting — the
+    scale-path sibling of kendall_tau_brands (which pairwises a 25-row
+    aggregate). Concordant-minus-discordant decomposes exactly:
+    cross-bucket pairs (price buckets are order-preserving, so
+    sign(Δx) is known from the bucket pair) reduce to products of
+    per-(bucket, y) level counts — a CONSTANT 64x|y-domain| table —
+    and within-bucket pairs pairwise only the (x, y) cells inside one
+    bucket. Nothing ever pairwises raw rows.
+
+    All counts integer; tau_a/tau_b are fixed double expressions over
+    exact int64 sufficient statistics (sqrt is IEEE-identical).
+    Scale: work is O(cells_per_bucket² x buckets + (buckets x
+    levels)²), independent of row count once cells saturate; widen to
+    256+ buckets and a second bucketing level when per-bucket
+    cardinality grows."""
+    part = load_table(spark, sf_dir, "part")
+    items = part.select(
+        F.col("p_partkey").alias("pk"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    ).withColumn(
+        "b", F.expr("LEAST(63, GREATEST(0, (x - 90000) div 157))")
+    )
+    cells = (
+        items.groupBy("b", "x", "y").agg(F.count("*").alias("cnt")).persist()
+    )
+    c1, c2 = cells.alias("c1"), cells.alias("c2")
+    sign_y = (
+        F.when(F.col("c2.y") > F.col("c1.y"), 1)
+        .when(F.col("c2.y") < F.col("c1.y"), -1)
+        .otherwise(0)
+    )
+    within = (
+        c1.join(
+            F.broadcast(c2),
+            (F.col("c1.b") == F.col("c2.b")) & (F.col("c1.x") < F.col("c2.x")),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c1.cnt") * F.col("c2.cnt") * sign_y), F.lit(0)
+            ).alias("w_cd")
+        )
+    )
+    ml = cells.groupBy("b", "y").agg(F.sum("cnt").alias("m")).persist()
+    m1, m2 = ml.alias("m1"), ml.alias("m2")
+    sign_my = (
+        F.when(F.col("m2.y") > F.col("m1.y"), 1)
+        .when(F.col("m2.y") < F.col("m1.y"), -1)
+        .otherwise(0)
+    )
+    crossb = m1.join(F.broadcast(m2), F.col("m1.b") < F.col("m2.b")).agg(
+        F.coalesce(F.sum(F.col("m1.m") * F.col("m2.m") * sign_my), F.lit(0)).alias(
+            "c_cd"
+        )
+    )
+    nn = items.agg(F.count("*").alias("n"))
+    xt = (
+        items.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("x_tie_pairs")
+        )
+    )
+    yt = (
+        items.groupBy("y")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("y_tie_pairs")
+        )
+    )
+    joined = (
+        nn.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(crossb))
+        .crossJoin(F.broadcast(xt))
+        .crossJoin(F.broadcast(yt))
+    )
+    nd = F.col("n").cast("double")
+    n_pairs_d = nd * (nd - 1) / F.lit(2.0)
+    cd = (F.col("w_cd") + F.col("c_cd")).cast("long")
+    return joined.select(
+        "n",
+        F.expr("CAST(n * (n - 1) / 2 AS BIGINT)").alias("n_pairs"),
+        cd.alias("c_minus_d"),
+        "x_tie_pairs",
+        "y_tie_pairs",
+        (cd.cast("double") / n_pairs_d).alias("tau_a"),
+        (
+            cd.cast("double")
+            / F.sqrt(
+                (n_pairs_d - F.col("x_tie_pairs").cast("double"))
+                * (n_pairs_d - F.col("y_tie_pairs").cast("double"))
+            )
+        ).alias("tau_b"),
+    )

@@ -2548,3 +2548,221 @@ def q_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_changes") * (F.col("width") + 4)).cast("double")
         ).alias("compression_ratio"),
     ).orderBy("layout", "col")
+
+
+# --- z-order layout audit (multi-dim clustering vs zone-map pruning) --------
+
+_ZO_BITS = 6
+_ZO_SHARDS = 64
+# rectangle predicates on (p_size, price cents)
+# price spans 90000..99990 cents in the fixtures (both SFs)
+_ZO_PREDS = [
+    ("mid_box", 20, 30, 93_000, 95_000),
+    ("small_cheap", 1, 10, 90_000, 92_000),
+    ("large_expensive", 40, 50, 98_000, 99_990),
+    ("narrow_size", 25, 25, 0, 1_000_000_000),
+    ("narrow_price", 1, 50, 95_000, 95_200),
+]
+
+
+def _zo_z_duck() -> str:
+    terms = []
+    for k in range(_ZO_BITS):
+        terms.append(f"(((sz >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((pb >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def _zo_z_spark() -> str:
+    terms = []
+    for k in range(_ZO_BITS):
+        terms.append(f"shiftleft(shiftright(sz, {k}) & 1, {2 * k})")
+        terms.append(f"shiftleft(shiftright(pb, {k}) & 1, {2 * k + 1})")
+    return " + ".join(terms)
+
+
+_ZO_PRED_VALUES = ", ".join(
+    f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in _ZO_PREDS
+)
+
+ZORDER_ORACLE = f"""
+WITH base0 AS (
+    SELECT p_partkey AS pk, CAST(p_size AS BIGINT) AS sz,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+    FROM part
+),
+mx AS (SELECT CAST(MAX(pk) AS BIGINT) AS maxpk FROM base0),
+base AS (
+    SELECT pk, sz, cents,
+           LEAST({_ZO_SHARDS - 1}, ((pk - 1) * {_ZO_SHARDS}) // maxpk)
+               AS shard_nat,
+           (LEAST(63, GREATEST(0, (cents - 90000) // 157))) AS pb
+    FROM base0 CROSS JOIN mx
+),
+zed AS (
+    SELECT pk, sz, cents, shard_nat,
+           ({_zo_z_duck()}) // {_ZO_SHARDS} AS shard_z
+    FROM base
+),
+layouts AS (
+    SELECT 'natural' AS layout, shard_nat AS shard, sz, cents FROM zed
+    UNION ALL
+    SELECT 'zorder' AS layout, shard_z AS shard, sz, cents FROM zed
+),
+zones AS (
+    SELECT layout, shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(sz) AS sz_min, MAX(sz) AS sz_max,
+           MIN(cents) AS c_min, MAX(cents) AS c_max
+    FROM layouts GROUP BY layout, shard
+),
+preds AS (
+    SELECT * FROM (VALUES {_ZO_PRED_VALUES})
+        AS p(pred_id, sz_lo, sz_hi, c_lo, c_hi)
+),
+zp AS (
+    SELECT z.layout, p.pred_id, z.n_rows,
+           (z.sz_max < p.sz_lo OR z.sz_min > p.sz_hi
+            OR z.c_max < p.c_lo OR z.c_min > p.c_hi) AS skipped
+    FROM zones z CROSS JOIN preds p
+),
+skips AS (
+    SELECT layout, pred_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped
+    FROM zp GROUP BY layout, pred_id
+),
+matches AS (
+    SELECT p.pred_id,
+           CAST(SUM(CASE WHEN b.sz BETWEEN p.sz_lo AND p.sz_hi
+                          AND b.cents BETWEEN p.c_lo AND p.c_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+    FROM base b CROSS JOIN preds p GROUP BY p.pred_id
+)
+SELECT s.layout, s.pred_id, s.n_shards, s.n_skipped,
+       CAST(s.n_skipped AS DOUBLE) / CAST(s.n_shards AS DOUBLE) AS skip_frac,
+       s.rows_total, s.rows_skipped, m.n_matches
+FROM skips s JOIN matches m USING (pred_id)
+ORDER BY s.layout, s.pred_id
+"""
+
+
+@register("zorder_layout_audit", ZORDER_ORACLE)
+def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering audit: lay `part` out in 64
+    shards twice — natural key order vs interleaved (p_size, price)
+    bits — build per-shard zone maps, and replay a panel of 2-D
+    rectangle predicates against both. The z-order rows skip far more
+    shards on 2-D boxes (each shard covers a coarse Morton tile) while
+    natural order only prunes the key dimension — the measured argument
+    for OPTIMIZE ZORDER BY in a lakehouse.
+
+    The Morton code is 12 bits of literal shift/mask arithmetic
+    (shiftleft needs constant shifts — fine, k is a Python loop
+    constant), identical in both engines; shard = z div 64 needs no
+    rank/sort. Complements zone_map_skipping (1-D sort pruning) and
+    rle_compression_audit (layout vs encoding).
+
+    Scale: two keyed aggregates over part + a constant 128-row
+    zones x 5-predicate replay; the max-key scalar is the only
+    broadcast-cross."""
+    part = load_table(spark, sf_dir, "part")
+    base0 = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_size").cast("long").alias("sz"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = base0.agg(F.max("pk").alias("maxpk"))
+    base = base0.crossJoin(F.broadcast(mx)).select(
+        "pk",
+        "sz",
+        "cents",
+        F.expr(
+            f"LEAST({_ZO_SHARDS - 1}, ((pk - 1) * {_ZO_SHARDS}) div maxpk)"
+        ).alias("shard_nat"),
+        F.expr("LEAST(63, GREATEST(0, (cents - 90000) div 157))").alias("pb"),
+    )
+    zed = base.withColumn(
+        "shard_z", F.expr(f"({_zo_z_spark()}) div {_ZO_SHARDS}")
+    )
+    both = zed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.col("shard_nat").alias("shard"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("shard_z").alias("shard"),
+                ),
+            )
+        ).alias("ls"),
+        "sz",
+        "cents",
+    ).select("ls.layout", "ls.shard", "sz", "cents")
+    zones = both.groupBy("layout", "shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min("sz").alias("sz_min"),
+        F.max("sz").alias("sz_max"),
+        F.min("cents").alias("c_min"),
+        F.max("cents").alias("c_max"),
+    )
+    preds = spark.createDataFrame(
+        _ZO_PREDS, "pred_id string, sz_lo long, sz_hi long, c_lo long, c_hi long"
+    )
+    zp = zones.crossJoin(F.broadcast(preds)).select(
+        "layout",
+        "pred_id",
+        "n_rows",
+        (
+            (F.col("sz_max") < F.col("sz_lo"))
+            | (F.col("sz_min") > F.col("sz_hi"))
+            | (F.col("c_max") < F.col("c_lo"))
+            | (F.col("c_min") > F.col("c_hi"))
+        ).alias("skipped"),
+    )
+    skips = zp.groupBy("layout", "pred_id").agg(
+        F.count("*").alias("n_shards"),
+        F.sum(F.when(F.col("skipped"), 1).otherwise(0)).alias("n_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(F.col("skipped"), F.col("n_rows")).otherwise(0)).alias(
+            "rows_skipped"
+        ),
+    )
+    matches = (
+        base.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sz").between(F.col("sz_lo"), F.col("sz_hi"))
+                    & F.col("cents").between(F.col("c_lo"), F.col("c_hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_matches")
+        )
+    )
+    return (
+        skips.join(F.broadcast(matches), "pred_id")
+        .select(
+            "layout",
+            "pred_id",
+            "n_shards",
+            "n_skipped",
+            (
+                F.col("n_skipped").cast("double")
+                / F.col("n_shards").cast("double")
+            ).alias("skip_frac"),
+            "rows_total",
+            "rows_skipped",
+            "n_matches",
+        )
+        .orderBy("layout", "pred_id")
+    )

@@ -42,6 +42,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "zorder_layout_audit": {
+        "BroadcastNestedLoopJoin": "1-row max-key scalar onto part + "
+        "the constant 5-predicate panel crossed onto the 128-row zone "
+        "frame and one scan of part (bounded 5x fan-out) — scorecard "
+        "pattern",
+    },
+    "kendall_inversions_parts": {
+        "BroadcastNestedLoopJoin": "level-table self-join on b1<b2 is "
+        "CONSTANT-bounded (<= 64 buckets x |y-domain| rows broadcast) "
+        "+ the 1-row sufficient-stat scalars crossed for the single "
+        "output row; raw rows never pairwise",
+    },
+    "ransac_price_fit": {
+        "BroadcastNestedLoopJoin": "the <=32-row candidate-line panel "
+        "and 1-row winner/refit scalars crossed onto one pass of part "
+        "— hash-panel pattern (quantization_recall precedent)",
+    },
     "isotonic_return_rate": {
         "BroadcastNestedLoopJoin": "the PAVA max-min lattice: inequality "
         "joins over the CONSTANT 11-bin discount frame (B^3 <= 1331 "
