@@ -385,3 +385,62 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.withColumnRenamed("label", "community")
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 4,
+    src: str = "qid",
+    dst: str = "nid",
+) -> DataFrame:
+    """[id, truss_deg]: nodes of the k-truss (every edge sits in >= k-2
+    triangles among surviving edges), peeled for ``n_rounds``, with the
+    node's surviving-edge count.
+
+    The edge-level sibling of :func:`kcore`: each round recomputes
+    per-edge triangle support with one wedge join (edges joined to
+    edges through both endpoints — the near_dup_edge_support kernel)
+    and drops edges below k-2, cascading. Symmetric edge lists keep
+    (a,b)/(b,a) support equal, so both directions peel together. Round
+    count is part of the spec (the SQL oracle unrolls the same rounds;
+    convergence earlier makes extra rounds no-ops, asserted in tests);
+    localCheckpoint cuts lineage per round — without it the wedge join
+    re-expands the whole peel history each round (the
+    embedding_power_iteration lesson).
+
+    Scale: each round is two keyed equi-joins + one hash aggregate on
+    the LSH-bucketed edge list — linear in edges x avg-degree per
+    round, never all-pairs.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = sym
+    prev_n = cur.count()
+    for _ in range(n_rounds):
+        x = cur.select(F.col("a").alias("xa"), F.col("b").alias("cn"))
+        y = cur.select(F.col("a").alias("ya"), F.col("b").alias("cn2"))
+        sup = (
+            cur.join(x, cur.a == x.xa, "left")
+            .join(
+                y,
+                (F.col("b") == F.col("ya")) & (F.col("cn") == F.col("cn2")),
+                "left",
+            )
+            .groupBy("a", "b")
+            .agg(F.count("cn2").alias("s"))
+        )
+        cur = (
+            sup.filter(F.col("s") >= k - 2).select("a", "b").localCheckpoint()
+        )
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur.groupBy(F.col("a").alias("id")).agg(
+        F.count("*").alias("truss_deg")
+    )

@@ -1588,3 +1588,56 @@ def q_near_dup_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("support", "n_edges", (F.col("support") >= 1).alias("in_3truss"))
         .orderBy("support")
     )
+
+
+# --- k-truss of the near-dup graph -------------------------------------------
+
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 3
+
+
+def _ktruss_round(i: int) -> str:
+    # MATERIALIZED for the same reason as the k-core rounds: each round
+    # references the previous edge set three times (the wedge join).
+    return f"""
+sup{i} AS MATERIALIZED (
+    SELECT e.a, e.b, CAST(COUNT(y.b) AS BIGINT) AS s
+    FROM t{i - 1} e
+    LEFT JOIN t{i - 1} x ON x.a = e.a
+    LEFT JOIN t{i - 1} y ON y.a = e.b AND y.b = x.b
+    GROUP BY e.a, e.b
+), t{i} AS MATERIALIZED (
+    SELECT a, b FROM sup{i} WHERE s >= {KTRUSS_K - 2}
+)"""
+
+
+KTRUSS_ORACLE = (
+    _NEARDUP_EDGES_PREFIX
+    + ", t0 AS MATERIALIZED (SELECT a, b FROM edges),"
+    + ",".join(_ktruss_round(i) for i in range(1, KTRUSS_ROUNDS + 1))
+    + f"""
+SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS truss_deg
+FROM t{KTRUSS_ROUNDS} GROUP BY a
+"""
+)
+
+
+@register("ktruss_near_dup", KTRUSS_ORACLE)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the MinHash-LSH near-dup graph: documents whose
+    remaining dup edges each sit in >= 1 triangle after cascading edge
+    peels — the edge-density cut ABOVE the 2-core (a k-core keeps long
+    chains; a truss demands triangles, so it isolates genuine template
+    families and drops every pair-link bridge). Completes the density
+    ladder: near_dup_edge_support (one support pass) -> kcore_near_dup
+    (node peel) -> k-truss (edge peel).
+
+    Fixed 3 peel rounds (converges earlier at test SFs — asserted), CTE
+    -for-CTE oracle with MATERIALIZED rounds (the wedge join references
+    each round three times). Scale: per round two keyed equi-joins + a
+    hash aggregate on the bucketed edge list; localCheckpoint per round
+    stops lineage re-expansion."""
+    from amorphous_mapreduce_spark.operators.graph import ktruss
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
+    return ktruss(pairs, k=KTRUSS_K, n_rounds=KTRUSS_ROUNDS)

@@ -326,3 +326,96 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=("value",),
         tolerance_us=43_200_000_000,
     )
+
+
+# --- Allen interval-algebra profile ------------------------------------------
+
+ALLEN_ORACLE = """
+WITH iv AS (
+    SELECT user_id, event_type AS t,
+           epoch_us(ts) // 604800000000 AS wk,
+           CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS s,
+           CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS e
+    FROM events GROUP BY user_id, event_type, wk
+),
+pairs AS (
+    SELECT a.user_id,
+           CASE WHEN a.e < b.s THEN 'precedes'
+                WHEN a.e = b.s THEN 'meets'
+                WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                WHEN a.s = b.s THEN 'starts'
+                WHEN a.e = b.e THEN 'finished_by'
+                WHEN a.e > b.e THEN 'contains'
+                ELSE 'overlaps' END AS rel
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.wk = b.wk
+     AND (a.s, a.e, a.t) < (b.s, b.e, b.t)
+)
+SELECT rel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pairs GROUP BY rel ORDER BY rel
+"""
+
+
+@register("allen_interval_profile", ALLEN_ORACLE)
+def q_allen_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra relation census over each user's per-type
+    WEEKLY activity spans ([first day, last day] per event_type per
+    epoch-week, day-resolution endpoints so boundary relations occur):
+    every same-week ordered span pair classified into the seven
+    canonical relations
+    (precedes/meets/overlaps/starts/finished_by/contains/equals) — the
+    interval-reasoning primitive under temporal joins, concurrency
+    checks and SCD validation, here as a corpus-wide profile.
+
+    Pairs are canonically ordered by the lexicographic (start, end,
+    type) triple (struct/ROW comparison — identical semantics both
+    engines), making the 7-relation CASE a total, deterministic
+    classification in exact epoch-µs integers.
+
+    Scale: intervals are one keyed aggregate over events; the pair join
+    is keyed on (user, week) with a CONSTANT bound (|event_types| = 5
+    -> <= 10 ordered pairs per key) — never a global inequality
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("t"),
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("wk", F.expr("us div 604800000000"))
+        .withColumn("day", F.expr("us div 86400000000"))
+        .groupBy("user_id", "t", "wk")
+        .agg(F.min("day").alias("s"), F.max("day").alias("e"))
+        .persist()
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    key_a = F.struct(F.col("a.s"), F.col("a.e"), F.col("a.t"))
+    key_b = F.struct(F.col("b.s"), F.col("b.e"), F.col("b.t"))
+    rel = (
+        F.when(F.col("a.e") < F.col("b.s"), "precedes")
+        .when(F.col("a.e") == F.col("b.s"), "meets")
+        .when(
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.e") == F.col("b.e")),
+            "equals",
+        )
+        .when(F.col("a.s") == F.col("b.s"), "starts")
+        .when(F.col("a.e") == F.col("b.e"), "finished_by")
+        .when(F.col("a.e") > F.col("b.e"), "contains")
+        .otherwise("overlaps")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.wk") == F.col("b.wk"))
+        & (key_a < key_b),
+    ).select(F.col("a.user_id").alias("user_id"), rel.alias("rel"))
+    return (
+        pairs.groupBy("rel")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("rel")
+    )
