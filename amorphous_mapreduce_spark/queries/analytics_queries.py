@@ -3586,3 +3586,104 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     ).orderBy("brand")
+
+
+# --- exponentially time-decayed leaderboard ----------------------------------
+
+_DECAY_HALF_DAYS = 180
+_DECAY_K = 40  # weight = 2^(K - age_halflives), dyadic-exact
+
+DECAYED_LB_ORACLE = f"""
+WITH li AS (
+    SELECT l_partkey AS pk,
+           CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)
+                AS BIGINT) AS day
+    FROM lineitem
+),
+mx AS (SELECT MAX(day) AS t_now FROM li),
+wt AS (
+    SELECT pk,
+           (CAST(1 AS BIGINT) << {_DECAY_K})
+               >> CAST((t_now - day) // {_DECAY_HALF_DAYS} AS INT) AS w
+    FROM li CROSS JOIN mx
+),
+agg AS (
+    SELECT pk, CAST(COUNT(*) AS BIGINT) AS raw_cnt,
+           CAST(SUM(w) AS BIGINT) AS decayed_scaled
+    FROM wt GROUP BY pk
+),
+top AS (
+    SELECT pk, raw_cnt, decayed_scaled FROM agg
+    ORDER BY decayed_scaled DESC, pk LIMIT 20
+)
+SELECT t.pk AS partkey, t.raw_cnt, t.decayed_scaled,
+       CAST(1 + (SELECT COUNT(*) FROM agg a
+                 WHERE a.raw_cnt > t.raw_cnt
+                    OR (a.raw_cnt = t.raw_cnt AND a.pk < t.pk))
+            AS BIGINT) AS raw_rank
+FROM top t
+ORDER BY t.decayed_scaled DESC, t.pk
+"""
+
+
+@register("decayed_part_leaderboard", DECAYED_LB_ORACLE)
+def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed part leaderboard: order counts weighted by
+    2^(-age/180d) against the raw all-time counts — the 'what is hot
+    NOW' ranking every trending surface runs, with the rank shift vs
+    the undecayed leaderboard visible per row (raw_rank).
+
+    Decay weights are dyadic (a right-shift by age-in-half-lives —
+    exact integers, the ewma_user_value discipline), so the decayed
+    scores hash-match in SQL; no pow(), no float accumulation. The
+    raw rank of each finalist is a dominance count of the top-20 frame
+    against the part aggregate (20 broadcast rows — never a global
+    window). Scale: one keyed aggregate + TakeOrdered; weights stay in
+    int64 while corpus-rows x 2^40 < 2^63 (drop K for bigger counts)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1970-01-01").cast("timestamp")
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    mx = li.agg(F.max("day").alias("t_now"))
+    wt = li.crossJoin(F.broadcast(mx)).select(
+        "pk",
+        F.expr(
+            f"shiftright(shiftleft(CAST(1 AS BIGINT), {_DECAY_K}),"
+            f" CAST((t_now - day) div {_DECAY_HALF_DAYS} AS INT))"
+        ).alias("w"),
+    )
+    agg = wt.groupBy("pk").agg(
+        F.count("*").alias("raw_cnt"), F.sum("w").alias("decayed_scaled")
+    ).persist()
+    top = (
+        agg.orderBy(F.desc("decayed_scaled"), F.asc("pk")).limit(20).persist()
+    )
+    t, a = top.alias("t"), agg.alias("a")
+    # dominance count with the 20-row finalist frame broadcast (the big
+    # aggregate streams; zero-dominator finalists restored by left join)
+    dom = (
+        a.join(
+            F.broadcast(t),
+            (F.col("a.raw_cnt") > F.col("t.raw_cnt"))
+            | (
+                (F.col("a.raw_cnt") == F.col("t.raw_cnt"))
+                & (F.col("a.pk") < F.col("t.pk"))
+            ),
+        )
+        .groupBy(F.col("t.pk").alias("pk"))
+        .agg(F.count("*").alias("_n_dom"))
+    )
+    return (
+        top.join(F.broadcast(dom), "pk", "left")
+        .select(
+            F.col("pk").alias("partkey"),
+            "raw_cnt",
+            "decayed_scaled",
+            (1 + F.coalesce(F.col("_n_dom"), F.lit(0))).alias("raw_rank"),
+        )
+        .orderBy(F.desc("decayed_scaled"), F.asc("partkey"))
+    )

@@ -2176,3 +2176,102 @@ def q_isotonic_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- Markov next-event predictor, temporal holdout ----------------------------
+
+MARKOV_SPLIT_DAY = 19738  # train strictly before, evaluate at/after
+
+MARKOV_NEXT_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events
+),
+trans AS (SELECT prev, event_type AS nxt, day FROM seq WHERE prev IS NOT NULL),
+train AS (
+    SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+    FROM trans WHERE day < {MARKOV_SPLIT_DAY} GROUP BY prev, nxt
+),
+pred AS (
+    SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev ORDER BY c DESC, nxt)
+                   AS rn
+        FROM train
+    ) WHERE rn = 1
+),
+test AS (SELECT prev, nxt FROM trans WHERE day >= {MARKOV_SPLIT_DAY})
+SELECT t.prev, p.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM test t JOIN pred p USING (prev)
+GROUP BY t.prev, p.predicted
+ORDER BY t.prev
+"""
+
+
+@register("markov_next_event_accuracy", MARKOV_NEXT_ORACLE)
+def q_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event-type predictor with a temporal
+    holdout: transition counts trained on the first half of the event
+    window, the per-state argmax evaluated on the second half — the
+    baseline every sequence model must beat, scored leakage-free (the
+    feature_store_pit / recsys_backtest_mrr split discipline applied to
+    the Markov chain the attribution queries already walk).
+
+    Transitions come from a per-user lag window (partitioned — no
+    global sort); the transition matrix is |types|² rows, the argmax a
+    bounded per-state window with (count DESC, type) total-order
+    tie-break. Accuracy is one integer ratio per state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = seq.filter(F.col("prev").isNotNull()).select(
+        "prev", F.col("event_type").alias("nxt"), "day"
+    ).persist()
+    train = (
+        trans.filter(F.col("day") < MARKOV_SPLIT_DAY)
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    wp = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    test = trans.filter(F.col("day") >= MARKOV_SPLIT_DAY)
+    return (
+        test.join(F.broadcast(pred), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "prev",
+            "predicted",
+            "n_test",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("prev")
+    )

@@ -1760,3 +1760,139 @@ def q_sax_weekly_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(12)
     )
+
+
+# --- pinball-loss forecast scoreboard ----------------------------------------
+
+_PINBALL_Q20 = (2, 10, 18)  # 0.1 / 0.5 / 0.9 in twentieths
+
+PINBALL_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                AS BIGINT) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1
+),
+naive AS (
+    SELECT a.day, a.rev_c AS y, b.rev_c AS f
+    FROM daily a JOIN daily b ON b.day = a.day - 7
+),
+ma_contrib AS (
+    SELECT day + o.range AS tday, rev_c
+    FROM daily CROSS JOIN range(1, 8) o
+),
+ma AS (
+    SELECT c.tday AS day, d.rev_c AS y,
+           CAST(SUM(c.rev_c) // 7 AS BIGINT) AS f
+    FROM ma_contrib c JOIN daily d ON d.day = c.tday
+    GROUP BY c.tday, d.rev_c HAVING COUNT(*) = 7
+),
+fc AS (
+    SELECT 'naive7' AS model, day, y, f FROM naive
+    UNION ALL
+    SELECT 'ma7' AS model, day, y, f FROM ma
+),
+loss AS (
+    SELECT model, q.q20, day,
+           CASE WHEN y - f >= 0 THEN q.q20 * (y - f)
+                ELSE (q.q20 - 20) * (y - f) END AS l20
+    FROM fc CROSS JOIN (VALUES {", ".join(f"({q})" for q in _PINBALL_Q20)})
+        AS q(q20)
+)
+SELECT model, q20, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(l20) AS BIGINT) AS loss20_total,
+       CAST(SUM(l20) AS DOUBLE) / (20.0 * CAST(COUNT(*) AS DOUBLE))
+           AS mean_loss_cents
+FROM loss GROUP BY model, q20
+ORDER BY model, q20
+"""
+
+
+@register("forecast_pinball_loss", PINBALL_ORACLE)
+def q_forecast_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (pinball) loss scoreboard for two daily-revenue
+    baselines — seasonal-naive (lag-7) vs trailing 7-day mean — at
+    q = 0.1/0.5/0.9: the metric that decides which forecaster feeds a
+    quantile-aware planner (complements seasonal_naive_backtest's WAPE,
+    which only scores the median).
+
+    Quantiles live in twentieths so every per-day loss is an exact
+    integer (20x scaled): q20·(y-f) or (q20-20)·(y-f), both
+    non-negative ints — no float accumulation; the mean divides once at
+    the end. Forecasts are explode-shift dataflow (lag-7 equi-join;
+    MA-7 contribution explode with a completeness HAVING) — no global
+    windows. Scale: calendar-bounded frames throughout; the only
+    data-sized pass is the orders groupBy(day)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp")
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_c"))
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    naive = a.join(
+        F.broadcast(b), F.col("b.day") == F.col("a.day") - 7
+    ).select(
+        F.col("a.day").alias("day"),
+        F.col("a.rev_c").alias("y"),
+        F.col("b.rev_c").alias("f"),
+    )
+    contrib = daily.select(
+        "rev_c", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("off"),
+        (F.col("day") + F.col("off")).alias("tday"),
+    ).select("tday", "rev_c")
+    ma = (
+        contrib.groupBy("tday")
+        .agg(
+            F.expr("CAST(SUM(rev_c) div 7 AS BIGINT)").alias("f"),
+            F.count("*").alias("_n7"),
+        )
+        .filter(F.col("_n7") == 7)
+        .join(daily.select(F.col("day").alias("tday"), F.col("rev_c").alias("y")), "tday")
+        .select(F.col("tday").alias("day"), "y", "f")
+    )
+    fc = naive.select(F.lit("naive7").alias("model"), "day", "y", "f").unionAll(
+        ma.select(F.lit("ma7").alias("model"), "day", "y", "f")
+    )
+    loss = fc.select(
+        "model",
+        "day",
+        "y",
+        "f",
+        F.explode(F.array(*[F.lit(q) for q in _PINBALL_Q20])).alias("q20"),
+    ).select(
+        "model",
+        "q20",
+        F.when(
+            F.col("y") - F.col("f") >= 0,
+            F.col("q20") * (F.col("y") - F.col("f")),
+        )
+        .otherwise((F.col("q20") - 20) * (F.col("y") - F.col("f")))
+        .alias("l20"),
+    )
+    return (
+        loss.groupBy("model", "q20")
+        .agg(F.count("*").alias("n_days"), F.sum("l20").alias("loss20_total"))
+        .select(
+            "model",
+            "q20",
+            "n_days",
+            "loss20_total",
+            (
+                F.col("loss20_total").cast("double")
+                / (F.lit(20.0) * F.col("n_days").cast("double"))
+            ).alias("mean_loss_cents"),
+        )
+        .orderBy("model", "q20")
+    )
