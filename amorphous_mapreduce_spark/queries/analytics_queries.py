@@ -2199,9 +2199,10 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     START mass, sinks self-loop so absorbed mass is conserved.
 
     Scale: ONE keyed lag/lead window over events builds the edge
-    counts; everything after is (variants x states)-sized (~35 rows).
-    The driver loop is bounded (12 steps) with localCheckpoint per
-    round (operators.graph convention)."""
+    counts; everything after is (variants x states)-sized (~35 rows,
+    corpus-size independent), so all 12 propagation steps run inside a
+    single applyInPandas kernel grouped by variant — one job, not a
+    12-deep sequential chain (round-2 verdict latency fix)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -2249,43 +2250,47 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sinks.select("v", "f", "tt", F.col("cnt").cast("long")))
     )
     rsum = edges0.groupBy("v", "f").agg(F.sum("cnt").alias("rowsum"))
-    e = (
-        edges0.join(rsum, ["v", "f"])
-        .select(
-            F.col("v").alias("ev"),
-            F.col("f").alias("ef"),
-            F.col("tt").alias("et"),
-            "cnt",
-            "rowsum",
-        )
-        .coalesce(1)
-        .localCheckpoint()
+    e = edges0.join(rsum, ["v", "f"]).select(
+        F.col("v").alias("ev"),
+        F.col("f").alias("ef"),
+        F.col("tt").alias("et"),
+        "cnt",
+        "rowsum",
     )
-    vec = variants.select(
-        "v", F.lit("START").alias("s"), F.lit(_MRK_SCALE).cast("long").alias("m")
-    ).coalesce(1).localCheckpoint()
-    for _ in range(_MRK_STEPS):
-        vec = (
-            vec.join(
-                e, (F.col("v") == F.col("ev")) & (F.col("s") == F.col("ef"))
-            )
-            .select(
-                F.col("ev").alias("nv"),
-                F.col("et").alias("ns"),
-                F.expr("(m * cnt) div rowsum").alias("contrib"),
-            )
-            .groupBy(F.col("nv").alias("v"), F.col("ns").alias("s"))
-            .agg(F.sum("contrib").alias("m"))
-            .coalesce(1)
-            .localCheckpoint()
+
+    # The per-variant transition table is corpus-size-INDEPENDENT
+    # (<= |states+START| x |states+sinks| rows), so the 12 truncating
+    # propagation steps run inside ONE grouped Arrow kernel instead of
+    # a 12-job localCheckpoint chain (round-2 verdict: the chain was
+    # 11.6 s of pure scheduling latency on ~35 rows). Python ints
+    # reproduce BIGINT (m * cnt) div rowsum exactly (all masses
+    # non-negative, so // == div), and integer addition is
+    # order-independent — the oracle hash is unchanged.
+    def _propagate(pdf):
+        import pandas as pd
+
+        out = {}
+        for f_, t_, c_, rs_ in zip(
+            pdf["ef"], pdf["et"], pdf["cnt"], pdf["rowsum"]
+        ):
+            out.setdefault(f_, []).append((t_, int(c_), int(rs_)))
+        mass = {"START": _MRK_SCALE}
+        for _ in range(_MRK_STEPS):
+            nxt: dict[str, int] = {}
+            for s_, m_ in mass.items():
+                for t_, c_, rs_ in out.get(s_, ()):
+                    nxt[t_] = nxt.get(t_, 0) + (m_ * c_) // rs_
+            mass = nxt
+        return pd.DataFrame(
+            {
+                "variant": [str(pdf["ev"].iloc[0])],
+                "conv_scaled": [mass.get("CONV", 0)],
+                "null_scaled": [mass.get("NULL", 0)],
+            }
         )
-    conv = vec.groupBy(F.col("v").alias("variant")).agg(
-        F.sum(F.when(F.col("s") == "CONV", F.col("m")).otherwise(0)).alias(
-            "conv_scaled"
-        ),
-        F.sum(F.when(F.col("s") == "NULL", F.col("m")).otherwise(0)).alias(
-            "null_scaled"
-        ),
+
+    conv = e.groupBy("ev").applyInPandas(
+        _propagate, "variant string, conv_scaled long, null_scaled long"
     )
     full = conv.filter(F.col("variant") == "full").select(
         F.col("conv_scaled").alias("full_conv")
@@ -3604,7 +3609,8 @@ mx AS (SELECT MAX(day) AS t_now FROM li),
 wt AS (
     SELECT pk,
            (CAST(1 AS BIGINT) << {_DECAY_K})
-               >> CAST((t_now - day) // {_DECAY_HALF_DAYS} AS INT) AS w
+               >> CAST(LEAST(63, (t_now - day) // {_DECAY_HALF_DAYS}) AS INT)
+               AS w
     FROM li CROSS JOIN mx
 ),
 agg AS (
@@ -3651,9 +3657,12 @@ def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = li.agg(F.max("day").alias("t_now"))
     wt = li.crossJoin(F.broadcast(mx)).select(
         "pk",
+        # LEAST(63, ...) clamp: Java shifts mask the amount to 6 bits while
+        # DuckDB's >> does not — a span >= 64 half-lives (~31.5 y at 180 d)
+        # would silently diverge without it. Clamped, both engines yield 0.
         F.expr(
             f"shiftright(shiftleft(CAST(1 AS BIGINT), {_DECAY_K}),"
-            f" CAST((t_now - day) div {_DECAY_HALF_DAYS} AS INT))"
+            f" CAST(LEAST(63, (t_now - day) div {_DECAY_HALF_DAYS}) AS INT))"
         ).alias("w"),
     )
     agg = wt.groupBy("pk").agg(

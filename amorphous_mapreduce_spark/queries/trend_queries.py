@@ -318,8 +318,18 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("period")
             .agg(
-                F.sum("ac").alias("a_i"),
-                F.sum("bc").alias("b_i"),
+                # Accumulate in DECIMAL(38,0): per-term |y|*2^20 fits int64
+                # to absurd SF, but the PARTIAL sums can exceed int64 at
+                # sf>=10, where Spark (ANSI) would raise mid-aggregate while
+                # DuckDB silently rides HUGEINT. Wide accumulation on both
+                # engines + one final int64 cast = identical behaviour
+                # (both succeed, or both raise on the final cast).
+                F.sum(F.col("ac").cast("decimal(38,0)"))
+                .cast("long")
+                .alias("a_i"),
+                F.sum(F.col("bc").cast("decimal(38,0)"))
+                .cast("long")
+                .alias("b_i"),
                 F.count("*").alias("n_days"),
             )
         )

@@ -43,6 +43,12 @@ def get_spark(
     cpus = _cpu_count()
     master = master or f"local[{cpus}]"
     conf = {
+        # Driver JVM heap: builder-time conf, honoured at JVM launch. The
+        # 1 GB Spark default OOMs long test sessions (hundreds of jobs /
+        # ~80k tasks of accumulated stage+broadcast state in one local JVM).
+        # Env-overridable for constrained hosts. On a real cluster this is
+        # the driver only — executors size independently.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # Runtime re-planning: partition coalescing, skew-join handling.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -55,13 +55,6 @@ def test_markov_next_event_python_replay(spark):
                 train[(t1, t2)] += 1
             else:
                 test.append((t1, t2))
-    pred = {}
-    for (p, n), c in train.items():
-        best = pred.get(p)
-        if best is None or (c, ) + (n,) != max(
-            [(c, n)], key=lambda x: x
-        ) and False:
-            pass
     # argmax with (count desc, type asc) tie-break
     by_prev = defaultdict(dict)
     for (p, n), c in train.items():

@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "decayed_part_leaderboard": {
+        "BroadcastNestedLoopJoin": "1-row max-day scalar crossed onto "
+        "lineitem for the age computation + the 20-row finalist frame "
+        "broadcast for the raw-rank dominance count — both sides "
+        "bounded (scalar / LIMIT 20); the big aggregate only streams",
+    },
     "zorder_layout_audit": {
         "BroadcastNestedLoopJoin": "1-row max-key scalar onto part + "
         "the constant 5-predicate panel crossed onto the 128-row zone "
