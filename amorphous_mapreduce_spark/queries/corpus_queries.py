@@ -814,3 +814,156 @@ def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - f1.cast("double") / F.sum("tf").cast("double")
         ).alias("good_turing_coverage"),
     )
+
+
+# --- Heaps' law fit: V = K * n^beta over the growth curve -------------------
+
+def _heaps_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+    from amorphous_mapreduce_spark.queries.dedup_queries import shingles_cte
+
+    return (
+        "WITH "
+        + shingles_cte()
+        + f"""
+, n AS (SELECT MAX(doc_id) + 1 AS _n FROM documents),
+tb AS (
+    SELECT (id * 10) // _n AS b, COUNT(*) AS t
+    FROM toks CROSS JOIN n GROUP BY 1
+),
+ct AS (
+    SELECT bucket, CAST(SUM(t) AS BIGINT) AS ctok
+    FROM (SELECT t, unnest(range(b, 10)) AS bucket FROM tb)
+    GROUP BY bucket
+),
+first AS (
+    SELECT sh, MIN((id * 10) // _n) AS first_b
+    FROM shingles CROSS JOIN n GROUP BY sh
+),
+vb AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS v
+    FROM (SELECT unnest(range(first_b, 10)) AS bucket FROM first)
+    GROUP BY bucket
+),
+pts AS (
+    SELECT {log2_scaled_sql('ctok')} AS x, {log2_scaled_sql('v')} AS y
+    FROM ct JOIN vb USING (bucket)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pts
+)
+SELECT bn AS n_points,
+       CAST(bn * sxy - sx * sy AS DOUBLE)
+           / CAST(nullif(bn * sxx - sx * sx, 0) AS DOUBLE) AS beta,
+       (CAST(sy AS DOUBLE)
+        - (CAST(bn * sxy - sx * sy AS DOUBLE)
+           / CAST(nullif(bn * sxx - sx * sx, 0) AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / (CAST(bn AS DOUBLE) * 1048576.0) AS log2_k,
+       (CAST(bn * sxy - sx * sy AS DOUBLE)
+        * CAST(bn * sxy - sx * sy AS DOUBLE))
+       / (CAST(nullif(bn * sxx - sx * sx, 0) AS DOUBLE)
+          * CAST(nullif(bn * syy - sy * sy, 0) AS DOUBLE)) AS r2
+FROM m
+"""
+    )
+
+
+@register("heaps_law_fit", _heaps_oracle())
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent for the corpus: fit log2 V = log2 K +
+    beta * log2 n by closed-form OLS over the 10-bucket growth curve,
+    where n = cumulative tokens and V = cumulative distinct word
+    TRIGRAMS (the synthetic corpus draws from a ~31-word pool, so the
+    unigram vocabulary saturates in bucket 0 — the trigram type space
+    is what actually grows, exactly the unit MinHash shingles dedup
+    on). The exponent is the planning constant behind "how fast does
+    my type inventory grow if I add 10x more data" — tokenizer sizing
+    and dedup-ROI estimates.
+
+    Cross-engine determinism: both logs go through functions.intlog
+    (2^20-scaled integer log2, shared 256-entry LUT — the quantized
+    approximation IS the spec), the five OLS moments are exact BIGINT
+    sums (|x|,|y| <= 55 * 2^20, so x*y sums stay ~1e16 << 2^63), and
+    beta / log2_k / r2 are the SAME literal double expression on both
+    engines over those exact integers, with nullif() guards on the
+    degenerate-variance denominators (Spark ANSI raises on double/0
+    where DuckDB returns inf — the langid_prf failure class).
+    Requires cumulative counts < 2^55 (intlog domain) — at ~3.6e16
+    tokens (100 TB of text) switch the top bucket to token-billions.
+
+    Scale: one tokenize pass for the token curve, one shingle pass for
+    the type curve (both keyed aggregates with constant-bounded
+    10-bucket contribution explodes — the vocab_growth pattern, no
+    running windows); the fit itself is a 10-row reduce. Reference:
+    W3-W7 tokenize/count pipeline (src/word_count.rs:63-118) feeding a
+    VecOp-style scalar reduce (src/op.rs:66-106)."""
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+    from amorphous_mapreduce_spark.operators.dedup import shingles, tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + F.lit(1)).alias("_n"))
+    bucket = F.expr("CAST(id * 10 div _n AS BIGINT)")
+    tb = (
+        tokenized(docs)
+        .select("id")
+        .crossJoin(F.broadcast(n))
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("t"))
+    )
+    ct = (
+        tb.select(
+            "t", F.explode(F.sequence(F.col("b"), F.lit(9))).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.sum("t").cast("long").alias("ctok"))
+    )
+    vb = (
+        shingles(docs)
+        .crossJoin(F.broadcast(n))
+        .select(bucket.alias("b"), "sh")
+        .groupBy("sh")
+        .agg(F.min("b").alias("first_b"))
+        .select(
+            F.explode(
+                F.sequence(F.col("first_b"), F.lit(9))
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("v"))
+    )
+    pts = ct.join(vb, "bucket").select(
+        log2_scaled("ctok").alias("x"), log2_scaled("v").alias("y")
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("bn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return m.select(
+        F.col("bn").alias("n_points"),
+        F.expr(
+            "CAST(bn * sxy - sx * sy AS DOUBLE)"
+            " / CAST(nullif(bn * sxx - sx * sx, 0) AS DOUBLE)"
+        ).alias("beta"),
+        F.expr(
+            "(CAST(sy AS DOUBLE)"
+            " - (CAST(bn * sxy - sx * sy AS DOUBLE)"
+            "    / CAST(nullif(bn * sxx - sx * sx, 0) AS DOUBLE))"
+            "   * CAST(sx AS DOUBLE)) / (CAST(bn AS DOUBLE) * 1048576.0D)"
+        ).alias("log2_k"),
+        F.expr(
+            "(CAST(bn * sxy - sx * sy AS DOUBLE)"
+            " * CAST(bn * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(nullif(bn * sxx - sx * sx, 0) AS DOUBLE)"
+            "    * CAST(nullif(bn * syy - sy * sy, 0) AS DOUBLE))"
+        ).alias("r2"),
+    )

@@ -1592,3 +1592,104 @@ def q_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), F.asc("word"))
         .limit(15)
     )
+
+
+# --- GK approximate-percentile audit (Spark-native sketch + rank proof) ------
+
+APPROX_Q_ORACLE = """
+WITH pr AS (
+    SELECT p_brand AS brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM part
+),
+agg AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(median(cents) AS DOUBLE) AS median_cents
+    FROM pr GROUP BY brand
+)
+SELECT brand, n, median_cents, TRUE AS approx_within_bound
+FROM agg ORDER BY brand
+"""
+
+
+@register("approx_quantile_audit", APPROX_Q_ORACLE)
+def q_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate median per brand, self-audited: run
+    Spark's native `percentile_approx` sketch (accuracy=100, i.e. rank
+    error <= n/100) next to the EXACT histogram median, and emit the
+    rank-error proof as a boolean column. The approx VALUE itself is
+    merge-order dependent so it never appears in the output — what is
+    deterministic (and what DuckDB certifies) is the GK guarantee: the
+    returned element's rank interval [#(<a)+1, #(<=a)] intersects
+    [ceil(n/2) - n/100 - 2, ceil(n/2) + n/100 + 2].
+
+    Exact median is the mergeable-histogram form (count per (brand,
+    cent-bucket) + one bounded per-brand cumulative), NOT a per-group
+    value sort — the scale path, since `percentile()` buffers whole
+    groups. (lo+hi)/2.0 is an exact double (cents < 2^53), bit-equal to
+    DuckDB's quantile_cont interpolation.
+
+    Scale: two narrow scans of part + one histogram shuffle bounded by
+    |brand| x |price domain|; the GK state is O(accuracy * log n) per
+    brand and mergeable — the reference's W7 per-key count generalised
+    to order statistics (src/op.rs:66-106 VecOp reduce semantics).
+    """
+    pr = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    hist = pr.groupBy("brand", "cents").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("brand")
+    cum = hist.select(
+        "brand",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    exact = cum.groupBy("brand").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col("cents"))
+        ).alias("hi"),
+    )
+    apx = pr.groupBy("brand").agg(
+        F.percentile_approx("cents", F.lit(0.5), F.lit(100)).alias("a")
+    )
+    ranks = (
+        pr.join(F.broadcast(apx), "brand")
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") < F.col("a"), 1).otherwise(0)
+            ).alias("lt"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("a"), 1).otherwise(0)
+            ).alias("le"),
+        )
+    )
+    t = F.expr("(n + 1) div 2")
+    b = F.expr("n div 100 + 2")
+    return (
+        exact.join(ranks, "brand")
+        .select(
+            "brand",
+            "n",
+            ((F.col("lo") + F.col("hi")).cast("double") / F.lit(2.0)).alias(
+                "median_cents"
+            ),
+            ((F.col("lt") + 1 <= t + b) & (F.col("le") >= t - b)).alias(
+                "approx_within_bound"
+            ),
+        )
+        .orderBy("brand")
+    )

@@ -128,6 +128,12 @@ HEADLINE = [
     "hll_source_overlap",
     "nelson_aalen_hazard",
     "wasserstein_price_segments",
+    # heavy-hitter / robust-fit / interval-algebra / trend families
+    # (driver round 2, fourth sitting closing — round-2 verdict item 5)
+    "misra_gries_heavy_hitters",
+    "ransac_price_fit",
+    "allen_interval_profile",
+    "mann_kendall_trend",
 ]
 
 

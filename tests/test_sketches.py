@@ -231,3 +231,29 @@ def test_bloom_fpr_sweep_monotone(spark):
     assert fills == sorted(fills, reverse=True)
     passes = [r.n_pass for r in rows]
     assert passes == sorted(passes, reverse=True)
+
+
+def test_approx_quantile_audit_bound_and_exact_median(spark):
+    # import via the registry (circular-import convention)
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    out = QUERIES["approx_quantile_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (out["approx_within_bound"]).all()
+    # exact median parity with a pandas replay
+    import pandas as pd
+
+    from amorphous_mapreduce_spark.sources import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part").toPandas()
+    cents = (
+        (part["p_retailprice"].astype("float64") * 100).round().astype("int64")
+    )
+    expect = (
+        pd.DataFrame({"brand": part["p_brand"], "cents": cents})
+        .groupby("brand")["cents"]
+        .median()
+    )
+    got = dict(zip(out["brand"], out["median_cents"]))
+    assert got == expect.to_dict()

@@ -5,11 +5,18 @@ Spark DataFrame and the DuckDB SQL at the same sf_dir and compare:
 row count, schema (column names), and an order-insensitive value
 comparison (columns sorted by name, rows sorted, exact equality).
 
+Every check is appended to CHECKS.jsonl at the repo root (query, sf dir,
+rows, status, timings, UTC timestamp) — a committed audit trail so any
+query the per-round driver sample never lands on still has a local
+verification record (round-2 verdict item 9).
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import json
 import os
 import sys
 import time
@@ -72,6 +79,26 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    checks = open(os.path.join(REPO, "CHECKS.jsonl"), "a")
+
+    def record(name: str, status: str, rows: int, ts: float, td: float) -> None:
+        checks.write(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "status": status,
+                    "rows": rows,
+                    "spark_s": round(ts, 2),
+                    "duck_s": round(td, 2),
+                    "ts": datetime.datetime.now(datetime.timezone.utc)
+                    .isoformat(timespec="seconds"),
+                }
+            )
+            + "\n"
+        )
+        checks.flush()
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,6 +107,7 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s spark) [no oracle]")
+            record(name, "rows-only", len(sdf), t_spark, 0.0)
             continue
         t0 = time.time()
         odf = con.sql(oracles[name]).df()
@@ -114,8 +142,10 @@ def main() -> int:
         if not ok:
             failures.append(name)
         print(f"  {name}: {status} ({len(sdf)} rows, spark {t_spark:.1f}s, duck {t_duck:.1f}s)")
+        record(name, status, len(sdf), t_spark, t_duck)
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    n = len(only & set(qs)) if only else len(qs)
+    print(f"\n{n - len(failures)}/{n} queries OK")
     return 1 if failures else 0
 
 
