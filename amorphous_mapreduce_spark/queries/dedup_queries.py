@@ -1641,3 +1641,229 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, band_bits=4)
     return ktruss(pairs, k=KTRUSS_K, n_rounds=KTRUSS_ROUNDS)
+
+
+# --- Fellegi-Sunter record-linkage weights ------------------------------------
+
+# Training signal for probabilistic record linkage: m_k = P(field k
+# agrees | pair is a true near-dup), u_k = P(agrees | random pair);
+# the match weight is log2(m_k / u_k). Matches = verified Jaccard >= 0.5
+# pairs (the corpus's own ground truth); non-matches = a deterministic
+# linear sample (hash-bucket-consecutive pairs minus the match set).
+# Weights go through functions.intlog on Laplace-smoothed integer counts,
+# so the "log" is bit-identical across engines.
+_FS_BUCKETS = 64
+_FS_H = (
+    "CAST('0x' || substr(md5('fs_' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+def _fs_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    w_num = log2_scaled_sql("(m_agree + 1) * (u_tot + 2)")
+    w_den = log2_scaled_sql("(m_tot + 2) * (u_agree + 1)")
+    return (
+        "WITH "
+        + SHINGLES_CTE
+        + f"""
+, capped AS (
+    SELECT s.id, s.sh FROM shingles s
+    JOIN (SELECT sh FROM shingles GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}) rare USING (sh)
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM capped GROUP BY id),
+inters AS (
+    SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
+    FROM capped a JOIN capped b USING (sh)
+    WHERE a.id < b.id GROUP BY a.id, b.id
+),
+matches AS (
+    SELECT qid, nid FROM inters
+    JOIN sizes qs ON qs.id = qid JOIN sizes ns ON ns.id = nid
+    WHERE 2 * inter >= qs.sz + ns.sz - inter
+),
+hb AS (
+    SELECT doc_id AS id, {_FS_H} AS h, {_FS_H} % {_FS_BUCKETS} AS b
+    FROM documents
+),
+cons AS (
+    SELECT id, lead(id) OVER (PARTITION BY b ORDER BY h, id) AS nxt FROM hb
+),
+upairs AS (
+    SELECT LEAST(id, nxt) AS qid, GREATEST(id, nxt) AS nid
+    FROM cons WHERE nxt IS NOT NULL
+),
+nonmatches AS (
+    SELECT u.qid, u.nid FROM upairs u
+    LEFT JOIN matches m ON m.qid = u.qid AND m.nid = u.nid
+    WHERE m.qid IS NULL
+),
+att AS (
+    SELECT doc_id AS id, lang, source, n_chars,
+           substr({NORM}, 1, 24) AS head
+    FROM documents
+),
+mf AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m_tot,
+           CAST(SUM(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_lang,
+           CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_source,
+           CAST(SUM(CASE WHEN ABS(a.n_chars - b.n_chars) <= 20 THEN 1
+                    ELSE 0 END) AS BIGINT) AS f_len,
+           CAST(SUM(CASE WHEN a.head = b.head THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_head
+    FROM matches p JOIN att a ON a.id = p.qid JOIN att b ON b.id = p.nid
+),
+uf AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS u_tot,
+           CAST(SUM(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_lang,
+           CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_source,
+           CAST(SUM(CASE WHEN ABS(a.n_chars - b.n_chars) <= 20 THEN 1
+                    ELSE 0 END) AS BIGINT) AS f_len,
+           CAST(SUM(CASE WHEN a.head = b.head THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_head
+    FROM nonmatches p JOIN att a ON a.id = p.qid JOIN att b ON b.id = p.nid
+),
+feat AS (
+    SELECT f.feature,
+           CASE f.feature WHEN 'lang' THEN mf.f_lang
+                WHEN 'source' THEN mf.f_source
+                WHEN 'len20' THEN mf.f_len ELSE mf.f_head END AS m_agree,
+           mf.m_tot,
+           CASE f.feature WHEN 'lang' THEN uf.f_lang
+                WHEN 'source' THEN uf.f_source
+                WHEN 'len20' THEN uf.f_len ELSE uf.f_head END AS u_agree,
+           uf.u_tot
+    FROM (VALUES ('lang'), ('source'), ('len20'), ('head24')) AS f(feature)
+    CROSS JOIN mf CROSS JOIN uf
+)
+SELECT feature, m_agree, m_tot, u_agree, u_tot,
+       CAST({w_num} - {w_den} AS BIGINT) AS weight_scaled,
+       CAST({w_num} - {w_den} AS DOUBLE) / 1048576.0 AS weight_bits
+FROM feat ORDER BY feature
+"""
+    )
+
+
+@register("fellegi_sunter_weights", _fs_oracle())
+def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage calibration: estimate
+    per-field agreement rates among TRUE near-duplicate pairs (exact
+    Jaccard >= 0.5 over the capped shingle vocabulary — the corpus's own
+    ground truth) vs a deterministic random-pair sample, and emit each
+    field's match weight log2(m_k/u_k) — the trained scoring table a
+    linkage engine sums over fields to classify candidate pairs.
+
+    Non-match sampling is scale-linear and collect-free: hash each doc
+    into 64 buckets, pair hash-order-consecutive rows per bucket (one
+    PARTITIONED window, never a global sort), anti-join the match set.
+    Weights use functions.intlog on Laplace-smoothed integer counts
+    ((m_k+1)/(m_tot+2) over (u_k+1)/(u_tot+2), cross-multiplied), so
+    both engines compute the identical fixed-point log — products must
+    stay < 2^55 (intlog domain), i.e. pair counts < ~2^27 per side;
+    sample fewer buckets past that.
+
+    Scale: the match half rides the inverted-index Jaccard join
+    (df-capped, sub-quadratic); the sample half is one window + one
+    broadcast anti-join; the weight table itself is 4 rows. Reference
+    tie-in: W6/W7 hash partition + per-key count
+    (src/word_count.rs:96-118) driving the linkage-theory head."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    jp = jaccard_pairs(docs, threshold=0.0, max_df=JACCARD_MAX_DF)
+    matches = jp.filter(
+        2 * F.col("inter") >= F.col("union_sz")
+    ).select("qid", "nid").persist()
+
+    h = hex_hash64(F.concat(F.lit("fs_"), F.col("doc_id").cast("string")))
+    hb = docs.select(F.col("doc_id").alias("id"), h.alias("h")).select(
+        "id", "h", F.pmod(F.col("h"), F.lit(_FS_BUCKETS)).alias("b")
+    )
+    w = Window.partitionBy("b").orderBy("h", "id")
+    cons = hb.select("id", F.lead("id").over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    upairs = cons.select(
+        F.least("id", "nxt").alias("qid"), F.greatest("id", "nxt").alias("nid")
+    )
+    nonmatches = upairs.join(F.broadcast(matches), ["qid", "nid"], "left_anti")
+
+    att = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        "source",
+        "n_chars",
+        F.substring(normalize_text("text"), 1, 24).alias("head"),
+    )
+
+    def flags(pairs: DataFrame, tot_name: str):
+        a = att.select(*[F.col(c).alias("a_" + c) for c in att.columns])
+        b = att.select(*[F.col(c).alias("b_" + c) for c in att.columns])
+        return (
+            pairs.join(a, pairs["qid"] == a["a_id"])
+            .join(b, pairs["nid"] == b["b_id"])
+            .agg(
+                F.count("*").alias(tot_name),
+                F.sum(
+                    (F.col("a_lang") == F.col("b_lang")).cast("long")
+                ).alias("f_lang"),
+                F.sum(
+                    (F.col("a_source") == F.col("b_source")).cast("long")
+                ).alias("f_source"),
+                F.sum(
+                    (
+                        F.abs(F.col("a_n_chars") - F.col("b_n_chars")) <= 20
+                    ).cast("long")
+                ).alias("f_len"),
+                F.sum(
+                    (F.col("a_head") == F.col("b_head")).cast("long")
+                ).alias("f_head"),
+            )
+        )
+
+    mf = flags(matches, "m_tot")
+    uf = flags(nonmatches, "u_tot").select(
+        F.col("u_tot"),
+        F.col("f_lang").alias("u_lang"),
+        F.col("f_source").alias("u_source"),
+        F.col("f_len").alias("u_len"),
+        F.col("f_head").alias("u_head"),
+    )
+    feats = spark.createDataFrame(
+        [("lang",), ("source",), ("len20",), ("head24",)], ["feature"]
+    )
+    grid = feats.crossJoin(F.broadcast(mf)).crossJoin(F.broadcast(uf)).select(
+        "feature",
+        F.expr(
+            "CASE feature WHEN 'lang' THEN f_lang WHEN 'source' THEN f_source"
+            " WHEN 'len20' THEN f_len ELSE f_head END"
+        ).alias("m_agree"),
+        "m_tot",
+        F.expr(
+            "CASE feature WHEN 'lang' THEN u_lang WHEN 'source' THEN u_source"
+            " WHEN 'len20' THEN u_len ELSE u_head END"
+        ).alias("u_agree"),
+        "u_tot",
+    )
+    wnum = log2_scaled("(m_agree + 1) * (u_tot + 2)")
+    wden = log2_scaled("(m_tot + 2) * (u_agree + 1)")
+    return grid.select(
+        "feature",
+        "m_agree",
+        "m_tot",
+        "u_agree",
+        "u_tot",
+        (wnum - wden).cast("long").alias("weight_scaled"),
+        ((wnum - wden).cast("double") / F.lit(1048576.0)).alias(
+            "weight_bits"
+        ),
+    ).orderBy("feature")

@@ -2275,3 +2275,185 @@ def q_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+# --- exact Shapley data valuation over language slices ------------------------
+
+# Characteristic function f(S) = R^2 of the pooled "n_tokens predicts
+# n_chars" linear probe over the union of language slices S (computed
+# purely from per-slice OLS moments — additive, so every subset is a
+# 6-integer sum, never a re-scan). 5 slices -> all 32 subsets exactly;
+# Shapley weights s!(4-s)! over the common denominator 5! = 120. Each
+# marginal term is floor-quantized to 2^-20 BEFORE summation (the
+# prf_expanded_retrieval discipline) so the cross-subset float sum is an
+# exact BIGINT on both engines.
+_SHAP_LANGS = ("de", "en", "es", "fr", "zh")
+_SHAP_IDX_SQL = (
+    "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2"
+    " WHEN 'fr' THEN 3 ELSE 4 END"
+)
+_SHAP_R2 = """
+CASE WHEN bn * sxx - sx * sx <= 0 OR bn * syy - sy * sy <= 0 THEN 0.0
+     ELSE (CAST(bn * sxy - sx * sy AS DOUBLE)
+           * CAST(bn * sxy - sx * sy AS DOUBLE))
+          / (CAST(bn * sxx - sx * sx AS DOUBLE)
+             * CAST(bn * syy - sy * sy AS DOUBLE))
+END
+"""
+
+
+def _shap_oracle() -> str:
+    from amorphous_mapreduce_spark.queries.dedup_queries import toks_cte
+
+    return (
+        "WITH "
+        + toks_cte()
+        + f"""
+, xt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS x FROM toks GROUP BY id),
+dd AS (
+    SELECT d.lang, x, CAST(d.n_chars AS BIGINT) AS y
+    FROM documents d JOIN xt ON xt.id = d.doc_id
+),
+mom AS (
+    SELECT lang, {_SHAP_IDX_SQL} AS idx, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS msx, CAST(SUM(y) AS BIGINT) AS msy,
+           CAST(SUM(x * y) AS BIGINT) AS msxy,
+           CAST(SUM(x * x) AS BIGINT) AS msxx,
+           CAST(SUM(y * y) AS BIGINT) AS msyy
+    FROM dd GROUP BY lang
+),
+masks AS (SELECT unnest(range(0, 32)) AS mask),
+fm AS (
+    SELECT mask,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS bn,
+           CAST(COALESCE(SUM(msx), 0) AS BIGINT) AS sx,
+           CAST(COALESCE(SUM(msy), 0) AS BIGINT) AS sy,
+           CAST(COALESCE(SUM(msxy), 0) AS BIGINT) AS sxy,
+           CAST(COALESCE(SUM(msxx), 0) AS BIGINT) AS sxx,
+           CAST(COALESCE(SUM(msyy), 0) AS BIGINT) AS syy
+    FROM masks LEFT JOIN mom
+      ON (mask // CAST(pow(2, idx) AS BIGINT)) % 2 = 1
+    GROUP BY mask
+),
+fv AS (SELECT mask, {_SHAP_R2} AS r2 FROM fm),
+terms AS (
+    SELECT m.lang, m.n AS n_docs,
+           CAST(FLOOR(((b.r2 - a.r2)
+               * CAST(([24, 6, 4, 6, 24])[bit_count(a.mask) + 1] AS DOUBLE))
+               * 1048576.0) AS BIGINT) AS t
+    FROM mom m
+    JOIN fv a ON (a.mask // CAST(pow(2, m.idx) AS BIGINT)) % 2 = 0
+    JOIN fv b ON b.mask = a.mask + CAST(pow(2, m.idx) AS BIGINT)
+)
+SELECT lang, n_docs, CAST(SUM(t) AS BIGINT) AS phi_scaled,
+       CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 125829120.0 AS phi,
+       (SELECT r2 FROM fv WHERE mask = 31) AS r2_full
+FROM terms GROUP BY lang, n_docs
+ORDER BY lang
+"""
+    )
+
+
+@register("shapley_lang_valuation", _shap_oracle())
+def q_shapley_lang_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley data valuation of the five language slices: how
+    much does each slice contribute to the pooled linear probe's R^2
+    (n_tokens -> n_chars)? The data-market question ("which slice do I
+    pay for / drop first") answered with the canonical fair-attribution
+    semantics, and — because the characteristic function is built from
+    ADDITIVE per-slice OLS moments — computed from ONE corpus scan: all
+    2^5 subsets are 6-integer sums over a constant 32-row mask frame,
+    the kfold_cv_price_model moment-subtraction algebra generalised to
+    subset enumeration.
+
+    Determinism: per-slice moments are exact BIGINT (int64-safe while
+    n * sum(x*y) < 2^63, i.e. to ~1e5x this corpus; split hi/lo past
+    that); every subset R^2 is the same guarded double expression on
+    both engines; each weighted marginal is floor-quantized to 2^-20
+    before the cross-subset sum, so phi_scaled is an exact integer and
+    the final phi is one double division by 120 * 2^20. Shapley
+    efficiency (sum phi = R^2(full)) holds up to 31 quantization ulps
+    — r2_full is emitted per row as the self-audit anchor.
+
+    Scale: tokenize + two keyed aggregates over documents; everything
+    past `mom` is a 5-to-32-row constant lattice (broadcast joins).
+    Reference tie-in: W7 per-key count -> VecOp reduce
+    (src/word_count.rs:96-118, src/op.rs:66-106) driving a
+    game-theoretic valuation head."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    xt = tokenized(docs).groupBy("id").agg(F.count("*").alias("x"))
+    dd = docs.select(
+        F.col("doc_id").alias("id"), "lang", F.col("n_chars").alias("y")
+    ).join(xt, "id")
+    mom = (
+        dd.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("msx"),
+            F.sum("y").alias("msy"),
+            F.sum(F.expr("x * y")).alias("msxy"),
+            F.sum(F.expr("x * x")).alias("msxx"),
+            F.sum(F.expr("y * y")).alias("msyy"),
+        )
+        .withColumn("idx", F.expr(_SHAP_IDX_SQL))
+        .persist()
+    )
+    masks = spark.range(0, 32).select(F.col("id").alias("mask"))
+    fm = (
+        masks.join(
+            F.broadcast(mom),
+            F.expr("(mask div CAST(pow(2, idx) AS BIGINT)) % 2 = 1"),
+            "left",
+        )
+        .groupBy("mask")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("bn"),
+            F.coalesce(F.sum("msx"), F.lit(0)).cast("long").alias("sx"),
+            F.coalesce(F.sum("msy"), F.lit(0)).cast("long").alias("sy"),
+            F.coalesce(F.sum("msxy"), F.lit(0)).cast("long").alias("sxy"),
+            F.coalesce(F.sum("msxx"), F.lit(0)).cast("long").alias("sxx"),
+            F.coalesce(F.sum("msyy"), F.lit(0)).cast("long").alias("syy"),
+        )
+    )
+    fv = fm.select("mask", F.expr(_SHAP_R2).alias("r2")).persist()
+    a = fv.select(F.col("mask").alias("amask"), F.col("r2").alias("r2a"))
+    b = fv.select(F.col("mask").alias("bmask"), F.col("r2").alias("r2b"))
+    terms = (
+        mom.select("lang", F.col("n").alias("n_docs"), "idx")
+        .join(
+            F.broadcast(a),
+            F.expr("(amask div CAST(pow(2, idx) AS BIGINT)) % 2 = 0"),
+        )
+        .join(
+            F.broadcast(b),
+            F.expr("bmask = amask + CAST(pow(2, idx) AS BIGINT)"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(
+                "CAST(FLOOR(((r2b - r2a)"
+                " * CAST(element_at(array(24, 6, 4, 6, 24),"
+                "        CAST(bit_count(amask) + 1 AS INT)) AS DOUBLE))"
+                " * 1048576.0) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    full = fv.filter("mask = 31").select(F.col("r2").alias("r2_full"))
+    return (
+        terms.groupBy("lang", "n_docs")
+        .agg(F.sum("t").cast("long").alias("phi_scaled"))
+        .crossJoin(F.broadcast(full))
+        .select(
+            "lang",
+            "n_docs",
+            "phi_scaled",
+            (F.col("phi_scaled").cast("double") / F.lit(125829120.0)).alias(
+                "phi"
+            ),
+            "r2_full",
+        )
+        .orderBy("lang")
+    )

@@ -42,6 +42,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "heaps_law_fit": {
+        "BroadcastNestedLoopJoin": "1-row doc-count scalar crossed onto "
+        "the token and shingle streams for bucket assignment — the "
+        "standard scalar-total pattern (vocab_growth precedent)",
+    },
+    "fellegi_sunter_weights": {
+        "BroadcastNestedLoopJoin": "the two 1-row agreement-moment "
+        "frames (match / non-match sufficient stats) crossed onto the "
+        "constant 4-row feature list — scorecard pattern",
+    },
+    "shapley_lang_valuation": {
+        "BroadcastNestedLoopJoin": "the constant 32-row subset-mask "
+        "lattice non-equi-joined to the 5-row per-language moment dim "
+        "(bit-membership predicate) + 1-row full-coalition scalar — "
+        "all frames corpus-size independent",
+    },
     "decayed_part_leaderboard": {
         "BroadcastNestedLoopJoin": "1-row max-day scalar crossed onto "
         "lineitem for the age computation + the 20-row finalist frame "
