@@ -3209,3 +3209,154 @@ def q_ransac_price_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("refit_slope"),
         ((sy - slope * sx) / nd).alias("refit_intercept"),
     )
+
+
+# --- SPRT sequential A/B monitoring boundary ----------------------------------
+
+# Wald SPRT on the per-event purchase indicator, one test per hash
+# variant: H0 rate = 0.15 vs H1 rate = 0.25, alpha = beta = 0.05
+# (boundaries +-log2(19)). The per-event log-likelihood increments are
+# FIXED literals quantized to 2^20 (the periodogram LUT stance — the
+# quantized constant IS the spec), so the running LLR is an exact
+# BIGINT prefix sum and the crossing day is integer-comparable on both
+# engines. W1 = round(2^20*log2(.25/.15)), W0 = round(2^20*log2(.75/.85)).
+_SPRT_W1 = 772764
+_SPRT_W0 = -189344
+_SPRT_UP = 4454275  # round(2^20 * log2(19))
+
+_SPRT_VAR = (
+    "CAST('0x' || substr(md5('ab_' || CAST(user_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 2"
+)
+
+SPRT_ORACLE = f"""
+WITH ev AS (
+    SELECT {_SPRT_VAR} AS variant,
+           epoch_us(ts) // 86400000000 AS day,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+daily AS (
+    SELECT variant, day, CAST(COUNT(*) AS BIGINT) AS n_d,
+           CAST(SUM(conv) AS BIGINT) AS c_d
+    FROM ev GROUP BY variant, day
+),
+cum AS (
+    SELECT variant, day, n_d, c_d,
+           CAST(SUM(n_d) OVER w AS BIGINT) AS cn,
+           CAST(SUM(c_d) OVER w AS BIGINT) AS cc
+    FROM daily WINDOW w AS (PARTITION BY variant ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)
+),
+llr AS (
+    SELECT variant, day, cn, cc,
+           cc * {_SPRT_W1} + (cn - cc) * {_SPRT_W0} AS llr_scaled
+    FROM cum
+)
+SELECT variant,
+       MAX(cn) AS n_events, MAX(cc) AS n_conv,
+       CAST(MAX_BY(llr_scaled, day) AS BIGINT) AS llr_final_scaled,
+       CAST(MAX_BY(llr_scaled, day) AS DOUBLE) / 1048576.0
+           AS llr_final_bits,
+       MIN(CASE WHEN llr_scaled >= {_SPRT_UP} THEN day END) AS first_up_day,
+       MIN(CASE WHEN llr_scaled <= -{_SPRT_UP} THEN day END)
+           AS first_down_day,
+       CASE WHEN MIN(CASE WHEN llr_scaled >= {_SPRT_UP} THEN day END)
+                 IS NOT NULL
+             AND (MIN(CASE WHEN llr_scaled <= -{_SPRT_UP} THEN day END)
+                      IS NULL
+                  OR MIN(CASE WHEN llr_scaled >= {_SPRT_UP} THEN day END)
+                     <= MIN(CASE WHEN llr_scaled <= -{_SPRT_UP} THEN day END))
+            THEN 'accept_h1'
+            WHEN MIN(CASE WHEN llr_scaled <= -{_SPRT_UP} THEN day END)
+                 IS NOT NULL
+            THEN 'accept_h0' ELSE 'continue' END AS decision
+FROM llr GROUP BY variant ORDER BY variant
+"""
+
+
+@register("sprt_ab_boundary", SPRT_ORACLE)
+def q_sprt_ab_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential monitor per experiment arm: the running
+    log-likelihood ratio of 'purchase rate is 0.25' vs 'purchase rate
+    is 0.15' over the event stream, with the day each arm first crosses
+    the +-log2(19) decision boundary (alpha = beta = 0.05) — the
+    always-valid sequential test an experimentation platform runs so it
+    can STOP early instead of waiting for a fixed horizon (fixed-horizon
+    inference lives in ab_test_welch; this is its streaming sibling).
+
+    Determinism: per-event LLR increments are literal 2^20-scaled
+    integers, the running LLR is an exact BIGINT prefix sum (day grain,
+    one PARTITIONED window per arm over the calendar-bounded daily
+    frame), and boundary crossings are integer comparisons — no float
+    threshold can flip engines. int64-safe while events-per-arm
+    * 772764 < 2^63 (~1.2e13 events/arm).
+
+    Scale: one keyed (variant, day) aggregate over events, then a
+    calendar-bounded window; output is one row per arm. Reference
+    tie-in: per-key count/merge (W7-W8, src/word_count.rs:96-118)
+    driving the sequential-analysis head."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(
+            hex_hash64(
+                F.concat(F.lit("ab_"), F.col("user_id").cast("string"))
+            ),
+            F.lit(2),
+        ).alias("variant"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    daily = ev.groupBy("variant", "day").agg(
+        F.count("*").alias("n_d"), F.sum("conv").alias("c_d")
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "variant",
+        "day",
+        F.sum("n_d").over(w).alias("cn"),
+        F.sum("c_d").over(w).alias("cc"),
+    )
+    llr = cum.select(
+        "variant",
+        "day",
+        "cn",
+        "cc",
+        (
+            F.col("cc") * F.lit(_SPRT_W1)
+            + (F.col("cn") - F.col("cc")) * F.lit(_SPRT_W0)
+        ).alias("llr_scaled"),
+    )
+    up = F.min(
+        F.when(F.col("llr_scaled") >= _SPRT_UP, F.col("day"))
+    )
+    down = F.min(
+        F.when(F.col("llr_scaled") <= -_SPRT_UP, F.col("day"))
+    )
+    return (
+        llr.groupBy("variant")
+        .agg(
+            F.max("cn").alias("n_events"),
+            F.max("cc").alias("n_conv"),
+            F.max_by("llr_scaled", "day").alias("llr_final_scaled"),
+            (
+                F.max_by("llr_scaled", "day").cast("double")
+                / F.lit(1048576.0)
+            ).alias("llr_final_bits"),
+            up.alias("first_up_day"),
+            down.alias("first_down_day"),
+            F.when(
+                up.isNotNull() & (down.isNull() | (up <= down)),
+                F.lit("accept_h1"),
+            )
+            .when(down.isNotNull(), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+        .orderBy("variant")
+    )

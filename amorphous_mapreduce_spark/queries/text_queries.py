@@ -1297,3 +1297,191 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_q"), F.asc("word"))
         .limit(TEXTRANK_TOP)
     )
+
+
+# --- BM25 (k1, b) tuning sweep from ONE pass -----------------------------------
+
+# The ivf_probe_sweep / lsh_band_sweep "tune-from-one-pass" pattern
+# applied to lexical ranking: per-doc term stats are computed ONCE, the
+# constant 9-point (k1, b) grid is exploded onto them, and each combo is
+# ranked and scored against the deterministic conjunctive-match
+# relevance set (docs containing ALL query terms). Per-combo quality is
+# recall@10 and the exact integer MRR mass (2520 div rank — `div`, not
+# `/`: DuckDB int `/` is float).
+_BM25_SWEEP_GRID = "VALUES (0.6, 0.0), (0.6, 0.75), (0.6, 1.0), " \
+    "(1.2, 0.0), (1.2, 0.75), (1.2, 1.0), (1.8, 0.0), (1.8, 0.75), (1.8, 1.0)"
+
+_BM25_SWEEP_TERM = """((CAST(_n_doc AS DOUBLE) - CAST(_df_{i} AS DOUBLE) + 0.5)
+      / (CAST(_df_{i} AS DOUBLE) + 0.5))
+    * (CAST(tf_{i} AS DOUBLE) * (k1 + 1.0))
+    / (CAST(tf_{i} AS DOUBLE)
+       + k1 * (1.0 - b + b * (CAST(dl AS DOUBLE)
+                              * CAST(_n_doc AS DOUBLE)
+                              / CAST(_n_tok AS DOUBLE))))"""
+
+_BM25_SWEEP_SCORE = " + ".join(
+    _BM25_SWEEP_TERM.format(i=i) for i in range(3)
+)
+
+BM25_SWEEP_ORACLE = f"""
+WITH toks AS (
+    SELECT id, word FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+),
+per_doc AS (
+    SELECT id, COUNT(*) AS dl,
+           CAST(SUM(CASE WHEN word = '{BM25_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+           CAST(SUM(CASE WHEN word = '{BM25_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+           CAST(SUM(CASE WHEN word = '{BM25_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+    FROM toks GROUP BY id
+),
+scal AS (
+    SELECT COUNT(*) AS _n_doc,
+           CAST(SUM(dl) AS BIGINT) AS _n_tok,
+           CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_0,
+           CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_1,
+           CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _df_2
+    FROM per_doc
+),
+matched AS (
+    SELECT * FROM per_doc CROSS JOIN scal
+    WHERE greatest(tf_0, tf_1, tf_2) > 0
+),
+nrel AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM per_doc
+    WHERE tf_0 > 0 AND tf_1 > 0 AND tf_2 > 0
+),
+grid AS (SELECT * FROM ({_BM25_SWEEP_GRID}) AS g(k1, b)),
+ranked AS (
+    SELECT k1, b, id,
+           tf_0 > 0 AND tf_1 > 0 AND tf_2 > 0 AS rel,
+           ROW_NUMBER() OVER (PARTITION BY k1, b
+                              ORDER BY {_BM25_SWEEP_SCORE} DESC, id) AS rnk
+    FROM matched CROSS JOIN grid
+)
+SELECT CAST(k1 * 100 AS BIGINT) AS k1_x100, CAST(b * 100 AS BIGINT) AS b_x100,
+       n_rel,
+       CAST(SUM(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_at_10,
+       CAST(SUM(CASE WHEN rel AND rnk <= 10 THEN 2520 // rnk ELSE 0 END)
+           AS BIGINT) AS mrr_mass_2520,
+       CAST(SUM(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(n_rel AS DOUBLE) AS recall_at_10
+FROM ranked CROSS JOIN nrel
+GROUP BY k1, b, n_rel
+ORDER BY k1_x100, b_x100
+"""
+
+
+@register("bm25_param_sweep", BM25_SWEEP_ORACLE)
+def q_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hyper-parameter sweep priced from ONE corpus pass: per-doc
+    (dl, tf) stats and the corpus scalars are computed once, the
+    constant 9-point (k1, b) grid explodes onto the matched set, and
+    every combo is ranked and scored against the deterministic
+    conjunctive-relevance set (docs containing all three query terms) —
+    recall@10 plus the exact integer MRR mass (2520 div rank). The
+    retrieval analogue of ivf_probe_sweep / lsh_band_sweep: tuning cost
+    is one scan + a 9x fan-out of doc-STATS rows, not 9 reruns.
+
+    Determinism: scores are the identical rational-IDF double expression
+    on both engines with (k1, b) bound from the same literal grid, ranks
+    are total-ordered (score desc, id), and the quality numbers are
+    integers until the single recall division.
+
+    Scale: tokenize + per-doc aggregate (the bm25_ranking plan), a
+    constant 9x explode on matched docs only, one window per combo
+    partition. Reference tie-in: W3-W7 pipeline (src/word_count.rs:63-118)
+    under a parameter-sweep head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                )
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    per_doc = toks.groupBy("id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("word") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    scal = per_doc.agg(
+        F.count("*").alias("_n_doc"),
+        F.sum("dl").alias("_n_tok"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(3)
+        ],
+    )
+    matched = per_doc.crossJoin(F.broadcast(scal)).filter(
+        F.greatest("tf_0", "tf_1", "tf_2") > 0
+    )
+    nrel = per_doc.filter(
+        (F.col("tf_0") > 0) & (F.col("tf_1") > 0) & (F.col("tf_2") > 0)
+    ).agg(F.count("*").alias("n_rel"))
+    grid = spark.createDataFrame(
+        [
+            (k1, b)
+            for k1 in (0.6, 1.2, 1.8)
+            for b in (0.0, 0.75, 1.0)
+        ],
+        "k1 double, b double",
+    )
+    w = Window.partitionBy("k1", "b").orderBy(
+        F.expr(_BM25_SWEEP_SCORE).desc(), F.asc("id")
+    )
+    ranked = (
+        matched.crossJoin(F.broadcast(grid))
+        .select(
+            "k1",
+            "b",
+            "id",
+            (
+                (F.col("tf_0") > 0) & (F.col("tf_1") > 0) & (F.col("tf_2") > 0)
+            ).alias("rel"),
+            F.row_number().over(w).alias("rnk"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(nrel))
+        .groupBy("k1", "b", "n_rel")
+        .agg(
+            F.sum(
+                F.when(F.col("rel") & (F.col("rnk") <= 10), 1).otherwise(0)
+            ).alias("hits_at_10"),
+            F.sum(
+                F.when(
+                    F.col("rel") & (F.col("rnk") <= 10),
+                    F.expr("2520 div rnk"),
+                ).otherwise(0)
+            ).alias("mrr_mass_2520"),
+        )
+        .select(
+            (F.col("k1") * 100).cast("long").alias("k1_x100"),
+            (F.col("b") * 100).cast("long").alias("b_x100"),
+            "n_rel",
+            "hits_at_10",
+            "mrr_mass_2520",
+            (
+                F.col("hits_at_10").cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_10"),
+        )
+        .orderBy("k1_x100", "b_x100")
+    )

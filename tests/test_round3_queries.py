@@ -1,0 +1,77 @@
+"""Tests for round-3 additions: GK audit, Heaps fit, Shapley valuation,
+Fellegi-Sunter weights, SPRT boundary, BM25 sweep.
+
+Queries are imported via queries_registry (circular-import convention).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return QUERIES
+
+
+def test_heaps_law_fit_sane(spark, q):
+    row = q["heaps_law_fit"](spark, SF).collect()[0]
+    assert row.n_points == 10
+    # trigram type inventory grows sublinearly but genuinely
+    assert 0.0 < row.beta < 1.5
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_shapley_lang_valuation_efficiency(spark, q):
+    rows = q["shapley_lang_valuation"](spark, SF).collect()
+    assert {r.lang for r in rows} == {"de", "en", "es", "fr", "zh"}
+    phi_sum = sum(r.phi for r in rows)
+    r2_full = rows[0].r2_full
+    # Shapley efficiency: sum of phi == f(full) - f(empty), up to the
+    # 2^-20 per-term quantization (80 terms)
+    assert abs(phi_sum - r2_full) < 1e-3
+    assert all(r.r2_full == r2_full for r in rows)
+
+
+def test_fellegi_sunter_weights_direction(spark, q):
+    rows = {r.feature: r for r in q["fellegi_sunter_weights"](spark, SF).collect()}
+    assert set(rows) == {"lang", "source", "len20", "head24"}
+    for r in rows.values():
+        assert 0 < r.m_tot and 0 < r.u_tot
+        assert 0 <= r.m_agree <= r.m_tot
+        assert 0 <= r.u_agree <= r.u_tot
+    # near-dups agree on language far more often than random pairs
+    assert rows["lang"].weight_bits > 0
+
+
+def test_sprt_boundary_llr_identity(spark, q):
+    rows = q["sprt_ab_boundary"](spark, SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.decision in ("accept_h0", "accept_h1", "continue")
+        # final LLR is exactly the closed form over totals
+        assert r.llr_final_scaled == r.n_conv * 772764 + (
+            r.n_events - r.n_conv
+        ) * (-189344)
+        if r.decision == "accept_h1":
+            assert r.first_up_day is not None
+        if r.decision == "accept_h0":
+            assert r.first_down_day is not None
+
+
+def test_bm25_param_sweep_shape(spark, q):
+    rows = q["bm25_param_sweep"](spark, SF).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r.hits_at_10 <= min(10, r.n_rel)
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert r.mrr_mass_2520 <= 10 * 2520
+
+
+def test_approx_quantile_bound_holds_everywhere(spark, q):
+    out = q["approx_quantile_audit"](spark, SF).collect()
+    assert out and all(r.approx_within_bound for r in out)

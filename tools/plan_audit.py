@@ -42,6 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "bm25_param_sweep": {
+        "BroadcastNestedLoopJoin": "1-row corpus-scalar frame crossed "
+        "onto per-doc stats, the constant 9-row (k1, b) grid exploded "
+        "onto matched docs, and the 1-row relevance-count scalar on the "
+        "combo scorecard — sweep/scorecard pattern (ivf_probe_sweep "
+        "precedent)",
+    },
     "heaps_law_fit": {
         "BroadcastNestedLoopJoin": "1-row doc-count scalar crossed onto "
         "the token and shingle streams for bucket assignment — the "
