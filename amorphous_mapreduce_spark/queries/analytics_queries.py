@@ -3696,3 +3696,126 @@ def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("decayed_scaled"), F.asc("partkey"))
     )
+
+
+# --- sequential purchase rules (temporal association) -------------------------
+
+SEQ_RULES_ORACLE = """
+WITH cb AS (
+    SELECT o.o_custkey AS cust, p.p_brand AS brand,
+           MIN(epoch_us(o.o_orderdate) // 86400000000) AS first_day
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+),
+n_cust AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n FROM cb),
+brand_n AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM cb GROUP BY brand),
+rules AS (
+    SELECT a.brand AS antecedent, b.brand AS consequent,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM cb a JOIN cb b
+      ON a.cust = b.cust AND a.first_day < b.first_day
+         AND a.brand <> b.brand
+    GROUP BY 1, 2
+)
+SELECT r.antecedent, r.consequent, r.support,
+       na.n_b AS n_ante, nc.n_b AS n_cons, n.n AS n_cust,
+       CAST(r.support AS DOUBLE) / CAST(na.n_b AS DOUBLE) AS confidence,
+       CAST(r.support * n.n AS DOUBLE)
+           / CAST(na.n_b * nc.n_b AS DOUBLE) AS lift
+FROM rules r
+JOIN brand_n na ON na.brand = r.antecedent
+JOIN brand_n nc ON nc.brand = r.consequent
+CROSS JOIN n_cust n
+ORDER BY r.support DESC, r.antecedent, r.consequent
+LIMIT 15
+"""
+
+
+@register("sequential_purchase_rules", SEQ_RULES_ORACLE)
+def q_sequential_purchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporally-ORDERED association rules: brand A's first purchase
+    strictly precedes brand B's first purchase for the same customer —
+    the 'gateway product' analysis (what leads to what), which plain
+    co-occurrence (cross_sell_matrix) and unordered itemset mining
+    (brand_association_rules / frequent_part_triples) cannot answer
+    because they are symmetric. Support, confidence and lift are exact
+    integers until one division each.
+
+    Scale: the (customer, brand, first_day) frame is bounded by
+    |customers| x |brands| (25 brands), so the per-customer self-join
+    fans out <= 625 rows per customer — never order-line-quadratic; the
+    brand margins and the 1-row customer count broadcast onto the
+    bounded rule table. Top-k is TakeOrdered with the (antecedent,
+    consequent) tie-break. Reference tie-in: per-key count + merge
+    (W7-W8, src/word_count.rs:96-118) under a sequence-mining head."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp")
+        )
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    cb = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("cust", "brand")
+        .agg(F.min("day").alias("first_day"))
+        .persist()
+    )
+    n_cust = cb.agg(F.countDistinct("cust").alias("n"))
+    brand_n = cb.groupBy("brand").agg(F.count("*").alias("n_b"))
+    a = cb.select(
+        F.col("cust").alias("ac"),
+        F.col("brand").alias("antecedent"),
+        F.col("first_day").alias("ad"),
+    )
+    b = cb.select(
+        F.col("cust").alias("bc"),
+        F.col("brand").alias("consequent"),
+        F.col("first_day").alias("bd"),
+    )
+    rules = (
+        a.join(
+            b,
+            (F.col("ac") == F.col("bc"))
+            & (F.col("ad") < F.col("bd"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("support"))
+    )
+    na = brand_n.select(
+        F.col("brand").alias("antecedent"), F.col("n_b").alias("n_ante")
+    )
+    nc = brand_n.select(
+        F.col("brand").alias("consequent"), F.col("n_b").alias("n_cons")
+    )
+    return (
+        rules.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            "n_ante",
+            "n_cons",
+            F.col("n").alias("n_cust"),
+            (F.col("support").cast("double") / F.col("n_ante").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("support") * F.col("n")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(15)
+    )

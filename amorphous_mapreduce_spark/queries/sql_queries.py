@@ -218,3 +218,40 @@ def q_sql_rolling_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(ROLLING_SHARE_SQL)
+
+
+# Modern-SQL surface probe: aggregate FILTER clauses + GROUP BY ALL in
+# ONE string both engines parse (Spark 4.1 and DuckDB both support the
+# standard FILTER (WHERE ...) aggregate modifier and the GROUP BY ALL
+# shorthand; QUALIFY, by contrast, does NOT parse in Spark — see
+# CLAUDE.md). Revenue stays in DECIMAL until one final DOUBLE cast.
+FILTERED_ROLLUP_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o.o_orderpriority LIKE '1-%') AS n_urgent,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_finished,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o.o_orderpriority LIKE '1-%') AS DOUBLE)
+           AS urgent_revenue,
+       MIN(o.o_orderdate) AS first_order_ts,
+       MAX(o.o_orderdate) AS last_order_ts
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ALL
+ORDER BY nation
+"""
+
+
+@register("sql_filtered_rollup", FILTERED_ROLLUP_SQL)
+def q_sql_filtered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order rollup through the raw-SQL entry point using the
+    standard aggregate FILTER clause (conditional aggregation without
+    CASE scaffolding) and GROUP BY ALL — one string, both engines.
+    Catalyst plans the FILTERed aggregates as the same conditional
+    hash-aggregate the CASE form produces; the nation dim broadcasts.
+    Proves the SQL front door covers the modern-ANSI subset users
+    actually write (SURVEY.md §3.5)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(FILTERED_ROLLUP_SQL)

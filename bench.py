@@ -134,6 +134,14 @@ HEADLINE = [
     "ransac_price_fit",
     "allen_interval_profile",
     "mann_kendall_trend",
+    # round-3 additions: sketch-audit / growth-law / data-valuation /
+    # record-linkage / sequential-testing / retrieval-sweep families
+    "approx_quantile_audit",
+    "heaps_law_fit",
+    "shapley_lang_valuation",
+    "fellegi_sunter_weights",
+    "sprt_ab_boundary",
+    "bm25_param_sweep",
 ]
 
 

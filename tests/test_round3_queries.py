@@ -75,3 +75,21 @@ def test_bm25_param_sweep_shape(spark, q):
 def test_approx_quantile_bound_holds_everywhere(spark, q):
     out = q["approx_quantile_audit"](spark, SF).collect()
     assert out and all(r.approx_within_bound for r in out)
+
+
+def test_sql_filtered_rollup_consistency(spark, q):
+    rows = q["sql_filtered_rollup"](spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.n_urgent <= r.n_orders and r.n_finished <= r.n_orders
+        assert r.first_order_ts <= r.last_order_ts
+
+
+def test_sequential_purchase_rules_bounds(spark, q):
+    rows = q["sequential_purchase_rules"](spark, SF).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        # support counts customers, bounded by both margins
+        assert r.support <= r.n_ante and r.support <= r.n_cons
+        assert 0.0 < r.confidence <= 1.0
+        assert r.antecedent != r.consequent

@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "sequential_purchase_rules": {
+        "BroadcastNestedLoopJoin": "1-row distinct-customer scalar "
+        "crossed onto the brand-pair rule table (<= |brands|^2 rows) "
+        "for the lift denominator — the standard scalar-total pattern; "
+        "the A-before-B self-join itself is the equi hash join on cust",
+    },
     "bm25_param_sweep": {
         "BroadcastNestedLoopJoin": "1-row corpus-scalar frame crossed "
         "onto per-doc stats, the constant 9-row (k1, b) grid exploded "
