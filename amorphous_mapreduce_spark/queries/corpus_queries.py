@@ -967,3 +967,79 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    * CAST(nullif(bn * syy - sy * sy, 0) AS DOUBLE))"
         ).alias("r2"),
     )
+
+
+# --- boilerplate prefix detection ---------------------------------------------
+
+BOILERPLATE_ORACLE = f"""
+WITH pf AS (
+    SELECT source, substr({NORM}, 1, 32) AS prefix
+    FROM documents
+),
+src_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM pf GROUP BY source),
+grp AS (
+    SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_pref
+    FROM pf GROUP BY source, prefix
+),
+top AS (
+    SELECT source, prefix, n_pref,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_pref DESC, prefix) AS rn
+    FROM grp
+)
+SELECT t.source, t.prefix, t.n_pref, s.n_docs,
+       CAST(t.n_pref AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS mass_share,
+       t.n_pref * 20 > s.n_docs AS boilerplate_flag
+FROM top t JOIN src_n s ON s.source = t.source
+WHERE t.rn = 1
+ORDER BY t.source
+"""
+
+
+@register("boilerplate_prefix_mass", BOILERPLATE_ORACLE)
+def q_boilerplate_prefix_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection per source: the most frequent
+    32-char normalised document prefix, its document count and mass
+    share, and a >5% flag (integer cross-multiplied, n_pref*20 > n_docs,
+    so no float threshold) — the C4-style curation signal for
+    'this source is full of templated pages' that length/repetition
+    rules (quality_rules, intra_doc_repetition) miss because each
+    templated doc is individually fine.
+
+    Scale: one narrow scan -> two keyed aggregates; the per-source
+    top-1 is a partitioned row_number over the (source, prefix)
+    aggregate (bounded by distinct prefixes per source, with the
+    hottest prefixes exactly the ones that collapse hardest under the
+    groupBy's map-side combine). Reference tie-in: W4/W5 normalise +
+    W7 per-key count (src/word_count.rs:63-118)."""
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pf = docs.select(
+        "source", F.substring(normalize_text("text"), 1, 32).alias("prefix")
+    )
+    src_n = pf.groupBy("source").agg(F.count("*").alias("n_docs"))
+    grp = pf.groupBy("source", "prefix").agg(F.count("*").alias("n_pref"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_pref"), F.asc("prefix")
+    )
+    top = grp.select(
+        "source", "prefix", "n_pref", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return (
+        top.join(F.broadcast(src_n), "source")
+        .select(
+            "source",
+            "prefix",
+            "n_pref",
+            "n_docs",
+            (
+                F.col("n_pref").cast("double") / F.col("n_docs").cast("double")
+            ).alias("mass_share"),
+            (F.col("n_pref") * 20 > F.col("n_docs")).alias("boilerplate_flag"),
+        )
+        .orderBy("source")
+    )

@@ -93,3 +93,13 @@ def test_sequential_purchase_rules_bounds(spark, q):
         assert r.support <= r.n_ante and r.support <= r.n_cons
         assert 0.0 < r.confidence <= 1.0
         assert r.antecedent != r.consequent
+
+
+def test_boilerplate_prefix_mass_bounds(spark, q):
+    rows = q["boilerplate_prefix_mass"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_pref <= r.n_docs
+        assert 0.0 < r.mass_share <= 1.0
+        assert r.boilerplate_flag == (r.n_pref * 20 > r.n_docs)
+        assert len(r.prefix) <= 32
