@@ -1043,3 +1043,129 @@ def q_boilerplate_prefix_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- content-defined chunking (rolling-hash boundaries) ------------------------
+
+# Storage-dedup / RAG chunking: boundaries where the rolling 4-gram hash
+# is ≡ 0 (mod 64) — expected chunk ~64 tokens, and boundaries SURVIVE
+# local edits (insertions shift fixed-size chunk grids but not
+# content-defined cuts). Chunk statistics per source; hash is the
+# portable MD5-derived integer so both engines cut identically.
+CDC_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, grams AS (
+    SELECT id, pos,
+           word || ' ' || lead(word, 1) OVER w || ' '
+                || lead(word, 2) OVER w || ' ' || lead(word, 3) OVER w
+               AS gram,
+           lead(word, 3) OVER w AS last3
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+cuts AS (
+    SELECT id, pos FROM grams
+    WHERE last3 IS NOT NULL
+      AND CAST('0x' || substr(md5('cdc:' || gram), 1, 15) AS BIGINT)
+          % 64 = 0
+    UNION
+    SELECT id, 1 FROM toks GROUP BY id
+),
+dl AS (SELECT id, MAX(pos) AS l FROM toks GROUP BY id),
+lens AS (
+    SELECT c.id,
+           COALESCE(lead(c.pos) OVER (PARTITION BY c.id ORDER BY c.pos),
+                    dl.l + 1) - c.pos AS len
+    FROM cuts c JOIN dl ON dl.id = c.id
+)
+SELECT d.source,
+       CAST(COUNT(DISTINCT lens.id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(len) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS avg_chunk_tokens,
+       CAST(MAX(len) AS BIGINT) AS max_chunk_tokens
+FROM lens JOIN documents d ON d.doc_id = lens.id
+GROUP BY d.source
+ORDER BY d.source
+"""
+)
+
+
+@register("content_defined_chunks", CDC_ORACLE)
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics per source: cut a document
+    wherever the rolling 4-gram hash ≡ 0 (mod 64) — the storage-dedup /
+    RAG chunker whose boundaries survive local edits (a fixed-size grid
+    like doc_chunks shifts every boundary after an insertion; a
+    content-defined cut moves only the one chunk that changed, which is
+    what makes chunk-level dedup across near-identical docs work).
+    Emits per-source chunk count, exact mean length (one division) and
+    max — the numbers that size a chunk store.
+
+    Determinism: the boundary predicate is the portable MD5-derived
+    60-bit hash mod 64 (non-negative, so `%` agrees engine-to-engine);
+    cut positions are 1-based on BOTH engines (the posexplode-vs-
+    generate_subscripts off-by-one gotcha, normalised here).
+
+    Scale: one tokenize pass, all windows PARTITIONED by doc (lead-4
+    gram build + one lead over each doc's cut rows); per-source rollup
+    is a keyed aggregate. total_tokens == sum of doc lengths is a
+    built-in conservation audit. Reference tie-in: W3-W5 tokenize
+    pipeline (src/word_count.rs:63-95) under a rolling-hash head."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs).select(
+        "id", (F.col("pos") + 1).alias("pos"), "word"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.col("word"),
+            F.lead("word", 1).over(w),
+            F.lead("word", 2).over(w),
+            F.lead("word", 3).over(w),
+        ).alias("gram"),
+        F.lead("word", 3).over(w).alias("last3"),
+    )
+    bcuts = grams.filter(
+        F.col("last3").isNotNull()
+        & (
+            F.pmod(
+                hex_hash64(F.concat(F.lit("cdc:"), F.col("gram"))), F.lit(64)
+            )
+            == 0
+        )
+    ).select("id", "pos")
+    starts = toks.groupBy("id").agg(F.lit(1).alias("pos"))
+    cuts = bcuts.unionByName(starts).distinct()
+    dl = toks.groupBy("id").agg(F.max("pos").alias("l"))
+    wc = Window.partitionBy("id").orderBy("pos")
+    lens = cuts.join(dl, "id").select(
+        "id",
+        (
+            F.coalesce(F.lead("pos").over(wc), F.col("l") + 1) - F.col("pos")
+        ).alias("len"),
+    )
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        lens.join(F.broadcast(src), "id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("len").alias("total_tokens"),
+            (
+                F.sum("len").cast("double") / F.count("*").cast("double")
+            ).alias("avg_chunk_tokens"),
+            F.max("len").alias("max_chunk_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1867,3 +1867,215 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_bits"
         ),
     ).orderBy("feature")
+
+
+# --- IDF-weighted Jaccard near-dup pairs --------------------------------------
+
+# Refinement of ngram_jaccard: shingles shared by many documents carry
+# less evidence of duplication than rare ones, so each shingle gets an
+# integer weight w = 2^20 div df and pairs are scored by weighted
+# Jaccard = sum_shared(w) / (W_a + W_b - sum_shared(w)). With per-doc
+# DISTINCT shingles the weights are global, so min/max weighted Jaccard
+# collapses to this exact rational — integers until one division.
+_WJ_SCALE = 1 << 20
+
+WEIGHTED_JACCARD_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+, wdf AS (
+    SELECT sh, CAST({_WJ_SCALE} // COUNT(*) AS BIGINT) AS w
+    FROM shingles GROUP BY sh
+    HAVING COUNT(*) <= {JACCARD_MAX_DF}
+),
+ws AS (SELECT s.id, s.sh, w FROM shingles s JOIN wdf USING (sh)),
+sizes AS (SELECT id, CAST(SUM(w) AS BIGINT) AS wsz FROM ws GROUP BY id),
+inters AS (
+    SELECT a.id AS qid, b.id AS nid, CAST(SUM(a.w) AS BIGINT) AS w_inter
+    FROM ws a JOIN ws b USING (sh)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT qid, nid, w_inter,
+       qs.wsz + ns.wsz - w_inter AS w_union,
+       CAST(w_inter AS DOUBLE) / CAST(qs.wsz + ns.wsz - w_inter AS DOUBLE)
+           AS weighted_jaccard
+FROM inters
+JOIN sizes qs ON qs.id = qid
+JOIN sizes ns ON ns.id = nid
+WHERE w_inter * 20 >= (qs.wsz + ns.wsz - w_inter)
+ORDER BY qid, nid
+"""
+)
+
+
+@register("weighted_jaccard_pairs", WEIGHTED_JACCARD_ORACLE)
+def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-duplicate pairs: exact weighted Jaccard >= 0.05
+    where each shingle counts 2^20 div df — rare shingles dominate, so
+    boilerplate-heavy pairs that unweighted Jaccard (ngram_jaccard)
+    over-scores drop out, and pairs sharing distinctive content rise.
+    The weighted-minhash/ICWS intuition kept EXACT: per-doc shingles
+    are distinct, so weighted Jaccard is a pure rational of integer
+    weight sums, and even the 0.05 threshold is applied as the
+    cross-multiplied integer w_inter*20 >= w_union.
+
+    Scale: identical shape to the unweighted kernel — df-capped
+    inverted-index join (the df cap caps BOTH the quadratic fan-out and
+    the weight table), two keyed aggregates, one broadcast-join of
+    per-doc weight sizes. Reference tie-in: W6/W7 hash partition +
+    per-key count (src/word_count.rs:96-118) with an evidence-weighted
+    scoring head."""
+    from amorphous_mapreduce_spark.operators.dedup import shingles as _sh
+
+    sh = _sh(load_table(spark, sf_dir, "documents"))
+    wdf = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= JACCARD_MAX_DF)
+        .select("sh", F.expr(f"CAST({_WJ_SCALE} div _df AS BIGINT)").alias("w"))
+    )
+    ws = sh.join(wdf, "sh").persist()
+    sizes = ws.groupBy("id").agg(F.sum("w").alias("wsz"))
+    a = ws.select(F.col("id").alias("qid"), "sh", F.col("w").alias("wa"))
+    b = ws.select(F.col("id").alias("nid"), "sh")
+    inters = (
+        a.join(b, "sh")
+        .filter(F.col("qid") < F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum("wa").alias("w_inter"))
+    )
+    qs = sizes.select(F.col("id").alias("qid"), F.col("wsz").alias("q_wsz"))
+    ns = sizes.select(F.col("id").alias("nid"), F.col("wsz").alias("n_wsz"))
+    return (
+        inters.join(qs, "qid")
+        .join(ns, "nid")
+        .select(
+            "qid",
+            "nid",
+            "w_inter",
+            (F.col("q_wsz") + F.col("n_wsz") - F.col("w_inter")).alias(
+                "w_union"
+            ),
+            (
+                F.col("w_inter").cast("double")
+                / (
+                    F.col("q_wsz") + F.col("n_wsz") - F.col("w_inter")
+                ).cast("double")
+            ).alias("weighted_jaccard"),
+        )
+        .filter(
+            F.col("w_inter") * 20
+            >= F.col("q_wsz") + F.col("n_wsz") - F.col("w_inter")
+        )
+        .orderBy("qid", "nid")
+    )
+
+
+# --- greedy max-coverage document selection -------------------------------------
+
+_COV_ROUNDS = 5
+
+
+def _coverage_oracle() -> str:
+    parts = [
+        "WITH " + SHINGLES_CTE.lstrip(),
+        """
+, r1 AS MATERIALIZED (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS g
+    FROM shingles GROUP BY id ORDER BY g DESC, id LIMIT 1
+),
+c1 AS MATERIALIZED (
+    SELECT DISTINCT sh FROM shingles JOIN r1 USING (id)
+)""",
+    ]
+    for k in range(2, _COV_ROUNDS + 1):
+        prev_sel = " UNION ALL ".join(f"SELECT id FROM r{j}" for j in range(1, k))
+        parts.append(
+            f""",
+g{k} AS (
+    SELECT s.id, CAST(COUNT(*) AS BIGINT) AS g
+    FROM shingles s LEFT JOIN c{k - 1} c ON s.sh = c.sh
+    WHERE c.sh IS NULL AND s.id NOT IN ({prev_sel})
+    GROUP BY s.id
+),
+r{k} AS MATERIALIZED (SELECT id, g FROM g{k} ORDER BY g DESC, id LIMIT 1),
+c{k} AS MATERIALIZED (
+    SELECT sh FROM c{k - 1}
+    UNION
+    SELECT sh FROM shingles JOIN r{k} USING (id)
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, id AS doc_id, g AS gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{k}) AS cum_covered"
+        f" FROM r{k}"
+        for k in range(1, _COV_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + sel + "\nORDER BY round"
+
+
+@register("coverage_greedy_docs", _coverage_oracle())
+def q_coverage_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage subset selection: pick 5 documents, each
+    round taking the doc that covers the most NOT-yet-covered trigram
+    shingles — the classic (1 - 1/e)-approximate submodular coverage
+    selector behind 'choose k seed documents that span the corpus'
+    (lexical complement of the embedding-space mmr_diverse_retrieval /
+    diversity_sample). Emits per round the chosen doc, its marginal
+    gain, and the cumulative covered-type count — the diminishing-
+    returns curve that tells you when to stop adding seeds.
+
+    Determinism: argmax is total-ordered (gain desc, id); counts are
+    integers. Oracle CTEs are MATERIALIZED (the kcore lesson: DuckDB
+    otherwise re-expands the chain exponentially).
+
+    Scale: each of the 5 bounded rounds is one pass over the persisted
+    shingle table with an anti-join against the covered set (<= 5 docs'
+    shingles — broadcastable) and a TakeOrderedAndProject top-1; the
+    selected/covered frames are localCheckpointed so lineage stays flat
+    (the embedding_power_iteration lesson). Reference tie-in: W7
+    per-key count (src/word_count.rs:96-118) inside a submodular
+    selection loop."""
+    from amorphous_mapreduce_spark.operators.dedup import shingles as _sh
+
+    sh = _sh(load_table(spark, sf_dir, "documents")).persist()
+    picks = []
+    covered = None
+    sel_ids = None
+    for rnd in range(1, _COV_ROUNDS + 1):
+        cand = sh
+        if covered is not None:
+            cand = cand.join(F.broadcast(covered), "sh", "left_anti")
+        if sel_ids is not None:
+            cand = cand.join(F.broadcast(sel_ids), "id", "left_anti")
+        pick = (
+            cand.groupBy("id")
+            .agg(F.count("*").alias("g"))
+            .orderBy(F.desc("g"), F.asc("id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        new_cov = sh.join(F.broadcast(pick.select("id")), "id").select("sh")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint()
+        sel_ids = (
+            pick.select("id")
+            if sel_ids is None
+            else sel_ids.unionByName(pick.select("id"))
+        ).localCheckpoint()
+        cum = covered.agg(F.countDistinct("sh").alias("cum_covered"))
+        picks.append(
+            pick.select(
+                F.lit(rnd).alias("round"),
+                F.col("id").alias("doc_id"),
+                F.col("g").alias("gain"),
+            ).crossJoin(F.broadcast(cum))
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")

@@ -103,3 +103,53 @@ def test_boilerplate_prefix_mass_bounds(spark, q):
         assert 0.0 < r.mass_share <= 1.0
         assert r.boilerplate_flag == (r.n_pref * 20 > r.n_docs)
         assert len(r.prefix) <= 32
+
+
+def test_weighted_jaccard_vs_unweighted(spark, q):
+    wj = q["weighted_jaccard_pairs"](spark, SF).collect()
+    assert wj
+    for r in wj:
+        assert 0 < r.w_inter <= r.w_union
+        assert 0.05 <= r.weighted_jaccard + 1e-12 <= 1.0
+
+
+def test_content_defined_chunks_conservation(spark, q):
+    rows = q["content_defined_chunks"](spark, SF).collect()
+    assert rows
+    # total_tokens equals the independent per-source token count
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from amorphous_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    exp = {
+        r["source"]: r["n"]
+        for r in tokenized(docs)
+        .join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.total_tokens == exp[r.source]
+        assert 1 <= r.max_chunk_tokens
+        assert r.n_chunks >= r.n_docs
+
+
+def test_coverage_greedy_monotone_gains(spark, q):
+    rows = sorted(
+        q["coverage_greedy_docs"](spark, SF).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    gains = [r.gain for r in rows]
+    # submodularity: marginal gains are non-increasing
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    # cumulative coverage equals the running gain total (disjoint gains)
+    cum = 0
+    for r in rows:
+        cum += r.gain
+        assert r.cum_covered == cum
+    # selected docs are distinct
+    assert len({r.doc_id for r in rows}) == 5

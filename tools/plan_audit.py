@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "coverage_greedy_docs": {
+        "BroadcastNestedLoopJoin": "the five 1-row cum-coverage scalars "
+        "crossed onto their round's 1-row pick — constant frames both "
+        "sides; the per-round data work is the hash anti-join + "
+        "TakeOrdered top-1 over the persisted shingle table",
+    },
     "sequential_purchase_rules": {
         "BroadcastNestedLoopJoin": "1-row distinct-customer scalar "
         "crossed onto the brand-pair rule table (<= |brands|^2 rows) "
