@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.agg import dec, dsum
+from amorphous_mapreduce_spark.functions.hashing import hex_hash64
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -2765,4 +2766,151 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matches",
         )
         .orderBy("layout", "pred_id")
+    )
+
+
+# --- incremental JOIN-view maintenance (delta rules) ---------------------------
+
+# The aggregate-IVM proof (incremental_agg_maintenance) extended to a
+# two-table JOIN view: V = revenue-per-supplier over lineitem ⋈ orders.
+# Both inputs receive INDEPENDENT deltas (hash-selected ~10% slices), so
+# the maintained view must apply the full delta algebra
+#     ΔV = ΔL ⋈ O_old  ∪  L_old ⋈ ΔO  ∪  ΔL ⋈ ΔO
+# — forgetting the ΔL⋈ΔO cross term is the classic IVM bug, and this
+# query would catch it: `matches` is part of the hashed output.
+_IVM_LH = (
+    "CAST('0x' || substr(md5('ivmL:' || CAST(l_orderkey * 8 + l_linenumber"
+    " AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0"
+)
+_IVM_OH = (
+    "CAST('0x' || substr(md5('ivmO:' || CAST(o_orderkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 10 = 0"
+)
+
+JOIN_IVM_ORACLE = f"""
+WITH l AS (
+    SELECT l_orderkey AS ok, l_suppkey AS sk,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           {_IVM_LH} AS is_delta
+    FROM lineitem
+),
+o AS (
+    SELECT o_orderkey AS ok, {_IVM_OH} AS is_delta FROM orders
+),
+direct AS (
+    SELECT sk, CAST(SUM(cents) AS BIGINT) AS direct_cents
+    FROM l JOIN o USING (ok) GROUP BY sk
+),
+base AS (
+    SELECT sk, CAST(SUM(cents) AS BIGINT) AS v
+    FROM l JOIN o USING (ok)
+    WHERE NOT l.is_delta AND NOT o.is_delta GROUP BY sk
+),
+d1 AS (
+    SELECT sk, CAST(SUM(cents) AS BIGINT) AS v
+    FROM l JOIN o USING (ok)
+    WHERE l.is_delta AND NOT o.is_delta GROUP BY sk
+),
+d2 AS (
+    SELECT sk, CAST(SUM(cents) AS BIGINT) AS v
+    FROM l JOIN o USING (ok)
+    WHERE NOT l.is_delta AND o.is_delta GROUP BY sk
+),
+d3 AS (
+    SELECT sk, CAST(SUM(cents) AS BIGINT) AS v
+    FROM l JOIN o USING (ok)
+    WHERE l.is_delta AND o.is_delta GROUP BY sk
+),
+maintained AS (
+    SELECT sk, CAST(SUM(v) AS BIGINT) AS maintained_cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM d1
+          UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+    GROUP BY sk
+)
+SELECT d.sk AS suppkey, d.direct_cents, m.maintained_cents,
+       d.direct_cents = m.maintained_cents AS matches
+FROM direct d JOIN maintained m ON m.sk = d.sk
+ORDER BY suppkey
+"""
+
+
+@register("join_view_ivm_proof", JOIN_IVM_ORACLE)
+def q_join_view_ivm_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view, self-auditing: split BOTH
+    join inputs into base + hash-selected delta slices, maintain the
+    revenue-per-supplier view with the three delta-rule terms
+    (ΔL⋈O_base, L_base⋈ΔO, ΔL⋈ΔO — dropping the cross term is the
+    canonical IVM bug), and emit `matches` = maintained == direct
+    recompute per supplier as a hashed output column.
+
+    At 100 TB this is the algebra a streaming/foreachBatch refresh runs
+    so a new micro-batch costs O(|Δ| join-probe) instead of a full
+    re-join: the base⋈base term is the stored view, never recomputed.
+    Here all four terms run (cheap at oracle SF) so the identity is
+    proven, not assumed. Revenue stays in integer cents. Reference
+    tie-in: G10-G12 reduce accumulation (src/outer_product.rs:118-140)
+    under delta-rule decomposition."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.pmod(
+                hex_hash64(
+                    F.concat(
+                        F.lit("ivmL:"),
+                        (
+                            F.col("l_orderkey") * 8 + F.col("l_linenumber")
+                        ).cast("string"),
+                    )
+                ),
+                F.lit(10),
+            )
+            == 0
+        ).alias("l_delta"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        (
+            F.pmod(
+                hex_hash64(
+                    F.concat(
+                        F.lit("ivmO:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                F.lit(10),
+            )
+            == 0
+        ).alias("o_delta"),
+    )
+    joined = li.join(orders, "ok").persist()
+    direct = joined.groupBy("sk").agg(F.sum("cents").alias("direct_cents"))
+    terms = []
+    for lf, of in (
+        (~F.col("l_delta"), ~F.col("o_delta")),
+        (F.col("l_delta"), ~F.col("o_delta")),
+        (~F.col("l_delta"), F.col("o_delta")),
+        (F.col("l_delta"), F.col("o_delta")),
+    ):
+        terms.append(
+            joined.filter(lf & of).groupBy("sk").agg(F.sum("cents").alias("v"))
+        )
+    allt = terms[0]
+    for t in terms[1:]:
+        allt = allt.unionByName(t)
+    maintained = allt.groupBy("sk").agg(F.sum("v").alias("maintained_cents"))
+    return (
+        direct.join(maintained, "sk")
+        .select(
+            F.col("sk").alias("suppkey"),
+            "direct_cents",
+            "maintained_cents",
+            (F.col("direct_cents") == F.col("maintained_cents")).alias(
+                "matches"
+            ),
+        )
+        .orderBy("suppkey")
     )

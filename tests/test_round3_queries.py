@@ -153,3 +153,10 @@ def test_coverage_greedy_monotone_gains(spark, q):
         assert r.cum_covered == cum
     # selected docs are distinct
     assert len({r.doc_id for r in rows}) == 5
+
+
+def test_join_view_ivm_identity(spark, q):
+    rows = q["join_view_ivm_proof"](spark, SF).collect()
+    assert rows
+    assert all(r.matches for r in rows)
+    assert all(r.direct_cents == r.maintained_cents for r in rows)
