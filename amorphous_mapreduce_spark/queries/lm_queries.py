@@ -1111,3 +1111,129 @@ def q_beam_search_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_q",
         (-F.col("score_q").cast("double") / LOG2_SCALE).alias("total_bits"),
     ).orderBy("beam_rank")
+
+
+# --- held-out unigram perplexity per source ---------------------------------
+
+# Train an add-1-smoothed unigram LM on the ~80% train split (stateless
+# hash of doc_id), score the held-out 20%: per-source cross-entropy in
+# 2^20-scaled bits (intlog) and perplexity = 2^H re-exponentiated through
+# functions/intexp — libm-free on both engines.  The "train on one split,
+# eval on the other" shape is the canonical data-quality loop of an LLM
+# curation pipeline (SURVEY.md §2.5).
+
+_PPL_SPLIT = (
+    "CAST('0x' || substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 5"
+)
+
+PPL_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, sp AS (
+    SELECT doc_id AS id, source, ({_PPL_SPLIT}) = 0 AS held
+    FROM documents
+), tr AS (
+    SELECT word FROM toks JOIN sp USING (id) WHERE NOT held
+), cw AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY word
+), scal AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c) AS BIGINT) AS n
+    FROM cw
+), ho AS (
+    SELECT sp.source AS source, COALESCE(cw.c, 0) AS c
+    FROM toks JOIN sp USING (id) LEFT JOIN cw USING (word)
+    WHERE held
+), per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS m_tokens,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(SUM({log2_scaled_sql('(n + v + 1)')}
+                    - {log2_scaled_sql('(c + 1)')}) AS BIGINT) AS sum_scaled
+    FROM ho CROSS JOIN scal
+    GROUP BY source
+)
+SELECT source, m_tokens, oov_tokens,
+       CAST(oov_tokens AS DOUBLE) / CAST(m_tokens AS DOUBLE) AS oov_rate,
+       CAST(sum_scaled AS DOUBLE)
+           / (CAST(m_tokens AS DOUBLE) * {LOG2_SCALE}.0) AS h_bits,
+       {{PPL_EXP}} AS perplexity
+FROM per
+ORDER BY source
+"""
+)
+
+from amorphous_mapreduce_spark.functions.intexp import (  # noqa: E402
+    exp2_scaled,
+    exp2_scaled_sql,
+)
+
+PPL_ORACLE = PPL_ORACLE.replace(
+    "{PPL_EXP}", exp2_scaled_sql("sum_scaled // m_tokens")
+)
+
+
+@register("unigram_heldout_perplexity", PPL_ORACLE)
+def q_unigram_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source held-out perplexity under an add-1 unigram LM.
+
+    One tokenize pass feeds both splits; the vocabulary count table is
+    re-joined onto the held-out stream (plain equi-join — at 100 TB the
+    vocab is Zipf-bounded and AQE picks broadcast when it fits).  The
+    scalar (V, N) frame is a 1-row broadcast cross.  Cross-entropy is an
+    exact integer sum of 2^20-scaled surprisals; perplexity
+    re-exponentiates the truncated per-token mean through the intexp
+    LUT, so even the 2^H value hash-matches the oracle.
+    """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        (
+            hex_hash64(F.concat(F.lit("ppl:"), F.col("doc_id").cast("string")))
+            % F.lit(5)
+            == 0
+        ).alias("held"),
+    )
+    toks = tokenized(docs).join(sp, "id")
+    cw = (
+        toks.filter(~F.col("held"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    scal = cw.agg(F.count("*").alias("v"), F.sum("c").alias("n"))
+    ho = (
+        toks.filter(F.col("held"))
+        .join(cw, "word", "left")
+        .select("source", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .crossJoin(F.broadcast(scal))
+    )
+    per = ho.groupBy("source").agg(
+        F.count("*").alias("m_tokens"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.sum(
+            log2_scaled("(n + v + 1)") - log2_scaled("(c + 1)")
+        )
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    return per.select(
+        "source",
+        "m_tokens",
+        "oov_tokens",
+        (F.col("oov_tokens").cast("double") / F.col("m_tokens").cast("double"))
+        .alias("oov_rate"),
+        (
+            F.col("sum_scaled").cast("double")
+            / (F.col("m_tokens").cast("double") * F.lit(float(LOG2_SCALE)))
+        ).alias("h_bits"),
+        exp2_scaled("sum_scaled div m_tokens").alias("perplexity"),
+    ).orderBy("source")

@@ -950,3 +950,153 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(BURROWS_TOP_TERMS * _CONTRIB_SCALE))
         ).alias("delta"),
     )
+
+
+# --- Dunning G2 log-likelihood collocations ---------------------------------
+
+# G2 = 2 * sum_ij O_ij * ln(O_ij / E_ij) over the 2x2 bigram contingency
+# table — the statistically-sound collocation score (robust at low counts
+# where PMI over-ranks hapax pairs).  Logs ride functions/intlog, so the
+# score is an exact BIGINT in 2^-20-bit units on both engines; zero cells
+# contribute 0 by the x*log(x) -> 0 convention.
+
+G2_MIN_COUNT = 5
+G2_TOP_K = 30
+
+
+def _g2_terms_sql() -> str:
+    """Sum of the four O*log2(O*N/(r*c)) terms, 2^20-scaled BIGINT."""
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    cells = [
+        ("o11", "c1", "c2"),
+        ("o12", "c1", "n2"),
+        ("o21", "n1", "c2"),
+        ("o22", "n1", "n2"),
+    ]
+    parts = []
+    for o, r, c in cells:
+        parts.append(
+            f"(CASE WHEN {o} > 0 THEN {o} * ({log2_scaled_sql(o)}"
+            f" + {log2_scaled_sql('n_total')} - {log2_scaled_sql(r)}"
+            f" - {log2_scaled_sql(c)}) ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+G2_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + f"""
+, bg AS (
+    SELECT word AS w1,
+           lead(word) OVER (PARTITION BY id ORDER BY pos) AS w2
+    FROM toks
+), bc AS (
+    SELECT w1, w2, COUNT(*) AS cnt FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+), f AS (
+    SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM bc GROUP BY w1
+), s AS (
+    SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM bc GROUP BY w2
+), n AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM bc
+), cells AS (
+    SELECT w1, w2, cnt,
+           CAST(cnt AS BIGINT) AS o11,
+           c1 - cnt AS o12,
+           c2 - cnt AS o21,
+           n_total - c1 - c2 + cnt AS o22,
+           c1, c2, n_total - c1 AS n1, n_total - c2 AS n2, n_total
+    FROM bc JOIN f USING (w1) JOIN s USING (w2) CROSS JOIN n
+    WHERE cnt >= {G2_MIN_COUNT}
+), scored AS (
+    SELECT w1 || ' ' || w2 AS bigram, cnt,
+           CAST(2 * ({_g2_terms_sql()}) AS BIGINT) AS g2_scaled
+    FROM cells
+)
+SELECT bigram, cnt, g2_scaled,
+       CAST(g2_scaled AS DOUBLE) / 1048576.0 AS g2_bits
+FROM scored
+ORDER BY g2_scaled DESC, bigram
+LIMIT {G2_TOP_K}
+"""
+)
+
+
+@register("dunning_g2_collocations", G2_ORACLE)
+def q_dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by Dunning's G2 log-likelihood ratio.
+
+    Same single-tokenize plan as ``pmi_bigrams`` (margins re-aggregate
+    the persisted bigram-count table, broadcast back, TakeOrdered top-k);
+    the 2x2-table score is four guarded O*log terms in 2^20-scaled
+    integer log2 — per-term magnitude is bounded by N * 64 * 2^20
+    (< 2^63 for N < 2^37 tokens per engine run), and the ranking key is
+    the exact BIGINT score, never a float.
+    """
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+
+    toks = tokenized(_docs(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt")).persist()
+    firsts = bc.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    seconds = bc.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    total = bc.agg(F.sum("cnt").alias("n_total"))
+    cells = (
+        bc.filter(F.col("cnt") >= G2_MIN_COUNT)
+        .join(F.broadcast(firsts), "w1")
+        .join(F.broadcast(seconds), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.col("cnt").cast("long").alias("o11"),
+            (F.col("c1") - F.col("cnt")).alias("o12"),
+            (F.col("c2") - F.col("cnt")).alias("o21"),
+            (F.col("n_total") - F.col("c1") - F.col("c2") + F.col("cnt")).alias(
+                "o22"
+            ),
+            "c1",
+            "c2",
+            (F.col("n_total") - F.col("c1")).alias("n1"),
+            (F.col("n_total") - F.col("c2")).alias("n2"),
+            "n_total",
+        )
+    )
+    ln = log2_scaled("n_total")
+    term = lambda o, r, c: F.when(  # noqa: E731
+        F.col(o) > 0,
+        F.col(o) * (log2_scaled(o) + ln - log2_scaled(r) - log2_scaled(c)),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = cells.select(
+        F.concat_ws(" ", "w1", "w2").alias("bigram"),
+        "cnt",
+        (
+            F.lit(2)
+            * (
+                term("o11", "c1", "c2")
+                + term("o12", "c1", "n2")
+                + term("o21", "n1", "c2")
+                + term("o22", "n1", "n2")
+            )
+        )
+        .cast("long")
+        .alias("g2_scaled"),
+    )
+    return (
+        scored.select(
+            "bigram",
+            "cnt",
+            "g2_scaled",
+            (F.col("g2_scaled").cast("double") / F.lit(1048576.0)).alias(
+                "g2_bits"
+            ),
+        )
+        .orderBy(F.desc("g2_scaled"), F.asc("bigram"))
+        .limit(G2_TOP_K)
+    )

@@ -52,6 +52,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     curation_queries,
     dedup_queries,
     dq_queries,
+    econ_queries,
     eval_queries,
     forensics_queries,
     gemm_queries,

@@ -581,6 +581,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row bigram-total scalar (N for the "
         "lift numerator) crossed onto the vocab²-sized bigram-count frame",
     },
+    "dunning_g2_collocations": {
+        "BroadcastNestedLoopJoin": "same shape as pmi_bigrams: the 1-row "
+        "bigram-total scalar (N for the contingency margins) crossed onto "
+        "the vocab²-sized bigram-count frame",
+    },
+    "unigram_heldout_perplexity": {
+        "BroadcastNestedLoopJoin": "1-row (V, N) train-vocabulary scalar "
+        "crossed onto the held-out token stream; the data-sized joins are "
+        "hash equi-joins (split map, vocab counts)",
+    },
     "promo_revenue_share": {
         "BroadcastNestedLoopJoin": "1-row revenue-total scalar crossed back",
     },
