@@ -2914,3 +2914,260 @@ def q_join_view_ivm_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --- Hilbert vs Z-order vs linear layout audit ------------------------------
+
+# Same zone-map replay methodology as zorder_layout_audit, but head-to-
+# head between THREE curve layouts over a 256x256 (price-bucket x
+# quantity-bucket) grid on lineitem: row-major (the "sorted by one key"
+# baseline), Morton interleave, and the Hilbert curve (functions/
+# hilbert.py — chained integer rounds, no bitwise ops, engine-portable).
+# Hilbert's unit-step property keeps per-shard bounding boxes tighter,
+# which the avg_bbox_area column and the 2-D box predicates measure
+# directly.
+
+_HILB_BITS = 8
+_HILB_N = 1 << _HILB_BITS
+_HILB_SHARDS = 64
+_HILB_CELLS_PER_SHARD = (_HILB_N * _HILB_N) // _HILB_SHARDS
+
+_HILB_PREDS = [
+    ("mid_box", 96, 159, 96, 159),
+    ("low_corner", 0, 63, 0, 63),
+    ("narrow_price", 100, 103, 0, 255),
+    ("narrow_qty", 0, 255, 128, 131),
+    ("high_corner", 192, 255, 192, 255),
+]
+
+_HILB_PRED_VALUES = ", ".join(
+    f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in _HILB_PREDS
+)
+
+
+def _morton8(intdiv: str) -> str:
+    terms = []
+    for k in range(_HILB_BITS):
+        terms.append(f"((x8 {intdiv} {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"((y8 {intdiv} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+def _hilb_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.hilbert import hilbert_cte_chain
+
+    chain, last = hilbert_cte_chain(_HILB_BITS, "pts", "x8, y8, z, lin")
+    return f"""
+WITH base0 AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           CAST(l_quantity AS INT) AS qty
+    FROM lineitem
+),
+grid AS (
+    SELECT LEAST(255, cents // 43000) AS x8,
+           LEAST(255, (qty * 256) // 51) AS y8
+    FROM base0
+),
+pts AS (
+    SELECT x8, y8, ({_morton8('//')}) AS z, x8 * 256 + y8 AS lin,
+           x8 AS hx, y8 AS hy, 0 AS hd
+    FROM grid
+){chain}
+, layouts AS (
+    SELECT 'hilbert' AS layout, hd // {_HILB_CELLS_PER_SHARD} AS shard,
+           x8, y8 FROM {last}
+    UNION ALL
+    SELECT 'zorder', z // {_HILB_CELLS_PER_SHARD}, x8, y8 FROM {last}
+    UNION ALL
+    SELECT 'linear', lin // {_HILB_CELLS_PER_SHARD}, x8, y8 FROM {last}
+),
+zones AS (
+    SELECT layout, shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x8) AS x_min, MAX(x8) AS x_max,
+           MIN(y8) AS y_min, MAX(y8) AS y_max
+    FROM layouts GROUP BY layout, shard
+),
+lstats AS (
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM((x_max - x_min + 1) * (y_max - y_min + 1)) AS BIGINT)
+               AS sum_bbox_area
+    FROM zones GROUP BY layout
+),
+preds AS (
+    SELECT * FROM (VALUES {_HILB_PRED_VALUES})
+        AS p(pred_id, x_lo, x_hi, y_lo, y_hi)
+),
+zp AS (
+    SELECT z.layout, p.pred_id, z.n_rows,
+           (z.x_max < p.x_lo OR z.x_min > p.x_hi
+            OR z.y_max < p.y_lo OR z.y_min > p.y_hi) AS skipped
+    FROM zones z CROSS JOIN preds p
+),
+skips AS (
+    SELECT layout, pred_id,
+           CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped
+    FROM zp GROUP BY layout, pred_id
+),
+matches AS (
+    SELECT p.pred_id,
+           CAST(SUM(CASE WHEN g.x8 BETWEEN p.x_lo AND p.x_hi
+                          AND g.y8 BETWEEN p.y_lo AND p.y_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+    FROM grid g CROSS JOIN preds p GROUP BY p.pred_id
+)
+SELECT s.layout, s.pred_id, l.n_shards, s.n_skipped,
+       CAST(s.n_skipped AS DOUBLE) / CAST(l.n_shards AS DOUBLE) AS skip_frac,
+       s.rows_total, s.rows_skipped, m.n_matches,
+       CAST(l.sum_bbox_area AS DOUBLE) / CAST(l.n_shards AS DOUBLE)
+           AS avg_bbox_area
+FROM skips s
+JOIN lstats l USING (layout)
+JOIN matches m USING (pred_id)
+ORDER BY s.layout, s.pred_id
+"""
+
+
+@register("hilbert_layout_audit", _hilb_oracle())
+def q_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Morton vs row-major shard-layout bake-off on lineitem.
+
+    The Hilbert index is 8 chained integer rounds (quadrant digit +
+    rotate/reflect) applied as successive narrow selects — the
+    expression tree stays linear, everything whole-stage codegens, and
+    the identical round text runs in DuckDB (functions/hilbert.py).
+    One lineitem scan feeds all three layouts via a 3-way explode; the
+    rest is two bounded aggregates (<= 192 zone rows) and a constant
+    5-predicate replay.  Expected (and asserted in tests): hilbert
+    avg_bbox_area <= zorder <= linear on this price x quantity grid.
+    """
+    from amorphous_mapreduce_spark.functions.hilbert import hilbert_rounds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = li.select(
+        F.expr(
+            "LEAST(255, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+            " AS BIGINT) div 43000)"
+        ).alias("x8"),
+        F.expr("LEAST(255, (CAST(l_quantity AS INT) * 256) div 51)").alias(
+            "y8"
+        ),
+    )
+    pts = grid.select(
+        "x8",
+        "y8",
+        F.expr(_morton8("div")).alias("z"),
+        F.expr("x8 * 256 + y8").alias("lin"),
+        F.col("x8").alias("hx"),
+        F.col("y8").alias("hy"),
+        F.lit(0).alias("hd"),
+    )
+    for r in hilbert_rounds(_HILB_BITS, "div"):
+        pts = pts.select(
+            "x8",
+            "y8",
+            "z",
+            "lin",
+            F.expr(r["hx"]).alias("hx"),
+            F.expr(r["hy"]).alias("hy"),
+            F.expr(r["hd"]).alias("hd"),
+        )
+    layouts = pts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.expr(f"hd div {_HILB_CELLS_PER_SHARD}").alias("shard"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"z div {_HILB_CELLS_PER_SHARD}").alias("shard"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"lin div {_HILB_CELLS_PER_SHARD}").alias("shard"),
+                ),
+            )
+        ).alias("ls"),
+        "x8",
+        "y8",
+    ).select("ls.layout", "ls.shard", "x8", "y8")
+    zones = layouts.groupBy("layout", "shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x8").alias("x_min"),
+        F.max("x8").alias("x_max"),
+        F.min("y8").alias("y_min"),
+        F.max("y8").alias("y_max"),
+    )
+    lstats = zones.groupBy("layout").agg(
+        F.count("*").alias("n_shards"),
+        F.sum(
+            (F.col("x_max") - F.col("x_min") + 1)
+            * (F.col("y_max") - F.col("y_min") + 1)
+        ).alias("sum_bbox_area"),
+    )
+    preds = spark.createDataFrame(
+        _HILB_PREDS, "pred_id string, x_lo long, x_hi long, y_lo long, y_hi long"
+    )
+    zp = zones.crossJoin(F.broadcast(preds)).select(
+        "layout",
+        "pred_id",
+        "n_rows",
+        (
+            (F.col("x_max") < F.col("x_lo"))
+            | (F.col("x_min") > F.col("x_hi"))
+            | (F.col("y_max") < F.col("y_lo"))
+            | (F.col("y_min") > F.col("y_hi"))
+        ).alias("skipped"),
+    )
+    skips = zp.groupBy("layout", "pred_id").agg(
+        F.sum(F.when(F.col("skipped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(F.col("skipped"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+    )
+    matches = (
+        grid.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("x8").between(F.col("x_lo"), F.col("x_hi"))
+                    & F.col("y8").between(F.col("y_lo"), F.col("y_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matches")
+        )
+    )
+    return (
+        skips.join(F.broadcast(lstats), "layout")
+        .join(F.broadcast(matches), "pred_id")
+        .select(
+            "layout",
+            "pred_id",
+            "n_shards",
+            "n_skipped",
+            (
+                F.col("n_skipped").cast("double")
+                / F.col("n_shards").cast("double")
+            ).alias("skip_frac"),
+            "rows_total",
+            "rows_skipped",
+            "n_matches",
+            (
+                F.col("sum_bbox_area").cast("double")
+                / F.col("n_shards").cast("double")
+            ).alias("avg_bbox_area"),
+        )
+        .orderBy("layout", "pred_id")
+    )

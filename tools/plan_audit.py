@@ -83,6 +83,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "broadcast for the raw-rank dominance count — both sides "
         "bounded (scalar / LIMIT 20); the big aggregate only streams",
     },
+    "hilbert_layout_audit": {
+        "BroadcastNestedLoopJoin": "the constant 5-predicate panel "
+        "crossed onto the <=192-row zone frame and one scan of lineitem "
+        "(bounded 5x fan-out) — same scorecard pattern as "
+        "zorder_layout_audit",
+    },
     "zorder_layout_audit": {
         "BroadcastNestedLoopJoin": "1-row max-key scalar onto part + "
         "the constant 5-predicate panel crossed onto the 128-row zone "
