@@ -1026,3 +1026,309 @@ def q_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (0.6931471805599453 * s.cast("double"))
         ).alias("dim_est"),
     )
+
+
+# --- product quantization: ADC recall audit ---------------------------------
+
+# Product quantization is the third leg of the ANN family (LSH buckets,
+# IVF cells, PQ codes): each 64-dim vector becomes 4 codebook ids (one
+# per 16-dim subspace), queries scan an 8-entry distance lookup table
+# per subspace instead of the raw vectors — the memory-bound scale path
+# (4 bytes/vector here vs 256).  Codebooks are 1-Lloyd-iteration k-means
+# over quantized subvectors (hash seeds, argmax q·c − |c|²/2, integer
+# centroid sums — the operators/kmeans discipline), so the whole encode/
+# ADC/recall pipeline is hash-matched against an unrolled SQL oracle.
+
+PQ_M = 4
+PQ_SUBD = 16
+PQ_K = 8
+PQ_PANEL = 16
+PQ_TOPK = 5
+
+_PQ_SEED_H = (
+    "CAST('0x' || substr(md5('pqseed_' || CAST(id AS VARCHAR)), 1, 15) "
+    "AS BIGINT)"
+)
+_PQ_PANEL_H = (
+    "CAST('0x' || substr(md5('pqpanel_' || CAST(id AS VARCHAR)), 1, 15) "
+    "AS BIGINT)"
+)
+
+
+def _pq_assign_cte(name: str, cents: str) -> str:
+    return f"""
+{name} AS (
+    SELECT m, id, sub, cell FROM (
+        SELECT s.m, s.id, s.sub, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.m, s.id
+                   ORDER BY (list_dot_product(
+                                 list_transform(s.sub, x -> CAST(x AS DOUBLE)),
+                                 c.cv)
+                             - list_dot_product(c.cv, c.cv) / 2) DESC,
+                            c.cell
+               ) AS rk
+        FROM subs s JOIN {cents} c ON s.m = c.m
+    ) WHERE rk = 1
+)
+"""
+
+
+_PQ_MS = ", ".join(str(m) for m in range(PQ_M))
+_PQ_CODE_COLS = ", ".join(
+    f"MAX(CASE WHEN m = {m} THEN cell END) AS c{m}" for m in range(PQ_M)
+)
+_PQ_LUT_JOINS = "\n".join(
+    f"    JOIN lut l{m} ON l{m}.qid = p.qid AND l{m}.m = {m}"
+    f" AND l{m}.cell = w.c{m}"
+    for m in range(PQ_M)
+)
+_PQ_ADC_SUM = "((l0.dm + l1.dm) + l2.dm) + l3.dm"
+
+PQ_RECALL_ORACLE = (
+    f"""
+WITH q AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT)) AS qv
+    FROM embeddings
+),
+subs AS (
+    SELECT id, m, qv[{PQ_SUBD}*m+1 : {PQ_SUBD}*m+{PQ_SUBD}] AS sub
+    FROM q, (SELECT unnest([{_PQ_MS}]) AS m) ms
+),
+seed_ids AS (
+    SELECT id FROM q ORDER BY {_PQ_SEED_H}, id LIMIT {PQ_K}
+),
+seeds AS (
+    SELECT s.m, s.id AS cell,
+           list_transform(s.sub, x -> CAST(x AS DOUBLE)) AS cv
+    FROM subs s JOIN seed_ids USING (id)
+),"""
+    + _pq_assign_cte("a0", "seeds")
+    + """,
+cent1 AS (
+    SELECT m, cell, list(v ORDER BY dim) AS cv FROM (
+        SELECT m, cell, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS v
+        FROM (SELECT m, cell, generate_subscripts(sub, 1) AS dim,
+                     unnest(sub) AS v
+              FROM a0)
+        GROUP BY m, cell, dim
+    ) GROUP BY m, cell
+),"""
+    + _pq_assign_cte("a1", "cent1")
+    + f""",
+codesw AS (
+    SELECT id AS nid, {_PQ_CODE_COLS} FROM a1 GROUP BY id
+),
+panel AS (
+    SELECT id AS qid, qv FROM q ORDER BY {_PQ_PANEL_H}, id LIMIT {PQ_PANEL}
+),
+psubs AS (
+    SELECT qid, m,
+           list_transform(qv[{PQ_SUBD}*m+1 : {PQ_SUBD}*m+{PQ_SUBD}],
+                          x -> CAST(x AS DOUBLE)) AS qsub
+    FROM panel, (SELECT unnest([{_PQ_MS}]) AS m) ms
+),
+lut AS (
+    SELECT p.qid, p.m, c.cell, list_dot_product(p.qsub, c.cv) AS dm
+    FROM psubs p JOIN cent1 c ON p.m = c.m
+),
+adc AS (
+    SELECT p.qid, w.nid, {_PQ_ADC_SUM} AS adc_ip
+    FROM panel p
+    CROSS JOIN codesw w
+{_PQ_LUT_JOINS}
+    WHERE w.nid <> p.qid
+),
+exact AS (
+    SELECT p.qid, g.id AS nid,
+           list_dot_product(list_transform(p.qv, x -> CAST(x AS DOUBLE)),
+                            list_transform(g.qv, x -> CAST(x AS DOUBLE)))
+               AS ip
+    FROM panel p JOIN q g ON g.id <> p.qid
+),
+re AS (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS r
+    FROM exact
+),
+ra AS (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_ip DESC, nid) AS r
+    FROM adc
+),
+ov AS (
+    SELECT re.qid, COUNT(ra.nid) AS n_overlap
+    FROM re LEFT JOIN ra ON ra.qid = re.qid AND ra.nid = re.nid
+                         AND ra.r <= {PQ_TOPK}
+    WHERE re.r <= {PQ_TOPK}
+    GROUP BY re.qid
+)
+SELECT n_overlap AS overlap_at_{PQ_TOPK},
+       CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM ov GROUP BY n_overlap ORDER BY overlap_at_{PQ_TOPK}
+"""
+)
+
+
+@register("pq_adc_recall", PQ_RECALL_ORACLE)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization recall audit: overlap@5 histogram between
+    exact inner-product top-5 and PQ asymmetric-distance top-5 for a
+    16-query hash panel.
+
+    Scale shape is the real PQ serving path: gallery vectors are
+    reduced to 4 small codebook ids (one groupBy pivot), each query
+    precomputes a 4x8-entry LUT against the broadcast codebooks, and
+    ranking joins the (query x gallery) code frame against the LUT —
+    the per-candidate cost is 4 hash-join lookups + 3 additions,
+    independent of dimensionality.  Every frame except the 16 x n
+    scoring pairs is constant-size; codebook training is one Lloyd
+    iteration of the operators/kmeans integer discipline per subspace.
+    """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.functions.vectors import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    ).persist()
+    subs = q.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("qv", PQ_SUBD * m + 1, PQ_SUBD) for m in range(PQ_M)])
+        ).alias("m", "sub"),
+    )
+    seed_ids = (
+        q.orderBy(
+            hex_hash64(F.concat(F.lit("pqseed_"), F.col("id").cast("string"))),
+            "id",
+        )
+        .limit(PQ_K)
+        .select("id")
+    )
+    seeds = subs.join(F.broadcast(seed_ids), "id").select(
+        "m",
+        F.col("id").alias("cell"),
+        F.transform("sub", lambda x: x.cast("double")).alias("cv"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cents), "m").select(
+            "m",
+            "id",
+            "sub",
+            "cell",
+            (
+                dot_product("sub", "cv")
+                - dot_product("cv", "cv") / F.lit(2.0)
+            ).alias("_s"),
+        )
+        w = Window.partitionBy("m", "id").orderBy(F.desc("_s"), F.asc("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("m", "id", "sub", "cell")
+        )
+
+    a0 = assign(seeds)
+    cent1 = (
+        a0.select("m", "cell", F.posexplode("sub").alias("dim", "v"))
+        .groupBy("m", "cell", "dim")
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("v"))
+        .groupBy("m", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ).alias("cv")
+        )
+        .persist()
+    )
+    a1 = assign(cent1)
+    codesw = a1.groupBy(F.col("id").alias("nid")).agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cell"))).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    panel = (
+        q.orderBy(
+            hex_hash64(F.concat(F.lit("pqpanel_"), F.col("id").cast("string"))),
+            "id",
+        )
+        .limit(PQ_PANEL)
+        .select(F.col("id").alias("qid"), "qv")
+        .persist()
+    )
+    psubs = panel.select(
+        "qid",
+        F.posexplode(
+            F.array(*[F.slice("qv", PQ_SUBD * m + 1, PQ_SUBD) for m in range(PQ_M)])
+        ).alias("m", "qsub_i"),
+    ).select(
+        "qid",
+        "m",
+        F.transform("qsub_i", lambda x: x.cast("double")).alias("qsub"),
+    )
+    lut = psubs.join(F.broadcast(cent1), "m").select(
+        "qid", "m", "cell", dot_product("qsub", "cv").alias("dm")
+    )
+    pairs = F.broadcast(panel.select("qid")).crossJoin(codesw)
+    for m in range(PQ_M):
+        lm = lut.filter(F.col("m") == m).select(
+            F.col("qid").alias(f"_q{m}"),
+            F.col("cell").alias(f"_c{m}"),
+            F.col("dm").alias(f"dm{m}"),
+        )
+        pairs = pairs.join(
+            F.broadcast(lm),
+            (F.col("qid") == F.col(f"_q{m}")) & (F.col(f"c{m}") == F.col(f"_c{m}")),
+        ).drop(f"_q{m}", f"_c{m}")
+    adc = pairs.filter(F.col("nid") != F.col("qid")).select(
+        "qid",
+        "nid",
+        (
+            (F.col("dm0") + F.col("dm1")) + F.col("dm2") + F.col("dm3")
+        ).alias("adc_ip"),
+    )
+    gal = q.select(F.col("id").alias("nid"), F.col("qv").alias("gv"))
+    exact = (
+        F.broadcast(panel)
+        .join(gal, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", dot_product("qv", "gv").alias("ip"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("ip"), F.asc("nid"))
+    wa = Window.partitionBy("qid").orderBy(F.desc("adc_ip"), F.asc("nid"))
+    re = (
+        exact.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= PQ_TOPK)
+        .select("qid", "nid")
+    )
+    ra = (
+        adc.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= PQ_TOPK)
+        .select("qid", F.col("nid").alias("anid"))
+    )
+    ov = (
+        re.join(
+            ra,
+            (re.qid == ra.qid) & (re.nid == ra.anid),
+            "left",
+        )
+        .groupBy(re.qid)
+        .agg(F.count("anid").alias("n_overlap"))
+    )
+    return (
+        ov.groupBy("n_overlap")
+        .agg(F.count("*").alias("n_queries"))
+        .select(
+            F.col("n_overlap").alias(f"overlap_at_{PQ_TOPK}"), "n_queries"
+        )
+        .orderBy(f"overlap_at_{PQ_TOPK}")
+    )

@@ -537,6 +537,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge — one window over O(#partitions) rows (bounded by "
         "cluster size, not data), same as vocab_coverage",
     },
+    "pq_adc_recall": {
+        "BroadcastNestedLoopJoin": "the 16-row constant query panel "
+        "(TakeOrdered limit 16) broadcast-crossed onto the gallery code "
+        "frame / raw gallery with a non-equi self-exclusion — fanout is "
+        "16 x |gallery|, linear; codebooks and LUTs are constant-size "
+        "broadcasts (same pattern as quantization_recall)",
+    },
     "quantization_recall": {
         "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
         "(TakeOrdered limit 32) broadcast-crossed over the gallery with a "
