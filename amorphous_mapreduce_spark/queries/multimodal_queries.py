@@ -259,3 +259,171 @@ def q_media_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "nid")
     )
+
+
+# --- perceptual-hash (aHash) near-dup over media blobs -----------------------
+
+# Average-hash dedup: 64 pseudo-pixels per blob (the fake_decoder byte-
+# pair pooling), one 64-bit fingerprint (bit i = pixel i above the blob
+# mean — integer compare ps*64 > total, no division), split into four
+# 16-bit bands for pigeonhole blocking.  Sibling blobs (2k, 2k+1) share
+# everything but the last two bytes, so their prints differ by <= 2 bits
+# and MUST collide on >= 1 band, while unrelated md5 blobs sit ~32 bits
+# apart (measured floor 21) with no band collision — the expected output
+# is exactly the 32 sibling pairs, a built-in invariant.
+
+AHASH_HAM_T = 8
+
+_AHASH_HX = (
+    " || ".join(f"md5((r.range // 2) || '_ah{i}')" for i in range(7))
+    + " || (substr(md5((r.range // 2) || '_aht'), 1, 28)"
+    " || substr(md5(r.range || '_ahx'), 1, 4))"
+)
+
+AHASH_ORACLE = f"""
+WITH media AS (
+    SELECT r.range AS media_id, {_AHASH_HX} AS hx FROM range({N_MEDIA}) r
+),
+px AS (
+    SELECT media_id, i.range AS i,
+           CAST('0x' || substr(hx, CAST(4*i.range+1 AS BIGINT), 2) AS BIGINT)
+           + CAST('0x' || substr(hx, CAST(4*i.range+3 AS BIGINT), 2)
+                  AS BIGINT) AS ps
+    FROM media, range(64) i
+),
+tot AS (
+    SELECT media_id, CAST(SUM(ps) AS BIGINT) AS total
+    FROM px GROUP BY media_id
+),
+bits AS (
+    SELECT px.media_id, i, CASE WHEN ps * 64 > total THEN 1 ELSE 0 END AS bit
+    FROM px JOIN tot USING (media_id)
+),
+bands AS (
+    SELECT media_id, i // 16 AS b,
+           CAST(SUM(bit * CAST(pow(2, i % 16) AS BIGINT)) AS BIGINT) AS v
+    FROM bits GROUP BY media_id, i // 16
+),
+prints AS (
+    SELECT media_id,
+           MAX(CASE WHEN b = 0 THEN v END) AS b0,
+           MAX(CASE WHEN b = 1 THEN v END) AS b1,
+           MAX(CASE WHEN b = 2 THEN v END) AS b2,
+           MAX(CASE WHEN b = 3 THEN v END) AS b3
+    FROM bands GROUP BY media_id
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS qid, c.media_id AS nid
+    FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+                              AND a.media_id < c.media_id
+),
+ham AS (
+    SELECT cand.qid, cand.nid,
+           CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+                + bit_count(xor(pa.b2, pb.b2))
+                + bit_count(xor(pa.b3, pb.b3)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN prints pa ON pa.media_id = cand.qid
+    JOIN prints pb ON pb.media_id = cand.nid
+)
+SELECT qid, nid, hamming,
+       (qid % 2 = 0 AND nid = qid + 1) AS is_sibling
+FROM ham WHERE hamming <= {AHASH_HAM_T}
+ORDER BY qid, nid
+"""
+
+
+@register("media_ahash_near_dup", AHASH_ORACLE)
+def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash near-duplicate pairs over media blobs.
+
+    The 100 TB shape: fingerprints are 4 x 16-bit band integers, so
+    candidate generation is a hash EQUI-join on (band, value) — the
+    simhash pigeonhole discipline applied to image hashes — and the
+    exact Hamming verify runs only on collisions.  Everything is
+    integer arithmetic (the above-mean bit threshold is ps*64 > total);
+    the 1-pixel sibling corruption keeps true pairs <= 2 bits apart
+    while unrelated blobs never collide on a band (measured gap:
+    2 vs 21 bits).
+    """
+    g = F.expr("CAST(id div 2 AS STRING)")
+    hx = F.concat(
+        *[F.md5(F.concat(g, F.lit(f"_ah{i}"))) for i in range(7)],
+        F.substring(F.md5(F.concat(g, F.lit("_aht"))), 1, 28),
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("_ahx"))), 1, 4
+        ),
+    )
+    media = spark.range(N_MEDIA).select(
+        F.col("id").alias("media_id"), hx.alias("hx")
+    )
+    px = media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "hx",
+    ).select(
+        "media_id",
+        "i",
+        F.expr(
+            "CAST(conv(substr(hx, 4*i+1, 2), 16, 10) AS BIGINT)"
+            " + CAST(conv(substr(hx, 4*i+3, 2), 16, 10) AS BIGINT)"
+        ).alias("ps"),
+    )
+    tot = px.groupBy("media_id").agg(F.sum("ps").alias("total"))
+    bits = px.join(tot, "media_id").select(
+        "media_id",
+        "i",
+        F.when(F.col("ps") * 64 > F.col("total"), 1).otherwise(0).alias("bit"),
+    )
+    bands = bits.groupBy(
+        "media_id", F.expr("i div 16").alias("b")
+    ).agg(
+        F.sum(
+            F.expr("bit * CAST(pow(2, i % 16) AS BIGINT)")
+        ).alias("v")
+    ).persist()
+    prints = bands.groupBy("media_id").agg(
+        *[
+            F.max(F.when(F.col("b") == b, F.col("v"))).alias(f"b{b}")
+            for b in range(4)
+        ]
+    ).persist()
+    a = bands.select(F.col("media_id").alias("qid"), "b", "v")
+    c = bands.select(F.col("media_id").alias("nid"), "b", "v")
+    cand = (
+        a.join(c, ["b", "v"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    pa = prints.select(
+        F.col("media_id").alias("qid"),
+        *[F.col(f"b{b}").alias(f"qa{b}") for b in range(4)],
+    )
+    pb = prints.select(
+        F.col("media_id").alias("nid"),
+        *[F.col(f"b{b}").alias(f"qb{b}") for b in range(4)],
+    )
+    ham = (
+        cand.join(pa, "qid")
+        .join(pb, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.expr(
+                "CAST(bit_count(qa0 ^ qb0) + bit_count(qa1 ^ qb1)"
+                " + bit_count(qa2 ^ qb2) + bit_count(qa3 ^ qb3) AS INT)"
+            ).alias("hamming"),
+        )
+    )
+    return (
+        ham.filter(F.col("hamming") <= AHASH_HAM_T)
+        .select(
+            "qid",
+            "nid",
+            "hamming",
+            ((F.col("qid") % 2 == 0) & (F.col("nid") == F.col("qid") + 1))
+            .alias("is_sibling"),
+        )
+        .orderBy("qid", "nid")
+    )

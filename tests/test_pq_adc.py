@@ -21,3 +21,15 @@ def test_pq_adc_recall_histogram(spark):
         assert r["n_queries"] > 0
     # PQ with trained codebooks must beat the all-zero-overlap floor
     assert any(r[f"overlap_at_{PQ_TOPK}"] > 0 for r in rows)
+
+
+def test_media_ahash_finds_exactly_sibling_pairs(spark):
+    from amorphous_mapreduce_spark import queries_registry as qr
+    from amorphous_mapreduce_spark.queries.multimodal_queries import N_MEDIA
+
+    rows = qr.QUERIES["media_ahash_near_dup"](spark, SF_SMOKE).collect()
+    pairs = {(r["qid"], r["nid"]) for r in rows}
+    expected = {(2 * k, 2 * k + 1) for k in range(N_MEDIA // 2)}
+    assert pairs == expected
+    assert all(r["is_sibling"] for r in rows)
+    assert all(r["hamming"] <= 2 for r in rows)
