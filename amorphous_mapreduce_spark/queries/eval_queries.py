@@ -2457,3 +2457,168 @@ def q_shapley_lang_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- rank-1 ALS matrix factorization (fixed-point, exact) --------------------
+
+# Alternating least squares on the (customer x part) implicit-count
+# matrix, rank 1, in Q20 fixed point: each half-sweep is the exact
+# closed form u = Sum(r*v)/Sum(v^2) floor-quantized to 2^-20 — so the
+# iterative factorization is pure integer dataflow, replayable in SQL.
+# Sweep order: u from v0=1, v from u, u again from v; then the fit is
+# scored against the observed cells and compared to the global-mean
+# baseline (n*Srr - Sr^2 exact-integer SSE identity).
+
+_ALS_Q = 1048576  # 2^20
+_ALS_Q2 = 1099511627776  # 2^40
+
+
+def _als_oracle() -> str:
+    return f"""
+WITH r AS (
+    SELECT o.o_custkey AS u, l.l_partkey AS it,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS r
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+uu AS (
+    SELECT u, (CAST(SUM(r) AS BIGINT) * {_ALS_Q2})
+               // (COUNT(*) * {_ALS_Q}) AS uf
+    FROM r GROUP BY u
+),
+vv AS (
+    SELECT it, ({_ALS_Q} * CAST(SUM(r * uf) AS BIGINT))
+                // (CAST(SUM(uf * uf) AS BIGINT) // {_ALS_Q}) AS vf
+    FROM r JOIN uu USING (u) GROUP BY it
+),
+u2 AS (
+    SELECT u, ({_ALS_Q} * CAST(SUM(r * vf) AS BIGINT))
+               // (CAST(SUM(vf * vf) AS BIGINT) // {_ALS_Q}) AS uf2
+    FROM r JOIN vv USING (it) GROUP BY u
+),
+err AS (
+    SELECT r.r, (r.r * {_ALS_Q2} - u2.uf2 * vv.vf) // {_ALS_Q} AS e
+    FROM r JOIN u2 USING (u) JOIN vv USING (it)
+),
+se AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS sr,
+           CAST(SUM(r * r) AS BIGINT) AS srr,
+           CAST((SUM(CAST(e * e AS HUGEINT)) // {_ALS_Q}) AS BIGINT) AS s_hi,
+           CAST((SUM(CAST(e * e AS HUGEINT)) % {_ALS_Q}) AS BIGINT) AS s_lo
+    FROM err
+),
+cnts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uu) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vv) AS n_items
+)
+SELECT n_users, n_items, n AS n_ratings,
+       sqrt((CAST(s_hi AS DOUBLE) * {_ALS_Q}.0 + CAST(s_lo AS DOUBLE))
+            / CAST(n AS DOUBLE)) / {_ALS_Q}.0 AS rmse_als,
+       1.0 - ((CAST(s_hi AS DOUBLE) * {_ALS_Q}.0 + CAST(s_lo AS DOUBLE))
+              / {_ALS_Q2}.0)
+             / (CAST(n * srr - sr * sr AS DOUBLE) / CAST(n AS DOUBLE))
+           AS r2_vs_mean
+FROM se CROSS JOIN cnts
+"""
+
+
+@register("als_rank1_backtest", _als_oracle())
+def q_als_rank1_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS on the customer x part purchase-count matrix with an
+    exact fixed-point fit report.
+
+    Each half-sweep is ONE keyed join (ratings x current factors) +
+    ONE grouped aggregation — the canonical distributed ALS step; no
+    factor ever leaves the cluster.  Q20 floor quantization after every
+    closed-form update makes the iteration deterministic and
+    SQL-replayable (same discipline as HITS/power-iteration); the
+    squared-error sum rides DECIMAL(38,0)/HUGEINT with the hi/lo int64
+    split, and the global-mean baseline uses the n*Srr - Sr^2 identity
+    so r2_vs_mean is one fixed double expression.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("r"))
+        .persist()
+    )
+    uu = r.groupBy("u").agg(
+        F.expr(
+            f"(CAST(SUM(r) AS BIGINT) * {_ALS_Q2}) div (COUNT(*) * {_ALS_Q})"
+        ).alias("uf")
+    )
+    vv = (
+        r.join(uu, "u")
+        .groupBy("it")
+        .agg(
+            F.expr(
+                f"({_ALS_Q} * CAST(SUM(r * uf) AS BIGINT))"
+                f" div (CAST(SUM(uf * uf) AS BIGINT) div {_ALS_Q})"
+            ).alias("vf")
+        )
+        .persist()
+    )
+    u2 = (
+        r.join(vv, "it")
+        .groupBy("u")
+        .agg(
+            F.expr(
+                f"({_ALS_Q} * CAST(SUM(r * vf) AS BIGINT))"
+                f" div (CAST(SUM(vf * vf) AS BIGINT) div {_ALS_Q})"
+            ).alias("uf2")
+        )
+    )
+    err = (
+        r.join(u2, "u")
+        .join(vv, "it")
+        .select(
+            "r",
+            F.expr(f"(r * {_ALS_Q2} - uf2 * vf) div {_ALS_Q}").alias("e"),
+        )
+    )
+    se = err.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)")).alias("_s"),
+    ).select(
+        "n",
+        "sr",
+        "srr",
+        (
+            (F.col("_s") - F.pmod(F.col("_s"), F.lit(_ALS_Q))) / F.lit(_ALS_Q)
+        )
+        .cast("long")
+        .alias("s_hi"),
+        F.pmod(F.col("_s"), F.lit(_ALS_Q)).cast("long").alias("s_lo"),
+    )
+    cnts = (
+        uu.agg(F.count("*").alias("n_users"))
+        .crossJoin(vv.agg(F.count("*").alias("n_items")))
+    )
+    sdoub = F.col("s_hi").cast("double") * F.lit(float(_ALS_Q)) + F.col(
+        "s_lo"
+    ).cast("double")
+    return se.crossJoin(F.broadcast(cnts)).select(
+        "n_users",
+        "n_items",
+        F.col("n").alias("n_ratings"),
+        (
+            F.sqrt(sdoub / F.col("n").cast("double")) / F.lit(float(_ALS_Q))
+        ).alias("rmse_als"),
+        (
+            F.lit(1.0)
+            - (sdoub / F.lit(float(_ALS_Q2)))
+            / (
+                (F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")).cast(
+                    "double"
+                )
+                / F.col("n").cast("double")
+            )
+        ).alias("r2_vs_mean"),
+    )

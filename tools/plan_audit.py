@@ -537,6 +537,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "merge — one window over O(#partitions) rows (bounded by "
         "cluster size, not data), same as vocab_coverage",
     },
+    "als_rank1_backtest": {
+        "BroadcastNestedLoopJoin": "1-row scalar crosses only: the "
+        "(n_users x n_items) count pair and the final SSE scorecard "
+        "row — every data-sized step is a keyed join + grouped agg",
+    },
     "pq_adc_recall": {
         "BroadcastNestedLoopJoin": "the 16-row constant query panel "
         "(TakeOrdered limit 16) broadcast-crossed onto the gallery code "
