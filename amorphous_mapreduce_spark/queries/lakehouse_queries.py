@@ -229,3 +229,139 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pb").alias("pb_max"),
         )
     )
+
+
+# --- CDC net-effect compaction -----------------------------------------------
+
+# The change-data-feed compaction a lakehouse MERGE pipeline runs: the
+# event stream is read as a per-user changelog (signup=INSERT, click/
+# view/purchase=UPSERT, error=DELETE, ordered by ts then event_id), and
+# compaction reduces each key to its NET effect — present/absent plus
+# the surviving value.  Two independent mechanisms compute the survivor
+# (keyed ROW_NUMBER window vs no-later-op anti-join) and the output
+# counts any disagreement — a self-auditing proof, like
+# incremental_agg_maintenance.
+
+CDC_ORACLE = """
+WITH log AS (
+    SELECT user_id AS k, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type = 'signup' THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'upsert' END AS op,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT k, op, cents FROM (
+        SELECT k, op, cents,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY us DESC, event_id DESC) AS rk
+        FROM log
+    ) WHERE rk = 1
+),
+aj AS (
+    SELECT a.k, a.op, a.cents
+    FROM log a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM log b
+        WHERE b.k = a.k
+          AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+    )
+)
+SELECT w.op AS final_op,
+       (w.op <> 'delete') AS present,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN w.op <> 'delete' THEN w.cents ELSE 0 END)
+            AS BIGINT) AS sum_final_cents,
+       CAST(SUM(CASE WHEN w.op <> aj.op OR w.cents <> aj.cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_method_mismatch
+FROM w JOIN aj ON w.k = aj.k
+GROUP BY w.op
+ORDER BY final_op
+"""
+
+
+@register("cdc_net_effect_compaction", CDC_ORACLE)
+def q_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect compaction of a keyed changelog with a built-in
+    two-method survivor proof.
+
+    Both survivor mechanisms are scale-safe: the window is keyed per
+    user, and the anti-join is a keyed self-join on the same key (at
+    100 TB the window form wins — one shuffle — which is exactly what
+    the mismatch column certifies it is allowed to do).  Output is the
+    compaction scorecard per surviving op class.
+    """
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"),
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).persist()
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("k").orderBy(F.desc("us"), F.desc("event_id"))
+    w = (
+        log.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("k", "op", "cents")
+    )
+    b = log.select(
+        F.col("k").alias("bk"),
+        F.col("us").alias("bus"),
+        F.col("event_id").alias("bid"),
+    )
+    aj = (
+        log.alias("a")
+        .join(
+            b,
+            (F.col("a.k") == F.col("bk"))
+            & (
+                (F.col("bus") > F.col("a.us"))
+                | (
+                    (F.col("bus") == F.col("a.us"))
+                    & (F.col("bid") > F.col("a.event_id"))
+                )
+            ),
+            "left_anti",
+        )
+        .select(
+            F.col("k").alias("ak"),
+            F.col("op").alias("aop"),
+            F.col("cents").alias("acents"),
+        )
+    )
+    return (
+        w.join(aj, w.k == aj.ak)
+        .groupBy(F.col("op").alias("final_op"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(
+                F.when(F.col("op") != "delete", F.col("cents")).otherwise(0)
+            ).alias("sum_final_cents"),
+            F.sum(
+                F.when(
+                    (F.col("op") != F.col("aop"))
+                    | (F.col("cents") != F.col("acents")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_method_mismatch"),
+        )
+        .select(
+            "final_op",
+            (F.col("final_op") != "delete").alias("present"),
+            "n_keys",
+            "sum_final_cents",
+            "n_method_mismatch",
+        )
+        .orderBy("final_op")
+    )
