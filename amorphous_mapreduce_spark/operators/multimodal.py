@@ -58,11 +58,41 @@ MEDIA_SCHEMA = StructType(
 
 
 def default_decoder(content: bytes, meta: dict) -> "object":
-    """Stub decoder: the codec layer is NOT implemented in this container.
+    """Real-codec decode when a library is importable, loud raise when not.
 
-    Raises so that accidental use is loud; tests and the synthetic
-    pipeline use ``fake_decoder`` instead.
+    Attempts, at call time (executor-side, so a cluster with PIL or
+    soundfile installed lights up without engine changes —
+    VERDICT_r03 item 4):
+
+    - image: ``PIL.Image`` over the raw bytes -> float64 pixel array
+      scaled to [0, 1];
+    - audio: ``soundfile`` -> float64 sample array.
+
+    Falls back to the loud ``NotImplementedError`` if no codec library
+    exists in the environment (the state of this container); tests and
+    the synthetic pipeline use ``fake_decoder`` instead.
     """
+    import io
+
+    mtype = (meta or {}).get("media_type")
+    if mtype == "image":
+        try:
+            import numpy as np
+            from PIL import Image  # noqa: PLC0415 — optional, probed at call time
+
+            img = Image.open(io.BytesIO(content))
+            return np.asarray(img, dtype=np.float64).ravel() / 255.0
+        except ImportError:
+            pass
+    elif mtype == "audio":
+        try:
+            import numpy as np
+            import soundfile  # noqa: PLC0415 — optional, probed at call time
+
+            data, _sr = soundfile.read(io.BytesIO(content))
+            return np.asarray(data, dtype=np.float64).ravel()
+        except ImportError:
+            pass
     raise NotImplementedError(
         "media decode requires an image/audio library not present in this "
         "environment; pass decoder=fake_decoder or a real codec-backed "

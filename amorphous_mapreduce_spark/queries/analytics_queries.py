@@ -3849,7 +3849,7 @@ edges AS (
     UNION ALL
     SELECT pb AS u, pa AS v, 1 + 1000 // ab AS w FROM pairs
 ),
-srcp AS (SELECT MIN(u) AS s FROM edges),
+srcp AS (SELECT pa AS s FROM pairs ORDER BY ab DESC, pa, pb LIMIT 1),
 d0 AS (SELECT s AS p, CAST(0 AS BIGINT) AS dist FROM srcp)
 """
 
@@ -3879,20 +3879,10 @@ ORDER BY dist, part LIMIT {BF_TOP}
 )
 
 
-@register("bellman_ford_part_distances", BF_ORACLE)
-def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-round Bellman-Ford from the smallest part key over the weighted
-    co-purchase graph.
-
-    Scale shape: the adjacency build is the bounded basket self-join
-    (fanout k² per order); each relaxation round is one shuffle join on
-    the frontier key + a grouped MIN, and the settled frame is
-    persisted per round because it feeds BOTH the carry-over branch and
-    the relaxation join (the shared-lineage gotcha).  Rounds are a
-    fixed constant so the plan is static and oracle-unrollable; a
-    production run to convergence would relax only the changed frontier
-    per round (delta stepping), same per-round plan.
-    """
+def _bf_graph(spark: SparkSession, sf_dir: str):
+    """Weighted co-purchase adjacency (persisted) + the deterministic
+    high-degree seed: the `pa` endpoint of the max-support edge,
+    tie-broken by (pa, pb)."""
     li = _t(spark, sf_dir, "lineitem")
     items = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -3906,16 +3896,42 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("ab"))
         .filter(F.col("ab") >= 2)
-        .select("pa", "pb", F.expr("1 + 1000 div ab").alias("w"))
+        .persist()  # feeds both edge-direction branches AND the seed pick
     )
+    w = F.expr("1 + 1000 div ab").alias("w")
     edges = (
-        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"), "w")
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"), w)
         .unionByName(
-            pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "w")
+            pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"), w)
         )
         .persist()
     )
-    src = edges.agg(F.min("u").alias("p"))
+    src = (
+        pairs.orderBy(F.desc("ab"), "pa", "pb")
+        .limit(1)
+        .select(F.col("pa").alias("p"))
+    )
+    return edges, src
+
+
+@register("bellman_ford_part_distances", BF_ORACLE)
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round Bellman-Ford from a deterministic high-degree seed (the
+    `pa` endpoint of the max-support edge, tie-broken by key) over the
+    weighted co-purchase graph.  Seeding from MIN(u) degenerated at
+    sf0.1 — the smallest part key landed in a 2-node component so the
+    rounds relaxed almost nothing (ADVICE_r03 item 3).
+
+    Scale shape: the adjacency build is the bounded basket self-join
+    (fanout k² per order); each relaxation round is one shuffle join on
+    the frontier key + a grouped MIN, and the settled frame is
+    persisted per round because it feeds BOTH the carry-over branch and
+    the relaxation join (the shared-lineage gotcha).  Rounds are a
+    fixed constant so the plan is static and oracle-unrollable; a
+    production run to convergence would relax only the changed frontier
+    per round (delta stepping), same per-round plan.
+    """
+    edges, src = _bf_graph(spark, sf_dir)
     dist = src.select("p", F.lit(0).cast("long").alias("dist")).persist()
     for _ in range(BF_ROUNDS):
         # fresh aliases per round: dist derives from edges after round 1,
@@ -3947,3 +3963,123 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "part")
         .limit(BF_TOP)
     )
+
+
+# --- Delta-frontier Bellman-Ford (VERDICT_r03 item 5) -----------------------
+
+# The production shape the plain query's docstring promised: each round
+# relaxes ONLY the rows whose distance improved last round (the
+# frontier), not the whole settled frame — at 100 TB the frontier decays
+# towards the graph fringe while the settled set keeps growing, so
+# per-round work tracks the frontier, not the corpus.  Per-round
+# frontier sizes ship as proof columns (pure dataflow: four 1-row
+# aggregates cross-joined at the end, no driver counts), making the
+# shrink auditable in the output itself.  Final distances are provably
+# identical to full relaxation: a node whose distance did not change in
+# round k-1 already had all its out-relaxations applied when it last
+# changed.
+
+
+def _bfd_round_cte(k: int) -> str:
+    return f"""
+c{k} AS MATERIALIZED (
+    SELECT e.v AS p, MIN(f.dist + e.w) AS dist
+    FROM f{k - 1} f JOIN edges e ON e.u = f.p
+    GROUP BY e.v
+),
+f{k} AS MATERIALIZED (
+    SELECT c.p, c.dist FROM c{k} c LEFT JOIN d{k - 1} d ON c.p = d.p
+    WHERE d.p IS NULL OR c.dist < d.dist
+),
+d{k} AS MATERIALIZED (
+    SELECT p, MIN(dist) AS dist FROM (
+        SELECT p, dist FROM d{k - 1}
+        UNION ALL
+        SELECT p, dist FROM f{k}
+    ) GROUP BY p
+)
+"""
+
+
+BFD_ORACLE = (
+    "WITH "
+    + _BF_EDGE_CTE
+    + ", f0 AS (SELECT p, dist FROM d0),"
+    + ",".join(_bfd_round_cte(k) for k in range(1, BF_ROUNDS + 1))
+    + f"""
+SELECT d.p AS part, d.dist,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f1) AS frontier_1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f2) AS frontier_2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f3) AS frontier_3,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f4) AS frontier_4
+FROM d{BF_ROUNDS} d
+ORDER BY d.dist, d.p LIMIT {BF_TOP}
+"""
+)
+
+
+@register("bellman_ford_delta_frontier", BFD_ORACLE)
+def q_bellman_ford_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-frontier Bellman-Ford: relax only last round's improved rows.
+
+    Same graph, seed, weights, and round count as
+    bellman_ford_part_distances, but round k joins the FRONTIER (rows
+    improved in round k-1) against the adjacency instead of the whole
+    settled frame, then anti-filters candidates against the settled
+    distances (left join + keep null-or-better).  frontier_1..4 proof
+    columns expose the per-round frontier size so the shrink is part of
+    the hash-checked output.  Reference analog: none (graph family
+    extension); the unrolled MATERIALIZED-CTE oracle mirrors the
+    frontier recursion exactly.
+    """
+    edges, src = _bf_graph(spark, sf_dir)
+    # localCheckpoint (eager, MEMORY_AND_DISK, lineage truncation) rather
+    # than persist: the delta recursion references dist TWICE per round
+    # (settled-filter join + merge) on top of the frontier chain, and the
+    # un-truncated 4-round plan OOMs a default-1g driver JVM — the
+    # operators/graph convergence-loop convention applies.
+    dist = src.select(
+        "p", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    fsizes = []
+    for k in range(1, BF_ROUNDS + 1):
+        cand = (
+            frontier.select(F.col("p").alias("fp"), F.col("dist").alias("fd"))
+            .join(
+                edges.select(
+                    F.col("u").alias("eu"),
+                    F.col("v").alias("ev"),
+                    F.col("w").alias("ew"),
+                ),
+                F.col("fp") == F.col("eu"),
+            )
+            .groupBy(F.col("ev").alias("p"))
+            .agg(F.min(F.col("fd") + F.col("ew")).alias("cdist"))
+        )
+        improved = (
+            cand.join(
+                dist.select(F.col("p").alias("dp"), F.col("dist").alias("dd")),
+                F.col("p") == F.col("dp"),
+                "left_outer",
+            )
+            .filter(F.col("dd").isNull() | (F.col("cdist") < F.col("dd")))
+            .select("p", F.col("cdist").alias("dist"))
+            # three consumers: the dist merge, next round's frontier,
+            # and the frontier-size aggregate
+            .localCheckpoint()
+        )
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("p")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
+        fsizes.append(
+            improved.agg(F.count("*").cast("long").alias(f"frontier_{k}"))
+        )
+    out = dist.select(F.col("p").alias("part"), "dist")
+    for fs in fsizes:
+        out = out.crossJoin(F.broadcast(fs))
+    return out.orderBy("dist", "part").limit(BF_TOP)

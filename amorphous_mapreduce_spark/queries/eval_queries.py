@@ -687,10 +687,16 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     `//` both truncate toward zero, so every iterate — and hence the
     final quantized eigenvector — is bit-identical cross-engine.
 
-    Scale: after the one corpus-sized Gram aggregate, every iteration
-    touches d² = 4096 rows; the bounded driver loop (8 rounds) follows
-    the operators.graph convergence-loop convention. The matvec is a
-    keyed join on j; the rescale max is a 1-row scalar crossed back."""
+    Scale: after the one corpus-sized Gram aggregate, the post-Gram
+    state is corpus-size-INDEPENDENT (d² = 4096 gram rows + the d=64
+    vector), so all 8 matvec+rescale rounds run inside ONE grouped
+    Arrow kernel — the markov_removal_attribution pattern — instead of
+    the 8-job localCheckpoint chain the round-3 verdict measured at
+    5.1 s of pure scheduling latency (VERDICT_r03 item 3). Python
+    arbitrary-precision ints reproduce the BIGINT arithmetic exactly;
+    the truncating rescale guards the sign (gv may be negative and
+    Python // floors where Spark `div` truncates toward zero — the
+    markov sign guard)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -707,34 +713,38 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(F.sum(F.col("ax") * F.col("bx")).alias("g"))
-        .persist()
     )
-    v = (
-        gram.select(F.col("i").alias("dim"))
-        .distinct()
-        .select("dim", F.lit(PI_SCALE).cast("long").alias("v"))
-        .coalesce(1)
-        .localCheckpoint()
+
+    n_iters, scale = PI_ITERS, PI_SCALE
+
+    def _iterate(pdf):
+        import pandas as pd
+
+        rows = [
+            (int(i_), int(j_), int(g_))
+            for i_, j_, g_ in zip(pdf["i"], pdf["j"], pdf["g"])
+        ]
+        v = {i_: scale for i_, _, _ in rows}
+        for _ in range(n_iters):
+            gv: dict[int, int] = {}
+            for i_, j_, g_ in rows:
+                gv[i_] = gv.get(i_, 0) + g_ * v.get(j_, 0)
+            mx = max(abs(x) for x in gv.values())
+            d_ = max(1, mx // scale)  # mx >= 0 so // == div here
+            # Spark div / DuckDB // truncate toward zero; Python //
+            # floors — route negatives through abs to match.
+            v = {
+                i_: (x // d_ if x >= 0 else -((-x) // d_))
+                for i_, x in gv.items()
+            }
+        return pd.DataFrame(
+            {"dim": list(v.keys()), "v_q": [v[k] for k in v]}
+        )
+
+    return (
+        gram.groupBy(F.lit(0).alias("one"))
+        .applyInPandas(_iterate, "dim int, v_q long")
     )
-    for _ in range(PI_ITERS):
-        # localCheckpoint per round (operators/graph.py convention):
-        # without it the scalar-max crossJoin re-executes the whole
-        # v lineage each iteration — exponential plan growth
-        gv = (
-            gram.join(v, gram["j"] == v["dim"])
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
-            .coalesce(1)
-            .localCheckpoint()
-        )
-        m = gv.agg(F.max(F.abs(F.col("gv"))).alias("mx"))
-        v = gv.crossJoin(F.broadcast(m)).select(
-            F.col("i").alias("dim"),
-            F.expr(
-                f"gv div greatest(CAST(1 AS BIGINT), mx div {PI_SCALE})"
-            ).alias("v"),
-        )
-    return v.select("dim", F.col("v").alias("v_q"))
 
 
 # --- decision stump: optimal split learning ---------------------------------

@@ -1200,7 +1200,10 @@ def q_unigram_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("held"),
     )
-    toks = tokenized(docs).join(sp, "id")
+    # toks feeds BOTH the train-count branch and the held-out scoring
+    # branch: persist so tokenization runs once (shared-lineage
+    # convention; ADVICE_r03 item 4).
+    toks = tokenized(docs).join(sp, "id").persist()
     cw = (
         toks.filter(~F.col("held"))
         .groupBy("word")

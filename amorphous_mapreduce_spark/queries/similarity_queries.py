@@ -726,8 +726,14 @@ def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine.
 
     Scale: ONE linear scan scores the gallery (the brute arm ANN
-    replaces); everything after operates on the 30-candidate frame
-    (30² sims, 8 bounded greedy rounds with localCheckpoint)."""
+    replaces); everything after operates on the 30-candidate frame.
+    The 30² sims stay dataflow (the exact cosine fold), but the 8
+    greedy argmax rounds — pure integer logic over a corpus-size-
+    independent frame — run inside ONE grouped Arrow kernel (the
+    markov/power-iteration pattern; VERDICT_r03 item 3 measured the
+    former 8-round localCheckpoint chain at 2.4 s of scheduling
+    latency). Python ints reproduce the BIGINT comparisons exactly,
+    so the greedy trajectory and oracle hash are unchanged."""
     from amorphous_mapreduce_spark.functions.vectors import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -776,54 +782,51 @@ def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.crossJoin(cb)
         .filter(F.col("ida") != F.col("idb"))
         .select(
-            "ida",
+            F.col("ida").alias("id"),
             "idb",
             F.floor(cosine_similarity("ea", "eb") * F.lit(_MMR_SCALE))
             .cast("long")
             .alias("sim_q"),
         )
-        .coalesce(1)
-        .localCheckpoint()
     )
     scores = cand.select("id", "score_q")
-    selected = (
-        scores.orderBy(F.desc("score_q"), F.asc("id"))
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            "id",
-            "score_q",
-            F.col("score_q").alias("mmr_q"),
+    # per-candidate rows (id, score_q, idb, sim_q): 30 x 29 — bounded,
+    # corpus-size independent, one group
+    feed = scores.join(sims, "id")
+    n_pick = _MMR_K
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        score: dict[int, int] = {}
+        sim: dict[tuple[int, int], int] = {}
+        for id_, sq, idb, s in zip(
+            pdf["id"], pdf["score_q"], pdf["idb"], pdf["sim_q"]
+        ):
+            score[int(id_)] = int(sq)
+            sim[(int(id_), int(idb))] = int(s)
+        first = min(score.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out = [(1, first, score[first], score[first])]
+        chosen = [first]
+        for k in range(2, n_pick + 1):
+            best = None
+            for c, sq in score.items():
+                if c in chosen:
+                    continue
+                mmr = sq - max(sim[(c, t)] for t in chosen)
+                key = (-mmr, c)
+                if best is None or key < best[0]:
+                    best = (key, c, sq, mmr)
+            chosen.append(best[1])
+            out.append((k, best[1], best[2], best[3]))
+        return pd.DataFrame(
+            out, columns=["rank", "id", "score_q", "mmr_q"]
         )
-        .coalesce(1)
-        .localCheckpoint()
+
+    return (
+        feed.groupBy(F.lit(0).alias("one"))
+        .applyInPandas(_greedy, "rank int, id long, score_q long, mmr_q long")
     )
-    for k in range(2, _MMR_K + 1):
-        pen = (
-            sims.join(
-                selected.select(F.col("id").alias("idb")), "idb"
-            )
-            .groupBy(F.col("ida").alias("id"))
-            .agg(F.max("sim_q").alias("max_sel_sim"))
-        )
-        pick = (
-            scores.join(
-                selected.select("id"), "id", "left_anti"
-            )
-            .join(pen, "id")
-            .select(
-                F.lit(k).alias("rank"),
-                "id",
-                "score_q",
-                (F.col("score_q") - F.col("max_sel_sim")).alias("mmr_q"),
-            )
-            .orderBy(F.desc("mmr_q"), F.asc("id"))
-            .limit(1)
-        )
-        selected = (
-            selected.unionByName(pick).coalesce(1).localCheckpoint()
-        )
-    return selected
 
 
 # --- IVF probe-budget recall sweep ---------------------------------------------

@@ -541,16 +541,24 @@ def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie-in: extends the mergeable-sketch family
     (src/op.rs:66-106 VecOp reduce semantics) to set operations."""
-    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.select(F.col("doc_id").alias("id"), "source")
+    # source rides the explode directly (docs carry it), so the plan is
+    # scan -> explode -> partial-distinct: no join-by-id shuffle of every
+    # token row, and the md5 hashing runs AFTER the (source, word)
+    # distinct — vocab-sized work, not corpus-sized (VERDICT_r03 item 7:
+    # the cold pass was the whole driver-visible cost).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sw = (
-        tokenized(docs)
-        .select("id", "word")
-        .join(src, "id")
-        .select("source", hex_hash64("word").alias("h"))
+        docs.repartition(nparts)
+        .select(
+            "source",
+            F.explode(F.split(normalize_text("text"), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
         .distinct()
+        .select("source", hex_hash64("word").alias("h"))
         .persist()
     )
     k = _KMV_K
@@ -568,38 +576,40 @@ def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     per = sw.groupBy("source").agg(F.count("*").alias("n"))
-    srcs = sk.select("source").distinct()
-    pairs = (
-        srcs.select(F.col("source").alias("sa"))
-        .crossJoin(srcs.select(F.col("source").alias("sb")))
-        .filter(F.col("sa") < F.col("sb"))
-    )
-    # Pair-membership rows via two EQUI-joins (never an OR-predicate
-    # nested-loop): each sketch row fans out only to the pairs naming
-    # its source on that side.
-    ma = pairs.join(
-        sk.withColumnRenamed("source", "sa"), "sa"
-    ).select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-    mb = pairs.join(
-        sk.withColumnRenamed("source", "sb"), "sb"
-    ).select("sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
-    ph = (
-        ma.unionByName(mb)
-        .groupBy("sa", "sb", "h")
-        .agg(
-            F.max("in_a").alias("in_a"),
-            F.max("in_b").alias("in_b"),
+
+    # Post-sketch pair merge: the state is k·#sources rows — bounded by
+    # CONSTANTS at any corpus size — so all-pairs sketch unions run in
+    # ONE grouped kernel (the markov/power-iteration pattern) instead of
+    # the former 6-shuffle pair/membership/rank chain, which was pure
+    # scheduling latency (VERDICT_r03 item 7). Python ints mirror the
+    # oracle's rank-over-sorted-union exactly: per pair, the union of
+    # the two bottom-k sketches sorted ascending, kth_h = the hash at
+    # rank k (NULL when the union is smaller), n_both = hashes within
+    # the first k present in both sketches.
+    def _pair_merge(pdf):
+        import pandas as pd
+
+        by_src: dict[str, set] = {}
+        for s_, h_ in zip(pdf["source"], pdf["h"]):
+            by_src.setdefault(str(s_), set()).add(int(h_))
+        names = sorted(by_src)
+        out = []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                sa, sb = names[i], names[j]
+                a_, b_ = by_src[sa], by_src[sb]
+                u = sorted(a_ | b_)[:k]
+                kth = u[k - 1] if len(u) >= k else None
+                n_both = sum(1 for h_ in u if h_ in a_ and h_ in b_)
+                out.append((sa, sb, kth, n_both))
+        return pd.DataFrame(out, columns=["sa", "sb", "kth_h", "n_both"])
+
+    agg = (
+        sk.select("source", "h")
+        .groupBy(F.lit(0).alias("one"))
+        .applyInPandas(
+            _pair_merge, "sa string, sb string, kth_h long, n_both long"
         )
-    )
-    wp = Window.partitionBy("sa", "sb").orderBy("h")
-    uk = ph.withColumn("r", F.row_number().over(wp))
-    agg = uk.groupBy("sa", "sb").agg(
-        F.max(F.when(F.col("r") == k, F.col("h"))).alias("kth_h"),
-        F.sum(
-            F.when(F.col("r") <= k, F.col("in_a") * F.col("in_b")).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_both"),
     )
     ei = (
         sw.select(F.col("source").alias("sa"), "h")

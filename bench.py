@@ -178,14 +178,39 @@ def main() -> None:
             times[name] = round(run(name, sf_dir), 3)
 
     total = round(sum(times.values()), 3)
+    # Full per-query breakdown goes to a committed artifact; the final
+    # stdout line stays compact so the driver's tail-capture window can
+    # always parse it (BENCH_r02/r03 both arrived "parsed": null because
+    # the 91-entry queries dict overflowed the tail buffer —
+    # VERDICT_r03 item 2).
+    full = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+    }
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    flagship = [
+        "q1_pricing_summary",
+        "minhash_lsh_pairs",
+        "similarity_topk",
+        "recommend_parts",
+        "markov_removal_attribution",
+    ]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "queries": {k: times[k] for k in flagship if k in times},
+                "full_breakdown": "BENCH_LOCAL.json",
             }
         )
     )

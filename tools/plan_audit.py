@@ -42,6 +42,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "bellman_ford_delta_frontier": {
+        "BroadcastNestedLoopJoin": "the four 1-row per-round "
+        "frontier-size proof aggregates crossed onto the final settled "
+        "frame — constant 1-row broadcast sides; every relaxation round "
+        "is a keyed equi-join + grouped MIN over the frontier",
+    },
+    "mmr_diverse_retrieval": {
+        "BroadcastNestedLoopJoin": "the 1-row hash-chosen query vector "
+        "broadcast-crossed onto the gallery for relevance scoring — the "
+        "single-query retrieval pattern shared with qlm_retrieval; the "
+        "greedy rounds run in one grouped kernel over the 30-candidate "
+        "frame",
+    },
     "coverage_greedy_docs": {
         "BroadcastNestedLoopJoin": "the five 1-row cum-coverage scalars "
         "crossed onto their round's 1-row pick — constant frames both "
@@ -894,18 +907,33 @@ def main() -> int:
                 f" pushed={g['scans_with_pushed_filters']}"
             )
 
+    if only:
+        # Incremental mode: merge the subset's fresh rows into the
+        # committed PLAN_AUDIT.json (replacing any stale rows for the
+        # same queries) so per-batch audits keep the coverage gate
+        # (tests/test_gates.py) satisfiable without a full re-run.
+        try:
+            with open("PLAN_AUDIT.json") as f:
+                prior = json.load(f)
+        except FileNotFoundError:
+            prior = {"sf_dir": sf_dir, "results": []}
+        audited = {r["query"] for r in results}
+        results = [
+            r for r in prior["results"] if r["query"] not in audited
+        ] + results
+        results.sort(key=lambda r: r["query"])
+        n_red = sum(
+            1 for r in results if r.get("unexplained") or r.get("error")
+        )
     summary = {
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "n_red": n_red,
         "results": results,
     }
-    if not only:
-        with open("PLAN_AUDIT.json", "w") as f:
-            json.dump(summary, f, indent=1)
-        print(f"\nwrote PLAN_AUDIT.json: {len(results)} queries, {n_red} red")
-    else:
-        print(f"\n{len(results)} queries audited, {n_red} red")
+    with open("PLAN_AUDIT.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\nwrote PLAN_AUDIT.json: {len(results)} queries, {n_red} red")
     return 1 if n_red else 0
 
 
