@@ -3825,8 +3825,11 @@ def q_sequential_purchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The relaxation-algorithm family (distinct from BFS hop counting and
 # PageRank power iteration): integer edge weights w = 1 + 1000 div
-# support over the basket co-purchase graph, 4 unrolled relaxation
-# rounds from the smallest part key.  Each round is one keyed join
+# support over the basket co-purchase graph (ALL co-purchased pairs —
+# a support>=2 floor shattered the graph into 2-node components at
+# sf0.1, ADVICE_r03 item 3; rare pairs instead carry weight 1001), 4
+# unrolled relaxation rounds from the max-support seed.  Each round is
+# one keyed join
 # (settled-distance frame x adjacency) + one grouped MIN — the textbook
 # distributed Bellman-Ford step; distances are exact integers so the
 # unrolled MATERIALIZED-CTE oracle hash-matches.
@@ -3842,7 +3845,6 @@ pairs AS (
     SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS ab
     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
     GROUP BY a.p, b.p
-    HAVING COUNT(*) >= 2
 ),
 edges AS (
     SELECT pa AS u, pb AS v, 1 + 1000 // ab AS w FROM pairs
@@ -3895,7 +3897,6 @@ def _bf_graph(spark: SparkSession, sf_dir: str):
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("ab"))
-        .filter(F.col("ab") >= 2)
         .persist()  # feeds both edge-direction branches AND the seed pick
     )
     w = F.expr("1 + 1000 div ab").alias("w")
