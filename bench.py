@@ -142,6 +142,10 @@ HEADLINE = [
     "fellegi_sunter_weights",
     "sprt_ab_boundary",
     "bm25_param_sweep",
+    # experimentation/causal + relaxation-graph families (round 4)
+    "fdr_bh_discoveries",
+    "cem_matched_effect",
+    "bellman_ford_delta_frontier",
 ]
 
 

@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "fdr_bh_discoveries": {
+        "Exchange SinglePartition": "the BH rank / m / k_max windows "
+        "run on the post-aggregate 25-row per-brand frame (bounded by "
+        "|brands|, a catalog constant) — all corpus-sized work is the "
+        "keyed (brand, arm) moment aggregate upstream",
+    },
     "bellman_ford_delta_frontier": {
         "BroadcastNestedLoopJoin": "the four 1-row per-round "
         "frontier-size proof aggregates crossed onto the final settled "
