@@ -255,3 +255,40 @@ def q_sql_filtered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(FILTERED_ROLLUP_SQL)
+
+
+# PIVOT through the SQL front door: the month x segment revenue matrix.
+# Cents are summed as BIGINT inside the decimal cast then converted to
+# DOUBLE before the pivot aggregate, so DuckDB's SUM(BIGINT)->HUGEINT
+# widening never reaches the output and every cell is an exact-integer
+# double (< 2^53). The un-aliased `SUM(c) FOR seg IN (...)` spelling is
+# the one both parsers turn into identical column names (aliased pivot
+# columns diverge: DuckDB emits x_s where Spark emits x).
+PIVOT_REVENUE_SQL = """
+WITH base AS (
+    SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                AS BIGINT) AS m,
+           c.c_mktsegment AS seg,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS DOUBLE) AS c
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+)
+SELECT * FROM base
+PIVOT (SUM(c) FOR seg IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+                          'HOUSEHOLD', 'MACHINERY'))
+ORDER BY m
+"""
+
+
+@register("sql_pivot_revenue", PIVOT_REVENUE_SQL)
+def q_sql_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month x market-segment revenue matrix via the standard PIVOT
+    clause — one string, both engines (completes the reshape pair with
+    the DataFrame-side unpivot query). Catalyst rewrites PIVOT into the
+    same conditional-aggregate plan the CASE spelling produces: one
+    keyed aggregate over orders x broadcast customer, zero extra
+    shuffles for the reshape itself."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(PIVOT_REVENUE_SQL)

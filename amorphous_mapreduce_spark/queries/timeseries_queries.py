@@ -1896,3 +1896,156 @@ def q_forecast_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "q20")
     )
+
+
+# --- Kleinberg 2-state burst detection over daily event volume --------------
+
+# The burst-detection op the time-series battery lacked: Kleinberg's
+# 2-state automaton per event type (base rate lambda0 = N/T vs the
+# elevated rate lambda1 = (9/8)*lambda0, entering the burst state costs
+# gamma) as a forward min-cost dynamic program.  The 9/8 ratio is tuned
+# to the corpus: daily volumes fluctuate 4-12% around the mean, so a
+# textbook 2x automaton would be structurally silent here — the crossover
+# for rate (9/8) sits at c > ~1.061*lambda, inside the observed range.
+# Everything is INTEGER in 2^20-scaled log2 units: per-day emission
+# costs come from the libm-free intlog primitive (the c! term is
+# state-independent and cancels from every comparison, so it is dropped
+# from the spec), the DP itself is min-plus arithmetic, and the oracle
+# replays the identical recursion with WITH RECURSIVE per event type.
+
+_KB_GAMMA = 2 * 1048576  # state 0 -> 1 transition cost: 2 bits, scaled
+_KB_LOG2E = 1512775  # floor(log2(e) * 2^20): Poisson rate term lambda*log2(e)
+
+
+def _kb_em_sql() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    l0 = f"({log2_scaled_sql('n')} - {log2_scaled_sql('t')})"
+    l1 = f"({log2_scaled_sql('9 * n')} - {log2_scaled_sql('8 * t')})"
+    return f"""
+daily AS MATERIALIZED (
+    SELECT event_type AS et, epoch_us(ts) // 86400000000 AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+    SELECT et, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY et
+),
+em AS MATERIALIZED (
+    SELECT daily.et, d, c,
+           ROW_NUMBER() OVER (PARTITION BY daily.et ORDER BY d) AS i,
+           (n * {_KB_LOG2E}) // t - c * {l0} AS e0,
+           (9 * n * {_KB_LOG2E}) // (8 * t) - c * {l1} AS e1
+    FROM daily JOIN tot ON tot.et = daily.et
+)
+"""
+
+
+def _kb_oracle() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _kb_em_sql()
+        + f""",
+dp AS (
+    SELECT et, i, d, c, e0 AS c0, e1 + {_KB_GAMMA} AS c1 FROM em WHERE i = 1
+    UNION ALL
+    SELECT e.et, e.i, e.d, e.c,
+           LEAST(dp.c0, dp.c1) + e.e0,
+           LEAST(dp.c0 + {_KB_GAMMA}, dp.c1) + e.e1
+    FROM dp JOIN em e ON e.et = dp.et AND e.i = dp.i + 1
+)
+SELECT et AS event_type, d AS epoch_day, c AS n_events, c1 < c0 AS burst,
+       c0 - c1 AS burst_margin
+FROM dp ORDER BY event_type, epoch_day
+"""
+    )
+
+
+KLEINBERG_ORACLE = _kb_oracle()
+
+
+@register("kleinberg_burst_days", KLEINBERG_ORACLE)
+def q_kleinberg_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg 2-state burst automaton over each event type's daily
+    count series: which days does a minimum-cost state machine prefer
+    to explain with the elevated (9/8) rate, paying gamma to enter the
+    burst state — the principled version of a fixed-threshold spike
+    flag (cf. exact_anomaly_spikes / seasonal_spike_flags), robust to
+    isolated one-day blips.
+
+    Determinism: emission costs are integer 2^20-scaled log2 units via
+    functions/intlog (dropping the state-independent log(c!) term);
+    the DP is integer min-plus; the oracle replays the exact recursion
+    with WITH RECURSIVE over (event_type, day index).
+
+    Scale: the corpus-sized work is ONE (type, day) count aggregate;
+    each series' DP state is (c0, c1) over T ~ 90 days — bounded — so
+    every series runs independently inside the grouped Arrow kernel
+    (the markov / power-iteration pattern), parallel across however
+    many series the key space holds. Reference tie-in: VecOp reduce +
+    scalar transform chain (src/op.rs:18-35, 66-106)."""
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    tot = daily.groupBy("et").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("t"),
+    )
+    l0 = log2_scaled("n") - log2_scaled("t")
+    l1 = log2_scaled("9 * n") - log2_scaled("8 * t")
+    em = daily.join(F.broadcast(tot), "et").select(
+        "et",
+        "d",
+        "c",
+        (F.expr(f"(n * {_KB_LOG2E}) div t") - F.col("c") * l0).alias("e0"),
+        (
+            F.expr(f"(9 * n * {_KB_LOG2E}) div (8 * t)") - F.col("c") * l1
+        ).alias("e1"),
+    )
+    gamma = _KB_GAMMA
+
+    def _dp(pdf):
+        import pandas as pd
+
+        et = str(pdf["et"].iloc[0])
+        rows = sorted(
+            zip(pdf["d"], pdf["c"], pdf["e0"], pdf["e1"]),
+            key=lambda r: r[0],
+        )
+        out = []
+        c0 = c1 = None
+        for d_, c_, e0_, e1_ in rows:
+            e0_, e1_ = int(e0_), int(e1_)
+            if c0 is None:
+                c0, c1 = e0_, e1_ + gamma
+            else:
+                c0, c1 = (
+                    min(c0, c1) + e0_,
+                    min(c0 + gamma, c1) + e1_,
+                )
+            out.append((et, int(d_), int(c_), c1 < c0, c0 - c1))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type",
+                "epoch_day",
+                "n_events",
+                "burst",
+                "burst_margin",
+            ],
+        )
+
+    return (
+        em.groupBy("et")
+        .applyInPandas(
+            _dp,
+            "event_type string, epoch_day long, n_events long,"
+            " burst boolean, burst_margin long",
+        )
+        .orderBy("event_type", "epoch_day")
+    )
