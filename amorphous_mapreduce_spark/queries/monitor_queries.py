@@ -1,0 +1,448 @@
+"""Production-monitoring battery: control charts, sequential monitoring,
+parametric goodness-of-fit.
+
+Three ops every always-on data platform runs against its own telemetry:
+
+- error_rate_pchart — the Shewhart p-chart: per-day error share vs
+  3-sigma binomial control limits around the grand rate (variable
+  per-day n, so limits are per-day);
+- group_sequential_obf — O'Brien-Fleming group-sequential monitoring of
+  an A/B metric at five calendar looks: cumulative Welch z against the
+  spend-almost-nothing-early OBF boundary (the reason peeking five
+  times doesn't cost you your alpha — completes the sequential family
+  next to sprt_ab_boundary's fully-sequential test);
+- interarrival_exp_ks — Kolmogorov-Smirnov distance between observed
+  per-user inter-event gaps and the fitted exponential, evaluated on an
+  hour-quantized grid: "is arrival really memoryless" — the assumption
+  behind every Little's-law capacity calc (cf. littles_law_sweep).
+
+Cross-engine determinism: p-chart and OBF are sqrt-only / fixed double
+expressions over exact integer or decimal moments; the KS exponential
+CDF uses the libm-free exp2 primitive (functions/intexp.py), making
+1 - e^(-lambda*x) a deterministic double both engines agree on
+bit-for-bit. The hour grid and the 5-look calendar are part of the
+spec.
+
+Reference tie-in: scan -> keyed aggregate (VecOp reduce,
+src/op.rs:66-106) with bounded monitoring heads; nothing after the
+aggregates scales with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amorphous_mapreduce_spark.functions.intexp import (
+    exp2_scaled,
+    exp2_scaled_sql,
+)
+from amorphous_mapreduce_spark.queries_registry import register
+from amorphous_mapreduce_spark.sources import load_table
+
+# --- Shewhart p-chart on daily error rate -----------------------------------
+
+PCHART_ORACLE = """
+WITH daily AS (
+    SELECT epoch_us(ts) // 86400000000 AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS errs
+    FROM events GROUP BY 1
+),
+grand AS (
+    SELECT CAST(SUM(errs) AS BIGINT) AS tot_errs,
+           CAST(SUM(n) AS BIGINT) AS tot_n
+    FROM daily
+)
+SELECT d AS epoch_day, n, errs,
+       CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) AS p_day,
+       CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE) AS p_bar,
+       CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+           + 3.0 * sqrt(CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+               * (1.0 - CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS ucl,
+       CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+           - 3.0 * sqrt(CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+               * (1.0 - CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS lcl,
+       CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+           > CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+             + 3.0 * sqrt(CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                 * (1.0 - CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                 / CAST(n AS DOUBLE))
+       OR CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+           < CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+             - 3.0 * sqrt(CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                 * (1.0 - CAST(tot_errs AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                 / CAST(n AS DOUBLE)) AS out_of_control
+FROM daily CROSS JOIN grand
+ORDER BY epoch_day
+"""
+
+
+@register("error_rate_pchart", PCHART_ORACLE)
+def q_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart of the daily error-event share: per-day rate
+    against 3-sigma binomial limits around the grand rate, with
+    per-day limits because n varies by day — the first chart an SRE
+    pins to a dashboard.
+
+    Determinism: counts are exact integers; the limits are a sqrt-only
+    double expression (engine-safe like return_rate_wilson_ci).
+    Scale: one (day) aggregate + a 1-row grand total broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    grand = daily.agg(
+        F.sum("errs").cast("long").alias("tot_errs"),
+        F.sum("n").cast("long").alias("tot_n"),
+    )
+    p_day = F.col("errs").cast("double") / F.col("n").cast("double")
+    p_bar = F.col("tot_errs").cast("double") / F.col("tot_n").cast("double")
+    half = 3.0 * F.sqrt(p_bar * (1.0 - p_bar) / F.col("n").cast("double"))
+    return (
+        daily.crossJoin(F.broadcast(grand))
+        .select(
+            F.col("d").alias("epoch_day"),
+            "n",
+            "errs",
+            p_day.alias("p_day"),
+            p_bar.alias("p_bar"),
+            (p_bar + half).alias("ucl"),
+            (p_bar - half).alias("lcl"),
+            ((p_day > p_bar + half) | (p_day < p_bar - half)).alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("epoch_day")
+    )
+
+
+# --- O'Brien-Fleming group-sequential monitor -------------------------------
+
+# Five calendar looks over the order history; the OBF two-sided 0.05
+# boundary for K=5 equal-information looks (Lan-DeMets OBF spending,
+# standard tables) — literal constants, part of the spec.
+_OBF_LOOKS = (
+    ("1996-07-01", 4.877),
+    ("1998-01-01", 3.357),
+    ("1999-07-01", 2.680),
+    ("2001-01-01", 2.290),
+    ("2002-01-01", 2.031),
+)
+
+_OBF_LOOK_ROWS = ", ".join(
+    # CAST: DuckDB otherwise types the literal DECIMAL(4,3) and squares
+    # it exactly, where Spark squares the double
+    f"(TIMESTAMP '{cut}', {i + 1}, CAST({z} AS DOUBLE))"
+    for i, (cut, z) in enumerate(_OBF_LOOKS)
+)
+
+OBF_ORACLE = f"""
+WITH looks(cut, k, zbound) AS (VALUES {_OBF_LOOK_ROWS}),
+cents AS (
+    SELECT CAST('0x' || substr(md5('ab_' || CAST(o_custkey AS VARCHAR)),
+                1, 15) AS BIGINT) % 2 AS arm,
+           o_orderdate AS od,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+    FROM orders
+),
+cum AS (
+    SELECT l.k, l.zbound, c.arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c.x) AS BIGINT) AS s,
+           CAST(SUM(CAST(c.x AS DECIMAL(12,0)) * CAST(c.x AS DECIMAL(12,0)))
+                AS DECIMAL(38,0)) AS q
+    FROM cents c JOIN looks l ON c.od < l.cut
+    GROUP BY l.k, l.zbound, c.arm
+),
+z AS (
+    SELECT a.k, a.zbound, a.n AS n_a, b.n AS n_b,
+           (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+           * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+           / (((CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE)
+                * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+               / (CAST(a.n AS DOUBLE) - 1) / CAST(a.n AS DOUBLE))
+              + ((CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE)
+                * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+               / (CAST(b.n AS DOUBLE) - 1) / CAST(b.n AS DOUBLE)))
+           AS z2
+    FROM cum a JOIN cum b ON a.k = b.k AND a.arm = 0 AND b.arm = 1
+)
+SELECT k AS look, n_a, n_b, z2, zbound,
+       zbound * zbound AS z2_bound,
+       z2 > zbound * zbound AS crossed
+FROM z ORDER BY look
+"""
+
+
+@register("group_sequential_obf", OBF_ORACLE)
+def q_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitor: the cumulative Welch z²
+    of the hash-assigned order-value A/B metric at five calendar looks,
+    against the K=5 OBF two-sided 5% boundary (4.877 down to 2.031) —
+    why a team can peek five times and still spend one alpha.
+
+    Determinism: cumulative decimal moments per look (the constant-level
+    explode: each order joins every look it precedes — a bounded x5
+    fanout), then the welch z² fixed double expression per look and a
+    literal boundary comparison. Scale: the only corpus-sized stage is
+    the looks-join aggregate; everything after is 10 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    looks = spark.createDataFrame(
+        [(cut, i + 1, z) for i, (cut, z) in enumerate(_OBF_LOOKS)],
+        "cut string, k int, zbound double",
+    ).select(F.col("cut").cast("timestamp").alias("cut"), "k", "zbound")
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    cents = orders.select(
+        F.pmod(
+            hex_hash64(
+                F.concat(F.lit("ab_"), F.col("o_custkey").cast("string"))
+            ),
+            F.lit(2),
+        ).alias("arm"),
+        F.col("o_orderdate").alias("od"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    cum = (
+        cents.join(F.broadcast(looks), cents["od"] < looks["cut"])
+        .groupBy("k", "zbound", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("s"),
+            F.sum(
+                F.col("x").cast("decimal(12,0)")
+                * F.col("x").cast("decimal(12,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+    a = cum.filter(F.col("arm") == 0).select(
+        "k",
+        "zbound",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = cum.filter(F.col("arm") == 1).select(
+        F.col("k").alias("kb"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    na, sa, qa = (
+        F.col("n_a").cast("double"),
+        F.col("s_a").cast("double"),
+        F.col("q_a").cast("double"),
+    )
+    nb, sb, qb = (
+        F.col("n_b").cast("double"),
+        F.col("s_b").cast("double"),
+        F.col("q_b").cast("double"),
+    )
+    md = sa / na - sb / nb
+    va = (qa - sa * sa / na) / (na - 1) / na
+    vb = (qb - sb * sb / nb) / (nb - 1) / nb
+    return (
+        a.join(b, a["k"] == b["kb"])
+        .select(
+            F.col("k").alias("look"),
+            "n_a",
+            "n_b",
+            ((md * md) / (va + vb)).alias("z2"),
+            "zbound",
+            (F.col("zbound") * F.col("zbound")).alias("z2_bound"),
+            (
+                (md * md) / (va + vb) > F.col("zbound") * F.col("zbound")
+            ).alias("crossed"),
+        )
+        .orderBy("look")
+    )
+
+
+# --- KS goodness-of-fit: inter-event gaps vs fitted exponential -------------
+
+_KS_BUCKET_S = 3600  # hour-quantized evaluation grid
+_KS_MAX_BUCKET = 95  # cap the grid at 96 hours
+_LOG2E_20 = 1.4426950408889634
+
+
+def _ks_f_sql(lamx: str) -> str:
+    """1 - 2^(-lamx*log2e), engine-portable via exp2_scaled."""
+    s_exp = (
+        f"GREATEST(CAST(-66060288 AS BIGINT), "
+        f"CAST(floor(-({lamx}) * {_LOG2E_20} * 1048576) AS BIGINT))"
+    )
+    return f"(1.0 - {exp2_scaled_sql(s_exp)})"
+
+
+KS_EXP_ORACLE = f"""
+WITH ts AS (
+    SELECT user_id, event_type AS et, epoch_us(ts) AS t, event_id
+    FROM events
+),
+gaps AS (
+    SELECT et,
+           (t - LAG(t) OVER (PARTITION BY user_id, et ORDER BY t, event_id)) AS g_us
+    FROM ts
+),
+gb AS (
+    SELECT et,
+           LEAST({_KS_MAX_BUCKET},
+                 g_us // (CAST({_KS_BUCKET_S} AS BIGINT) * 1000000)) AS b,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(g_us) AS BIGINT) AS sum_us
+    FROM gaps WHERE g_us IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT et, CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(sum_us) AS BIGINT) AS s_us
+    FROM gb GROUP BY et
+),
+cum AS (
+    SELECT gb.et, gb.b, tot.n, tot.s_us,
+           SUM(gb.cnt) OVER (PARTITION BY gb.et ORDER BY gb.b) AS cum_cnt
+    FROM gb JOIN tot ON tot.et = gb.et
+),
+dd AS (
+    SELECT et, b, n, cum_cnt,
+           CAST(cum_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS f_hat,
+           {_ks_f_sql(
+               f"CAST((b + 1) * {_KS_BUCKET_S} AS DOUBLE) * CAST(n AS DOUBLE)"
+               f" / (CAST(s_us AS DOUBLE) / 1000000.0)"
+           )} AS f_exp
+    FROM cum
+),
+ks AS (
+    SELECT et, b, f_hat, f_exp, abs(f_hat - f_exp) AS d,
+           ROW_NUMBER() OVER (PARTITION BY et
+                              ORDER BY abs(f_hat - f_exp) DESC, b) AS r
+    FROM dd
+)
+SELECT t.et AS event_type, t.n AS n_gaps,
+       CAST(t.s_us AS DOUBLE) / 1000000.0 / CAST(t.n AS DOUBLE)
+           AS mean_gap_s,
+       k.d AS ks_d, k.b AS ks_bucket, k.f_hat, k.f_exp
+FROM tot t JOIN ks k ON k.et = t.et AND k.r = 1
+ORDER BY event_type
+"""
+
+
+@register("interarrival_exp_ks", KS_EXP_ORACLE)
+def q_interarrival_exp_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is user arrival memoryless? Kolmogorov-Smirnov distance between
+    each event type's per-user inter-arrival gaps and the exponential
+    fitted by its mean, evaluated on the hour grid (96 buckets, part of
+    the spec) — the assumption check behind Little's-law capacity math
+    and every Poisson-based alert threshold.
+
+    Determinism: empirical CDF values are exact rationals (integer
+    bucket counts / n); the exponential CDF 1 - e^(-lambda*x) goes
+    through the libm-free exp2 primitive so both engines produce the
+    identical double; the argmax bucket has a total-order tie-break.
+
+    Scale: gaps are one partitioned LAG (keyed by user, no global
+    window); the grid is bounded at 96 rows per event type, so the CDF
+    sweep and argmax are constant-size work."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = ev.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "et").orderBy("t", "event_id")
+    gaps = ts.select(
+        "et", (F.col("t") - F.lag("t").over(w)).alias("g_us")
+    ).filter(F.col("g_us").isNotNull())
+    gb = gaps.groupBy(
+        "et",
+        F.least(
+            F.lit(_KS_MAX_BUCKET).cast("long"),
+            # the bucket width literal must be BIGINT: 3600 * 1000000
+            # overflows Spark's INT literal multiply under ANSI
+            F.expr(
+                f"g_us div (CAST({_KS_BUCKET_S} AS BIGINT) * 1000000)"
+            ),
+        ).alias("b"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("g_us").cast("long").alias("sum_us"),
+    )
+    tot = gb.groupBy("et").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("sum_us").cast("long").alias("s_us"),
+    )
+    wc = Window.partitionBy("et").orderBy("b")
+    cum = (
+        gb.join(F.broadcast(tot), "et")
+        .select(
+            "et", "b", "n", "s_us", F.sum("cnt").over(wc).alias("cum_cnt")
+        )
+    )
+    lamx = (
+        (F.col("b").cast("double") + 1.0)
+        * float(_KS_BUCKET_S)
+        * F.col("n").cast("double")
+        / (F.col("s_us").cast("double") / 1000000.0)
+    )
+    dd = cum.select(
+        "et",
+        "b",
+        "n",
+        (F.col("cum_cnt").cast("double") / F.col("n").cast("double")).alias(
+            "f_hat"
+        ),
+        F.greatest(
+            F.lit(-66060288).cast("long"),
+            F.floor(-lamx * F.lit(_LOG2E_20) * 1048576).cast("long"),
+        ).alias("s_exp"),
+    ).select(
+        "et",
+        "b",
+        "n",
+        "f_hat",
+        (1.0 - exp2_scaled("s_exp")).alias("f_exp"),
+    )
+    wr = Window.partitionBy("et").orderBy(
+        F.abs(F.col("f_hat") - F.col("f_exp")).desc(), F.col("b")
+    )
+    ks = dd.select(
+        "et",
+        "b",
+        "f_hat",
+        "f_exp",
+        F.abs(F.col("f_hat") - F.col("f_exp")).alias("d"),
+        F.row_number().over(wr).alias("r"),
+    ).filter(F.col("r") == 1)
+    return (
+        tot.join(ks, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n").alias("n_gaps"),
+            (
+                F.col("s_us").cast("double")
+                / 1000000.0
+                / F.col("n").cast("double")
+            ).alias("mean_gap_s"),
+            F.col("d").alias("ks_d"),
+            F.col("b").alias("ks_bucket"),
+            "f_hat",
+            "f_exp",
+        )
+        .orderBy("event_type")
+    )

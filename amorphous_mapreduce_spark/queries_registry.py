@@ -64,6 +64,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     lm_queries,
     mining_queries,
     misc_queries,
+    monitor_queries,
     multimodal_queries,
     pipeline_queries,
     relational_queries,

@@ -42,6 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "error_rate_pchart": {
+        "BroadcastNestedLoopJoin": "1-row grand-rate scalar crossed "
+        "back onto the per-day frame for the control limits — the "
+        "standard scalar-total pattern",
+    },
+    "group_sequential_obf": {
+        "BroadcastNestedLoopJoin": "the 5-row LITERAL looks calendar "
+        "range-joined (od < cut) onto orders — a constant-size "
+        "broadcast side with a bounded x5 fanout by design (the "
+        "constant-level explode pattern), plus the 5-row per-look "
+        "arm join",
+    },
     "fdr_bh_discoveries": {
         "Exchange SinglePartition": "the BH rank / m / k_max windows "
         "run on the post-aggregate 25-row per-brand frame (bounded by "
