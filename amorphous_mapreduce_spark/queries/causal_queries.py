@@ -767,3 +767,188 @@ def q_fdr_bh_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         (F.col("r") <= F.col("kmax")).alias("discovered"),
     ).orderBy("r")
+
+
+# --- treatment-effect heterogeneity: Cochran's Q across segments ------------
+
+# "Is the lift the SAME everywhere?" — the question after any
+# significant readout. Per-segment Welch effects d_k with variances
+# v_k, combined by inverse-variance weights into Cochran's
+# Q = sum(w_k d_k^2) - (sum(w_k d_k))^2 / sum(w_k), tested against
+# chi-square(K-1). The three cross-segment float sums are
+# floor-quantized per segment BEFORE summing (the neyman/cramers_v
+# convention: grouped-agg addition order is shuffle-dependent), each in
+# a scale matched to its magnitude: w d^2 is O(z^2) -> 2^20, w d is
+# O(1e-6) -> 2^40, w is O(1e-10) -> 2^60.
+
+_Q_CHI2_4DF_95 = 9.487729036781154
+_Q_SA, _Q_SB, _Q_SC = 1 << 20, 1 << 40, 1 << 60
+
+HETQ_ORACLE = f"""
+WITH cents AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST('0x' || substr(md5('ab_' || CAST(o.o_custkey AS VARCHAR)),
+                1, 15) AS BIGINT) % 2 AS arm,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+st AS (
+    SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+                AS DECIMAL(38,0)) AS q
+    FROM cents GROUP BY seg, arm
+),
+eff AS (
+    SELECT a.seg, a.n AS n_a, b.n AS n_b,
+           CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+               - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS d,
+           ((CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+               / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1)
+               / CAST(a.n AS DOUBLE))
+           + ((CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+               / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1)
+               / CAST(b.n AS DOUBLE)) AS v
+    FROM st a JOIN st b ON a.seg = b.seg AND a.arm = 0 AND b.arm = 1
+    WHERE a.n >= 2 AND b.n >= 2
+),
+terms AS (
+    SELECT seg, n_a, n_b, d, v,
+           CAST(floor(d * d / v * {_Q_SA}) AS BIGINT) AS qa,
+           CAST(floor(d / v * {_Q_SB}) AS BIGINT) AS qb,
+           CAST(floor(1.0 / v * {_Q_SC}) AS BIGINT) AS qc
+    FROM eff
+),
+qsum AS (
+    SELECT CAST(SUM(qa) AS BIGINT) AS sa, CAST(SUM(qb) AS BIGINT) AS sb,
+           CAST(SUM(qc) AS BIGINT) AS sc,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM terms
+)
+SELECT t.seg, t.n_a, t.n_b, t.d AS effect_cents,
+       t.d * t.d / t.v AS z2_seg,
+       CAST(q.sa AS DOUBLE) / {_Q_SA}.0
+           - (CAST(q.sb AS DOUBLE) / {_Q_SB}.0)
+             * (CAST(q.sb AS DOUBLE) / {_Q_SB}.0)
+             / (CAST(q.sc AS DOUBLE) / {_Q_SC}.0) AS cochran_q,
+       q.k AS n_segments,
+       CAST(q.sa AS DOUBLE) / {_Q_SA}.0
+           - (CAST(q.sb AS DOUBLE) / {_Q_SB}.0)
+             * (CAST(q.sb AS DOUBLE) / {_Q_SB}.0)
+             / (CAST(q.sc AS DOUBLE) / {_Q_SC}.0)
+           > {_Q_CHI2_4DF_95} AS heterogeneous_95
+FROM terms t CROSS JOIN qsum q
+ORDER BY t.seg
+"""
+
+
+@register("effect_heterogeneity_q", HETQ_ORACLE)
+def q_effect_heterogeneity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q heterogeneity test across the five market segments'
+    Welch A/B effects: per-segment lifts next to the
+    inverse-variance-weighted Q statistic and the chi-square(4) 95%
+    verdict — whether one pooled readout is even a legitimate summary.
+
+    Determinism: per-segment effects ride the exact-decimal-moment
+    welch discipline; the three cross-segment sums are floor-quantized
+    integers (scales 2^20 / 2^40 / 2^60 matched to each term's
+    magnitude), so the grouped-agg addition order can't move a bit;
+    Q itself is one fixed double expression over the integer sums.
+
+    Scale: per-(segment, arm) state is three moments; everything after
+    is a 5-row frame plus a 1-row scalar crossed back."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.pmod(
+            hex_hash64(
+                F.concat(F.lit("ab_"), F.col("o_custkey").cast("string"))
+            ),
+            F.lit(2),
+        ).alias("arm"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    st = cents.groupBy("seg", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("s"),
+        F.sum(
+            F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = st.filter(F.col("arm") == 0).select(
+        "seg",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = st.filter(F.col("arm") == 1).select(
+        F.col("seg").alias("segb"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    na, sa, qa = (
+        F.col("n_a").cast("double"),
+        F.col("s_a").cast("double"),
+        F.col("q_a").cast("double"),
+    )
+    nb, sb, qb = (
+        F.col("n_b").cast("double"),
+        F.col("s_b").cast("double"),
+        F.col("q_b").cast("double"),
+    )
+    d = sa / na - sb / nb
+    v = (qa - sa * sa / na) / (na - 1) / na + (qb - sb * sb / nb) / (
+        nb - 1
+    ) / nb
+    eff = (
+        a.join(b, a["seg"] == b["segb"])
+        .filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .select("seg", "n_a", "n_b", d.alias("d"), v.alias("v"))
+    )
+    terms = eff.select(
+        "seg",
+        "n_a",
+        "n_b",
+        "d",
+        "v",
+        F.floor(F.col("d") * F.col("d") / F.col("v") * _Q_SA)
+        .cast("long")
+        .alias("qa"),
+        F.floor(F.col("d") / F.col("v") * _Q_SB).cast("long").alias("qb"),
+        F.floor(1.0 / F.col("v") * _Q_SC).cast("long").alias("qc"),
+    ).persist()  # segment rows + the Q scalar both read it
+    qsum = terms.agg(
+        F.sum("qa").cast("long").alias("sa"),
+        F.sum("qb").cast("long").alias("sb"),
+        F.sum("qc").cast("long").alias("sc"),
+        F.count("*").cast("long").alias("k"),
+    )
+    q_expr = (
+        F.col("sa").cast("double") / float(_Q_SA)
+        - (F.col("sb").cast("double") / float(_Q_SB))
+        * (F.col("sb").cast("double") / float(_Q_SB))
+        / (F.col("sc").cast("double") / float(_Q_SC))
+    )
+    return (
+        terms.crossJoin(F.broadcast(qsum))
+        .select(
+            "seg",
+            "n_a",
+            "n_b",
+            F.col("d").alias("effect_cents"),
+            (F.col("d") * F.col("d") / F.col("v")).alias("z2_seg"),
+            q_expr.alias("cochran_q"),
+            F.col("k").alias("n_segments"),
+            (q_expr > F.lit(_Q_CHI2_4DF_95)).alias("heterogeneous_95"),
+        )
+        .orderBy("seg")
+    )

@@ -365,3 +365,137 @@ def q_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("final_op")
     )
+
+
+# --- learned-index audit: linear CDF models per range shard -----------------
+
+# The RMI-style question for the lakehouse layout: if each range shard
+# kept only a LINEAR rank model (two doubles) instead of a B-tree page
+# index, how far off would lookups land? Keys are order price cents
+# (non-uniform, so errors are real), shards are fixed 2^22-cent ranges,
+# rank is the within-shard sort position with an orderkey tie-break.
+# OLS comes from exact integer/decimal moments cast to double (the
+# welch/brand_discount_ols discipline); the reported error bounds are
+# MAX/indicator aggregates — order-independent doubles — never a float
+# mean.
+
+_LIX_SHARD = 1 << 22  # 4.2M-cent range shards -> ~14 shards of TPC-H prices
+
+LEARNED_INDEX_ORACLE = f"""
+WITH k AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+           o_orderkey AS tid
+    FROM orders
+),
+rk AS (
+    SELECT x, x // {_LIX_SHARD} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY x // {_LIX_SHARD}
+                                   ORDER BY x, tid) AS BIGINT) AS r
+    FROM k
+),
+mo AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(r) AS BIGINT) AS sr,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sxr
+    FROM rk GROUP BY shard
+),
+ab AS (
+    SELECT shard, n, sx, sr,
+           (CAST(n AS DOUBLE) * CAST(sxr AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sr AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+    FROM mo WHERE n >= 2
+),
+ab2 AS (
+    SELECT shard, n, slope,
+           (CAST(sr AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS icept
+    FROM ab
+)
+SELECT a.shard, a.n, a.slope, a.icept,
+       MAX(abs(CAST(rk.r AS DOUBLE) - (a.icept + a.slope
+           * CAST(rk.x AS DOUBLE)))) AS max_abs_err,
+       CAST(SUM(CASE WHEN abs(CAST(rk.r AS DOUBLE) - (a.icept + a.slope
+           * CAST(rk.x AS DOUBLE))) > 64.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_page_misses
+FROM ab2 a JOIN rk ON rk.shard = a.shard
+GROUP BY a.shard, a.n, a.slope, a.icept
+ORDER BY a.shard
+"""
+
+
+@register("learned_index_audit", LEARNED_INDEX_ORACLE)
+def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-index feasibility audit over the price column: per range
+    shard, fit rank ~ a + b*key by least squares and report the max
+    rank error and how many lookups would overshoot a 64-row page —
+    the "replace the page index with two doubles" readout (RMI/ALEX
+    reading of the zone-map family next to zorder/hilbert audits).
+
+    Determinism: ranks are exact (within-shard sort with orderkey
+    tie-break), OLS inputs are exact integer/decimal moments, and the
+    outputs are MAX / threshold-count aggregates — order-independent,
+    unlike a float mean of residuals, which would be shuffle-order
+    dependent. Scale: one partitioned window (range shards), one moment
+    aggregate, one broadcast-back join; no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    k = orders.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        F.col("o_orderkey").alias("tid"),
+    ).withColumn("shard", F.expr(f"x div {_LIX_SHARD}"))
+    w = Window.partitionBy("shard").orderBy("x", "tid")
+    rk = k.select(
+        "x", "shard", F.row_number().over(w).cast("long").alias("r")
+    ).persist()  # moments + the error join both read it
+    mo = rk.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxr"),
+    ).filter(F.col("n") >= 2)
+    n_d, sx_d, sr_d = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sr").cast("double"),
+    )
+    slope = (n_d * F.col("sxr").cast("double") - sx_d * sr_d) / (
+        n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    )
+    ab = mo.select("shard", "n", "sx", "sr", slope.alias("slope")).select(
+        "shard",
+        "n",
+        "slope",
+        (
+            (F.col("sr").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("icept"),
+    )
+    err = F.abs(
+        F.col("r").cast("double")
+        - (F.col("icept") + F.col("slope") * F.col("x").cast("double"))
+    )
+    return (
+        rk.join(F.broadcast(ab), "shard")
+        .groupBy("shard", "n", "slope", "icept")
+        .agg(
+            F.max(err).alias("max_abs_err"),
+            F.sum(F.when(err > 64.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_page_misses"),
+        )
+        .orderBy("shard")
+    )

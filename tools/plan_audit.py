@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "effect_heterogeneity_q": {
+        "BroadcastNestedLoopJoin": "the 1-row Cochran-Q scalar "
+        "aggregate crossed back onto the 5-row per-segment frame — "
+        "the standard scalar-total pattern",
+    },
     "error_rate_pchart": {
         "BroadcastNestedLoopJoin": "1-row grand-rate scalar crossed "
         "back onto the per-day frame for the control limits — the "
