@@ -4084,3 +4084,105 @@ def q_bellman_ford_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fs in fsizes:
         out = out.crossJoin(F.broadcast(fs))
     return out.orderBy("dist", "part").limit(BF_TOP)
+
+
+# --- personalized PageRank over the co-purchase graph -----------------------
+
+# Random-walk-with-restart from the same deterministic high-degree seed
+# the Bellman-Ford pair uses: 3 unrolled push rounds of
+# m'(v) = sum_u (17 * m(u)) div (20 * deg(u)) + [v = seed] * (3*M) div 20
+# — the alpha = 17/20 teleport split in pure truncating-integer
+# arithmetic over 2^40-scaled mass, so every intermediate is BIGINT and
+# the oracle unrolls bit-identically. Complements global PageRank
+# (pagerank_near_dup / fixed-point) with the seeded variant that powers
+# related-item carousels.
+
+PPR_ROUNDS = 3
+PPR_TOP = 40
+_PPR_M = 1 << 40
+
+
+def _ppr_round_cte(k: int) -> str:
+    return f"""
+m{k} AS MATERIALIZED (
+    SELECT p, CAST(SUM(inc) AS BIGINT) AS m FROM (
+        SELECT e.v AS p, (17 * m.m) // (20 * dg.deg) AS inc
+        FROM m{k - 1} m
+        JOIN edges e ON e.u = m.p
+        JOIN deg dg ON dg.u = m.p
+        UNION ALL
+        SELECT s AS p, (3 * CAST({_PPR_M} AS BIGINT)) // 20 AS inc FROM srcp
+    ) GROUP BY p
+)
+"""
+
+
+PPR_ORACLE = (
+    "WITH "
+    + _BF_EDGE_CTE
+    + f""",
+deg AS MATERIALIZED (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u
+),
+m0 AS MATERIALIZED (
+    SELECT s AS p, CAST({_PPR_M} AS BIGINT) AS m FROM srcp
+),"""
+    + ",".join(_ppr_round_cte(k) for k in range(1, PPR_ROUNDS + 1))
+    + f"""
+SELECT p AS part, m AS mass_q
+FROM m{PPR_ROUNDS}
+ORDER BY m DESC, p LIMIT {PPR_TOP}
+"""
+)
+
+
+@register("ppr_copurchase", PPR_ORACLE)
+def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (restart split 17/20, 3 push rounds) from
+    the max-support co-purchase seed: the related-item ranking a
+    carousel would serve, next to the global-rank and shortest-path
+    views of the same graph.
+
+    Determinism: 2^40-scaled integer mass, truncating division on both
+    engines, exact BIGINT sums; the restart term re-injects
+    (3*M) div 20 at the seed each round. Scale: deg and edges are the
+    persisted co-purchase adjacency (shared builder with the
+    Bellman-Ford pair); each round is one keyed join + grouped sum over
+    the CURRENT mass frontier — mass spreads but stays
+    support-bounded; rounds localCheckpoint (the delta-BF lesson:
+    un-truncated multi-round lineage OOMs a default-1g driver)."""
+    edges, src = _bf_graph(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
+    mass = src.select(
+        "p", F.lit(_PPR_M).cast("long").alias("m")
+    ).localCheckpoint()
+    restart = src.select(
+        "p", F.lit((3 * _PPR_M) // 20).cast("long").alias("inc")
+    )
+    for _ in range(PPR_ROUNDS):
+        pushed = (
+            mass.select(F.col("p").alias("mp"), F.col("m").alias("mm"))
+            .join(
+                edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")),
+                F.col("mp") == F.col("eu"),
+            )
+            .join(
+                deg.select(F.col("u").alias("du"), "deg"),
+                F.col("mp") == F.col("du"),
+            )
+            .select(
+                F.col("ev").alias("p"),
+                F.expr("(17 * mm) div (20 * deg)").alias("inc"),
+            )
+        )
+        mass = (
+            pushed.unionByName(restart)
+            .groupBy("p")
+            .agg(F.sum("inc").cast("long").alias("m"))
+            .localCheckpoint()
+        )
+    return (
+        mass.select(F.col("p").alias("part"), F.col("m").alias("mass_q"))
+        .orderBy(F.desc("mass_q"), "part")
+        .limit(PPR_TOP)
+    )

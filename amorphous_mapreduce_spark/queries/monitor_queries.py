@@ -446,3 +446,135 @@ def q_interarrival_exp_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- max-min fair-share allocation (water-filling) --------------------------
+
+# Resource-governor math: give every tenant min(demand, level) where the
+# water level is the unique lambda making allocations sum to capacity.
+# Exact and sort-based: rank tenants by demand ascending (prefix sums
+# via the two-phase distributed scan — no single-partition window),
+# k = the largest rank whose full demand fits under the level
+# (prefix_k + (n-k)*d_k <= C), lambda = (C - prefix_k)/(n - k) held as
+# an integer numerator/denominator pair. Capacity is half the total
+# demand, so the level is always binding.
+
+FAIRSHARE_ORACLE = """
+WITH dem AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d
+    FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(SUM(d) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) // 2 AS cap
+    FROM dem
+),
+rk AS (
+    SELECT user_id, d,
+           CAST(ROW_NUMBER() OVER (ORDER BY d, user_id) AS BIGINT) AS r,
+           CAST(SUM(d) OVER (ORDER BY d, user_id) AS BIGINT) AS pfx
+    FROM dem
+),
+kk AS (
+    SELECT COALESCE(MAX(CASE WHEN pfx + (t.n - r) * d <= t.cap
+                             THEN r END), 0) AS k
+    FROM rk CROSS JOIN tot t
+),
+lvl AS (
+    SELECT t.n, t.cap, t.total, k.k,
+           t.cap - COALESCE((SELECT pfx FROM rk WHERE r = k.k), 0) AS lam_num,
+           t.n - k.k AS lam_den
+    FROM tot t CROSS JOIN kk k
+)
+SELECT rk.user_id, rk.d AS demand, rk.r AS rank,
+       rk.r <= l.k AS fully_served,
+       l.lam_num, l.lam_den, l.cap AS capacity,
+       CASE WHEN rk.r <= l.k THEN CAST(rk.d AS DOUBLE)
+            ELSE CAST(l.lam_num AS DOUBLE) / CAST(l.lam_den AS DOUBLE)
+       END AS allocated
+FROM rk CROSS JOIN lvl l
+ORDER BY rk.r
+"""
+
+
+@register("fair_share_allocation", FAIRSHARE_ORACLE)
+def q_fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation of half the event budget
+    across users: small tenants keep their full demand, heavy tenants
+    are clipped at the exact water level lambda = (C - prefix_k)/(n-k),
+    carried as an integer rational so both engines agree bit-for-bit
+    (one double division at output).
+
+    Scale: demands are one keyed aggregate; ranks and prefix sums ride
+    operators.corpus_stats.distributed_prefix_sum (range sort +
+    partition partials + O(#partitions) offset merge — never a
+    single-partition window over tenants); the level selection is a
+    1-row scalar crossed back."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dem = ev.groupBy("user_id").agg(F.count("*").alias("d"))
+    tot = dem.agg(
+        F.sum("d").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(d) AS BIGINT) div 2").alias("cap"),
+    )
+    rk = distributed_prefix_sum(
+        dem, "d", ["d", "user_id"], cum_col="pfx", rank_col="r"
+    ).persist()  # feeds the level pick, the pfx lookup, and the output
+    with_tot = rk.crossJoin(F.broadcast(tot))
+    kk = with_tot.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pfx") + (F.col("n") - F.col("r")) * F.col("d")
+                    <= F.col("cap"),
+                    F.col("r"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("k")
+    )
+    pfx_at_k = (
+        rk.join(F.broadcast(kk), rk["r"] == kk["k"])
+        .select(F.col("pfx").alias("pfx_k"))
+    )
+    lvl = (
+        tot.crossJoin(F.broadcast(kk))
+        .crossJoin(
+            F.broadcast(
+                pfx_at_k.agg(
+                    F.coalesce(F.max("pfx_k"), F.lit(0).cast("long")).alias(
+                        "pfx_k"
+                    )
+                )
+            )
+        )
+        .select(
+            "k",
+            "cap",
+            (F.col("cap") - F.col("pfx_k")).alias("lam_num"),
+            (F.col("n") - F.col("k")).alias("lam_den"),
+        )
+    )
+    return (
+        rk.crossJoin(F.broadcast(lvl))
+        .select(
+            "user_id",
+            F.col("d").alias("demand"),
+            F.col("r").alias("rank"),
+            (F.col("r") <= F.col("k")).alias("fully_served"),
+            "lam_num",
+            "lam_den",
+            F.col("cap").alias("capacity"),
+            F.when(F.col("r") <= F.col("k"), F.col("d").cast("double"))
+            .otherwise(
+                F.col("lam_num").cast("double")
+                / F.col("lam_den").cast("double")
+            )
+            .alias("allocated"),
+        )
+        .orderBy("rank")
+    )

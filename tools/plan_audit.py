@@ -42,6 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "fair_share_allocation": {
+        "BroadcastNestedLoopJoin": "1-row scalar crosses only: the "
+        "(total, n, cap) frame, the water-level rank k, the prefix-at-k "
+        "lookup, and the assembled level — every data-sized step is the "
+        "keyed demand aggregate + distributed_prefix_sum",
+        "Exchange SinglePartition": "distributed_prefix_sum's "
+        "O(#partitions) offset merge plus the 1-row scalar aggregates — "
+        "bounded by cluster size, same as pareto_abc_classes",
+    },
     "effect_heterogeneity_q": {
         "BroadcastNestedLoopJoin": "the 1-row Cochran-Q scalar "
         "aggregate crossed back onto the 5-row per-segment frame — "
