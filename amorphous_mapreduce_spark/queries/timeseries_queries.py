@@ -2049,3 +2049,96 @@ def q_kleinberg_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "epoch_day")
     )
+
+
+# --- newsvendor stock levels ------------------------------------------------
+
+# Inventory math on the demand series: with underage cost 4x overage
+# (critical fractile 0.8), the optimal stock is the 0.8-quantile of
+# daily demand — taken EXACTLY as the smallest order statistic whose
+# rank r satisfies 5*r >= 4*n (cross-multiplied, no float quantile),
+# per brand. Windows are partitioned by brand over <= #days rows, so
+# the sort is bounded per key, never global.
+
+NEWSVENDOR_ORACLE = """
+WITH daily AS (
+    SELECT p.p_brand AS brand,
+           epoch_us(l.l_shipdate) // 86400000000 AS d,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+),
+rk AS (
+    SELECT brand, d, qty,
+           ROW_NUMBER() OVER (PARTITION BY brand ORDER BY qty, d) AS r,
+           COUNT(*) OVER (PARTITION BY brand) AS n,
+           CAST(SUM(qty) OVER (PARTITION BY brand) AS BIGINT) AS tot
+    FROM daily
+)
+SELECT brand,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(tot) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_daily,
+       CAST(MAX(CASE WHEN 5 * r >= 4 * n AND 5 * (r - 1) < 4 * n
+                     THEN qty END) AS BIGINT) AS q80_daily,
+       CAST(MAX(CASE WHEN 5 * r >= 4 * n AND 5 * (r - 1) < 4 * n
+                     THEN qty END) AS DOUBLE)
+           - CAST(MAX(tot) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+           AS safety_stock
+FROM rk GROUP BY brand
+ORDER BY brand
+"""
+
+
+@register("newsvendor_stock_levels", NEWSVENDOR_ORACLE)
+def q_newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking table per brand: the exact 0.8-fractile of
+    daily shipped quantity (critical fractile for 4:1 underage:overage
+    costs) as the order statistic with 5r >= 4n > 5(r-1) — integer
+    cross-multiplication instead of a float quantile — beside the mean
+    and the implied safety stock.
+
+    Scale: one (brand, day) aggregate, then per-brand windows over
+    <= #days rows (bounded partitions, no global sort). Determinism:
+    ranks tie-break on day; the quantile is an exact integer; the two
+    doubles are single divisions/differences of exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").alias("d"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    wb = Window.partitionBy("brand")
+    rk = daily.select(
+        "brand",
+        "qty",
+        F.row_number().over(wb.orderBy("qty", "d")).alias("r"),
+        F.count("*").over(wb).alias("n"),
+        F.sum("qty").over(wb).cast("long").alias("tot"),
+    )
+    pick = F.when(
+        (5 * F.col("r") >= 4 * F.col("n"))
+        & (5 * (F.col("r") - 1) < 4 * F.col("n")),
+        F.col("qty"),
+    )
+    return (
+        rk.groupBy("brand")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            (
+                F.max("tot").cast("double") / F.max("n").cast("double")
+            ).alias("mean_daily"),
+            F.max(pick).cast("long").alias("q80_daily"),
+            (
+                F.max(pick).cast("double")
+                - F.max("tot").cast("double") / F.max("n").cast("double")
+            ).alias("safety_stock"),
+        )
+        .orderBy("brand")
+    )

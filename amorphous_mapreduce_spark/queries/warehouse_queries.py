@@ -3171,3 +3171,120 @@ def q_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "pred_id")
     )
+
+
+# --- RFM segmentation matrix ------------------------------------------------
+
+# The classic CRM cube: every customer scored into quintiles of
+# Recency (days since last order, anchored at the corpus max date),
+# Frequency (order count) and Monetary (lifetime cents), then the 125
+# cells profiled. Quintiles are EXACT global ranks — three passes of
+# operators.corpus_stats.distributed_prefix_sum (range sort, never a
+# single-partition window over customers) with q = (5*(rank-1)) div n;
+# ties break by custkey so both engines walk the same order.
+
+RFM_ORACLE = """
+WITH ref AS (
+    SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS ref_day FROM orders
+),
+cust AS (
+    SELECT o_custkey AS ck,
+           CAST(r.ref_day - MAX(epoch_us(o_orderdate) // 86400000000)
+                AS BIGINT) AS rec,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS mon
+    FROM orders CROSS JOIN ref r
+    GROUP BY o_custkey, r.ref_day
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+rr AS (
+    SELECT ck, rec, freq, mon,
+           ROW_NUMBER() OVER (ORDER BY rec, ck) AS r_rank,
+           ROW_NUMBER() OVER (ORDER BY freq, ck) AS f_rank,
+           ROW_NUMBER() OVER (ORDER BY mon, ck) AS m_rank
+    FROM cust
+),
+q AS (
+    SELECT ck, rec, freq, mon,
+           (5 * (r_rank - 1)) // n.n AS r_q,
+           (5 * (f_rank - 1)) // n.n AS f_q,
+           (5 * (m_rank - 1)) // n.n AS m_q
+    FROM rr CROSS JOIN n
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon) AS BIGINT) AS cell_cents,
+       CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents,
+       CAST(MIN(rec) AS BIGINT) AS min_rec_days,
+       CAST(MAX(rec) AS BIGINT) AS max_rec_days
+FROM q GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@register("rfm_cell_matrix", RFM_ORACLE)
+def q_rfm_cell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile cube over customers: each
+    dimension ranked EXACTLY (ascending with custkey tie-break),
+    quintile q = (5*(rank-1)) div n, then the occupied cells profiled
+    by population and value — the segmentation every CRM team keys
+    campaigns off.
+
+    Scale: one customer aggregate of orders, then THREE passes of the
+    two-phase distributed prefix scan (one per dimension) stamp global
+    ranks without any single-partition window; the cell rollup is a
+    bounded 125-key aggregate. Determinism: ranks, quintile cuts, and
+    cell sums are all integers; the single double (avg_cents) is one
+    division of exact integers."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    ref = orders.agg(F.max(day).alias("ref_day"))
+    cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("ck"), "ref_day")
+        .agg(
+            (F.col("ref_day") - F.max(day)).cast("long").alias("rec"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("mon"),
+        )
+        .drop("ref_day")
+        .persist()  # three rank passes + the n scalar all read it
+    )
+    n = cust.agg(F.count("*").cast("long").alias("n"))
+    ranked = cust
+    for dim, rank_col in (("rec", "r_rank"), ("freq", "f_rank"), ("mon", "m_rank")):
+        ranked = distributed_prefix_sum(
+            ranked, dim, [dim, "ck"], cum_col=f"_cum_{dim}", rank_col=rank_col
+        ).drop(f"_cum_{dim}")
+    q = ranked.crossJoin(F.broadcast(n)).select(
+        "rec",
+        "freq",
+        "mon",
+        F.expr("(5 * (r_rank - 1)) div n").alias("r_q"),
+        F.expr("(5 * (f_rank - 1)) div n").alias("f_q"),
+        F.expr("(5 * (m_rank - 1)) div n").alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mon").cast("long").alias("cell_cents"),
+            (
+                F.sum("mon").cast("double") / F.count("*").cast("double")
+            ).alias("avg_cents"),
+            F.min("rec").cast("long").alias("min_rec_days"),
+            F.max("rec").cast("long").alias("max_rec_days"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -42,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "rfm_cell_matrix": {
+        "BroadcastNestedLoopJoin": "1-row scalar crosses only: the "
+        "ref-date max and the customer-count n broadcast onto the "
+        "customer frame (once per rank pass) — all data-sized work is "
+        "the keyed customer aggregate + three distributed_prefix_sum "
+        "passes",
+        "Exchange SinglePartition": "distributed_prefix_sum's "
+        "O(#partitions) offset merge, once per RFM dimension, plus the "
+        "1-row scalars — bounded by cluster size, same as "
+        "pareto_abc_classes / fair_share_allocation",
+    },
     "fair_share_allocation": {
         "BroadcastNestedLoopJoin": "1-row scalar crosses only: the "
         "(total, n, cap) frame, the water-level rank k, the prefix-at-k "
