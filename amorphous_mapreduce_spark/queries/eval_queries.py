@@ -2632,3 +2632,120 @@ def q_als_rank1_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2_vs_mean"),
     )
+
+
+# --- exact ROC-AUC of a dedup-predicting score ------------------------------
+
+# The missing classifier-eval primitive (next to Brier bins, confusion,
+# nDCG, MRR): EXACT tie-aware Mann-Whitney AUC. AUC = P(score_pos >
+# score_neg) + P(=)/2, computed from midranks over the score-grouped
+# frame: everything stays INTEGER by carrying 2x ranks —
+# sum over score groups of pos_g * (2*cum_before_g + cnt_g + 1) is
+# twice the positive rank sum, so
+# auc = (rank2_pos - n1*(n1+1)) / (2*n1*n0) with one double division.
+# The prefix over score groups rides distributed_prefix_sum (value
+# domains are unbounded in general — no single-partition window).
+
+AUC_ORACLE = """
+WITH lab AS (
+    SELECT n.doc_id, n.n_chars,
+           CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END AS pos
+    FROM (
+        SELECT doc_id, n_chars,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    ) n
+    JOIN (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY 1
+    ) c ON c.h = n.h
+),
+grp AS (
+    SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS pos_cnt
+    FROM lab GROUP BY 1
+),
+cum AS (
+    SELECT s, cnt, pos_cnt,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS before_cnt
+    FROM grp
+),
+agg AS (
+    SELECT CAST(SUM(pos_cnt) AS BIGINT) AS n1,
+           CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n0,
+           CAST(SUM(pos_cnt * (2 * before_cnt + cnt + 1)) AS BIGINT)
+               AS rank2_pos
+    FROM cum
+)
+SELECT n1 AS n_pos, n0 AS n_neg, rank2_pos,
+       CAST(rank2_pos - n1 * (n1 + 1) AS DOUBLE)
+           / CAST(NULLIF(2 * n1 * n0, 0) AS DOUBLE) AS auc,
+       CAST(rank2_pos - n1 * (n1 + 1) AS DOUBLE)
+           / CAST(NULLIF(n1 * n0, 0) AS DOUBLE) - 1.0 AS gini
+FROM agg
+"""
+
+
+@register("auc_dup_quality", AUC_ORACLE)
+def q_auc_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of document length as a duplicate
+    predictor (labels from normalized-text collision counts): the
+    Mann-Whitney construction over score-grouped midranks, twice-scaled
+    so every intermediate is BIGINT — AUC and Gini emerge from one
+    double division.
+
+    Scale: the label join is the exact-dedup digest aggregate; the
+    score frame collapses to one row per distinct score (map-side
+    combine), and its running count rides the two-phase distributed
+    prefix scan instead of a single-partition window. Determinism:
+    integer rank algebra end to end."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "n_chars", F.md5(normalize_text("text")).alias("h")
+    )
+    cnt = norm.groupBy("h").agg(F.count("*").alias("cnt"))
+    lab = norm.join(cnt, "h").select(
+        "n_chars", (F.col("cnt") > 1).cast("int").alias("pos")
+    )
+    grp = lab.groupBy(F.col("n_chars").alias("s")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos_cnt"),
+    )
+    cum = distributed_prefix_sum(
+        grp, "cnt", ["s"], cum_col="cum_incl", rank_col="_r"
+    ).select(
+        "s",
+        "cnt",
+        "pos_cnt",
+        (F.col("cum_incl") - F.col("cnt")).alias("before_cnt"),
+    )
+    agg = cum.agg(
+        F.sum("pos_cnt").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).cast("long").alias("n0"),
+        F.sum(
+            F.col("pos_cnt")
+            * (2 * F.col("before_cnt") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("rank2_pos"),
+    )
+    num = F.col("rank2_pos") - F.col("n1") * (F.col("n1") + 1)
+    # NULL-guard the degenerate one-class case (no duplicates at tiny
+    # SFs): Spark ANSI raises on /0 where DuckDB would return inf
+    den2 = F.nullif(2 * F.col("n1") * F.col("n0"), F.lit(0))
+    den1 = F.nullif(F.col("n1") * F.col("n0"), F.lit(0))
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        "rank2_pos",
+        (num.cast("double") / den2.cast("double")).alias("auc"),
+        (num.cast("double") / den1.cast("double") - 1.0).alias("gini"),
+    )

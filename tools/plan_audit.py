@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "auc_dup_quality": {
+        "Exchange SinglePartition": "distributed_prefix_sum's "
+        "O(#partitions) offset merge over the score-group frame plus "
+        "the final 1-row scalar aggregate — bounded by cluster size",
+    },
     "rfm_cell_matrix": {
         "BroadcastNestedLoopJoin": "1-row scalar crosses only: the "
         "ref-date max and the customer-count n broadcast onto the "
