@@ -578,3 +578,98 @@ def q_fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- Lindley backlog recursion (queueing capacity check) --------------------
+
+# The single-server queue recursion W_t = max(0, W_{t-1} + A_t - C):
+# feed each day's event arrivals against a fixed capacity of 9/8 the
+# mean daily rate and watch the backlog process — the discrete
+# companion to littles_law_sweep's steady-state identity, and the
+# direct answer to "how much headroom does 12.5% over mean buy us".
+# Pure integer max-plus recursion, so the WITH RECURSIVE oracle replays
+# it exactly; capacity is (9*N) div (8*T) by truncating division.
+
+LINDLEY_ORACLE = """
+WITH RECURSIVE daily AS MATERIALIZED (
+    SELECT event_type AS et, epoch_us(ts) // 86400000000 AS d,
+           CAST(COUNT(*) AS BIGINT) AS a
+    FROM events GROUP BY 1, 2
+),
+cap AS MATERIALIZED (
+    SELECT et, (9 * CAST(SUM(a) AS BIGINT)) // (8 * CAST(COUNT(*) AS BIGINT))
+               AS c
+    FROM daily GROUP BY et
+),
+em AS MATERIALIZED (
+    SELECT daily.et, d, a, cap.c,
+           ROW_NUMBER() OVER (PARTITION BY daily.et ORDER BY d) AS i
+    FROM daily JOIN cap ON cap.et = daily.et
+),
+dp AS (
+    SELECT et, i, d, a, c,
+           GREATEST(CAST(0 AS BIGINT), a - c) AS w FROM em WHERE i = 1
+    UNION ALL
+    SELECT e.et, e.i, e.d, e.a, e.c,
+           GREATEST(CAST(0 AS BIGINT), dp.w + e.a - e.c) AS w
+    FROM dp JOIN em e ON e.et = dp.et AND e.i = dp.i + 1
+)
+SELECT et AS event_type, d AS epoch_day, a AS arrivals, c AS capacity,
+       w AS backlog, w > 0 AS queued
+FROM dp ORDER BY event_type, epoch_day
+"""
+
+
+@register("lindley_queue_backlog", LINDLEY_ORACLE)
+def q_lindley_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lindley backlog walk per event type: daily arrivals against a
+    fixed capacity of 9/8 the mean rate, W_t = max(0, W_{t-1} + A_t - C)
+    — which days queue, and how deep, under 12.5% headroom.
+
+    Determinism: integer max-plus recursion with truncating-division
+    capacity; the oracle replays it with WITH RECURSIVE per event type.
+    Scale: one (type, day) aggregate; each series' walk is a single
+    integer of state inside the grouped Arrow kernel."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count("*").alias("a"))
+    cap = daily.groupBy("et").agg(
+        F.expr(
+            "(9 * CAST(SUM(a) AS BIGINT)) div (8 * CAST(COUNT(*) AS BIGINT))"
+        ).alias("c")
+    )
+    em = daily.join(F.broadcast(cap), "et")
+
+    def _walk(pdf):
+        import pandas as pd
+
+        et = str(pdf["et"].iloc[0])
+        c = int(pdf["c"].iloc[0])
+        rows = sorted(zip(pdf["d"], pdf["a"]), key=lambda r: r[0])
+        out, w = [], 0
+        for d_, a_ in rows:
+            w = max(0, w + int(a_) - c)
+            out.append((et, int(d_), int(a_), c, w, w > 0))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type",
+                "epoch_day",
+                "arrivals",
+                "capacity",
+                "backlog",
+                "queued",
+            ],
+        )
+
+    return (
+        em.groupBy("et")
+        .applyInPandas(
+            _walk,
+            "event_type string, epoch_day long, arrivals long,"
+            " capacity long, backlog long, queued boolean",
+        )
+        .orderBy("event_type", "epoch_day")
+    )

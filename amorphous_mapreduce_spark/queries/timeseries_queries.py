@@ -2142,3 +2142,134 @@ def q_newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --- Holt linear (level + trend) exponential smoothing ----------------------
+
+# The trend-aware smoother between brown_double_ewma (fixed convolution
+# weights) and a full seasonal ETS: dyadic gains alpha = 1/4,
+# beta = 1/8 make the recurrence EXACT in 2^20-scaled integers —
+# l_t = (x_t + 3*(l + b)) div 4, b_t = ((l_t - l) + 7*b) div 8 — so
+# the per-day state walk replays bit-identically in a WITH RECURSIVE
+# oracle. Negative trends hit the truncating-vs-floor divide split:
+# Spark `div` == DuckDB `//` (both truncate toward zero), and the
+# grouped kernel routes Python's flooring // through the same
+# sign-guard the power-iteration kernel uses.
+
+_HOLT_SCALE = 1048576
+
+
+def _holt_oracle() -> str:
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+    SELECT c.c_mktsegment AS seg,
+           epoch_us(o.o_orderdate) // 86400000000 AS d,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS x
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+em AS MATERIALIZED (
+    SELECT seg, d, x * {_HOLT_SCALE} AS xq,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY d) AS i
+    FROM daily
+),
+dp AS (
+    SELECT seg, i, d, xq, xq AS l, CAST(0 AS BIGINT) AS b FROM em WHERE i = 1
+    UNION ALL
+    SELECT e.seg, e.i, e.d, e.xq,
+           (e.xq + 3 * (dp.l + dp.b)) // 4 AS l,
+           (((e.xq + 3 * (dp.l + dp.b)) // 4 - dp.l) + 7 * dp.b) // 8 AS b
+    FROM dp JOIN em e ON e.seg = dp.seg AND e.i = dp.i + 1
+)
+SELECT seg, d AS epoch_day,
+       xq // {_HOLT_SCALE} AS day_cents,
+       l AS level_q, b AS trend_q,
+       (l + 7 * b) // {_HOLT_SCALE} AS forecast_7d_cents
+FROM dp ORDER BY seg, epoch_day
+"""
+
+
+HOLT_ORACLE = _holt_oracle()
+
+
+@register("holt_linear_daily", HOLT_ORACLE)
+def q_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level+trend) smoothing of each segment's daily
+    revenue with dyadic gains (alpha 1/4, beta 1/8) in 2^20-scaled
+    exact integers, plus the 7-day-ahead linear forecast — the
+    trend-aware layer of the forecasting family (naive-seasonal,
+    croston, brown, rolling-origin).
+
+    Determinism: the recurrence divides by powers of two with
+    truncation toward zero on both engines; the oracle replays it with
+    WITH RECURSIVE per segment. Scale: one (segment, day) aggregate is
+    the only corpus-sized stage; each segment's (level, trend) walk is
+    bounded state inside the grouped Arrow kernel."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    scale = _HOLT_SCALE
+
+    def _tdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    def _holt(pdf):
+        import pandas as pd
+
+        seg = str(pdf["seg"].iloc[0])
+        rows = sorted(zip(pdf["d"], pdf["x"]), key=lambda r: r[0])
+        out = []
+        l = b = None
+        for d_, x_ in rows:
+            xq = int(x_) * scale
+            if l is None:
+                l, b = xq, 0
+            else:
+                l_new = _tdiv(xq + 3 * (l + b), 4)
+                b = _tdiv((l_new - l) + 7 * b, 8)
+                l = l_new
+            out.append(
+                (seg, int(d_), _tdiv(xq, scale), l, b, _tdiv(l + 7 * b, scale))
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "seg",
+                "epoch_day",
+                "day_cents",
+                "level_q",
+                "trend_q",
+                "forecast_7d_cents",
+            ],
+        )
+
+    return (
+        daily.groupBy("seg")
+        .applyInPandas(
+            _holt,
+            "seg string, epoch_day long, day_cents long, level_q long,"
+            " trend_q long, forecast_7d_cents long",
+        )
+        .orderBy("seg", "epoch_day")
+    )
