@@ -3226,7 +3226,9 @@ ORDER BY r_q, f_q, m_q
 @register("rfm_cell_matrix", RFM_ORACLE)
 def q_rfm_cell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/Frequency/Monetary quintile cube over customers: each
-    dimension ranked EXACTLY (ascending with custkey tie-break),
+    dimension ranked EXACTLY (ascending with custkey tie-break) —
+    the data-driven counterpart of customer_rfm's fixed-threshold
+    segments (which need no ranking and cost one hash aggregate),
     quintile q = (5*(rank-1)) div n, then the occupied cells profiled
     by population and value — the segmentation every CRM team keys
     campaigns off.
