@@ -4186,3 +4186,158 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mass_q"), "part")
         .limit(PPR_TOP)
     )
+
+
+# --- Bradley-Terry brand strengths from basket "wins" -----------------------
+
+# Paired-comparison ranking: within each order, a brand with the larger
+# shipped quantity "beats" the other (ties skipped); the 25x25 win
+# matrix feeds three minorize-maximize rounds of the Bradley-Terry
+# model, s_i <- w_i / sum_j n_ij/(s_i + s_j), carried in 2^20-scaled
+# integers (terms quantized via (n_ij * 2^40) div (s_i + s_j)) so the
+# iteration replays exactly in unrolled SQL. The matrix is
+# catalog-bounded, so all three rounds run inside one grouped kernel
+# (the markov pattern); the corpus-sized stage is the one basket
+# aggregate.
+
+_BT_ROUNDS = 3
+_BT_S0 = 1 << 20
+_BT_Q = 1 << 40
+
+_BT_WINS_CTE = """
+bq AS (
+    SELECT l.l_orderkey AS o, p.p_brand AS brand,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+),
+games AS (
+    SELECT a.brand AS wi, b.brand AS li
+    FROM bq a JOIN bq b ON a.o = b.o AND a.brand != b.brand AND a.q > b.q
+),
+wmat AS (
+    SELECT wi, li, CAST(COUNT(*) AS BIGINT) AS w
+    FROM games GROUP BY wi, li
+),
+nmat AS (
+    SELECT w1.wi AS i, w1.li AS j,
+           w1.w + COALESCE(w2.w, 0) AS n_ij, w1.w AS w_ij
+    FROM wmat w1
+    LEFT JOIN wmat w2 ON w2.wi = w1.li AND w2.li = w1.wi
+),
+wtot AS (SELECT wi AS i, CAST(SUM(w) AS BIGINT) AS w_i FROM wmat GROUP BY wi)
+"""
+
+
+def _bt_round_cte(k: int) -> str:
+    return f"""
+s{k} AS MATERIALIZED (
+    SELECT n.i,
+           CAST((wt.w_i * {_BT_Q})
+               // CAST(SUM((n.n_ij * {_BT_Q}) // (sa.s + sb.s))
+                       AS BIGINT) AS BIGINT) AS s
+    FROM nmat n
+    JOIN s{k - 1} sa ON sa.i = n.i
+    JOIN s{k - 1} sb ON sb.i = n.j
+    JOIN wtot wt ON wt.i = n.i
+    GROUP BY n.i, wt.w_i
+)
+"""
+
+
+BT_ORACLE = (
+    "WITH "
+    + _BT_WINS_CTE
+    + ", s0 AS (SELECT i, CAST("
+    + str(_BT_S0)
+    + " AS BIGINT) AS s FROM wtot),"
+    + ",".join(_bt_round_cte(k) for k in range(1, _BT_ROUNDS + 1))
+    + f"""
+SELECT wt.i AS brand, wt.w_i AS wins, s.s AS strength_q
+FROM wtot wt JOIN s{_BT_ROUNDS} s ON s.i = wt.i
+ORDER BY strength_q DESC, brand
+"""
+)
+
+
+@register("bradley_terry_brands", BT_ORACLE)
+def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over basket quantity duels: three MM
+    rounds on the 25-brand win matrix in exact 2^20-scaled integer
+    arithmetic — the paired-comparison ranking (think team/judge/model
+    leaderboards) the ranking family lacked next to rank-persistence
+    and leaderboard-churn.
+
+    Determinism: every MM term quantizes via truncating division
+    before the integer sum; the oracle unrolls the identical three
+    rounds. Scale: one basket aggregate + one pair aggregate (fanout
+    <= |brands per order|^2, catalog-bounded); the iteration state is
+    the 25-row strength vector inside one grouped kernel."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bq = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+        .persist()  # both duel sides read it
+    )
+    a = bq.select("o", F.col("brand").alias("wi"), F.col("q").alias("qa"))
+    b = bq.select("o", F.col("brand").alias("li"), F.col("q").alias("qb"))
+    wmat = (
+        a.join(b, "o")
+        .filter((F.col("wi") != F.col("li")) & (F.col("qa") > F.col("qb")))
+        .groupBy("wi", "li")
+        .agg(F.count("*").cast("long").alias("w"))
+        .persist()  # forward rows, reverse lookup, and totals all read it
+    )
+    rev = wmat.select(
+        F.col("wi").alias("li"), F.col("li").alias("wi"), F.col("w").alias("wr")
+    )
+    nmat = (
+        wmat.join(rev, ["wi", "li"], "left")
+        .select(
+            F.col("wi").alias("i"),
+            F.col("li").alias("j"),
+            (F.col("w") + F.coalesce("wr", F.lit(0))).cast("long").alias("n_ij"),
+        )
+    )
+    wtot = wmat.groupBy(F.col("wi").alias("i")).agg(
+        F.sum("w").cast("long").alias("w_i")
+    )
+    feed = nmat.join(wtot, "i")
+    rounds, s0, qscale = _BT_ROUNDS, _BT_S0, _BT_Q
+
+    def _mm(pdf):
+        import pandas as pd
+
+        n: dict[tuple[str, str], int] = {}
+        w: dict[str, int] = {}
+        for i_, j_, nij, wi_ in zip(
+            pdf["i"], pdf["j"], pdf["n_ij"], pdf["w_i"]
+        ):
+            n[(str(i_), str(j_))] = int(nij)
+            w[str(i_)] = int(wi_)
+        s = {i_: s0 for i_ in w}
+        for _ in range(rounds):
+            new = {}
+            for i_ in w:
+                d = sum(
+                    (nij * qscale) // (s[i_] + s.get(j_, s0))
+                    for (ii, j_), nij in n.items()
+                    if ii == i_
+                )
+                new[i_] = (w[i_] * qscale) // d
+            s = new
+        out = sorted(
+            ((i_, w[i_], s[i_]) for i_ in w), key=lambda r: (-r[2], r[0])
+        )
+        return pd.DataFrame(out, columns=["brand", "wins", "strength_q"])
+
+    return (
+        feed.groupBy(F.lit(0).alias("one"))
+        .applyInPandas(_mm, "brand string, wins long, strength_q long")
+        .orderBy(F.desc("strength_q"), "brand")
+    )

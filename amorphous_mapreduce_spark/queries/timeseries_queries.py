@@ -2273,3 +2273,223 @@ def q_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "epoch_day")
     )
+
+
+# --- Ljung-Box autocorrelation test -----------------------------------------
+
+# "Is what's left noise?" — lag-1..7 autocorrelations of each segment's
+# centered daily revenue plus the Ljung-Box portmanteau statistic.
+# Exactness: center WITHOUT floats by working on y_t = n*x_t - S
+# (integer, scaled by n); lag covariances are DECIMAL(38,0) sums of
+# y_t*y_{t+k} products (~2^71 at sf0.1 — int64 overflows, HUGEINT/ANSI
+# split applies); r_k = cov_k/cov_0 is one double division. The
+# cross-lag sum in Q quantizes r_k^2/(n-k) to 2^40 integers per lag
+# before summing (grouped-agg order safety), then
+# Q = n(n+2) * (sum / 2^40) as a fixed double expression.
+
+_LB_LAGS = 7
+_LB_CHI2_7DF_95 = 14.067140449340169
+_LB_Q = 1 << 40
+
+LJUNG_ORACLE = f"""
+WITH daily AS (
+    SELECT c.c_mktsegment AS seg,
+           epoch_us(o.o_orderdate) // 86400000000 AS d,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS x
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+scal AS (
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+    FROM daily GROUP BY seg
+),
+y AS (
+    SELECT daily.seg, d, CAST(sc.n * x - sc.s AS BIGINT) AS yv, sc.n
+    FROM daily JOIN scal sc ON sc.seg = daily.seg
+),
+c0 AS (
+    -- hi/lo int64 split: DECIMAL(38,0) -> DOUBLE mis-rounds by 1 ulp
+    -- past 2^63 in DuckDB (the rolling_correlation_14d gotcha); the
+    -- floor-mod form ((v % m) + m) % m also covers NEGATIVE lag sums
+    SELECT seg, MAX(n) AS n,
+           CAST((cov0 - ((cov0 % 1099511627776 + 1099511627776) % 1099511627776)) // 1099511627776
+                AS BIGINT) AS c0_hi,
+           CAST((cov0 % 1099511627776 + 1099511627776) % 1099511627776 AS BIGINT) AS c0_lo
+    FROM (
+        SELECT seg, MAX(n) AS n,
+               CAST(SUM(CAST(yv AS DECIMAL(19,0))
+                        * CAST(yv AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS cov0
+        FROM y GROUP BY seg
+    ) GROUP BY seg, c0_hi, c0_lo
+),
+lk AS (
+    SELECT seg, k,
+           CAST((covk - ((covk % 1099511627776 + 1099511627776) % 1099511627776)) // 1099511627776
+                AS BIGINT) AS ck_hi,
+           CAST((covk % 1099511627776 + 1099511627776) % 1099511627776 AS BIGINT) AS ck_lo
+    FROM (
+        SELECT a.seg, lag.k,
+               CAST(SUM(CAST(a.yv AS DECIMAL(19,0))
+                        * CAST(b.yv AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS covk
+        FROM y a
+        JOIN (SELECT unnest(generate_series(1, {_LB_LAGS})) AS k) lag
+            ON TRUE
+        JOIN y b ON b.seg = a.seg AND b.d = a.d + lag.k
+        GROUP BY a.seg, lag.k
+    )
+),
+rk AS (
+    SELECT l.seg, l.k, c.n,
+           (CAST(l.ck_hi AS DOUBLE) * 1099511627776.0 + CAST(l.ck_lo AS DOUBLE))
+           / (CAST(c.c0_hi AS DOUBLE) * 1099511627776.0 + CAST(c.c0_lo AS DOUBLE))
+               AS r
+    FROM lk l JOIN c0 c ON c.seg = l.seg
+),
+qq AS (
+    SELECT seg, MAX(n) AS n,
+           CAST(SUM(CAST(floor(r * r / CAST(n - k AS DOUBLE) * {_LB_Q})
+                AS BIGINT)) AS BIGINT) AS qsum
+    FROM rk GROUP BY seg
+)
+SELECT rk.seg, rk.k AS lag, rk.r AS autocorr,
+       CAST(q.n AS DOUBLE) * CAST(q.n + 2 AS DOUBLE)
+           * (CAST(q.qsum AS DOUBLE) / {_LB_Q}.0) AS lb_q,
+       CAST(q.n AS DOUBLE) * CAST(q.n + 2 AS DOUBLE)
+           * (CAST(q.qsum AS DOUBLE) / {_LB_Q}.0)
+           > {_LB_CHI2_7DF_95} AS not_white_noise
+FROM rk JOIN qq q ON q.seg = rk.seg
+ORDER BY rk.seg, lag
+"""
+
+
+@register("ljung_box_weekly", LJUNG_ORACLE)
+def q_ljung_box_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelations of each segment's centered daily
+    revenue with the Ljung-Box portmanteau verdict against
+    chi-square(7) — the residual-whiteness check behind every
+    forecasting model in the battery (holt / brown / croston /
+    seasonal-naive).
+
+    Determinism: centering via y = n*x - S keeps everything integer;
+    lag covariances accumulate in DECIMAL(38,0); r_k is one double
+    division; the cross-lag Q sum is 2^40-quantized per lag. Scale: one
+    (segment, day) aggregate, a 7-way constant lag explode joined on
+    (segment, day+k), bounded per-segment frames after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    scal = daily.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    y = daily.join(F.broadcast(scal), "seg").select(
+        "seg",
+        "d",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("yv"),
+        "n",
+    ).persist()  # cov0, the lag join probe AND build sides all read it
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    def _hilo(col, hi, lo):
+        m = F.lit(1099511627776)
+        lo_c = F.pmod(F.col(col), m)
+        return [
+            ((F.col(col) - lo_c) / m).cast("long").alias(hi),
+            lo_c.cast("long").alias(lo),
+        ]
+
+    c0 = (
+        y.groupBy("seg")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(dec("yv") * dec("yv")).cast("decimal(38,0)").alias("cov0"),
+        )
+        .select("seg", "n", *_hilo("cov0", "c0_hi", "c0_lo"))
+    )
+    lagged = y.select(
+        "seg",
+        "d",
+        F.col("yv").alias("ya"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _LB_LAGS + 1)])
+        ).alias("k"),
+    ).withColumn("dk", F.col("d") + F.col("k"))
+    lk = (
+        lagged.join(
+            y.select(
+                F.col("seg").alias("sb"),
+                F.col("d").alias("db"),
+                F.col("yv").alias("yb"),
+            ),
+            (F.col("seg") == F.col("sb")) & (F.col("dk") == F.col("db")),
+        )
+        .groupBy("seg", "k")
+        .agg(
+            F.sum(dec("ya") * dec("yb")).cast("decimal(38,0)").alias("covk")
+        )
+        .select("seg", "k", *_hilo("covk", "ck_hi", "ck_lo"))
+    )
+    ckd = F.col("ck_hi").cast("double") * F.lit(1099511627776.0) + F.col(
+        "ck_lo"
+    ).cast("double")
+    c0d = F.col("c0_hi").cast("double") * F.lit(1099511627776.0) + F.col(
+        "c0_lo"
+    ).cast("double")
+    rk = lk.join(F.broadcast(c0), "seg").select(
+        "seg",
+        "k",
+        "n",
+        (ckd / c0d).alias("r"),
+    ).persist()  # per-lag rows + the Q aggregate both read it
+    qq = rk.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("r")
+                * F.col("r")
+                / (F.col("n") - F.col("k")).cast("double")
+                * _LB_Q
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("qsum"),
+    )
+    lb = (
+        F.col("n").cast("double")
+        * (F.col("n") + 2).cast("double")
+        * (F.col("qsum").cast("double") / float(_LB_Q))
+    )
+    return (
+        rk.drop("n")
+        .join(F.broadcast(qq), "seg")
+        .select(
+            "seg",
+            F.col("k").alias("lag"),
+            F.col("r").alias("autocorr"),
+            lb.alias("lb_q"),
+            (lb > F.lit(_LB_CHI2_7DF_95)).alias("not_white_noise"),
+        )
+        .orderBy("seg", "lag")
+    )
