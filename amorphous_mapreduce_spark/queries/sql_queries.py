@@ -292,3 +292,64 @@ def q_sql_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(PIVOT_REVENUE_SQL)
+
+
+# GROUPING SETS + GROUPING() through the SQL front door — the
+# multi-grain rollup as ONE string both engines parse identically
+# (the DataFrame-side grouping-sets query covers the API route).
+GROUPING_SETS_SQL = """
+SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+       CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(o.o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+ORDER BY g_nation, g_priority, nation, priority
+"""
+
+
+@register("sql_grouping_sets_profile", GROUPING_SETS_SQL)
+def q_sql_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation x priority revenue at three grains in one pass via
+    GROUPING SETS, with GROUPING() flags disambiguating the NULLs —
+    one string, both engines. Catalyst expands to the same
+    Expand+HashAggregate the DataFrame rollup/cube battery produces;
+    revenue follows the decimal-accumulate convention."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+# INTERSECT / EXCEPT through the SQL front door: customer-id audience
+# algebra between the order and event domains. DISTINCT set semantics
+# on both engines; the scalar subqueries keep the output a 1-row
+# scorecard.
+SET_OPS_SQL = """
+SELECT
+    (SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders
+        INTERSECT SELECT user_id FROM events)) AS buyers_also_active,
+    (SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders
+        EXCEPT SELECT user_id FROM events)) AS buyers_never_active,
+    (SELECT COUNT(*) FROM (
+        SELECT user_id FROM events
+        EXCEPT SELECT o_custkey FROM orders)) AS active_never_bought,
+    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_buyers,
+    (SELECT COUNT(DISTINCT user_id) FROM events) AS n_active
+"""
+
+
+@register("sql_set_ops_audit", SET_OPS_SQL)
+def q_sql_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap scorecard via INTERSECT / EXCEPT — one string,
+    both engines. Catalyst plans the set operations as the same
+    left-semi/left-anti aggregates the DataFrame battery uses; each
+    branch is a distinct-key shuffle bounded by the id domain."""
+    for t in ("orders", "events"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SET_OPS_SQL)
