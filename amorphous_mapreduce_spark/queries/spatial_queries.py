@@ -322,3 +322,227 @@ def q_spatial_density_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("density_ratio"), F.asc("cx"), F.asc("cy"))
         .limit(LOF_TOP)
     )
+
+
+# --- Local Outlier Factor (k=3) ---------------------------------------------
+
+# Density-RATIO outliers: spatial_density_anomaly flags sparse CELLS;
+# LOF scores each point by how much sparser its neighborhood is than
+# its neighbors' neighborhoods — the classic local-density detector.
+# k = 3. The grid is DENSITY-ADAPTIVE: cell = 1e6 div max(1,
+# floor(sqrt(n)/2)) keeps expected cell occupancy ~4 at every SF, so
+# the 3x3-halo candidate volume stays ~36 per point whether n is 1.5k
+# or 150k (a fixed cell would go quadratic at 100x). Exactness: LOF's
+# lrd ratios collapse to integer ratios — lrd(o)/lrd(p) =
+# sumreach(p)/sumreach(o) with sumreach = sum of max(kdist(o), d2) —
+# so LOF*k quantizes to sum((sumreach_p * 2^20) div sumreach_o) and
+# one double division lands the score. floor(sqrt(n)) on an exact
+# integer is engine-identical (correctly-rounded sqrt both sides).
+
+_LOF_K = 3
+_LOF_TOP = 20
+
+_LOF_PTS = """
+pts AS (
+    SELECT o_orderkey AS id,
+           CAST('0x' || substr(md5('gx_' || CAST(o_orderkey AS VARCHAR)),
+                1, 15) AS BIGINT) % 1000000 AS x,
+           CAST('0x' || substr(md5('gy_' || CAST(o_orderkey AS VARCHAR)),
+                1, 15) AS BIGINT) % 1000000 AS y
+    FROM orders
+),
+scal AS (
+    SELECT GREATEST(CAST(1 AS BIGINT),
+                    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) / 2.0)
+                         AS BIGINT)) AS axis
+    FROM pts
+),
+cells AS (
+    SELECT id, x, y,
+           x // (1000000 // axis) AS cx, y // (1000000 // axis) AS cy,
+           (1000000 // axis) AS cell
+    FROM pts CROSS JOIN scal
+)
+"""
+
+LOF_ORACLE = (
+    "WITH "
+    + _LOF_PTS
+    + f""",
+probe AS (
+    SELECT id AS qid, x AS qx, y AS qy, cell,
+           cx + dx.o AS cx, cy + dy.o AS cy
+    FROM cells
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dx(o)
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dy(o)
+),
+cand AS (
+    SELECT p.qid, c.id AS nid,
+           (c.x - p.qx) * (c.x - p.qx) + (c.y - p.qy) * (c.y - p.qy) AS d2
+    FROM probe p JOIN cells c ON p.cx = c.cx AND p.cy = c.cy
+    WHERE c.id <> p.qid
+      AND (c.x - p.qx) * (c.x - p.qx) + (c.y - p.qy) * (c.y - p.qy)
+          <= p.cell * p.cell
+),
+knn AS (
+    SELECT qid, nid, d2,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+    FROM cand
+),
+k3 AS (SELECT qid, nid, d2 FROM knn WHERE rn <= {_LOF_K}),
+full3 AS (
+    SELECT qid FROM k3 GROUP BY qid HAVING COUNT(*) = {_LOF_K}
+),
+kdist AS (
+    SELECT knn.qid, knn.d2 AS kd
+    FROM knn JOIN full3 f ON f.qid = knn.qid
+    WHERE rn = {_LOF_K}
+),
+reach AS (
+    SELECT k3.qid,
+           CAST(SUM(GREATEST(kd.kd, k3.d2)) AS BIGINT) AS sumreach
+    FROM k3
+    JOIN full3 f ON f.qid = k3.qid
+    JOIN kdist kd ON kd.qid = k3.nid
+    GROUP BY k3.qid
+    HAVING COUNT(*) = {_LOF_K}
+),
+lof AS (
+    SELECT k3.qid,
+           CAST(SUM((rp.sumreach * 1048576) // ro.sumreach) AS BIGINT)
+               AS lof_q
+    FROM k3
+    JOIN reach rp ON rp.qid = k3.qid
+    JOIN reach ro ON ro.qid = k3.nid
+    GROUP BY k3.qid
+    HAVING COUNT(*) = {_LOF_K}
+)
+SELECT qid AS id, lof_q,
+       CAST(lof_q AS DOUBLE) / ({_LOF_K}.0 * 1048576.0) AS lof
+FROM lof
+ORDER BY lof_q DESC, id
+LIMIT {_LOF_TOP}
+"""
+)
+
+
+@register("lof_outliers", LOF_ORACLE)
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 Local Outlier Factor (k=3) points over the hashed order
+    plane: each point's neighborhood density against its neighbors' —
+    the local-ratio detector that catches outliers a global density
+    threshold misses.
+
+    Scale: the grid cell adapts to density (cell = 1e6 div
+    floor(sqrt(n)/2), expected occupancy ~4), so halo candidates stay
+    ~36/point at ANY SF; all joins are (cx, cy) or id equi-joins and
+    windows are per-point. Determinism: squared distances, k-distances
+    and reach sums are exact integers; lrd ratios cross-multiply to
+    (sumreach_p * 2^20) div sumreach_o; one double division at the end.
+    Points whose 3-NN set (or a neighbor's) is incomplete within one
+    cell radius are excluded on both engines alike."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = hashed_points(orders, "o_orderkey")
+    scal = pts.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.sqrt(F.count("*").cast("double")) / 2.0).cast("long"),
+        ).alias("axis")
+    )
+    cells = pts.crossJoin(F.broadcast(scal)).select(
+        "id",
+        "x",
+        "y",
+        F.expr("x div (1000000 div axis)").alias("cx"),
+        F.expr("y div (1000000 div axis)").alias("cy"),
+        F.expr("1000000 div axis").alias("cell"),
+    ).persist()  # probe side and candidate side both read it
+    probe = (
+        cells.select(
+            F.col("id").alias("qid"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            "cell",
+            "cx",
+            "cy",
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "qid",
+            "qx",
+            "qy",
+            "cell",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    cand = (
+        probe.join(
+            cells.select(
+                F.col("id").alias("nid"), "x", "y", "cx", "cy"
+            ),
+            ["cx", "cy"],
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", d2.alias("d2"), "cell")
+        .filter(F.col("d2") <= F.col("cell") * F.col("cell"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    knn = cand.select(
+        "qid", "nid", "d2", F.row_number().over(w).alias("rn")
+    ).persist()  # k3, kdist, and the completeness filter all read it
+    k3 = knn.filter(F.col("rn") <= _LOF_K).select("qid", "nid", "d2")
+    full3 = (
+        k3.groupBy("qid").agg(F.count("*").alias("c"))
+        .filter(F.col("c") == _LOF_K)
+        .select("qid")
+    )
+    kdist = (
+        knn.filter(F.col("rn") == _LOF_K)
+        .join(full3, "qid")
+        .select(F.col("qid").alias("kid"), F.col("d2").alias("kd"))
+    )
+    reach = (
+        k3.join(full3, "qid")
+        .join(kdist, k3["nid"] == kdist["kid"])
+        .groupBy("qid")
+        .agg(
+            F.sum(F.greatest(F.col("kd"), F.col("d2")))
+            .cast("long")
+            .alias("sumreach"),
+            F.count("*").alias("nc"),
+        )
+        .filter(F.col("nc") == _LOF_K)
+        .select("qid", "sumreach")
+        .persist()  # both sides of the ratio join read it
+    )
+    rp = reach.select(F.col("qid").alias("pid"), F.col("sumreach").alias("sp"))
+    ro = reach.select(F.col("qid").alias("oid"), F.col("sumreach").alias("so"))
+    lof = (
+        k3.join(rp, k3["qid"] == rp["pid"])
+        .join(ro, k3["nid"] == ro["oid"])
+        .groupBy("qid")
+        .agg(
+            F.sum(F.expr("(sp * 1048576) div so")).cast("long").alias("lof_q"),
+            F.count("*").alias("nc"),
+        )
+        .filter(F.col("nc") == _LOF_K)
+    )
+    return (
+        lof.select(
+            F.col("qid").alias("id"),
+            "lof_q",
+            (
+                F.col("lof_q").cast("double")
+                / (float(_LOF_K) * 1048576.0)
+            ).alias("lof"),
+        )
+        .orderBy(F.desc("lof_q"), "id")
+        .limit(_LOF_TOP)
+    )

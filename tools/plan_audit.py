@@ -42,6 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "lof_outliers": {
+        "BroadcastNestedLoopJoin": "ONE 1-row scalar (the density-"
+        "adaptive grid axis = floor(sqrt(n)/2)) crossed onto the point "
+        "frame; it appears many times in the BUILT plan because the "
+        "persisted cells frame's lineage is replicated across the "
+        "knn/kdist/reach branches pre-execution — at runtime the cache "
+        "materializes it once. All data-sized joins are (cx, cy) / id "
+        "equi-joins with ~36 halo candidates per point",
+    },
     "auc_dup_quality": {
         "Exchange SinglePartition": "distributed_prefix_sum's "
         "O(#partitions) offset merge over the score-group frame plus "
