@@ -1240,3 +1240,161 @@ def q_unigram_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_bits"),
         exp2_scaled("sum_scaled div m_tokens").alias("perplexity"),
     ).orderBy("source")
+
+
+# --- SPPMI rank-1 word embedding --------------------------------------------
+
+# "Train a word embedding exactly": the SGNS-equivalent shifted
+# positive PMI matrix (Levy & Goldberg's identity, shift = log2 4 —
+# a POWER OF TWO so the shift is exact without the LUT) over adjacent
+# token pairs, factorized by 8 rounds of fixed-point power iteration —
+# the same integer matvec/rescale recursion embedding_power_iteration
+# runs on the Gram, now on a corpus-DERIVED vocab x vocab matrix.
+# PMI_q = log2s(c12 * T) - log2s(c1 * c2) via the intlog primitive
+# (both arguments < 2^55), so the matrix and therefore every iterate
+# is bit-identical cross-engine.
+
+_SPPMI_SHIFT = 2 * 1048576  # log2(4), exact in 2^20 fixed point
+_SPPMI_ITERS = 8
+_SPPMI_SCALE = 4096
+
+
+def _sppmi_oracle() -> str:
+    pmi = (
+        f"({log2_scaled_sql('p.c12 * tot.t')}"
+        f" - {log2_scaled_sql('u1.c * u2.c')})"
+    )
+    ctes = [
+        toks_cte(),
+        """pairs AS MATERIALIZED (
+    SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM toks a JOIN toks b
+      ON b.id = a.id AND abs(b.pos - a.pos) = 1 AND a.word != b.word
+    GROUP BY 1, 2
+)""",
+        """uni AS MATERIALIZED (
+    SELECT w1 AS w, CAST(SUM(c12) AS BIGINT) AS c FROM pairs GROUP BY w1
+)""",
+        """tot AS MATERIALIZED (
+    SELECT CAST(SUM(c12) AS BIGINT) AS t FROM pairs
+)""",
+        f"""m AS MATERIALIZED (
+    SELECT p.w1, p.w2,
+           GREATEST(CAST(0 AS BIGINT), {pmi} - {_SPPMI_SHIFT}) AS sp
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN tot
+    WHERE {pmi} - {_SPPMI_SHIFT} > 0
+)""",
+        f"""v0 AS MATERIALIZED (
+    SELECT DISTINCT w1 AS w, CAST({_SPPMI_SCALE} AS BIGINT) AS v FROM m
+)""",
+    ]
+    for k in range(1, _SPPMI_ITERS + 1):
+        ctes.append(
+            f"""gv{k} AS MATERIALIZED (
+    SELECT m.w1 AS w, CAST(SUM(m.sp * v.v) AS BIGINT) AS gv
+    FROM m JOIN v{k - 1} v ON m.w2 = v.w
+    GROUP BY m.w1
+)"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+    SELECT w,
+           gv // GREATEST(CAST(1 AS BIGINT),
+                (SELECT MAX(ABS(gv)) FROM gv{k}) // {_SPPMI_SCALE}) AS v
+    FROM gv{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT v.w AS word, v.v AS v_q, u.c AS pair_count
+FROM v{_SPPMI_ITERS} v JOIN uni u ON u.w = v.w
+ORDER BY word
+"""
+    )
+
+
+SPPMI_ORACLE = _sppmi_oracle()
+
+
+@register("sppmi_rank1_embedding", SPPMI_ORACLE)
+def q_sppmi_rank1_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SGNS-style word embedding: shifted positive PMI (shift
+    log2 4) over adjacent token pairs, factorized by 8 fixed-point
+    power-iteration rounds into the top singular direction — every
+    number from raw text to the final embedding coordinate is a
+    deterministic integer, so the oracle replays training bit-for-bit.
+
+    Scale: ONE token-adjacency self-join (<= 2 partners per token) is
+    the corpus-sized stage; the SPPMI matrix is vocab², and the
+    iteration runs inside one grouped kernel over it (the
+    embedding_power_iteration pattern, sign-guarded truncating
+    rescale). Reference tie-in: CrossPOp outer-product semantics
+    (src/outer_product.rs:34-121) driven from text instead of
+    embeddings."""
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs).select("id", "pos", "word")
+    a = toks.select("id", F.col("pos").alias("pa"), F.col("word").alias("w1"))
+    b = toks.select("id", F.col("pos").alias("pb"), F.col("word").alias("w2"))
+    pairs = (
+        a.join(b, "id")
+        .filter(
+            (F.abs(F.col("pb") - F.col("pa")) == 1)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .persist()  # unigram margins, total, and the matrix all read it
+    )
+    uni = pairs.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c12").cast("long").alias("c")
+    ).persist()  # both margins and the output join read it
+    tot = pairs.agg(F.sum("c12").cast("long").alias("t"))
+    feed = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = log2_scaled("c12 * t") - log2_scaled("c1 * c2")
+    m = feed.select(
+        "w1", "w2", (pmi - _SPPMI_SHIFT).alias("sp")
+    ).filter(F.col("sp") > 0)
+
+    iters, scale = _SPPMI_ITERS, _SPPMI_SCALE
+
+    def _factor(pdf):
+        import pandas as pd
+
+        rows = [
+            (str(w1), str(w2), int(sp))
+            for w1, w2, sp in zip(pdf["w1"], pdf["w2"], pdf["sp"])
+        ]
+        v = {w1: scale for w1, _, _ in rows}
+        for _ in range(iters):
+            gv: dict[str, int] = {}
+            for w1, w2, sp in rows:
+                gv[w1] = gv.get(w1, 0) + sp * v.get(w2, 0)
+            mx = max(abs(x) for x in gv.values())
+            d_ = max(1, mx // scale)
+            v = {
+                w: (x // d_ if x >= 0 else -((-x) // d_))
+                for w, x in gv.items()
+            }
+        return pd.DataFrame(
+            {"word": list(v.keys()), "v_q": [v[k] for k in v]}
+        )
+
+    emb = (
+        m.groupBy(F.lit(0).alias("one"))
+        .applyInPandas(_factor, "word string, v_q long")
+    )
+    return (
+        emb.join(uni.select(F.col("w").alias("word"), F.col("c").alias("pair_count")), "word")
+        .orderBy("word")
+    )

@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "sppmi_rank1_embedding": {
+        "BroadcastNestedLoopJoin": "the 1-row total-pair-count scalar "
+        "crossed onto the vocab-squared PMI frame — the standard "
+        "scalar-total pattern; the adjacency self-join and margins are "
+        "keyed equi-joins",
+    },
     "lof_outliers": {
         "BroadcastNestedLoopJoin": "ONE 1-row scalar (the density-"
         "adaptive grid axis = floor(sqrt(n)/2)) crossed onto the point "
