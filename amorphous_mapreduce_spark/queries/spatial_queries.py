@@ -494,10 +494,16 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d2") <= F.col("cell") * F.col("cell"))
     )
     w = Window.partitionBy("qid").orderBy("d2", "nid")
-    knn = cand.select(
-        "qid", "nid", "d2", F.row_number().over(w).alias("rn")
-    ).persist()  # k3, kdist, and the completeness filter all read it
-    k3 = knn.filter(F.col("rn") <= _LOF_K).select("qid", "nid", "d2")
+    # rank, then CUT to rn <= k BEFORE persisting: only the top-k rows
+    # are ever read again (k3 / kdist / completeness), and the full
+    # candidate frame is ~5x larger — persisting it cost ~3x wall-clock
+    # at sf0.1
+    knn = (
+        cand.select("qid", "nid", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _LOF_K)
+        .persist()
+    )
+    k3 = knn.select("qid", "nid", "d2")
     full3 = (
         k3.groupBy("qid").agg(F.count("*").alias("c"))
         .filter(F.col("c") == _LOF_K)

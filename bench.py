@@ -146,6 +146,14 @@ HEADLINE = [
     "fdr_bh_discoveries",
     "cem_matched_effect",
     "bellman_ford_delta_frontier",
+    # monitoring / burst-DP / segmentation / density-outlier /
+    # exact-embedding families (round 4, cont.)
+    "sample_ratio_mismatch",
+    "group_sequential_obf",
+    "kleinberg_burst_days",
+    "rfm_cell_matrix",
+    "lof_outliers",
+    "sppmi_rank1_embedding",
 ]
 
 
