@@ -552,3 +552,345 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lof_q"), "id")
         .limit(_LOF_TOP)
     )
+
+
+# --- DBSCAN point classification --------------------------------------------
+
+# The point-level DBSCAN taxonomy on the hashed order plane:
+# core (>= MINPTS neighbors within eps), border (not core but adjacent
+# to one), noise (neither) — spatial_density_clusters already builds
+# the cluster graph over core CELLS; this is the per-point
+# classification that feeds it, with eps = the density-adaptive cell
+# (the lof_outliers grid) so the halo join stays O(1) per point.
+
+_DB_MINPTS = 4
+
+_DB_CELLS = """
+pts AS (
+    SELECT o_orderkey AS id,
+           CAST('0x' || substr(md5('gx_' || CAST(o_orderkey AS VARCHAR)),
+                1, 15) AS BIGINT) % 1000000 AS x,
+           CAST('0x' || substr(md5('gy_' || CAST(o_orderkey AS VARCHAR)),
+                1, 15) AS BIGINT) % 1000000 AS y
+    FROM orders
+),
+scal AS (
+    SELECT GREATEST(CAST(1 AS BIGINT),
+                    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) / 2.0)
+                         AS BIGINT)) AS axis
+    FROM pts
+),
+cells AS (
+    SELECT id, x, y,
+           x // (1000000 // axis) AS cx, y // (1000000 // axis) AS cy,
+           (1000000 // axis) AS cell
+    FROM pts CROSS JOIN scal
+),
+probe AS (
+    SELECT id AS qid, x AS qx, y AS qy, cell,
+           cx + dx.o AS cx, cy + dy.o AS cy
+    FROM cells
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dx(o)
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dy(o)
+),
+nbr AS (
+    SELECT p.qid, c.id AS nid
+    FROM probe p JOIN cells c ON p.cx = c.cx AND p.cy = c.cy
+    WHERE c.id <> p.qid
+      AND (c.x - p.qx) * (c.x - p.qx) + (c.y - p.qy) * (c.y - p.qy)
+          <= p.cell * p.cell
+)
+"""
+
+DBSCAN_ORACLE = (
+    "WITH "
+    + _DB_CELLS
+    + f""",
+deg AS (
+    SELECT c.id, CAST(COALESCE(n.dg, 0) AS BIGINT) AS dg
+    FROM cells c
+    LEFT JOIN (SELECT qid, COUNT(*) AS dg FROM nbr GROUP BY qid) n
+        ON n.qid = c.id
+),
+core AS (SELECT id FROM deg WHERE dg >= {_DB_MINPTS}),
+border AS (
+    SELECT DISTINCT nbr.qid AS id
+    FROM nbr JOIN core ON core.id = nbr.nid
+    WHERE nbr.qid NOT IN (SELECT id FROM core)
+),
+cls AS (
+    SELECT deg.id, deg.dg,
+           CASE WHEN deg.id IN (SELECT id FROM core) THEN 'core'
+                WHEN deg.id IN (SELECT id FROM border) THEN 'border'
+                ELSE 'noise' END AS label
+    FROM deg
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(dg) AS BIGINT) AS sum_degree,
+       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+FROM cls GROUP BY label
+ORDER BY label
+"""
+)
+
+
+@register("dbscan_point_classes", DBSCAN_ORACLE)
+def q_dbscan_point_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's core/border/noise taxonomy over the hashed order plane
+    (minPts = 4, eps = the density-adaptive grid cell): the point-level
+    classification under spatial_density_clusters' cell-graph view —
+    how much of the plane is dense mass vs fringe vs noise.
+
+    Determinism: neighbor counts are exact integers from the lossless
+    3x3-halo join; class rules are pure set logic. Scale: the adaptive
+    cell keeps halo candidates O(1) per point; core/border resolve with
+    one aggregate and one semi/anti join pair."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure w/ LOF)
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = hashed_points(orders, "o_orderkey")
+    scal = pts.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.sqrt(F.count("*").cast("double")) / 2.0).cast("long"),
+        ).alias("axis")
+    )
+    cells = pts.crossJoin(F.broadcast(scal)).select(
+        "id",
+        "x",
+        "y",
+        F.expr("x div (1000000 div axis)").alias("cx"),
+        F.expr("y div (1000000 div axis)").alias("cy"),
+        F.expr("1000000 div axis").alias("cell"),
+    ).persist()
+    probe = (
+        cells.select(
+            F.col("id").alias("qid"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            "cell",
+            "cx",
+            "cy",
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "qid",
+            "qx",
+            "qy",
+            "cell",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    nbr = (
+        probe.join(
+            cells.select(F.col("id").alias("nid"), "x", "y", "cx", "cy"),
+            ["cx", "cy"],
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", d2.alias("d2"), "cell")
+        .filter(F.col("d2") <= F.col("cell") * F.col("cell"))
+        .select("qid", "nid")
+        .persist()  # degree count + the border join both read it
+    )
+    deg = (
+        cells.select("id")
+        .join(
+            nbr.groupBy("qid").agg(F.count("*").alias("dg")),
+            cells["id"] == F.col("qid"),
+            "left",
+        )
+        .select("id", F.coalesce("dg", F.lit(0)).cast("long").alias("dg"))
+    )
+    core = deg.filter(F.col("dg") >= _DB_MINPTS).select("id").persist()
+    border = (
+        nbr.join(core.select(F.col("id").alias("nid")), "nid")
+        .select(F.col("qid").alias("id"))
+        .distinct()
+        .join(core, "id", "left_anti")
+    )
+    cls = (
+        deg.join(core.select("id", F.lit(True).alias("is_core")), "id", "left")
+        .join(
+            border.select("id", F.lit(True).alias("is_border")), "id", "left"
+        )
+        .select(
+            "id",
+            "dg",
+            F.when(F.col("is_core"), "core")
+            .when(F.col("is_border"), "border")
+            .otherwise("noise")
+            .alias("label"),
+        )
+    )
+    return (
+        cls.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("dg").cast("long").alias("sum_degree"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- k-distance knee (DBSCAN eps selection) ----------------------------------
+
+# How you PICK eps: sort every point's k-th-NN squared distance
+# descending and find the knee — the point of maximum deviation below
+# the first-to-last chord. With integer distances and exact global
+# ranks, the chord deviation is one integer cross product,
+# score(r, d) = (n-1)*(d1 - d) - (r-1)*(d1 - dn), and the knee is a
+# total-order argmax — no geometry libm anywhere.
+
+KNEE_ORACLE = (
+    "WITH "
+    + _DB_CELLS
+    + f""",
+knn AS (
+    SELECT p.qid, 
+           (c.x - p.qx) * (c.x - p.qx) + (c.y - p.qy) * (c.y - p.qy) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY (c.x - p.qx) * (c.x - p.qx)
+                      + (c.y - p.qy) * (c.y - p.qy), c.id) AS rn
+    FROM probe p JOIN cells c ON p.cx = c.cx AND p.cy = c.cy
+    WHERE c.id <> p.qid
+      AND (c.x - p.qx) * (c.x - p.qx) + (c.y - p.qy) * (c.y - p.qy)
+          <= p.cell * p.cell
+),
+kd AS (
+    SELECT qid, d2 AS kdist FROM knn WHERE rn = {_LOF_K}
+),
+curve AS (
+    SELECT qid, kdist,
+           CAST(ROW_NUMBER() OVER (ORDER BY kdist DESC, qid) AS BIGINT) AS r
+    FROM kd
+),
+ends AS (
+    -- the curve is sorted by kdist DESC, so its endpoints are simply
+    -- the extrema: d1 = MAX(kdist), dn = MIN(kdist)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(kdist) AS BIGINT) AS d1,
+           CAST(MIN(kdist) AS BIGINT) AS dn
+    FROM kd
+),
+scored AS (
+    SELECT c.r, c.qid, c.kdist, e.n,
+           (e.n - 1) * (e.d1 - c.kdist) - (c.r - 1) * (e.d1 - e.dn)
+               AS score
+    FROM curve c CROSS JOIN ends e
+)
+SELECT n, r AS knee_rank, qid AS knee_id, kdist AS knee_kd2, score,
+       sqrt(CAST(kdist AS DOUBLE)) AS eps_suggest
+FROM scored
+ORDER BY score DESC, r LIMIT 1
+"""
+)
+
+
+@register("kdist_knee_eps", KNEE_ORACLE)
+def q_kdist_knee_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBSCAN eps selector: the knee of the descending 3rd-NN
+    squared-distance curve as the maximum integer chord deviation
+    (n-1)*(d1-d) - (r-1)*(d1-dn) — pairs with dbscan_point_classes,
+    which consumes the radius this query recommends.
+
+    Scale: k-th distances ride the adaptive-grid halo join; the global
+    descending rank rides the two-phase distributed prefix scan (no
+    single-partition window over points); the knee is a TakeOrdered
+    top-1. Determinism: all-integer geometry, (score, rank) total
+    order, sqrt only on the final suggested eps."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = hashed_points(orders, "o_orderkey")
+    scal = pts.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.sqrt(F.count("*").cast("double")) / 2.0).cast("long"),
+        ).alias("axis")
+    )
+    cells = pts.crossJoin(F.broadcast(scal)).select(
+        "id",
+        "x",
+        "y",
+        F.expr("x div (1000000 div axis)").alias("cx"),
+        F.expr("y div (1000000 div axis)").alias("cy"),
+        F.expr("1000000 div axis").alias("cell"),
+    ).persist()
+    probe = (
+        cells.select(
+            F.col("id").alias("qid"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            "cell",
+            "cx",
+            "cy",
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "qid",
+            "qx",
+            "qy",
+            "cell",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    kd = (
+        probe.join(
+            cells.select(F.col("id").alias("nid"), "x", "y", "cx", "cy"),
+            ["cx", "cy"],
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", d2.alias("d2"), "cell")
+        .filter(F.col("d2") <= F.col("cell") * F.col("cell"))
+        .select("qid", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == _LOF_K)
+        .select("qid", F.col("d2").alias("kdist"), F.lit(1).alias("one"))
+    )
+    curve = distributed_prefix_sum(
+        kd, "one", [F.col("kdist").desc(), F.col("qid")], cum_col="_c",
+        rank_col="r",
+    ).select("qid", "kdist", "r").persist()  # ends + scoring both read it
+    # curve endpoints are the kdist extrema (sorted desc)
+    ends = curve.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("kdist").cast("long").alias("d1"),
+        F.min("kdist").cast("long").alias("dn"),
+    )
+    scored = curve.crossJoin(F.broadcast(ends)).select(
+        "r",
+        "qid",
+        "kdist",
+        "n",
+        (
+            (F.col("n") - 1) * (F.col("d1") - F.col("kdist"))
+            - (F.col("r") - 1) * (F.col("d1") - F.col("dn"))
+        ).alias("score"),
+    )
+    return (
+        scored.select(
+            "n",
+            F.col("r").alias("knee_rank"),
+            F.col("qid").alias("knee_id"),
+            F.col("kdist").alias("knee_kd2"),
+            "score",
+            F.sqrt(F.col("kdist").cast("double")).alias("eps_suggest"),
+        )
+        .orderBy(F.desc("score"), "knee_rank")
+        .limit(1)
+    )

@@ -42,6 +42,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "dbscan_point_classes": {
+        "BroadcastNestedLoopJoin": "ONE 1-row grid-axis scalar "
+        "(floor(sqrt(n)/2)) crossed onto the point frame, replicated "
+        "across the degree/core/border branches of the BUILT plan "
+        "(persisted at runtime) — the lof_outliers pattern; all "
+        "data-sized joins are (cx, cy) / id equi-joins",
+    },
+    "kdist_knee_eps": {
+        "BroadcastNestedLoopJoin": "the 1-row grid-axis scalar and the "
+        "1-row curve-endpoints frame crossed onto bounded frames — "
+        "lof_outliers / scalar-total patterns",
+        "Exchange SinglePartition": "distributed_prefix_sum's "
+        "O(#partitions) offset merge for the global descending rank "
+        "plus the 1-row endpoints aggregate — bounded by cluster size",
+    },
     "sppmi_rank1_embedding": {
         "BroadcastNestedLoopJoin": "the 1-row total-pair-count scalar "
         "crossed onto the vocab-squared PMI frame — the standard "
