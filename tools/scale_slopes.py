@@ -44,6 +44,9 @@ HEAVY = [
     "hard_negative_mining",
     "bellman_ford_delta_frontier",
     "similarity_topk",
+    "lof_outliers",
+    "rfm_cell_matrix",
+    "sppmi_rank1_embedding",
 ]
 
 DATA_RATIO = 10.0
