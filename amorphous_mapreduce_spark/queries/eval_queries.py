@@ -2749,3 +2749,141 @@ def q_auc_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / den2.cast("double")).alias("auc"),
         (num.cast("double") / den1.cast("double") - 1.0).alias("gini"),
     )
+
+
+# --- Matthews correlation of the threshold classifier ------------------------
+
+# The hard-decision companion of auc_dup_quality: dichotomize document
+# length at its EXACT median (smallest value with 2*cum >= n over the
+# score-group prefix — no float quantile) as an English-vs-rest
+# language classifier and report the confusion matrix with
+# MCC = (TP*TN - FP*FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)). The
+# lang label keeps both classes populated at every SF (full-text
+# duplicate labels are EMPTY below sf0.1 in the current fixtures).
+# Counts are integers; MCC is sqrt-only — engine-safe like the Wilson
+# intervals. The products inside the sqrt are composed in DOUBLE
+# (they pass int64 at corpus scale).
+
+MCC_ORACLE = """
+WITH lab AS (
+    SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM documents
+),
+grp AS (
+    SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS pos_cnt
+    FROM lab GROUP BY 1
+),
+cum AS (
+    SELECT s, cnt, pos_cnt,
+           CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS c_incl
+    FROM grp
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grp),
+med AS (
+    SELECT MIN(s) AS thresh FROM cum CROSS JOIN tot
+    WHERE 2 * c_incl >= n
+),
+conf AS (
+    SELECT
+        CAST(SUM(CASE WHEN s <= m.thresh THEN pos_cnt ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN s <= m.thresh THEN cnt - pos_cnt ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN s > m.thresh THEN pos_cnt ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN s > m.thresh THEN cnt - pos_cnt ELSE 0 END)
+             AS BIGINT) AS tn,
+        MAX(m.thresh) AS thresh
+    FROM grp CROSS JOIN med m
+)
+SELECT tp, fp, fn, tn, thresh,
+       (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc
+FROM conf
+WHERE (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+"""
+
+
+@register("mcc_length_langid", MCC_ORACLE)
+def q_mcc_length_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of "short docs are English" at the exact
+    median length threshold — the hard-decision scorecard next to
+    auc_dup_quality's ranking view (MCC is the one confusion summary
+    that survives class imbalance); near-zero MCC is itself the
+    finding (length carries no language signal in this corpus).
+
+    Determinism: the median is the smallest score group with
+    2*cum >= n (cross-multiplied, no float quantile); confusion counts
+    are integers; MCC is one sqrt-only double expression. Degenerate
+    single-class margins filter out identically on both engines.
+    Scale: the label join is the exact-dedup digest aggregate; the
+    score-group frame is value-domain sized with one bounded window."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    grp = lab.groupBy(F.col("n_chars").alias("s")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos_cnt"),
+    ).persist()  # the prefix scan AND the confusion aggregate read it
+    cum = distributed_prefix_sum(
+        grp, "cnt", ["s"], cum_col="c_incl", rank_col="_r"
+    )
+    tot = grp.agg(F.sum("cnt").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("c_incl") >= F.col("n"))
+        .agg(F.min("s").alias("thresh"))
+    )
+    conf = grp.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("s") <= F.col("thresh"), F.col("pos_cnt")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                F.col("s") <= F.col("thresh"), F.col("cnt") - F.col("pos_cnt")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("s") > F.col("thresh"), F.col("pos_cnt")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(
+            F.when(
+                F.col("s") > F.col("thresh"), F.col("cnt") - F.col("pos_cnt")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tn"),
+        F.max("thresh").alias("thresh"),
+    )
+    tp, fp, fn_, tn = (
+        F.col("tp").cast("double"),
+        F.col("fp").cast("double"),
+        F.col("fn").cast("double"),
+        F.col("tn").cast("double"),
+    )
+    return conf.filter(
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+        > 0
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "thresh",
+        (
+            (tp * tn - fp * fn_)
+            / F.sqrt((tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_))
+        ).alias("mcc"),
+    )

@@ -42,6 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "mcc_length_langid": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the total "
+        "count for the median pick, the chosen threshold onto the "
+        "score-group frame) — scalar-total pattern",
+        "Exchange SinglePartition": "distributed_prefix_sum's "
+        "O(#partitions) offset merge over the score-group frame plus "
+        "1-row scalars — bounded by cluster size (auc_dup_quality "
+        "precedent)",
+    },
     "dbscan_point_classes": {
         "BroadcastNestedLoopJoin": "ONE 1-row grid-axis scalar "
         "(floor(sqrt(n)/2)) crossed onto the point frame, replicated "
@@ -996,8 +1005,11 @@ def main() -> int:
         except FileNotFoundError:
             prior = {"sf_dir": sf_dir, "results": []}
         audited = {r["query"] for r in results}
+        # drop stale rows: renamed/deleted queries must not linger
         results = [
-            r for r in prior["results"] if r["query"] not in audited
+            r
+            for r in prior["results"]
+            if r["query"] not in audited and r["query"] in QUERIES
         ] + results
         results.sort(key=lambda r: r["query"])
         n_red = sum(
