@@ -1,19 +1,22 @@
-"""Scale-slope evidence (VERDICT_r03 item 6): measure each heavy query's
-sf0.01 -> sf0.1 wall-clock slope so the 100x-scale claims in SCALE.md
-have committed data behind them.
+"""Scale-slope evidence, two measured decades (VERDICT_r04 item 1).
 
-For each query: warm at sf0.001 (plan/codegen compile), then two timed
-noop-sink runs per SF taking the min (ambient-load shaving). Data ratio
-between the SFs is 10x, so:
+Round 3 measured one decade (sf0.01 -> sf0.1, 17 MB of data); round 5
+adds a second rung, sf1 (~170 MB, 6M-row lineitem, 50k docs), generated
+deterministically by tools/make_fixtures.py into fixtures/sf1. For each
+heavy query: warm at sf0.001 (plan/codegen compile), then two timed
+noop-sink runs per SF taking the min (ambient-load shaving). Each decade
+is a 10x data ratio, so:
 
-  slope = t(sf0.1) / t(sf0.01)
+  slope1 = t(sf0.1) / t(sf0.01)      (decade 1)
+  slope2 = t(sf1)   / t(sf0.1)       (decade 2, when fixtures/sf1 exists)
 
 ~10 or below = at-worst-linear in the data (scan-bound is ~linear;
 bounded-state ops are far flatter). Queries whose slope exceeds
-FLAG_RATIO * 10 are flagged — those grew superlinearly and need a plan
-read.  Fixed per-query overhead (session/scheduling, ~0.5-1 s) deflates
-slopes at these tiny SFs; flags, not the absolute values, are the
-signal.
+FLAG_RATIO * 10 in EITHER decade are flagged — those grew superlinearly
+and need a plan read. Fixed per-query overhead (session/scheduling,
+~0.5-1 s) deflates slopes at the small rungs; slope2 carries less of that
+distortion, which is the point of the second decade: a hidden quadratic
+term that overhead masks at 17 MB shows up undeniably at 170 MB.
 
 Usage: python tools/scale_slopes.py [query ...]   (default: heavy set)
 Writes SLOPES.json at the repo root.
@@ -29,28 +32,47 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# The heaviest bench entries per VERDICT_r03's performance table, plus
-# the round-4 reworked loops (one-kernel collapses, delta-frontier BF).
+# The heaviest BENCH_LOCAL entries (everything >= ~1.7 s solo at sf0.1),
+# plus the round-4 reworked loops (one-kernel collapses, delta-frontier
+# BF) whose scaling behavior the verdicts specifically track.
 HEAVY = [
+    "lof_outliers",
+    "bellman_ford_delta_frontier",
+    "ransac_price_fit",
+    "corpus_curation",
+    "fellegi_sunter_weights",
+    "recommend_parts",
+    "similarity_lsh_topk",
+    "conformal_price_intervals",
+    "brand_association_rules",
+    "abc_xyz_matrix",
+    "rfm_cell_matrix",
+    "topic_shift_boundaries",
+    "simhash_near_pairs",
+    "incremental_agg_maintenance",
+    "wasserstein_price_segments",
+    "fdr_bh_discoveries",
+    "kmeans_clusters",
+    "similarity_topk",
+    "markov_removal_attribution",
+    "kleinberg_burst_days",
+    "sppmi_rank1_embedding",
+    "kmv_set_similarity",
+    "hard_negative_mining",
+    "phrase_search",
+    "embedding_power_iteration",
     "approx_quantile_audit",
     "cdc_net_effect_compaction",
-    "recommend_parts",
-    "ransac_price_fit",
-    "embedding_power_iteration",
-    "fellegi_sunter_weights",
-    "markov_removal_attribution",
-    "kmv_set_similarity",
-    "phrase_search",
-    "hard_negative_mining",
-    "bellman_ford_delta_frontier",
-    "similarity_topk",
-    "lof_outliers",
-    "rfm_cell_matrix",
-    "sppmi_rank1_embedding",
 ]
 
 DATA_RATIO = 10.0
 FLAG_RATIO = 1.5  # flag when slope > FLAG_RATIO * DATA_RATIO
+
+RUNGS = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", os.path.join(REPO, "fixtures", "sf1")),
+]
 
 
 def main() -> int:
@@ -61,6 +83,13 @@ def main() -> int:
 
     spark = get_spark(app_name="scale-slopes")
     spark.sparkContext.setLogLevel("ERROR")
+
+    rungs = [(k, d) for k, d in RUNGS if os.path.isdir(d)]
+    if len(rungs) < len(RUNGS):
+        print(
+            "note: fixtures/sf1 missing — run `python tools/make_fixtures.py"
+            " 10 fixtures/sf1` for the second decade"
+        )
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.time()
@@ -75,24 +104,28 @@ def main() -> int:
             print(f"skip {name}: not registered")
             continue
         run(name, "/root/testdata/sf0.001")  # warm
-        t_small = min(run(name, "/root/testdata/sf0.01") for _ in range(2))
-        t_big = min(run(name, "/root/testdata/sf0.1") for _ in range(2))
-        slope = t_big / t_small if t_small > 0 else float("inf")
-        flagged = slope > FLAG_RATIO * DATA_RATIO
-        out[name] = {
-            "sf0.01_s": round(t_small, 3),
-            "sf0.1_s": round(t_big, 3),
-            "slope": round(slope, 2),
-            "flagged": flagged,
-        }
+        t = {k: min(run(name, d) for _ in range(2)) for k, d in rungs}
+        rec: dict = {f"{k}_s": round(v, 3) for k, v in t.items()}
+        slopes = []
+        for (ka, _), (kb, _) in zip(rungs, rungs[1:]):
+            slopes.append(t[kb] / t[ka] if t[ka] > 0 else float("inf"))
+        rec["slope"] = round(slopes[0], 2)
+        if len(slopes) > 1:
+            rec["slope2"] = round(slopes[1], 2)
+        rec["flagged"] = any(s > FLAG_RATIO * DATA_RATIO for s in slopes)
+        out[name] = rec
         print(
-            f"{name}: {t_small:.2f}s -> {t_big:.2f}s  slope {slope:.2f}"
-            + ("  ** FLAGGED **" if flagged else "")
+            f"{name}: "
+            + " -> ".join(f"{t[k]:.2f}s" for k, _ in rungs)
+            + "  slopes "
+            + "/".join(f"{s:.2f}" for s in slopes)
+            + ("  ** FLAGGED **" if rec["flagged"] else "")
         )
 
     doc = {
         "data_ratio": DATA_RATIO,
         "flag_above_slope": FLAG_RATIO * DATA_RATIO,
+        "rungs": [k for k, _ in rungs],
         "queries": out,
         "n_flagged": sum(1 for r in out.values() if r["flagged"]),
     }
