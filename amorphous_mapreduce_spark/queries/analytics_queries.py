@@ -4323,16 +4323,21 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = {i_: s0 for i_ in w}
         for _ in range(rounds):
             new = {}
-            for i_ in w:
+            for i_ in s:
+                # Skip opponents with zero wins (absent from s) — the
+                # oracle's inner join on the strength CTE drops those
+                # terms, so a default here would diverge (ADVICE_r04
+                # item 2; can trigger at tiny/skewed SFs).
                 d = sum(
-                    (nij * qscale) // (s[i_] + s.get(j_, s0))
+                    (nij * qscale) // (s[i_] + s[j_])
                     for (ii, j_), nij in n.items()
-                    if ii == i_
+                    if ii == i_ and j_ in s
                 )
-                new[i_] = (w[i_] * qscale) // d
+                if d > 0:  # no surviving terms -> i drops, like the CTE
+                    new[i_] = (w[i_] * qscale) // d
             s = new
         out = sorted(
-            ((i_, w[i_], s[i_]) for i_ in w), key=lambda r: (-r[2], r[0])
+            ((i_, w[i_], s[i_]) for i_ in s), key=lambda r: (-r[2], r[0])
         )
         return pd.DataFrame(out, columns=["brand", "wins", "strength_q"])
 

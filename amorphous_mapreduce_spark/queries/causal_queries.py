@@ -63,8 +63,16 @@ oc AS (
     SELECT d, arm, CAST(COUNT(*) AS BIGINT) AS o
     FROM au GROUP BY d, arm
 ),
+-- densify to ALL {_SRM_ARMS} arms per day: a zero-count arm is the most
+-- severe mismatch and must contribute its (0 - N)^2 term (ADVICE_r04 3)
+ocd AS (
+    SELECT g.d, g.arm, COALESCE(oc.o, CAST(0 AS BIGINT)) AS o
+    FROM (SELECT d, unnest(generate_series(0, {_SRM_ARMS} - 1)) AS arm
+          FROM (SELECT DISTINCT d FROM oc)) g
+    LEFT JOIN oc ON oc.d = g.d AND oc.arm = g.arm
+),
 ocn AS (
-    SELECT d, arm, o, SUM(o) OVER (PARTITION BY d) AS nd FROM oc
+    SELECT d, arm, o, SUM(o) OVER (PARTITION BY d) AS nd FROM ocd
 ),
 day AS (
     SELECT d,
@@ -109,12 +117,28 @@ def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     ).distinct()
     oc = au.groupBy("d", "arm").agg(F.count("*").alias("o"))
+    # Densify to all arms per day (constant-level explode + coalesce 0):
+    # a zero-count arm must contribute its (0 - N)^2 deviation or chi2 is
+    # understated exactly in the worst mismatch case (ADVICE_r04 item 3).
+    grid = (
+        oc.select("d")
+        .distinct()
+        .select(
+            "d",
+            F.explode(
+                F.array(*[F.lit(a) for a in range(_SRM_ARMS)])
+            ).alias("arm"),
+        )
+    )
+    ocd = grid.join(oc, ["d", "arm"], "left").select(
+        "d", "arm", F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+    )
     from pyspark.sql import Window
 
     n_day = F.sum("o").over(Window.partitionBy("d"))
     dev = _SRM_ARMS * F.col("o") - n_day
     day = (
-        oc.select("d", "arm", "o", (dev * dev).alias("dev2"))
+        ocd.select("d", "arm", "o", (dev * dev).alias("dev2"))
         .groupBy("d")
         .agg(
             F.sum("o").alias("n"),

@@ -2803,7 +2803,7 @@ SELECT tp, fp, fn, tn, thresh,
        / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
               * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc
 FROM conf
-WHERE (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+WHERE tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
 """
 
 
@@ -2870,12 +2870,14 @@ def q_mcc_length_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fn").cast("double"),
         F.col("tn").cast("double"),
     )
+    # Per-margin guards, NOT a product: each margin is ~n_docs/2, so the
+    # BIGINT product overflows past ~110k docs (ANSI raise / DuckDB
+    # out-of-range) — ADVICE_r04 item 1.
     return conf.filter(
-        (F.col("tp") + F.col("fp"))
-        * (F.col("tp") + F.col("fn"))
-        * (F.col("tn") + F.col("fp"))
-        * (F.col("tn") + F.col("fn"))
-        > 0
+        ((F.col("tp") + F.col("fp")) > 0)
+        & ((F.col("tp") + F.col("fn")) > 0)
+        & ((F.col("tn") + F.col("fp")) > 0)
+        & ((F.col("tn") + F.col("fn")) > 0)
     ).select(
         "tp",
         "fp",

@@ -88,3 +88,41 @@ def test_checks_jsonl_has_both_sfs():
         "queries without OK CHECKS.jsonl rows at both sf0.01 and sf0.1 — "
         f"run tools/check_oracles.py at the missing SF: {missing}"
     )
+
+
+def test_checks_jsonl_freshness():
+    """No query's latest OK row may be older than 4 driver rounds
+    (VERDICT_r04 item 6) — the sharded battery (`check_oracles.py
+    --shard k/4`) must actually rotate through the whole registry.
+
+    Rows written before round 5 carry no round field; they were all
+    recorded in rounds <= 4, so they backfill as round 4 (every query
+    had a green row in the round-4 close)."""
+    import glob
+    import re
+
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    current = (max(ns) + 1) if ns else 1
+    QUERIES, _ = _registry()
+    latest_ok: dict[str, int] = {}
+    with open(os.path.join(REPO, "CHECKS.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["status"] in ("OK", "rows-only"):
+                r = rec.get("round", 4)
+                latest_ok[rec["query"]] = max(
+                    latest_ok.get(rec["query"], 0), r
+                )
+    stale = {
+        name: latest_ok.get(name, 0)
+        for name in QUERIES
+        if latest_ok.get(name, 0) < current - 4
+    }
+    assert stale == {}, (
+        f"queries whose latest OK check is >4 rounds old (current round "
+        f"{current}) — re-run their check_oracles shard: {stale}"
+    )

@@ -10,7 +10,16 @@ rows, status, timings, UTC timestamp) — a committed audit trail so any
 query the per-round driver sample never lands on still has a local
 verification record (round-2 verdict item 9).
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--shard k/n] [sf_dir] [query ...]
+
+``--shard k/n`` selects the deterministic 1-based k-th of n name-hash
+buckets (md5), so a full battery can be re-verified a rotating quarter
+per sitting (--shard 1/4 .. 4/4) as the registry grows (VERDICT_r04
+item 6). Every row now also records the driver round (inferred from the
+newest BENCH_r{N}.json + 1) so tests/test_gates.py can assert no
+query's latest OK row is stale by more than 4 rounds. On every run the
+file is first pruned of rows whose query is no longer registered, so
+the audit trail and the registry count agree exactly (item 7).
 """
 
 from __future__ import annotations
@@ -63,9 +72,43 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return bad
 
 
+def current_round() -> int:
+    """Driver round = newest committed BENCH_r{N}.json + 1."""
+    import glob
+    import re
+
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def prune_checks(path: str, registered: set[str]) -> None:
+    """Drop audit rows for queries no longer registered (VERDICT_r04 7)."""
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        lines = f.readlines()
+    kept = [ln for ln in lines if json.loads(ln)["query"] in registered]
+    if len(kept) != len(lines):
+        with open(path, "w") as f:
+            f.writelines(kept)
+        print(f"pruned {len(lines) - len(kept)} stale CHECKS.jsonl rows")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    shard = None
+    if argv and argv[0] == "--shard":
+        k, n = argv[1].split("/")
+        shard = (int(k) - 1, int(n))
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    import hashlib
 
     import __spark_entry__ as e
     from amorphous_mapreduce_spark import get_spark
@@ -78,7 +121,17 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if shard is not None:
+        k, n = shard
+        qs = {
+            name: fn
+            for name, fn in qs.items()
+            if int(hashlib.md5(name.encode()).hexdigest(), 16) % n == k
+        }
+        print(f"shard {k + 1}/{n}: {len(qs)} queries")
     failures = []
+    rnd = current_round()
+    prune_checks(os.path.join(REPO, "CHECKS.jsonl"), set(e.queries()))
     checks = open(os.path.join(REPO, "CHECKS.jsonl"), "a")
 
     def record(name: str, status: str, rows: int, ts: float, td: float) -> None:
@@ -89,6 +142,7 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "status": status,
                     "rows": rows,
+                    "round": rnd,
                     "spark_s": round(ts, 2),
                     "duck_s": round(td, 2),
                     "ts": datetime.datetime.now(datetime.timezone.utc)

@@ -980,6 +980,7 @@ def main() -> int:
             print(f"ERROR  {name}: {exc}")
             continue
         r = audit_plan(name, plan)
+        r["sf_dir"] = sf_dir  # per-row provenance (ADVICE_r04 item 4)
         results.append(r)
         if r["unexplained"]:
             n_red += 1
@@ -1005,18 +1006,30 @@ def main() -> int:
         except FileNotFoundError:
             prior = {"sf_dir": sf_dir, "results": []}
         audited = {r["query"] for r in results}
-        # drop stale rows: renamed/deleted queries must not linger
-        results = [
-            r
-            for r in prior["results"]
-            if r["query"] not in audited and r["query"] in QUERIES
-        ] + results
+        # drop stale rows: renamed/deleted queries must not linger.
+        # Carried-over rows keep their own sf_dir (backfilled from the
+        # prior summary when absent) — the subset run's sf_dir must not
+        # be stamped onto plans captured at another SF (ADVICE_r04 4).
+        prior_sf = prior.get("sf_dir")
+        carried = []
+        for r in prior["results"]:
+            if r["query"] not in audited and r["query"] in QUERIES:
+                r.setdefault("sf_dir", prior_sf)
+                carried.append(r)
+        if carried and any(r.get("sf_dir") != sf_dir for r in carried):
+            print(
+                f"note: merged rows span multiple sf_dirs (subset run at"
+                f" {sf_dir}); per-row sf_dir records provenance"
+            )
+        results = carried + results
         results.sort(key=lambda r: r["query"])
         n_red = sum(
             1 for r in results if r.get("unexplained") or r.get("error")
         )
+    row_sfs = sorted({r.get("sf_dir") for r in results if r.get("sf_dir")})
     summary = {
-        "sf_dir": sf_dir,
+        "sf_dir": sf_dir if not only else None,
+        "sf_dirs": row_sfs,
         "n_queries": len(results),
         "n_red": n_red,
         "results": results,
