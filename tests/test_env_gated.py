@@ -32,8 +32,10 @@ def test_default_decoder_raises_loudly_without_codecs():
 
     if _HAS_PIL:
         pytest.skip("PIL present — covered by the real-PNG test below")
+    # Non-PNG bytes: PIL is absent and the stdlib PNG backend rejects the
+    # magic, so the loud no-backend contract must hold.
     with pytest.raises(NotImplementedError, match="codec"):
-        default_decoder(b"\x89PNG\r\n\x1a\n", {"media_type": "image"})
+        default_decoder(b"GIF89a\x00\x00", {"media_type": "image"})
 
 
 @pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in this image")
