@@ -11,20 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amorphous_mapreduce_spark.operators.dedup import (
-    exact_dedup,
-    normalize_text,
-    jaccard_pairs,
-    jaccard_prefix_pairs,
-    minhash_lsh_pairs,
-    simhash,
-    simhash_near_pairs,
-)
-from amorphous_mapreduce_spark.queries_registry import register
-from amorphous_mapreduce_spark.sources import load_table
-
 # Shared oracle CTE fragments (DuckDB). NORM/TOKS/SHINGLES mirror
 # operators.dedup.normalize_text/tokenized/shingles exactly.
+# DEFINED BEFORE the queries_registry import: an executor unpickling a
+# kernel may import a query module as its entry point, which pulls in
+# queries_registry -> every query module -> `from dedup_queries import
+# NORM/...` while THIS module is still initializing. With the shared
+# fragments bound first, that partial-module attribute access succeeds
+# and the circular chain unwinds cleanly (round-5 fix; previously only
+# queries_registry was a safe entry point).
 NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 
@@ -62,6 +57,18 @@ def shingles_cte(src: str = "documents") -> str:
 
 TOKS_CTE = toks_cte()
 SHINGLES_CTE = shingles_cte()
+
+from amorphous_mapreduce_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    normalize_text,
+    jaccard_pairs,
+    jaccard_prefix_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from amorphous_mapreduce_spark.queries_registry import register  # noqa: E402
+from amorphous_mapreduce_spark.sources import load_table  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

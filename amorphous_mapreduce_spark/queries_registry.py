@@ -46,6 +46,7 @@ def register(
 from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     analysis_queries,
     analytics_queries,
+    bpe_queries,
     causal_queries,
     cluster_queries,
     compliance_queries,
