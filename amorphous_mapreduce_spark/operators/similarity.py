@@ -363,6 +363,26 @@ def hyperplane_signatures(
     return src.mapInPandas(kernel, "id long, band long, sig string")
 
 
+def adaptive_band_bits(
+    n: int,
+    min_bits: int = 4,
+    max_bits: int = 16,
+    target_log2_bucket: int = 6,
+) -> int:
+    """Scale-correct LSH band width: bits = floor(log2 n) - 6, clamped.
+
+    Expected bucket occupancy is n / 2^bits; holding it at ~2^6 = 64
+    keeps per-vector candidate work CONSTANT as the corpus grows, so
+    total candidate pairs stay LINEAR in n. A fixed 4-bit band (the
+    round-4 setting) lets buckets grow with n and candidates grow
+    quadratically — measured as the slope2 = 61 flag in SLOPES.json at
+    the sf1 rung (VERDICT_r04 item 1 follow-through). floor(log2) is
+    the engine-portable length(bin(n)) - 1 (Python: bit_length() - 1),
+    so the DuckDB oracle derives the identical width from the data.
+    """
+    return min(max_bits, max(min_bits, n.bit_length() - 1 - target_log2_bucket))
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_planes: int = 32,

@@ -58,6 +58,29 @@ def shingles_cte(src: str = "documents") -> str:
 TOKS_CTE = toks_cte()
 SHINGLES_CTE = shingles_cte()
 
+# Shared by the near-dup graph family (cluster/analytics oracles import
+# it) — kept with the other pre-import fragments so partial-module
+# imports during the executor-side circular chain always find it.
+MINHASH_EDGES_CTE = """
+, minhash AS (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range(16) h
+    GROUP BY s.id, h.range
+), bands AS (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+), pairs AS (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+), edges AS (
+    SELECT qid AS a, nid AS b FROM pairs
+    UNION
+    SELECT nid AS a, qid AS b FROM pairs
+)"""
+
 from amorphous_mapreduce_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     normalize_text,
@@ -240,26 +263,6 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=True)
 
-
-MINHASH_EDGES_CTE = """
-, minhash AS (
-    SELECT s.id, h.range AS hid,
-           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
-               % 2147483647) AS mh
-    FROM shingles s, range(16) h
-    GROUP BY s.id, h.range
-), bands AS (
-    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
-    FROM minhash GROUP BY id, hid // 4
-), pairs AS (
-    SELECT DISTINCT a.id AS qid, b.id AS nid
-    FROM bands a JOIN bands b USING (band, sig)
-    WHERE a.id < b.id
-), edges AS (
-    SELECT qid AS a, nid AS b FROM pairs
-    UNION
-    SELECT nid AS a, qid AS b FROM pairs
-)"""
 
 BFS_ORACLE = (
     "WITH RECURSIVE "

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.vectors import l2_norm
 from amorphous_mapreduce_spark.operators.similarity import (
+    adaptive_band_bits,
     cosine_near_dup_blocked,
     cosine_topk_blocked,
     ivf_topk,
@@ -114,9 +115,15 @@ planes AS (
            CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) >= 0
                 THEN '1' ELSE '0' END AS bit
     FROM embeddings e, planes p
+), lshnb AS (
+    -- adaptive band width: floor(log2 n) - 6 clamped to [4, 16] keeps
+    -- expected bucket occupancy ~64 at ANY corpus size (linear total
+    -- candidates; see operators.similarity.adaptive_band_bits)
+    SELECT LEAST(16, GREATEST(4, length(bin(COUNT(*))) - 7)) AS b
+    FROM embeddings
 ), lshbuckets AS (
-    SELECT id, p // 4 AS band, string_agg(bit, '' ORDER BY p) AS sig
-    FROM lshbits GROUP BY id, p // 4
+    SELECT id, p // nb.b AS band, string_agg(bit, '' ORDER BY p) AS sig
+    FROM lshbits CROSS JOIN lshnb nb GROUP BY id, p // nb.b
 ), lshcand AS (
     SELECT DISTINCT a.id AS qid, b.id AS nid
     FROM lshbuckets a JOIN lshbuckets b USING (band, sig)
@@ -195,9 +202,14 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank — the 100 TB scale path. Hash-checked against a full SQL
     replay (md5 hyperplanes, ordered-fold projections)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # 8 bands × 4 bits: high recall even on near-isotropic vectors (the
-    # fixture embeddings' top-neighbour cosines are only ~0.4-0.5).
-    return lsh_topk(emb, k=5, n_planes=32, band_bits=4)
+    # Adaptive band width (floor(log2 n) - 6, clamped to [4, 16]): holds
+    # expected bucket occupancy at ~64 vectors so candidate volume stays
+    # LINEAR in n — 4 bits at the <=2k-vector rungs (identical results
+    # to the round-4 setting), 8 bits at sf1's 20k. The one driver-side
+    # scalar (count) parameterizes the plan, same as the dims probe in
+    # hyperplane_signatures.
+    bits = adaptive_band_bits(emb.count())
+    return lsh_topk(emb, k=5, n_planes=32, band_bits=bits)
 
 
 # --- recall@k vs exact top-k (the ANN quality metric, in-plan) ------------
@@ -257,7 +269,8 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of LSH ANN vs the exact top-5 — the ANN correctness
     signal, computed in-plan (join + aggregate) and hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _recall(spark, sf_dir, lsh_topk(emb, k=5, n_planes=32, band_bits=4))
+    bits = adaptive_band_bits(emb.count())
+    return _recall(spark, sf_dir, lsh_topk(emb, k=5, n_planes=32, band_bits=bits))
 
 
 @register("similarity_ivf_recall", IVF_RECALL_ORACLE)
