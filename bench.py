@@ -154,7 +154,33 @@ HEADLINE = [
     "rfm_cell_matrix",
     "lof_outliers",
     "sppmi_rank1_embedding",
+    # real-bytes codec + tokenizer-training families (round 5)
+    "media_png_roundtrip",
+    "bpe_train_merges",
+    "bpe_tokenize_corpus",
 ]
+
+# Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
+# ambient-load inflated up to ~2x, forcing BASELINE.md bands to widen.
+# Two markers let readers normalize:
+# - a single-thread integer spin, rated against the reference rate
+#   measured on this box idle (9.6e6 iter/s) — detects CPU saturation;
+# - q1_pricing_summary wall-clock vs its idle-solo median (0.95 s) —
+#   detects end-to-end contention (scheduler, memory bandwidth).
+REF_SPIN_RATE = 9.6e6
+REF_Q1_SEC = 0.95
+
+
+def spin_rate(seconds: float = 0.5) -> float:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    n, x = 0, 1
+    while _t.perf_counter() - t0 < seconds:
+        for _ in range(10000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n += 10000
+    return n / (_t.perf_counter() - t0)
 
 
 def main() -> None:
@@ -184,12 +210,25 @@ def main() -> None:
             except Exception:
                 pass
 
+    spin_before = spin_rate()
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name in QUERIES:
             times[name] = round(run(name, sf_dir), 3)
+    spin_after = spin_rate()
 
     total = round(sum(times.values()), 3)
+    spin = (spin_before + spin_after) / 2.0
+    cpu_load_factor = round(max(1.0, REF_SPIN_RATE / spin), 3)
+    q1_load_factor = (
+        round(max(1.0, times["q1_pricing_summary"] / REF_Q1_SEC), 3)
+        if "q1_pricing_summary" in times
+        else None
+    )
+    # q1 tracks end-to-end contention better than the pure-CPU spin
+    # (scheduler + memory-bandwidth pressure); normalize by it.
+    norm = q1_load_factor or cpu_load_factor
+    total_normalized = round(total / norm, 3)
     # Full per-query breakdown goes to a committed artifact; the final
     # stdout line stays compact so the driver's tail-capture window can
     # always parse it (BENCH_r02/r03 both arrived "parsed": null because
@@ -198,6 +237,10 @@ def main() -> None:
     full = {
         "metric": "headline_queries_wall_clock",
         "value": total,
+        "value_normalized": total_normalized,
+        "cpu_load_factor": cpu_load_factor,
+        "q1_load_factor": q1_load_factor,
+        "spin_rate": round(spin),
         "unit": "sec",
         "queries": times,
         "sf": sf,
@@ -218,6 +261,9 @@ def main() -> None:
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
+                "value_normalized": total_normalized,
+                "cpu_load_factor": cpu_load_factor,
+                "q1_load_factor": q1_load_factor,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
