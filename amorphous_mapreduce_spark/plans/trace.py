@@ -57,26 +57,26 @@ def op_category(op_name: str) -> str:
     return "VecOp"
 
 
-def _build(
-    arr: list[dict[str, Any]], pos: int, out: list[dict[str, Any]]
-) -> tuple[int, int]:
-    """Rebuild the tree from Spark's preorder toJSON array.
+def _walk(node: Any, out: list[dict[str, Any]]) -> int:
+    """Children-first walk over a JVM TreeNode; returns this node's index.
 
-    Returns (index of this node in ``out``, next unconsumed position).
+    Unlike ``TreeNode.toJSON`` (which hides the subtrees of AQE
+    ``QueryStageExec`` wrappers and nested ``AdaptiveSparkPlanExec``
+    nodes — the round-4 exporter missed every operator below the first
+    materialized shuffle stage), this walk EXPANDS them: a faithful G14
+    trace must show the ops that actually executed inside each stage.
     """
-    node = arr[pos]
-    nxt = pos + 1
-    child_ids = []
-    for _ in range(int(node.get("num-children", 0))):
-        cid, nxt = _build(arr, nxt, out)
-        child_ids.append(cid)
+    cls = node.getClass().getSimpleName().removesuffix("$")
+    children = [
+        node.children().apply(i) for i in range(node.children().size())
+    ]
+    # AQE wrappers: the real subtree hangs off a non-child accessor.
+    if "QueryStage" in cls:
+        children.append(node.plan())
+    elif "AdaptiveSparkPlan" in cls:
+        children.append(node.finalPhysicalPlan())
+    child_ids = [_walk(c, out) for c in children]
     idx = len(out)
-    cls = node.get("class", "?").rsplit(".", 1)[-1]
-    content = {
-        k: v
-        for k, v in node.items()
-        if k not in ("class", "num-children") and not isinstance(v, (list, dict))
-    }
     cat = op_category(cls)
     out.append(
         {
@@ -87,10 +87,10 @@ def _build(
             "module": "global" if cat == "TransOp" else cat,
             "dependency": child_ids,
             "op": {"category": cat, "class": cls},
-            "op_content": {"name": cls, **content},
+            "op_content": {"name": cls, "detail": node.simpleString(25)},
         }
     )
-    return idx, nxt
+    return idx
 
 
 def plan_to_json(df: DataFrame, plan: str = "executedPlan") -> str:
@@ -99,7 +99,9 @@ def plan_to_json(df: DataFrame, plan: str = "executedPlan") -> str:
     ``plan``: 'logical' | 'analyzed' | 'optimizedPlan' | 'sparkPlan' |
     'executedPlan'. Nodes are emitted children-first with dependency
     edges, mirroring the reference's dependency-ordered op_list
-    (src/op.rs:15-16: deps always point at already-emitted ops).
+    (src/op.rs:15-16: deps always point at already-emitted ops). AQE
+    query stages and nested adaptive plans are expanded, so an
+    executed-plan trace covers every operator that actually ran.
     """
     qe = df._jdf.queryExecution()
     node = {
@@ -109,14 +111,8 @@ def plan_to_json(df: DataFrame, plan: str = "executedPlan") -> str:
         "sparkPlan": qe.sparkPlan,
         "executedPlan": qe.executedPlan,
     }[plan]()
-    # AQE wraps the executed plan in an AdaptiveSparkPlanExec whose final
-    # plan isn't serialized as a child — unwrap it so the export shows the
-    # real op DAG (pre-execution this is the initial plan).
-    if plan == "executedPlan" and "AdaptiveSparkPlan" in node.getClass().getName():
-        node = node.finalPhysicalPlan()
-    arr = json.loads(node.toJSON())
     ops: list[dict[str, Any]] = []
-    _build(arr, 0, ops)
+    _walk(node, ops)
     return json.dumps({"plan": plan, "op_list": ops}, indent=2)
 
 
