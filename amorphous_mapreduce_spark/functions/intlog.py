@@ -48,13 +48,18 @@ def _pieces(expr: str, intdiv: str) -> tuple[str, str]:
     return e, idx
 
 
-def log2_scaled(expr: str) -> Column:
-    """Spark Column: ~2^20 * log2(expr) as BIGINT, for BIGINT expr >= 1."""
+def log2_scaled_expr(expr: str) -> str:
+    """Spark SQL fragment (for embedding in a larger F.expr string)."""
     e, idx = _pieces(expr, "div")
-    return F.expr(
+    return (
         f"CAST(CAST({e} AS BIGINT) * {LOG2_SCALE}"
         f" + element_at(array({_LUT_CSV}), CAST({idx} + 1 AS INT)) AS BIGINT)"
     )
+
+
+def log2_scaled(expr: str) -> Column:
+    """Spark Column: ~2^20 * log2(expr) as BIGINT, for BIGINT expr >= 1."""
+    return F.expr(log2_scaled_expr(expr))
 
 
 def log2_scaled_sql(expr: str) -> str:

@@ -105,7 +105,14 @@ def _make_kernels(n_rounds: int):
         rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         return pd.DataFrame(rows, columns=["symbol", "n_tokens"])
 
-    return merge_kernel, token_kernel
+    def wordsym_kernel(pdf):
+        import pandas as pd
+
+        _, segs, _ = bpe_train(list(pdf["word"]), list(pdf["freq"]))
+        rows = sorted((w, len(seg.split())) for w, seg in segs.items())
+        return pd.DataFrame(rows, columns=["word", "n_syms"])
+
+    return merge_kernel, token_kernel, wordsym_kernel
 
 
 # --- unrolled MATERIALIZED-CTE oracle ----------------------------------------
@@ -182,7 +189,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("freq"))
     )
 
-    kernel, _ = _make_kernels(BPE_ROUNDS)
+    kernel, _, _ = _make_kernels(BPE_ROUNDS)
     return (
         lex.groupBy(F.lit(0).alias("g"))
         .applyInPandas(
@@ -221,9 +228,77 @@ def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("freq"))
     )
 
-    _, kernel = _make_kernels(BPE_ROUNDS)
+    _, kernel, _ = _make_kernels(BPE_ROUNDS)
     return (
         lex.groupBy(F.lit(0).alias("g"))
         .applyInPandas(kernel, "symbol string, n_tokens long")
         .orderBy(F.desc("n_tokens"), "symbol")
+    )
+
+
+BPE_COMPRESSION_ORACLE = (
+    _BPE_CHAIN
+    + f"""
+, wsyms AS (
+    SELECT word, CAST(len(string_split(trim(seg, ' '), ' ')) AS BIGINT)
+               AS n_syms,
+           CAST(length(word) AS BIGINT) AS n_chars
+    FROM r{BPE_ROUNDS}
+),
+sw AS (
+    SELECT d.source, t.word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks t JOIN documents d ON d.doc_id = t.id
+    GROUP BY 1, 2
+)
+SELECT sw.source,
+       CAST(SUM(sw.freq * w.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(sw.freq * w.n_syms) AS BIGINT) AS n_tokens,
+       CAST(SUM(sw.freq * w.n_chars) AS DOUBLE)
+           / SUM(sw.freq * w.n_syms) AS chars_per_token
+FROM sw JOIN wsyms w USING (word)
+GROUP BY sw.source
+ORDER BY sw.source
+"""
+)
+
+
+@register("bpe_compression_by_source", BPE_COMPRESSION_ORACLE)
+def q_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility scorecard: chars-per-token of the TRAINED
+    12-round BPE, per source — the "which slice tokenizes badly" table
+    every tokenizer change ships with (fertility/compression is the
+    standard eval, and it reuses the learned merges rather than
+    retraining per source).
+
+    Scale: one (source, word) aggregate over the token stream + the
+    31-row trained segmentation table broadcast back; integer
+    char/token masses, ONE double division per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    lex = toks.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    _, _, kernel = _make_kernels(BPE_ROUNDS)
+    wsyms = (
+        lex.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(kernel, "word string, n_syms long")
+        .withColumn("n_chars", F.length("word").cast("long"))
+    )
+    sw = (
+        toks.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    joined = sw.join(F.broadcast(wsyms), "word")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("n_chars"),
+            F.sum(F.col("freq") * F.col("n_syms")).cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("freq") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("freq") * F.col("n_syms"))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
     )

@@ -668,3 +668,135 @@ def q_dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_released"),
     )
+
+
+# --- t-closeness (ordered-attribute EMD per QI class) ------------------------
+
+# Bands of the sensitive attribute (acctbal, floor/1000 like k_anonymity);
+# EMD over an ordered attribute = sum_i |CDF_class(i) - CDF_global(i)|
+# normalized by (m - 1) band steps. Cross-multiplied exact: per band,
+# d_i = c_i * N - g_i * n_c (BIGINT); the class-prefix sum of d equals
+# cum_c * N - cum_g * n_c, so t's numerator = sum_i |prefix(d)_i| stays
+# integer until ONE double division by n_c * N * (m - 1).
+TCLOSE_T = 0.2
+
+TCLOSE_ORACLE = f"""
+WITH src AS (
+    SELECT c_nationkey AS nation, c_mktsegment AS seg,
+           CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+               AS band
+    FROM customer
+),
+cb AS (
+    SELECT nation, seg, band, CAST(COUNT(*) AS BIGINT) AS c
+    FROM src GROUP BY 1, 2, 3
+),
+gb AS (
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM src GROUP BY 1
+),
+nc AS (
+    SELECT nation, seg, CAST(COUNT(*) AS BIGINT) AS n_c
+    FROM src GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+    FROM src
+),
+grid AS (
+    SELECT nc.nation, nc.seg, nc.n_c, gb.band, gb.g,
+           COALESCE(cb.c, CAST(0 AS BIGINT)) AS c
+    FROM nc CROSS JOIN gb
+    LEFT JOIN cb ON cb.nation = nc.nation AND cb.seg = nc.seg
+               AND cb.band = gb.band
+),
+pre AS (
+    SELECT nation, seg, n_c, band,
+           SUM(c * (SELECT n_total FROM tot) - g * n_c)
+               OVER (PARTITION BY nation, seg ORDER BY band) AS d
+    FROM grid
+)
+SELECT p.nation, p.seg, MAX(p.n_c) AS class_size,
+       CAST(SUM(abs(p.d)) AS BIGINT) AS t_num,
+       CAST(SUM(abs(p.d)) AS DOUBLE)
+           / (MAX(p.n_c) * t.n_total * (t.m - 1)) AS t_closeness,
+       CAST(SUM(abs(p.d)) AS DOUBLE)
+           / (MAX(p.n_c) * t.n_total * (t.m - 1)) > {TCLOSE_T} AS breach
+FROM pre p CROSS JOIN tot t
+GROUP BY p.nation, p.seg, t.n_total, t.m
+ORDER BY t_closeness DESC, p.nation, p.seg
+"""
+
+
+@register("t_closeness", TCLOSE_ORACLE)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the release gate after k-anonymity and
+    l-diversity): per QI class (nation, segment), the earth-mover
+    distance between the class's sensitive-attribute distribution
+    (account-balance band, ordered) and the global one, flagged against
+    t = 0.2.
+
+    Determinism: per-band deviations are cross-multiplied BIGINTs
+    (c*N - g*n_c); the class prefix sum of those IS cum_c*N - cum_g*n_c,
+    so the EMD numerator is exact integer; ONE double division at the
+    end. Scale: two keyed aggregates over customer + an 11-band grid
+    explode; every window is partitioned by QI class over m rows —
+    nothing global, nothing data-length."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    src = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / F.lit(1000))
+        .cast("long")
+        .alias("band"),
+    )
+    cb = src.groupBy("nation", "seg", "band").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    gb = src.groupBy("band").agg(F.count("*").cast("long").alias("g"))
+    nc = src.groupBy("nation", "seg").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    tot = src.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("band").cast("long").alias("m"),
+    )
+    grid = (
+        nc.crossJoin(F.broadcast(gb))
+        .join(cb, ["nation", "seg", "band"], "left")
+        .select(
+            "nation",
+            "seg",
+            "n_c",
+            "band",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("nation", "seg").orderBy("band")
+    pre = grid.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "seg",
+        "n_c",
+        "n_total",
+        "m",
+        F.sum(F.col("c") * F.col("n_total") - F.col("g") * F.col("n_c"))
+        .over(w)
+        .alias("d"),
+    )
+    t_num = F.sum(F.abs(F.col("d"))).cast("long")
+    denom = (
+        F.max("n_c") * F.max("n_total") * (F.max("m") - F.lit(1))
+    ).cast("double")
+    return (
+        pre.groupBy("nation", "seg")
+        .agg(
+            F.max("n_c").alias("class_size"),
+            t_num.alias("t_num"),
+            (t_num.cast("double") / denom).alias("t_closeness"),
+            (t_num.cast("double") / denom > F.lit(TCLOSE_T)).alias("breach"),
+        )
+        .orderBy(F.desc("t_closeness"), "nation", "seg")
+    )

@@ -1485,3 +1485,125 @@ def q_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k1_x100", "b_x100")
     )
+
+
+# --- NDCG@10 per language (graded-relevance ranking eval) --------------------
+
+# Integer-exact DCG: gain = 2^rel - 1 (rel = min(3, total query-term hits)),
+# discount(i) = 2^40 div log2_scaled(i+1) — the libm-free fixed-point log2
+# (functions/intlog.py), truncating div on BOTH engines, so dcg/idcg
+# numerators are BIGINTs and NDCG is ONE double division.
+_NDCG_K = 10
+_NDCG_DISC_NUM = 1 << 40
+
+NDCG_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + ", "
+    + _BM25_BODY
+    + f"""
+, cand AS (
+    SELECT p.id, d.lang,
+           LEAST(3, p.tf_0 + p.tf_1 + p.tf_2) AS rel,
+           {_BM25_TS[0]}
+         + {_BM25_TS[1]}
+         + {_BM25_TS[2]} AS score
+    FROM per_doc p CROSS JOIN scal JOIN documents d ON d.doc_id = p.id
+    WHERE greatest(p.tf_0, p.tf_1, p.tf_2) > 0
+),
+ranked AS (
+    SELECT lang, rel,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, id)
+               AS r
+    FROM cand
+),
+ideal AS (
+    SELECT lang, rel,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rel DESC, id) AS r
+    FROM cand
+),
+dcg AS (
+    SELECT lang,
+           CAST(SUM((CAST(pow(2, rel) AS BIGINT) - 1)
+               * ({_NDCG_DISC_NUM} // {log2_scaled_sql('r + 1')}))
+               AS BIGINT) AS dcg_num
+    FROM ranked WHERE r <= {_NDCG_K} GROUP BY lang
+),
+idcg AS (
+    SELECT lang,
+           CAST(SUM((CAST(pow(2, rel) AS BIGINT) - 1)
+               * ({_NDCG_DISC_NUM} // {log2_scaled_sql('r + 1')}))
+               AS BIGINT) AS idcg_num
+    FROM ideal WHERE r <= {_NDCG_K} GROUP BY lang
+)
+SELECT d.lang, d.dcg_num, i.idcg_num,
+       CAST(d.dcg_num AS DOUBLE) / i.idcg_num AS ndcg
+FROM dcg d JOIN idcg i USING (lang)
+ORDER BY lang
+"""
+)
+
+
+@register("ndcg_by_lang", NDCG_ORACLE)
+def q_ndcg_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking per language cohort, with graded
+    relevance rel = min(3, total query-term frequency) — the standard
+    graded ranking-quality metric completing the eval family next to
+    MRR (recsys_backtest_mrr) and ERR@10.
+
+    Determinism: gains 2^rel - 1 are exact integers; position discounts
+    are 2^40 div log2_scaled(i+1) (the shared 256-LUT fixed-point log2,
+    truncating division on both engines), so DCG and ideal-DCG
+    numerators are BIGINTs; NDCG is one double division. BM25 scores
+    reuse the rational-IDF fixed expression tree (bit-identical).
+    Scale: candidates are docs matching >= 1 query term; the per-lang
+    rank windows are partitioned by the 5-language grain (rank-only,
+    top-10 head); everything upstream is the one (id, word) aggregate
+    BM25 already pays."""
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, BM25_TERMS).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    cand = scored.select(
+        "id",
+        "lang",
+        "score",
+        F.least(
+            F.lit(3), F.col("tf_0") + F.col("tf_1") + F.col("tf_2")
+        ).alias("rel"),
+    )
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_expr
+
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("id"))
+    w_ideal = Window.partitionBy("lang").orderBy(F.desc("rel"), F.asc("id"))
+    term = F.expr(
+        f"(CAST(pow(2, rel) AS BIGINT) - 1)"
+        f" * (CAST({_NDCG_DISC_NUM} AS BIGINT) div {log2_scaled_expr('r + 1')})"
+    )
+
+    def dcg_of(wspec, alias):
+        base = cand.withColumn("r", F.row_number().over(wspec)).filter(
+            F.col("r") <= _NDCG_K
+        )
+        return (
+            base.select("lang", term.alias("t"))
+            .groupBy("lang")
+            .agg(F.sum("t").cast("long").alias(alias))
+        )
+
+    dcg = dcg_of(w_rank, "dcg_num")
+    idcg = dcg_of(w_ideal, "idcg_num")
+    return (
+        dcg.join(idcg, "lang")
+        .select(
+            "lang",
+            "dcg_num",
+            "idcg_num",
+            (F.col("dcg_num").cast("double") / F.col("idcg_num")).alias(
+                "ndcg"
+            ),
+        )
+        .orderBy("lang")
+    )

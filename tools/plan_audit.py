@@ -42,6 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "t_closeness": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the "
+        "(n_total, m) aggregate onto the class x band grid, and the "
+        "11-row global band table onto the class list) — scalar-total "
+        "pattern; every window is partitioned by QI class over m bands",
+    },
+    "ndcg_by_lang": {
+        "BroadcastNestedLoopJoin": "the 1-row BM25 scalar aggregate "
+        "(N, total tokens, per-term df) crossed onto per-doc scores, "
+        "replicated across the dcg/idcg branches of the BUILT plan — "
+        "the bm25_ranking scalar-total pattern",
+    },
     "mcc_length_langid": {
         "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the total "
         "count for the median pick, the chosen threshold onto the "
