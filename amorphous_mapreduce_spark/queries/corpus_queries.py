@@ -1169,3 +1169,136 @@ def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- duplicated-n-gram token coverage (the Lee et al. dedup diagnostic) ------
+
+# What fraction of each source's TOKENS sits inside a verbatim 6-gram
+# that also appears in ANOTHER document? ("Deduplicating Training Data
+# Makes Language Models Better" measures exactly this before/after
+# dedup.) 6 tokens: the 31-word vocab makes shorter grams collide by
+# chance (31^3 ~ 3e4 << corpus grams), while 6-gram space (~9e8) leaves
+# only true near-dup copies — same length cross_source_leakage uses.
+_DNC_N = 6
+
+DNC_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f"""
+, grams AS (
+    SELECT id, pos,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w
+                || ' ' || lead(word, 5) OVER w AS gram,
+           lead(word, {_DNC_N - 1}) OVER w AS lastw
+    FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+g AS (SELECT id, pos, gram FROM grams WHERE lastw IS NOT NULL),
+dup AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT id) >= 2
+),
+cov AS (
+    SELECT DISTINCT g.id, u.p
+    FROM g JOIN dup USING (gram)
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(g.pos, g.pos + {_DNC_N - 1})) AS p
+    ) u
+),
+per_doc AS (
+    SELECT t.id, COUNT(*) AS n_tok FROM toks t GROUP BY t.id
+),
+per_cov AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS covered FROM cov GROUP BY id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(c.covered, 0)) AS BIGINT) AS covered_tokens,
+       CAST(SUM(COALESCE(c.covered, 0)) AS DOUBLE) / SUM(p.n_tok)
+           AS coverage
+FROM per_doc p
+JOIN documents d ON d.doc_id = p.id
+LEFT JOIN per_cov c ON c.id = p.id
+GROUP BY d.source
+ORDER BY d.source
+"""
+)
+
+
+@register("duplicate_ngram_coverage", DNC_ORACLE)
+def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-6-gram token coverage per source: the share of token
+    positions lying inside a verbatim 6-gram that appears in >= 2
+    distinct documents — the standard corpus-contamination diagnostic a
+    dedup pass is judged by (complements dedup_storage_savings, which
+    counts whole-doc copies only).
+
+    Determinism: gram df and covered-position counts are integers; ONE
+    double division per source. Scale: one 6-token window pass
+    (partitioned by doc), one gram-keyed distinct-doc aggregate, and a
+    6-row position explode PER DUPLICATED GRAM INSTANCE (linear in dup
+    mass, never pairwise — no df cap needed, unlike pair joins); the
+    distinct (id, pos) collapse bounds double counting."""
+    from pyspark.sql import Window
+
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    w = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("word"), *[F.lead("word", i).over(w) for i in range(1, _DNC_N)]
+    )
+    g = (
+        toks.select(
+            "id",
+            "pos",
+            gram.alias("gram"),
+            F.lead("word", _DNC_N - 1).over(w).alias("lastw"),
+        )
+        .filter(F.col("lastw").isNotNull())
+        .select("id", "pos", "gram")
+        .persist()  # gram-df aggregate AND the dup join both read it
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_DNC_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("covered"))
+    )
+    per_doc = toks.groupBy("id").agg(F.count("*").alias("n_tok"))
+    joined = (
+        per_doc.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .join(cov, "id", "left")
+        .select(
+            "source",
+            "n_tok",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered"),
+        )
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+            (F.sum("covered").cast("double") / F.sum("n_tok")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("source")
+    )
