@@ -1302,3 +1302,147 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- token-budget water-filling across sources -------------------------------
+
+# Allocate a training-token budget B (= half the corpus, data-derived)
+# across sources, capping each at its available tokens: the classic
+# water-fill min(cap_s, lambda). With caps sorted ascending, a source is
+# FULLY taken iff cap_i * (m - i + 1) <= B - prefix_{i-1} (cross-
+# multiplied integer test); the remaining budget splits equally with
+# truncating division, remainder distributed one token each to the
+# first `rem` unfilled sources in sort order — so the allocation is
+# exact integers and sums to B EXACTLY (emitted as a proof column).
+
+WATERFILL_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + """
+, per AS (
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS cap
+    FROM toks t JOIN documents d ON d.doc_id = t.id
+    GROUP BY d.source
+),
+tot AS (
+    SELECT CAST(SUM(cap) AS BIGINT) AS total,
+           CAST(SUM(cap) AS BIGINT) // 2 AS budget,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM per
+),
+ranked AS (
+    SELECT source, cap,
+           ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+           SUM(cap) OVER (ORDER BY cap, source) AS prefix
+    FROM per
+),
+full_flag AS (
+    SELECT r.*, t.budget, t.m,
+           CASE WHEN r.cap * (t.m - r.i + 1) <= t.budget - (r.prefix - r.cap)
+                THEN 1 ELSE 0 END AS is_full
+    FROM ranked r CROSS JOIN tot t
+),
+kk AS (
+    SELECT COALESCE(MAX(CASE WHEN is_full = 1 THEN i END), 0) AS k,
+           COALESCE(MAX(CASE WHEN is_full = 1 THEN prefix END), 0)
+               AS p_k
+    FROM full_flag
+)
+SELECT f.source, f.cap,
+       CAST(CASE WHEN f.i <= kk.k THEN f.cap
+            ELSE (f.budget - kk.p_k) // (f.m - kk.k)
+                 + CASE WHEN f.i - kk.k
+                             <= (f.budget - kk.p_k) % (f.m - kk.k)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS allocated,
+       f.i <= kk.k AS fully_taken,
+       (SUM(CASE WHEN f.i <= kk.k THEN f.cap
+            ELSE (f.budget - kk.p_k) // (f.m - kk.k)
+                 + CASE WHEN f.i - kk.k
+                             <= (f.budget - kk.p_k) % (f.m - kk.k)
+                        THEN 1 ELSE 0 END END) OVER ()
+           = MAX(f.budget) OVER ()) AS sums_to_budget
+FROM full_flag f CROSS JOIN kk
+ORDER BY f.source
+"""
+)
+
+
+@register("token_budget_waterfill", WATERFILL_ORACLE)
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources (the "give
+    every source an equal share, but never more than it has" mixing
+    rule): budget = half the corpus, caps = per-source token counts.
+
+    All arithmetic is integer (cross-multiplied fill test, truncating
+    equal-share division, one-token remainder distribution in sort
+    order), and the output carries a self-auditing `sums_to_budget`
+    proof column (the revenue_waterfall pattern). Scale: one keyed
+    aggregate over the token stream; everything after is windows over
+    the SOURCE-count frame (vocabulary-sized, like pareto_abc_classes'
+    prefix-sum template)."""
+    from pyspark.sql import Window
+
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized(docs)
+    per = (
+        toks.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("cap"))
+    )
+    tot = per.agg(
+        F.sum("cap").cast("long").alias("total"),
+        F.expr("CAST(sum(cap) div 2 AS BIGINT)").alias("budget"),
+        F.count("*").cast("long").alias("m"),
+    )
+    w = Window.orderBy("cap", "source")
+    ranked = per.select(
+        "source",
+        "cap",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cap").over(w).cast("long").alias("prefix"),
+    )
+    ff = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "is_full",
+        (
+            F.col("cap") * (F.col("m") - F.col("i") + 1)
+            <= F.col("budget") - (F.col("prefix") - F.col("cap"))
+        ).cast("int"),
+    )
+    kk = ff.agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_full") == 1, F.col("i"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("is_full") == 1, F.col("prefix"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("p_k"),
+    )
+    j = ff.crossJoin(F.broadcast(kk))
+    share = F.expr("CAST((budget - p_k) div (m - k) AS BIGINT)")
+    rem = F.expr("CAST((budget - p_k) % (m - k) AS BIGINT)")
+    alloc = F.when(F.col("i") <= F.col("k"), F.col("cap")).otherwise(
+        share + F.when(F.col("i") - F.col("k") <= rem, 1).otherwise(0)
+    )
+    wall = Window.partitionBy()
+    out = j.select(
+        "source",
+        "cap",
+        alloc.cast("long").alias("allocated"),
+        (F.col("i") <= F.col("k")).alias("fully_taken"),
+        "budget",
+    )
+    return out.select(
+        "source",
+        "cap",
+        "allocated",
+        "fully_taken",
+        (
+            F.sum("allocated").over(wall) == F.max("budget").over(wall)
+        ).alias("sums_to_budget"),
+    ).orderBy("source")

@@ -54,6 +54,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "replicated across the dcg/idcg branches of the BUILT plan — "
         "the bm25_ranking scalar-total pattern",
     },
+    "token_budget_waterfill": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the "
+        "(total, budget, m) aggregate and the (k, p_k) pivot scalar) "
+        "onto the source frame — scalar-total pattern",
+        "Exchange SinglePartition": "rank/prefix window over the "
+        "SOURCE-count frame (vocabulary-sized, ~20 rows after the keyed "
+        "aggregate; pareto_abc_classes precedent) plus the 1-row "
+        "scalar aggregates",
+    },
     "mcc_length_langid": {
         "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the total "
         "count for the median pick, the chosen threshold onto the "
