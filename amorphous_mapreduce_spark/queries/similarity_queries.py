@@ -1348,3 +1348,111 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(f"overlap_at_{PQ_TOPK}")
     )
+
+
+# --- SemDeDup: semantic dedup inside coarse clusters -------------------------
+
+# The SemDeDup recipe (Abbas et al. 2023): cluster embeddings with a
+# cheap coarse quantiser, then drop all-but-one of each within-cluster
+# near-duplicate pair — the pairing is bounded by cluster size, never
+# corpus-quadratic. Here the quantiser is the deterministic IVF
+# assignment the ANN family already oracle-replays; keep-rule = lowest
+# vec_id of a qualifying pair survives. Threshold 0.3 ~ 2.4 sigma on
+# the isotropic fixture vectors (cos std = 1/sqrt(64)), so the drop
+# set is small but non-degenerate at every SF.
+_SEMDEDUP_T = 0.3
+
+SEMDEDUP_ORACLE = (
+    "WITH "
+    + IVF_CTES
+    + f"""
+, sd_pairs AS (
+    SELECT x.cell, x.id AS qid, y.id AS nid
+    FROM ivfassign x JOIN ivfassign y USING (cell)
+    WHERE x.id < y.id
+),
+sd_near AS (
+    SELECT p.cell, p.qid, p.nid
+    FROM sd_pairs p
+    JOIN embeddings a ON a.vec_id = p.qid
+    JOIN embeddings b ON b.vec_id = p.nid
+    WHERE {_COS_AB} >= {_SEMDEDUP_T}
+),
+sd_drop AS (
+    SELECT DISTINCT cell, nid AS id FROM sd_near
+),
+sd_cells AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM ivfassign
+    GROUP BY cell
+)
+SELECT c.cell,
+       c.n_members,
+       CAST(COALESCE(COUNT(d.id), 0) AS BIGINT) AS n_dropped,
+       c.n_members - CAST(COALESCE(COUNT(d.id), 0) AS BIGINT) AS n_kept
+FROM sd_cells c LEFT JOIN sd_drop d ON d.cell = c.cell
+GROUP BY c.cell, c.n_members
+ORDER BY c.cell
+"""
+)
+
+
+@register("semdedup_manifest", SEMDEDUP_ORACLE)
+def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop manifest: per IVF cell, how many embeddings a
+    within-cluster cosine >= 0.3 rule would drop (keeping each
+    qualifying pair's lowest id) — embedding-level semantic dedup, the
+    missing sibling of the text near-dup family.
+
+    Scale posture: the pairing is WITHIN coarse cells only (the
+    SemDeDup design point — cluster count grows with the corpus in
+    production, so cell populations and the per-cell quadratic term
+    stay bounded); the IVF assignment is the deterministic md5-seeded
+    quantiser the ANN oracles already replay, so every sim and drop
+    decision hash-matches. Cosines are the ordered-fold doubles
+    bit-identical to DuckDB list_dot_product."""
+    from amorphous_mapreduce_spark.functions.vectors import dot_product, l2_norm
+    from amorphous_mapreduce_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = ivf_assign(emb, n_cells=16)
+    assigned = assigned.persist()  # both pair sides + the cell counts
+    a = assigned.select(
+        "cell", F.col("id").alias("qid"), F.col("vec").alias("qv")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("nid"), F.col("vec").alias("nv")
+    )
+    sim = dot_product("qv", "nv") / (l2_norm("qv") * l2_norm("nv"))
+    near = (
+        a.join(b, "cell")
+        .filter(F.col("qid") < F.col("nid"))
+        .select("cell", "qid", "nid", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(_SEMDEDUP_T))
+    )
+    dropped = near.select("cell", F.col("nid").alias("id")).distinct()
+    cells = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        cells.join(
+            dropped.groupBy("cell").agg(
+                F.count("*").cast("long").alias("n_dropped")
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.col("n_members")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

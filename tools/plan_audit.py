@@ -54,6 +54,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "replicated across the dcg/idcg branches of the BUILT plan — "
         "the bm25_ranking scalar-total pattern",
     },
+    "semdedup_manifest": {
+        "BroadcastNestedLoopJoin": "the 16-row IVF centroid table "
+        "broadcast-crossed onto the corpus for assignment (the "
+        "similarity_ivf_* pattern), replicated across the pair/count "
+        "branches of the BUILT plan (persisted at runtime) — every "
+        "BNLJ side is constant-bounded by the cell count",
+    },
     "token_budget_waterfill": {
         "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the "
         "(total, budget, m) aggregate and the (k, p_k) pivot scalar) "
