@@ -67,6 +67,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     misc_queries,
     monitor_queries,
     multimodal_queries,
+    ordering_queries,
     pipeline_queries,
     relational_queries,
     similarity_queries,
