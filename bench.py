@@ -158,6 +158,15 @@ HEADLINE = [
     "media_png_roundtrip",
     "bpe_train_merges",
     "bpe_tokenize_corpus",
+    # privacy-EMD / ranking-eval / dedup-diagnostic / allocation /
+    # semantic-dedup / ordering families (round 5, cont.)
+    "t_closeness",
+    "ndcg_by_lang",
+    "duplicate_ngram_coverage",
+    "token_budget_waterfill",
+    "semdedup_manifest",
+    "context_chain_manifest",
+    "bpe_compression_by_source",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
