@@ -938,3 +938,110 @@ def q_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- B-cubed clustering quality vs exact-text truth --------------------------
+
+# B^3 precision/recall (the standard entity-resolution cluster metric):
+# per record, precision = |cluster ∩ truth| / |cluster| and recall =
+# |cluster ∩ truth| / |truth|, averaged over records. System clusters =
+# minhash-LSH connected components; truth groups = exact normalized-text
+# identity. Sum_r p_r = sum_{c,t} nct^2 / nc is a sum of RATIONALS, so
+# each term is floor-quantized to 2^20 (truncating div, both engines)
+# BEFORE the cross-group sum — the quantize-then-sum rule.
+
+BCUBED_ORACLE = (
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + f"""
+, reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+),
+rec AS (
+    SELECT l.doc_id, l.cluster AS c,
+           md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS t
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+nc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS kc FROM rec GROUP BY c),
+nt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS kt FROM rec GROUP BY t),
+nct AS (
+    SELECT c, t, CAST(COUNT(*) AS BIGINT) AS k FROM rec GROUP BY c, t
+),
+quant AS (
+    SELECT CAST((nct.k * nct.k * 1048576) // nc.kc AS BIGINT) AS pq,
+           CAST((nct.k * nct.k * 1048576) // nt.kt AS BIGINT) AS rq
+    FROM nct JOIN nc USING (c) JOIN nt USING (t)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rec)
+SELECT t.n AS n_docs,
+       CAST(SUM(q.pq) AS BIGINT) AS p_num_q,
+       CAST(SUM(q.rq) AS BIGINT) AS r_num_q,
+       CAST(SUM(q.pq) AS DOUBLE) / 1048576.0 / t.n AS bcubed_precision,
+       CAST(SUM(q.rq) AS DOUBLE) / 1048576.0 / t.n AS bcubed_recall,
+       (2.0 * (CAST(SUM(q.pq) AS DOUBLE) / 1048576.0 / t.n)
+            * (CAST(SUM(q.rq) AS DOUBLE) / 1048576.0 / t.n))
+           / ((CAST(SUM(q.pq) AS DOUBLE) / 1048576.0 / t.n)
+              + (CAST(SUM(q.rq) AS DOUBLE) / 1048576.0 / t.n))
+           AS bcubed_f1
+FROM quant q CROSS JOIN tot t
+GROUP BY t.n
+"""
+)
+
+
+@register("bcubed_cluster_eval", BCUBED_ORACLE)
+def q_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the minhash-LSH near-dup clusters
+    against exact normalized-text truth groups — the record-level
+    clustering-quality scorecard (complements near_dup_cluster_purity's
+    source view with the standard ER metric).
+
+    Determinism: per-(cluster, truth) rational terms nct^2/nc and
+    nct^2/nt floor-quantize to 2^20 before the cross-group sums; P/R/F1
+    are fixed double expressions over the two BIGINT numerators.
+    Scale: CC from the bounded-round operator; three keyed aggregates
+    over the label table; the (c, t) frame is at most one row per
+    record."""
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    labels = dedup_clusters(docs, pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("c")
+    )
+    rec = labels.join(
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("t")),
+        "doc_id",
+    ).persist()  # nc/nt/nct all read it
+    nc = rec.groupBy("c").agg(F.count("*").cast("long").alias("kc"))
+    nt = rec.groupBy("t").agg(F.count("*").cast("long").alias("kt"))
+    nct = rec.groupBy("c", "t").agg(F.count("*").cast("long").alias("k"))
+    quant = (
+        nct.join(nc, "c")
+        .join(nt, "t")
+        .select(
+            F.expr("CAST((k * k * 1048576) div kc AS BIGINT)").alias("pq"),
+            F.expr("CAST((k * k * 1048576) div kt AS BIGINT)").alias("rq"),
+        )
+    )
+    tot = rec.agg(F.count("*").cast("long").alias("n"))
+    agg = quant.agg(
+        F.sum("pq").cast("long").alias("p_num_q"),
+        F.sum("rq").cast("long").alias("r_num_q"),
+    ).crossJoin(F.broadcast(tot))
+    p = F.col("p_num_q").cast("double") / F.lit(1048576.0) / F.col("n")
+    r = F.col("r_num_q").cast("double") / F.lit(1048576.0) / F.col("n")
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "p_num_q",
+        "r_num_q",
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        ((F.lit(2.0) * p * r) / (p + r)).alias("bcubed_f1"),
+    )

@@ -54,6 +54,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "replicated across the dcg/idcg branches of the BUILT plan — "
         "the bm25_ranking scalar-total pattern",
     },
+    "bcubed_cluster_eval": {
+        "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the record "
+        "count onto the quantized-numerator aggregate) — scalar-total "
+        "pattern",
+    },
     "semdedup_manifest": {
         "BroadcastNestedLoopJoin": "the 16-row IVF centroid table "
         "broadcast-crossed onto the corpus for assignment (the "
