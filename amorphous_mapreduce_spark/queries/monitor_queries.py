@@ -673,3 +673,108 @@ def q_lindley_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "epoch_day")
     )
+
+
+# --- exact per-type value percentiles (SLO table) ----------------------------
+
+# Exact p50/p90/p99 of events.value per event_type WITHOUT a global
+# sort: value is cents-exact (2 decimals), so the cent bucket IS the
+# value — per-(type, cents) counts, a cumulative over the value-domain
+# frame (bounded by the ~56k distinct cents, not the event count), and
+# the type-1 order statistic k = ceil(p * n) picked as the smallest
+# cents with cum >= k. The two-phase exact-selection pattern of the
+# histogram-median family, at the per-group SLO grain.
+_PCTL_SPECS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+PCTL_ORACLE = f"""
+WITH cents AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, c, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cumcnt
+    FROM cents
+),
+tot AS (
+    SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM cents GROUP BY 1
+),
+specs AS (
+    SELECT * FROM (VALUES {", ".join(f"({pn}, {pd}, '{lbl}')" for pn, pd, lbl in _PCTL_SPECS)})
+        AS v(pn, pd, lbl)
+)
+SELECT cu.event_type, s.lbl AS pct,
+       MAX(t.n) AS n,
+       CAST(MIN(cu.c) AS BIGINT) AS value_cents,
+       CAST(MIN(cu.c) AS DOUBLE) / 100.0 AS value
+FROM cum cu
+JOIN tot t ON t.event_type = cu.event_type
+CROSS JOIN specs s
+WHERE cu.cumcnt >= (s.pn * t.n + s.pd - 1) // s.pd
+GROUP BY cu.event_type, s.lbl
+ORDER BY cu.event_type, s.lbl
+"""
+
+
+@register("events_value_percentiles", PCTL_ORACLE)
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event_type — the SLO
+    percentile table, computed as exact order statistics over the
+    cent-bucket histogram (two-phase selection; the cumulative window
+    runs over the VALUE DOMAIN per type, never the event count, so the
+    shuffle is bounded at any scale). ceil(p*n) is the integer
+    (pn*n + pd - 1) div pd on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.groupBy(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("c")
+    cum = cents.select(
+        "event_type", "c", "cnt", F.sum("cnt").over(w).alias("cumcnt")
+    )
+    tot = cents.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    specs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(pn).alias("pn"),
+                    F.lit(pd).alias("pd"),
+                    F.lit(lbl).alias("lbl"),
+                )
+                for pn, pd, lbl in _PCTL_SPECS
+            ]
+        )
+    )
+    joined = (
+        cum.join(tot, "event_type")
+        .select("event_type", "c", "cumcnt", "n", specs.alias("s"))
+        .select(
+            "event_type",
+            "c",
+            "cumcnt",
+            "n",
+            F.col("s.pn").alias("pn"),
+            F.col("s.pd").alias("pd"),
+            F.col("s.lbl").alias("lbl"),
+        )
+        .filter(
+            F.col("cumcnt")
+            >= F.expr("CAST((pn * n + pd - 1) div pd AS BIGINT)")
+        )
+    )
+    return (
+        joined.groupBy("event_type", F.col("lbl").alias("pct"))
+        .agg(
+            F.max("n").alias("n"),
+            F.min("c").cast("long").alias("value_cents"),
+            (F.min("c").cast("double") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy("event_type", "pct")
+    )
