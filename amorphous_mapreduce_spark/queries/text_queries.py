@@ -1607,3 +1607,166 @@ def q_ndcg_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- team-draft interleaving (online retrieval A/B) --------------------------
+
+# Interleave two rankers' top lists team-draft style (Radlinski et al.):
+# per round a coin decides who picks first; each pick takes the team's
+# highest-ranked not-yet-picked doc. Credit = "clicked" picks (click
+# model: graded rel >= 2, same rel as ndcg_by_lang). Ranker A = BM25
+# (b = 0.75); ranker B = BM25 with NO length normalization (b = 0) —
+# the interleaving tests exactly the length-normalization decision.
+# The 5 coins are md5-derived CONSTANTS (computed once here, embedded
+# as literals in BOTH engines), so the pick sequence is replayable.
+import hashlib as _hl
+
+_TD_COINS = tuple(
+    int(_hl.md5(f"teamdraft_{r}".encode()).hexdigest()[:15], 16) % 2
+    for r in range(1, 6)
+)
+# team per pick index 1..10: coin 0 -> (A, B), 1 -> (B, A) per round
+_TD_TEAMS = tuple(
+    t for c in _TD_COINS for t in (("A", "B") if c == 0 else ("B", "A"))
+)
+_TD_DEPTH = 20
+
+_BM25_TS_B = []
+for _i in range(3):
+    _BM25_TS_B.append(
+        f"""((CAST(_n_doc AS DOUBLE) - CAST(_df_{_i} AS DOUBLE) + 0.5)
+      / (CAST(_df_{_i} AS DOUBLE) + 0.5))
+    * (CAST(tf_{_i} AS DOUBLE) * 2.2)
+    / (CAST(tf_{_i} AS DOUBLE) + 1.2)"""
+    )
+
+
+def _td_pick_ctes() -> str:
+    parts = []
+    for k, team in enumerate(_TD_TEAMS, start=1):
+        src = "ra" if team == "A" else "rb"
+        if k == 1:
+            where = "TRUE"
+        else:
+            prior = " UNION ALL ".join(
+                f"SELECT id FROM p{j}" for j in range(1, k)
+            )
+            parts.append(f"picked{k - 1} AS MATERIALIZED ({prior}),")
+            where = f"id NOT IN (SELECT id FROM picked{k - 1})"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+    SELECT id, rnk FROM {src} WHERE {where} ORDER BY rnk LIMIT 1
+),"""
+        )
+    return "\n".join(parts).rstrip(",")
+
+
+TEAMDRAFT_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + ", "
+    + _BM25_BODY
+    + f"""
+, scored AS (
+    SELECT id, tf_0, tf_1, tf_2,
+           {_BM25_TS[0]} + {_BM25_TS[1]} + {_BM25_TS[2]} AS score_a,
+           {_BM25_TS_B[0]} + {_BM25_TS_B[1]} + {_BM25_TS_B[2]} AS score_b,
+           LEAST(3, tf_0 + tf_1 + tf_2) AS rel
+    FROM per_doc CROSS JOIN scal
+    WHERE greatest(tf_0, tf_1, tf_2) > 0
+),
+ra AS MATERIALIZED (
+    SELECT id, rnk FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score_a DESC, id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TD_DEPTH}
+),
+rb AS MATERIALIZED (
+    SELECT id, rnk FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score_b DESC, id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TD_DEPTH}
+),
+"""
+    + _td_pick_ctes()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {k} AS pick_idx, '{team}' AS team, p{k}.id AS doc_id,"
+        f" CAST(p{k}.rnk AS BIGINT) AS own_rank,"
+        f" s.rel >= 2 AS clicked"
+        f" FROM p{k} JOIN scored s ON s.id = p{k}.id"
+        for k, team in enumerate(_TD_TEAMS, start=1)
+    )
+    + "\nORDER BY pick_idx\n"
+)
+
+
+@register("team_draft_interleaving", TEAMDRAFT_ORACLE)
+def q_team_draft_interleaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving of two rankers (BM25 with vs without
+    length normalization): the online retrieval A/B that needs no
+    traffic split. 10 picks, coin-per-round literals, graded-relevance
+    click model — per-pick team credit is the readout.
+
+    Determinism: both rank lists are fixed-expression BM25 doubles with
+    id tie-breaks; the pick loop is a literal team sequence over
+    integer ranks. The kernel runs the 10-step draft over the two
+    top-20 lists (40 bounded rows) in ONE group; the oracle unrolls the
+    identical 10 picks as anti-joined MATERIALIZED CTEs (the
+    fixed-horizon trick: context_chain_manifest / BPE)."""
+    from amorphous_mapreduce_spark.operators.text_analysis import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = F.least(F.lit(3), F.col("tf_0") + F.col("tf_1") + F.col("tf_2"))
+    wa = Window.orderBy(F.desc("score"), F.asc("id"))
+    lists = []
+    for team, b in (("A", 0.75), ("B", 0.0)):
+        s = bm25_scores(docs, BM25_TERMS, b=b).select(
+            "id", "score", rel.alias("rel")
+        )
+        lists.append(
+            s.withColumn("rnk", F.row_number().over(wa))
+            .filter(F.col("rnk") <= _TD_DEPTH)
+            .select(
+                F.lit(team).alias("team"),
+                "id",
+                F.col("rnk").cast("long").alias("rnk"),
+                F.col("rel").cast("int").alias("rel"),
+            )
+        )
+    both = lists[0].unionByName(lists[1])
+    teams = _TD_TEAMS
+
+    def kernel(pdf):
+        import pandas as pd
+
+        ranks = {"A": {}, "B": {}}
+        rels = {}
+        for team, i, rnk, rl in zip(
+            pdf["team"], pdf["id"], pdf["rnk"], pdf["rel"]
+        ):
+            ranks[team][int(i)] = int(rnk)
+            rels[int(i)] = int(rl)
+        picked = set()
+        rows = []
+        for k, team in enumerate(teams, start=1):
+            cands = [
+                (rnk, i) for i, rnk in ranks[team].items() if i not in picked
+            ]
+            rnk, i = min(cands)
+            picked.add(i)
+            rows.append((k, team, i, rnk, rels[i] >= 2))
+        return pd.DataFrame(
+            rows,
+            columns=["pick_idx", "team", "doc_id", "own_rank", "clicked"],
+        )
+
+    return (
+        both.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(
+            kernel,
+            "pick_idx int, team string, doc_id long, own_rank long,"
+            " clicked boolean",
+        )
+        .orderBy("pick_idx")
+    )

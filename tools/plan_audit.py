@@ -54,6 +54,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "replicated across the dcg/idcg branches of the BUILT plan — "
         "the bm25_ranking scalar-total pattern",
     },
+    "team_draft_interleaving": {
+        "BroadcastNestedLoopJoin": "the 1-row BM25 scalar aggregate "
+        "(N, total tokens, per-term df) crossed onto per-doc scores, "
+        "once per ranker variant — the bm25_ranking scalar-total "
+        "pattern; both rank frames are then top-20 bounded",
+    },
     "bcubed_cluster_eval": {
         "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the record "
         "count onto the quantized-numerator aggregate) — scalar-total "
