@@ -565,3 +565,152 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - F.col("pe_mass")).cast("double")
         ).alias("kappa"),
     )
+
+
+# --- isotonic calibration (PAVA via the minimax identity) ---------------------
+
+# Isotonic regression of exact-dup rate on document-length bins — THE
+# calibration fit (quality_dup_calibration draws the reliability
+# diagram; this produces the monotone calibrated rates). PAVA's output
+# has the closed minimax form
+#   iso(i) = max_{j<=i} min_{k>=i} wmean(y, j..k)
+# which is pure dataflow over the BIN frame: bins are a value-domain
+# grid (n_chars div 25, ~22 rows at any SF), so the (i, j, k) triple
+# enumeration is O(B^3) ~ 10k rows of constant size — never data-sized.
+# Pool means are exact-integer S/W ratios divided ONCE into doubles
+# (correctly rounded identically on both engines), so min/max of them
+# are bit-stable. The output carries a self-auditing `monotone` proof
+# column (iso >= previous bin's iso).
+
+ISOTONIC_ORACLE = """
+WITH dupdoc AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN COUNT(*) OVER (
+               PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+           ) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM documents
+),
+bins AS (
+    SELECT n_chars // 25 AS b,
+           CAST(COUNT(*) AS BIGINT) AS w,
+           CAST(SUM(is_dup) AS BIGINT) AS s
+    FROM dupdoc GROUP BY 1
+),
+pref AS (
+    SELECT b, w, s,
+           SUM(w) OVER (ORDER BY b) AS cw,
+           SUM(s) OVER (ORDER BY b) AS cs
+    FROM bins
+),
+pools AS (
+    SELECT j.b AS jb, k.b AS kb,
+           CAST(k.cs - j.cs + j.s AS DOUBLE)
+               / CAST(k.cw - j.cw + j.w AS DOUBLE) AS r
+    FROM pref j JOIN pref k ON j.b <= k.b
+),
+inner_min AS (
+    SELECT i.b AS ib, p.jb, MIN(p.r) AS m
+    FROM bins i JOIN pools p ON p.jb <= i.b AND p.kb >= i.b
+    GROUP BY i.b, p.jb
+),
+iso AS (
+    SELECT ib AS b, MAX(m) AS iso_rate FROM inner_min GROUP BY ib
+)
+SELECT bi.b AS bin,
+       bi.w AS n_docs,
+       bi.s AS n_dups,
+       CAST(bi.s AS DOUBLE) / bi.w AS raw_rate,
+       io.iso_rate,
+       COALESCE(io.iso_rate >= lag(io.iso_rate)
+                    OVER (ORDER BY bi.b), TRUE) AS monotone
+FROM bins bi JOIN iso io ON io.b = bi.b
+ORDER BY bin
+"""
+
+
+@register("isotonic_dup_calibration", ISOTONIC_ORACLE)
+def q_isotonic_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of exact-dup rate
+    on length bins via the PAVA minimax identity — the calibrated-rate
+    companion of quality_dup_calibration's reliability diagram.
+
+    Scale: the data-sized work is one dup-flag window (partitioned by
+    normalized text) and one bin aggregate; everything after runs on
+    the ~22-row bin grid (value-domain, not data-sized). Pool means are
+    exact-integer ratios divided once; the `monotone` column is an
+    in-plan proof of the isotonic property."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    wdup = Window.partitionBy(normalize_text("text"))
+    dupdoc = docs.select(
+        "n_chars",
+        F.when(F.count("*").over(wdup) > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    bins = dupdoc.groupBy(
+        F.expr("n_chars div 25").alias("b")
+    ).agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum("is_dup").cast("long").alias("s"),
+    )
+    wp = Window.orderBy("b")
+    pref = bins.select(
+        "b",
+        "w",
+        "s",
+        F.sum("w").over(wp).alias("cw"),
+        F.sum("s").over(wp).alias("cs"),
+    )
+    j = pref.select(
+        F.col("b").alias("jb"),
+        F.col("w").alias("jw"),
+        F.col("s").alias("js"),
+        F.col("cw").alias("jcw"),
+        F.col("cs").alias("jcs"),
+    )
+    k = pref.select(
+        F.col("b").alias("kb"),
+        F.col("cw").alias("kcw"),
+        F.col("cs").alias("kcs"),
+    )
+    pools = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcs") - F.col("jcs") + F.col("js")).cast("double")
+            / (F.col("kcw") - F.col("jcw") + F.col("jw")).cast("double")
+        ).alias("r"),
+    )
+    ib = bins.select(F.col("b").alias("ib"))
+    inner_min = (
+        ib.join(
+            pools,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("r").alias("m"))
+    )
+    iso = inner_min.groupBy(F.col("ib").alias("b")).agg(
+        F.max("m").alias("iso_rate")
+    )
+    out = bins.join(iso, "b").select(
+        F.col("b").alias("bin"),
+        F.col("w").alias("n_docs"),
+        F.col("s").alias("n_dups"),
+        (F.col("s").cast("double") / F.col("w")).alias("raw_rate"),
+        "iso_rate",
+    )
+    wlag = Window.orderBy("bin")
+    return out.select(
+        "bin",
+        "n_docs",
+        "n_dups",
+        "raw_rate",
+        "iso_rate",
+        F.coalesce(
+            F.col("iso_rate") >= F.lag("iso_rate").over(wlag), F.lit(True)
+        ).alias("monotone"),
+    ).orderBy("bin")

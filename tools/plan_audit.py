@@ -60,6 +60,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "once per ranker variant — the bm25_ranking scalar-total "
         "pattern; both rank frames are then top-20 bounded",
     },
+    "isotonic_dup_calibration": {
+        "BroadcastNestedLoopJoin": "the (j, k) pool enumeration and the "
+        "(i, pools) containment join run on the ~22-row LENGTH-BIN grid "
+        "(value-domain, not data-sized) — the PAVA minimax identity is "
+        "O(B^3) over a constant frame",
+        "Exchange SinglePartition": "prefix/lag windows over the same "
+        "~22-row bin grid plus the final ordered head — bounded by the "
+        "value domain, pareto_abc_classes precedent",
+    },
     "bcubed_cluster_eval": {
         "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the record "
         "count onto the quantized-numerator aggregate) — scalar-total "
