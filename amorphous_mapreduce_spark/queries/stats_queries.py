@@ -3360,3 +3360,209 @@ def q_sprt_ab_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --- exact Kendall tau-b per brand (2-D suffix sums on the value grid) --------
+
+# Kendall rank correlation between quantity and discount per brand,
+# EXACT at any scale: both variables live on tiny integer domains
+# (qty 1..50, discount 0..10 cents-of-rate), so concordant/discordant
+# pair counts come from the 50x11 JOINT CONTINGENCY grid per brand —
+# two cumulative windows give the 2-D suffix sums S>(x,y) (and the
+# mixed S<(x,y) for discordant), and C = sum n_xy * S>(x,y) is pure
+# integer. tau-b = (C - D) / (sqrt(n2 - Tx) * sqrt(n2 - Ty)) is a
+# sqrt-only double expression (wilson-CI class: engine-identical), with
+# n2 = n(n-1)/2 and the usual tie corrections.
+
+KENDALL_ORACLE = """
+WITH obs AS (
+    SELECT p.p_brand AS brand,
+           CAST(l.l_quantity AS BIGINT) AS x,
+           CAST(round(l.l_discount * 100) AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+grid AS (
+    SELECT b.brand, gx.x, gy.y FROM
+        (SELECT DISTINCT brand FROM obs) b,
+        (SELECT unnest(generate_series(1, 50)) AS x) gx,
+        (SELECT unnest(generate_series(0, 10)) AS y) gy
+),
+cells AS (
+    SELECT g.brand, g.x, g.y,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN (
+        SELECT brand, x, y, COUNT(*) AS n FROM obs GROUP BY 1, 2, 3
+    ) o ON o.brand = g.brand AND o.x = g.x AND o.y = g.y
+),
+sufy AS (  -- sum over y' > y within (brand, x)
+    SELECT brand, x, y, n,
+           SUM(n) OVER (PARTITION BY brand, x ORDER BY y DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS sy_gt,
+           SUM(n) OVER (PARTITION BY brand, x ORDER BY y ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS sy_lt
+    FROM cells
+),
+suf2 AS (  -- then sum those over x' > x within (brand, y)
+    SELECT brand, x, y, n,
+           SUM(COALESCE(sy_gt, 0)) OVER (
+               PARTITION BY brand, y ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_cc,
+           SUM(COALESCE(sy_lt, 0)) OVER (
+               PARTITION BY brand, y ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_dd
+    FROM sufy
+),
+cd AS (
+    SELECT brand,
+           CAST(SUM(n * COALESCE(s_cc, 0)) AS BIGINT) AS c_pairs,
+           CAST(SUM(n * COALESCE(s_dd, 0)) AS BIGINT) AS d_pairs
+    FROM suf2 GROUP BY brand
+),
+ties AS (
+    SELECT brand,
+           CAST(SUM(n) AS BIGINT) AS n_obs,
+           CAST(SUM(n * (n - 1)) AS BIGINT) // 2 AS t_xy
+    FROM cells GROUP BY brand
+),
+tx AS (
+    SELECT brand, CAST(SUM(rn * (rn - 1)) AS BIGINT) // 2 AS t_x FROM (
+        SELECT brand, x, SUM(n) AS rn FROM cells GROUP BY 1, 2
+    ) GROUP BY brand
+),
+ty AS (
+    SELECT brand, CAST(SUM(cn * (cn - 1)) AS BIGINT) // 2 AS t_y FROM (
+        SELECT brand, y, SUM(n) AS cn FROM cells GROUP BY 1, 2
+    ) GROUP BY brand
+)
+SELECT cd.brand, t.n_obs, cd.c_pairs, cd.d_pairs,
+       CAST(cd.c_pairs - cd.d_pairs AS DOUBLE)
+           / (sqrt(CAST(t.n_obs * (t.n_obs - 1) // 2 - tx.t_x AS DOUBLE))
+              * sqrt(CAST(t.n_obs * (t.n_obs - 1) // 2 - ty.t_y AS DOUBLE)))
+           AS tau_b
+FROM cd
+JOIN ties t USING (brand)
+JOIN tx USING (brand)
+JOIN ty USING (brand)
+ORDER BY brand
+"""
+
+
+@register("kendall_tau_qty_discount", KENDALL_ORACLE)
+def q_kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between quantity and discount per brand — the
+    rank-correlation companion of lineitem_correlation_matrix's Pearson
+    view, robust to the uniform marginals.
+
+    Scale: concordant/discordant pair counts come from the DENSE 50x11
+    contingency grid per brand (two cumulative windows = 2-D suffix
+    sums; every window partition is a <= 50-row value-domain frame), so
+    the n^2 pair space never materializes. Counts stay BIGINT; tau-b is
+    a sqrt-only double expression (engine-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    obs = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    counts = obs.groupBy("brand", "x", "y").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    grid = (
+        obs.select("brand")
+        .distinct()
+        .select(
+            "brand",
+            F.explode(F.sequence(F.lit(1), F.lit(50))).alias("x"),
+        )
+        .select(
+            "brand",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(10))).alias("y"),
+        )
+    )
+    cells = grid.join(counts, ["brand", "x", "y"], "left").select(
+        "brand",
+        "x",
+        "y",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    row_pre = Window.partitionBy("brand", "x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sufy = cells.select(
+        "brand",
+        "x",
+        "y",
+        "n",
+        F.sum("n").over(row_pre.orderBy(F.desc("y"))).alias("sy_gt"),
+        F.sum("n").over(row_pre.orderBy(F.asc("y"))).alias("sy_lt"),
+    )
+    col_pre = Window.partitionBy("brand", "y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    suf2 = sufy.select(
+        "brand",
+        "x",
+        "y",
+        "n",
+        F.sum(F.coalesce(F.col("sy_gt"), F.lit(0)))
+        .over(col_pre.orderBy(F.desc("x")))
+        .alias("s_cc"),
+        F.sum(F.coalesce(F.col("sy_lt"), F.lit(0)))
+        .over(col_pre.orderBy(F.desc("x")))
+        .alias("s_dd"),
+    )
+    cells = cells.persist()  # cd grid + tie margins all read it
+    cd = suf2.groupBy("brand").agg(
+        F.sum(F.col("n") * F.coalesce(F.col("s_cc"), F.lit(0)))
+        .cast("long")
+        .alias("c_pairs"),
+        F.sum(F.col("n") * F.coalesce(F.col("s_dd"), F.lit(0)))
+        .cast("long")
+        .alias("d_pairs"),
+    )
+    ties = cells.groupBy("brand").agg(
+        F.sum("n").cast("long").alias("n_obs")
+    )
+    tx = (
+        cells.groupBy("brand", "x")
+        .agg(F.sum("n").alias("rn"))
+        .groupBy("brand")
+        .agg(
+            F.expr("CAST(sum(rn * (rn - 1)) div 2 AS BIGINT)").alias("t_x")
+        )
+    )
+    ty = (
+        cells.groupBy("brand", "y")
+        .agg(F.sum("n").alias("cn"))
+        .groupBy("brand")
+        .agg(
+            F.expr("CAST(sum(cn * (cn - 1)) div 2 AS BIGINT)").alias("t_y")
+        )
+    )
+    n2 = F.expr("CAST(n_obs * (n_obs - 1) div 2 AS BIGINT)")
+    return (
+        cd.join(ties, "brand")
+        .join(tx, "brand")
+        .join(ty, "brand")
+        .select(
+            "brand",
+            "n_obs",
+            "c_pairs",
+            "d_pairs",
+            (
+                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                / (
+                    F.sqrt((n2 - F.col("t_x")).cast("double"))
+                    * F.sqrt((n2 - F.col("t_y")).cast("double"))
+                )
+            ).alias("tau_b"),
+        )
+        .orderBy("brand")
+    )
