@@ -167,6 +167,13 @@ HEADLINE = [
     "semdedup_manifest",
     "context_chain_manifest",
     "bpe_compression_by_source",
+    # cluster-eval / SLO-percentile / online-eval / calibration /
+    # rank-correlation families (round 5, closing)
+    "bcubed_cluster_eval",
+    "events_value_percentiles",
+    "team_draft_interleaving",
+    "isotonic_dup_calibration",
+    "kendall_tau_qty_discount",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
