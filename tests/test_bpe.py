@@ -12,7 +12,7 @@ from amorphous_mapreduce_spark.queries.bpe_queries import _make_kernels
 
 
 def _train(words, freqs, n):
-    merge_kernel, _ = _make_kernels(n)
+    merge_kernel, _, _ = _make_kernels(n)
     import pandas as pd
 
     return merge_kernel(pd.DataFrame({"word": words, "freq": freqs}))
@@ -38,7 +38,7 @@ def test_replace_semantics_non_overlapping():
     # first pair — ' a a a a ' -> ' aa a a '. Python str.replace and
     # DuckDB replace agree byte-for-byte on this, which is the whole
     # cross-engine contract; canonical BPE would give ' aa aa '.
-    _, token_kernel = _make_kernels(1)
+    _, token_kernel, _ = _make_kernels(1)
     import pandas as pd
 
     toks = token_kernel(pd.DataFrame({"word": ["aaaa"], "freq": [1]}))
@@ -51,7 +51,7 @@ def test_token_counts_conserve_mass():
     # after any number of merges, sum(symbol occurrences weighted) only
     # shrinks by exactly one per merge applied per occurrence; with 0
     # rounds nothing merges and counts equal character counts
-    _, token_kernel = _make_kernels(0)
+    _, token_kernel, _ = _make_kernels(0)
     import pandas as pd
 
     toks = token_kernel(pd.DataFrame({"word": ["spark"], "freq": [3]}))
