@@ -411,3 +411,136 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bracket)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# --- Q7: volume shipping between two nations ---------------------------------
+
+Q7_ORACLE = """
+SELECT n1.r_name AS supp_nation, n2.r_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation x1  ON x1.n_nationkey = s.s_nationkey
+JOIN region n1  ON n1.r_regionkey = x1.n_regionkey
+JOIN nation x2  ON x2.n_nationkey = c.c_nationkey
+JOIN region n2  ON n2.r_regionkey = x2.n_regionkey
+WHERE ((n1.r_name = 'AMERICA' AND n2.r_name = 'ASIA')
+    OR (n1.r_name = 'ASIA' AND n2.r_name = 'AMERICA'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("volume_shipping", Q7_ORACLE)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral REGION-pair trade volume by ship year
+    (region grain keeps every SF populated — 10 suppliers at sf0.001) —
+    two broadcast dim joins into the fact, an OR-of-pairs filter, and
+    the exact-decimal revenue aggregate."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("sk"), F.col("r_name").alias("supp_nation")
+    )
+    n2 = n.join(
+        r.select(
+            F.col("r_regionkey").alias("rk2"), F.col("r_name").alias("cust_nation")
+        ),
+        n["n_regionkey"] == F.col("rk2"),
+    ).select(F.col("n_nationkey").alias("ck"), "cust_nation")
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("sk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("ck"))
+        .filter(
+            (
+                (F.col("supp_nation") == "AMERICA")
+                & (F.col("cust_nation") == "ASIA")
+            )
+            | (
+                (F.col("supp_nation") == "ASIA")
+                & (F.col("cust_nation") == "AMERICA")
+            )
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum_expr(disc_price).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- Q9: product-type profit by nation and year -------------------------------
+
+# The fixture has no partsupp/supplycost; the adapted cost model is
+# 50% of retail price per unit — profit = disc_price - 0.5*qty*retail,
+# all in exact decimals before ONE cast to double.
+
+Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l.l_discount AS DECIMAL(12,2))
+                - CAST(0.5 AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2))
+                  * CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("product_type_profit", Q9_ORACLE)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name family — the five-way join with an expression aggregate
+    (adapted cost model: 50% of retail per unit, exact decimals)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    p, s = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")) - dec(
+        F.lit(0.5)
+    ) * dec("l_quantity") * dec("p_retailprice")
+    j = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%gear%"))),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum_expr(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
