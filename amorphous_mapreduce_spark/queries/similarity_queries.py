@@ -1408,8 +1408,14 @@ def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     production, so cell populations and the per-cell quadratic term
     stay bounded); the IVF assignment is the deterministic md5-seeded
     quantiser the ANN oracles already replay, so every sim and drop
-    decision hash-matches. Cosines are the ordered-fold doubles
-    bit-identical to DuckDB list_dot_product."""
+    decision hash-matches. NOTE the flat quantiser's assignment cost is
+    n x n_cells, so cells cannot simply scale with n here (measured
+    slope2 7.35 at fixed 16 cells, SLOPES.json — under the flag line at
+    these SFs); at true corpus scale swap the quantiser for the
+    adaptive-width LSH bands (lsh_candidate_pairs / the blocked
+    embedding near-dup operator), whose assignment is O(n) and whose
+    bucket occupancy is held constant. Cosines are the ordered-fold
+    doubles bit-identical to DuckDB list_dot_product."""
     from amorphous_mapreduce_spark.functions.vectors import dot_product, l2_norm
     from amorphous_mapreduce_spark.operators.similarity import ivf_assign
 
