@@ -2889,3 +2889,123 @@ def q_mcc_length_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_))
         ).alias("mcc"),
     )
+
+
+# --- exact average precision (PR view) of the dup predictor ------------------
+
+# The PR-curve companion of auc_dup_quality's ROC view — the right
+# metric under class imbalance. Threshold-sweep form over SCORE GROUPS
+# (the sklearn step-function definition, tie-exact):
+#   AP = sum_g (pos_g / n_pos) * (cumpos_g / cumcnt_g)
+# Each group term is a rational -> floor-quantize pos_g * cumpos_g *
+# 2^20 div cumcnt_g (truncating div both engines) before the sum; ONE
+# double division by n_pos * 2^20 at the end. Both running totals ride
+# distributed_prefix_sum (no single-partition window over the data).
+
+AP_ORACLE = """
+WITH lab AS (
+    SELECT n.doc_id, n.n_chars,
+           CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END AS pos
+    FROM (
+        SELECT doc_id, n_chars,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    ) n
+    JOIN (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY 1
+    ) c ON c.h = n.h
+),
+grp AS (
+    SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS pos_cnt
+    FROM lab GROUP BY 1
+),
+cum AS (
+    SELECT s, cnt, pos_cnt,
+           CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS cumcnt,
+           CAST(SUM(pos_cnt) OVER (ORDER BY s) AS BIGINT) AS cumpos
+    FROM grp
+),
+terms AS (
+    SELECT (pos_cnt * cumpos * 1048576) // cumcnt AS tq FROM cum
+),
+agg AS (
+    SELECT CAST(SUM(tq) AS BIGINT) AS ap_num_q FROM terms
+),
+tot AS (
+    SELECT CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt) AS BIGINT) AS n
+    FROM grp
+)
+SELECT t.n_pos, t.n, a.ap_num_q,
+       CAST(a.ap_num_q AS DOUBLE)
+           / (CAST(NULLIF(t.n_pos, 0) AS DOUBLE) * 1048576.0)
+           AS average_precision,
+       CAST(t.n_pos AS DOUBLE) / t.n AS prevalence
+FROM agg a CROSS JOIN tot t
+"""
+
+
+@register("average_precision_dup", AP_ORACLE)
+def q_average_precision_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of document length as a duplicate
+    predictor (threshold order: shorter first, the same score axis as
+    auc_dup_quality) — the PR summary that stays honest under the heavy
+    negative majority, with prevalence as the random baseline.
+
+    Determinism: per-threshold precision terms floor-quantize to 2^20
+    before the sum; one double division at the end. Scale: the score
+    frame is one row per distinct length; both running totals ride the
+    two-phase distributed prefix scan."""
+    from amorphous_mapreduce_spark.operators.corpus_stats import (
+        distributed_prefix_sum,
+    )
+    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "n_chars", F.md5(normalize_text("text")).alias("h")
+    )
+    cnt = norm.groupBy("h").agg(F.count("*").alias("cnt"))
+    lab = norm.join(cnt, "h").select(
+        "n_chars", (F.col("cnt") > 1).cast("int").alias("pos")
+    )
+    grp = (
+        lab.groupBy(F.col("n_chars").alias("s"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos_cnt"),
+        )
+        .persist()  # two prefix scans + the totals all read it
+    )
+    c1 = distributed_prefix_sum(
+        grp, "cnt", ["s"], cum_col="cumcnt", rank_col="_r1"
+    ).select("s", "cumcnt")
+    c2 = distributed_prefix_sum(
+        grp, "pos_cnt", ["s"], cum_col="cumpos", rank_col="_r2"
+    ).select("s", "cumpos")
+    cum = grp.join(c1, "s").join(c2, "s")
+    agg = cum.select(
+        F.expr(
+            "CAST((pos_cnt * cumpos * 1048576) div cumcnt AS BIGINT)"
+        ).alias("tq")
+    ).agg(F.sum("tq").cast("long").alias("ap_num_q"))
+    tot = grp.agg(
+        F.sum("pos_cnt").cast("long").alias("n_pos"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n",
+        "ap_num_q",
+        (
+            F.col("ap_num_q").cast("double")
+            / (
+                F.nullif(F.col("n_pos"), F.lit(0)).cast("double")
+                * F.lit(1048576.0)
+            )
+        ).alias("average_precision"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("prevalence"),
+    )

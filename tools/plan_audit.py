@@ -69,6 +69,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "~22-row bin grid plus the final ordered head — bounded by the "
         "value domain, pareto_abc_classes precedent",
     },
+    "average_precision_dup": {
+        "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the "
+        "(n_pos, n) totals onto the quantized AP numerator) — "
+        "scalar-total pattern",
+        "Exchange SinglePartition": "distributed_prefix_sum's "
+        "O(#partitions) offset merge over the score-group frame, once "
+        "per running total, plus the 1-row scalars — bounded by "
+        "cluster size (auc_dup_quality precedent)",
+    },
     "bcubed_cluster_eval": {
         "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the record "
         "count onto the quantized-numerator aggregate) — scalar-total "
