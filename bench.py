@@ -174,6 +174,10 @@ HEADLINE = [
     "team_draft_interleaving",
     "isotonic_dup_calibration",
     "kendall_tau_qty_discount",
+    # TPC-H completion + PR-eval (round 5, final)
+    "volume_shipping",
+    "product_type_profit",
+    "average_precision_dup",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
