@@ -1462,3 +1462,48 @@ def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --- mutual nearest neighbors (reciprocal best match) -------------------------
+
+# The bitext-mining / cross-corpus alignment primitive: pairs (a, b)
+# where b is a's exact top-1 cosine neighbor AND a is b's. Top-1 comes
+# from the blocked E.E^T kernel (per-block winners merged — never the
+# n^2 row space through the shuffle); mutuality is one self-join of the
+# top-1 table with itself.
+
+MNN_ORACLE = (
+    "WITH "
+    + _EXACT_CTE.replace("rnk <= 5", "rnk <= 1")
+    + """
+SELECT a.qid AS a, a.nid AS b
+FROM exact a JOIN exact b ON a.qid = b.nid AND a.nid = b.qid
+WHERE a.qid < a.nid
+ORDER BY a, b
+"""
+)
+
+
+@register("mutual_nearest_pairs", MNN_ORACLE)
+def q_mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match pairs over the embedding corpus — each side
+    is the other's exact top-1 cosine neighbor (the mutual-NN criterion
+    used for bitext mining and cluster stitching; far stricter than
+    one-directional top-k).
+
+    Scale: top-1 rides the blocked tile kernel (shuffle n*b rows, not
+    n^2); mutuality is a self-equi-join on the n-row top-1 table.
+    Cosines are the ordered-fold doubles; ties broken by id on both
+    engines."""
+    top1 = cosine_topk_blocked(
+        load_table(spark, sf_dir, "embeddings"), k=1
+    ).select(F.col("qid"), F.col("nid"))
+    rev = top1.select(
+        F.col("qid").alias("nid"), F.col("nid").alias("qid")
+    )
+    return (
+        top1.join(rev, ["qid", "nid"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select(F.col("qid").alias("a"), F.col("nid").alias("b"))
+        .orderBy("a", "b")
+    )

@@ -78,6 +78,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "per running total, plus the 1-row scalars — bounded by "
         "cluster size (auc_dup_quality precedent)",
     },
+    "mutual_nearest_pairs": {
+        "BroadcastNestedLoopJoin": "the blocked exact-top-1 kernel's "
+        "O(n_blocks^2) block-pair enumeration (the similarity_topk "
+        "pattern), appearing once per self-join branch of the BUILT "
+        "plan — both BNLJ sides are 16-row block-id frames",
+    },
     "bcubed_cluster_eval": {
         "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the record "
         "count onto the quantized-numerator aggregate) — scalar-total "
