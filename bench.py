@@ -178,6 +178,7 @@ HEADLINE = [
     "volume_shipping",
     "product_type_profit",
     "average_precision_dup",
+    "mutual_nearest_pairs",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
