@@ -265,17 +265,23 @@ GROUP BY cntry_group
 @register("idle_wealthy_customers", Q22_ORACLE)
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-global-average customers with no large orders —
-    scalar subquery (computed once, broadcast) + left-anti join."""
+    scalar subquery (1-row aggregate, broadcast cross join) + left-anti join.
+    Pure dataflow: the scalar average stays in-plan (no driver action),
+    the same crossJoin-the-scalar pattern used repo-wide."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    pos = cust.filter(F.col("c_acctbal") > 0)
     avg_bal = (
-        pos.agg(
-            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("v")
-        ).first()["v"]
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias(
+                "_avg_bal"
+            )
+        )
     )
     big_orders = orders.filter(F.col("o_totalprice") > 450000)
-    wealthy = cust.filter(F.col("c_acctbal") > avg_bal)
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
     return (
         wealthy.join(big_orders, wealthy.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_group"))

@@ -1753,6 +1753,10 @@ def q_team_draft_interleaving(spark: SparkSession, sf_dir: str) -> DataFrame:
             cands = [
                 (rnk, i) for i, rnk in ranks[team].items() if i not in picked
             ]
+            if not cands:
+                # Degenerate/tiny corpus: fewer distinct docs than picks.
+                # Truncate exactly like the oracle's empty p{k} CTEs.
+                break
             rnk, i = min(cands)
             picked.add(i)
             rows.append((k, team, i, rnk, rels[i] >= 2))

@@ -145,20 +145,67 @@ def main() -> int:
             )
         )
 
+    prior_doc: dict = {}
     if sys.argv[1:]:
         # Subset run: merge fresh rows into the committed SLOPES.json so
         # per-fix re-measures don't drop the rest of the heavy set.
         try:
             with open(os.path.join(REPO, "SLOPES.json")) as f:
-                prior = json.load(f).get("queries", {})
+                prior_doc = json.load(f)
         except FileNotFoundError:
-            prior = {}
-        prior.update(out)
+            prior_doc = {}
+        prior = dict(prior_doc.get("queries", {}))
+        for name, rec in out.items():
+            old = prior.get(name)
+            # ADVICE_r05: never let a rung-poor re-measure (e.g. run while
+            # fixtures/sf1 is absent) erase a prior row's deeper-decade
+            # evidence — that slope2 signal is what caught the
+            # similarity_lsh_topk quadratic. Keep the old deep rungs and
+            # only refresh the rungs this run actually measured.
+            if old and any(k for k in old if k.endswith("_s") and k not in rec):
+                kept = [k for k in old if k.endswith("_s") and k not in rec]
+                print(f"warn: {name}: keeping prior deeper-rung evidence ({kept})")
+                times = {
+                    k[: -len("_s")]: v
+                    for k, v in old.items()
+                    if k.endswith("_s")
+                }
+                times.update(
+                    {
+                        k[: -len("_s")]: v
+                        for k, v in rec.items()
+                        if k.endswith("_s")
+                    }
+                )
+                ordered = [k for k, _ in RUNGS if k in times]
+                merged: dict = {f"{k}_s": times[k] for k in ordered}
+                mslopes = [
+                    times[b] / times[a] if times[a] > 0 else float("inf")
+                    for a, b in zip(ordered, ordered[1:])
+                ]
+                for i, s in enumerate(mslopes):
+                    merged["slope" if i == 0 else f"slope{i + 1}"] = round(s, 2)
+                mover = any(s > FLAG_RATIO * DATA_RATIO for s in mslopes)
+                if mover and name in ALLOW:
+                    merged["flagged"] = False
+                    merged["explained"] = ALLOW[name]
+                else:
+                    merged["flagged"] = mover
+                    if "explained" in old:
+                        merged["explained"] = old["explained"]
+                rec = merged
+            prior[name] = rec
         out = prior
+    # Union of rungs: a subset run on fewer rungs must not shrink the
+    # summary below what the committed evidence actually covers.
+    rung_names = [k for k, _ in rungs]
+    for k in prior_doc.get("rungs", []):
+        if k not in rung_names:
+            rung_names.append(k)
     doc = {
         "data_ratio": DATA_RATIO,
         "flag_above_slope": FLAG_RATIO * DATA_RATIO,
-        "rungs": [k for k, _ in rungs],
+        "rungs": rung_names,
         "queries": out,
         "n_flagged": sum(1 for r in out.values() if r["flagged"]),
     }
