@@ -472,3 +472,107 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_band_spec(bits: int, nbands: int) -> list[tuple[int, int, int]]:
+    """Pigeonhole band layout over a `bits`-wide fingerprint: disjoint
+    (band_idx, offset, width) triples, first `bits % nbands` bands one
+    bit wider. Shared by the exact banded join, the capped top-m scale
+    path, and their SQL oracles (identical widths on both engines)."""
+    base, extra = divmod(bits, nbands)
+    spec = []
+    off = 0
+    for bi in range(nbands):
+        w = base + (1 if bi < extra else 0)
+        spec.append((bi, off, w))
+        off += w
+    return spec
+
+
+def simhash_capped_topm(
+    docs: DataFrame,
+    max_hamming: int = 12,
+    m: int = 3,
+    cap: int = 8,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc top-m approximate near-neighbors by SimHash Hamming
+    distance: [doc_id, neighbor_id, hamming, rank].
+
+    The 100 TB companion to :func:`simhash_near_pairs` (VERDICT_r05
+    item 4): the exact pair dump is OUTPUT-bound Θ(n²) on dense-near-dup
+    corpora (measured ~77M pairs at the sf1 rung), so the scale path
+    caps work by construction instead:
+
+    - each doc probes its ``max_hamming+1`` pigeonhole band buckets, but
+      only the first ``cap`` docs per bucket (deterministic: lowest ids)
+      are match candidates — candidates ≤ n·(max_hamming+1)·cap, LINEAR
+      in the corpus at any scale;
+    - survivors within the Hamming budget are ranked per probe doc by
+      (hamming, neighbor_id) — a total order — and truncated to top-m.
+
+    Recall < 1 by design (a true neighbor outside its shared bucket's
+    first `cap` ids is missed) — the standard capped-occupancy trade
+    every production LSH dedup makes; measured at sf0.01 in the
+    registered query's docstring. Deterministic: the cap and the rank
+    both break ties on id, so the result is a pure function of the
+    corpus on both engines.
+    """
+    fp = simhash(docs, bits, id_col, text_col)
+    spec = simhash_band_spec(min(bits, 60), max_hamming + 1)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.expr(f"(shiftright(simhash, {o}) & {(1 << w) - 1})").alias("bv"),
+            )
+            for bi, o, w in spec
+        ]
+    )
+    # Persist: probe and capped branches both read the keyed frame; one
+    # row per (doc, band) — 13n rows, linear.
+    keyed = (
+        fp.select("id", "simhash", F.explode(band_arr).alias("bk"))
+        .select(
+            "id",
+            "simhash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bv").alias("bv"),
+        )
+        .persist()
+    )
+    wb = Window.partitionBy("band", "bv").orderBy("id")
+    capped = (
+        keyed.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= cap)
+        .select(
+            F.col("id").alias("nid"),
+            F.col("simhash").alias("nh"),
+            "band",
+            "bv",
+        )
+    )
+    probe = keyed.select(
+        F.col("id").alias("qid"), F.col("simhash").alias("qh"), "band", "bv"
+    )
+    ham = F.bit_count(F.col("qh").bitwiseXOR(F.col("nh")))
+    cand = (
+        probe.join(capped, ["band", "bv"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= m)
+        .select(
+            F.col("qid").alias("doc_id"),
+            F.col("nid").alias("neighbor_id"),
+            "hamming",
+            "rank",
+        )
+    )

