@@ -227,3 +227,23 @@ def test_mmr_greedy_properties(spark):
     for r in rows[1:]:
         assert r.id not in picked
         picked.append(r.id)
+
+
+def test_ivf_trained_ranked_contract(spark):
+    import numpy as np
+
+    from amorphous_mapreduce_spark.operators.similarity import ivf_trained_ranked
+
+    rng = np.random.default_rng(7)
+    df = _emb_df(spark, rng.normal(size=(40, 16)).astype(np.float32))
+    ranked = ivf_trained_ranked(df, n_cells=4, max_rank=3).collect()
+    per_id = {}
+    for r in ranked:
+        per_id.setdefault(r["id"], []).append(r)
+    cells = {r["cell"] for r in ranked}
+    assert 1 <= len(cells) <= 4
+    assert set(per_id) == set(range(40))
+    for vid, rs in per_id.items():
+        rks = sorted(r["rk"] for r in rs)
+        assert rks == list(range(1, len(rs) + 1))  # dense ranks from 1
+        assert len({r["cell"] for r in rs}) == len(rs)  # distinct cells
