@@ -1272,7 +1272,11 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("total_cents"), F.asc("part")],
         cum_col="cum",
     )
-    grand = per_part.agg(F.sum("total_cents").alias("grand"))
+    # grand total = the LAST running total: max(cum) scans the prefix
+    # scan's persisted partials instead of re-executing the whole
+    # lineitem monthly-rollup lineage a second time (round-6 bench fix:
+    # the duplicate rollup was the in-bench latency outlier).
+    grand = ranked.agg(F.max("cum").alias("grand"))
     ssd = F.col("ss_hi").cast("double") * F.lit(1048576.0) + F.col(
         "ss_lo"
     ).cast("double")
@@ -3178,10 +3182,11 @@ def q_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The classic CRM cube: every customer scored into quintiles of
 # Recency (days since last order, anchored at the corpus max date),
 # Frequency (order count) and Monetary (lifetime cents), then the 125
-# cells profiled. Quintiles are EXACT global ranks — three passes of
-# operators.corpus_stats.distributed_prefix_sum (range sort, never a
-# single-partition window over customers) with q = (5*(rank-1)) div n;
-# ties break by custkey so both engines walk the same order.
+# cells profiled. Quintiles are EXACT global ranks — ONE fused pass of
+# operators.corpus_stats.distributed_prefix_sum over the stacked
+# (dimension, value, ck) rows (range sort, never a single-partition
+# window over customers) with q = (5*(rank-1)) div n; ties break by
+# custkey so both engines walk the same order.
 
 RFM_ORACLE = """
 WITH ref AS (
@@ -3233,12 +3238,15 @@ def q_rfm_cell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     by population and value — the segmentation every CRM team keys
     campaigns off.
 
-    Scale: one customer aggregate of orders, then THREE passes of the
-    two-phase distributed prefix scan (one per dimension) stamp global
-    ranks without any single-partition window; the cell rollup is a
-    bounded 125-key aggregate. Determinism: ranks, quintile cuts, and
-    cell sums are all integers; the single double (avg_cents) is one
-    division of exact integers."""
+    Scale: one customer aggregate of orders, then ONE fused pass of the
+    two-phase distributed prefix scan over the (dimension, value, ck)
+    STACK — the three per-dimension rank passes collapse into a single
+    3n-row range sort (round-6 bench fix: each dimension's block is
+    contiguous with exactly n rows, so rank-in-dim = global_rank − d·n);
+    no single-partition window anywhere; the cell rollup is a bounded
+    125-key aggregate. Determinism: ranks, quintile cuts, and cell sums
+    are all integers; the single double (avg_cents) is one division of
+    exact integers."""
     from amorphous_mapreduce_spark.operators.corpus_stats import (
         distributed_prefix_sum,
     )
@@ -3264,18 +3272,41 @@ def q_rfm_cell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # three rank passes + the n scalar all read it
     )
     n = cust.agg(F.count("*").cast("long").alias("n"))
-    ranked = cust
-    for dim, rank_col in (("rec", "r_rank"), ("freq", "f_rank"), ("mon", "m_rank")):
-        ranked = distributed_prefix_sum(
-            ranked, dim, [dim, "ck"], cum_col=f"_cum_{dim}", rank_col=rank_col
-        ).drop(f"_cum_{dim}")
-    q = ranked.crossJoin(F.broadcast(n)).select(
+    # One fused scan: stack the three dimensions (d=0 rec, 1 freq,
+    # 2 mon), carry the customer's values through, range-sort ONCE on
+    # (d, v, ck). Within each d-block the order is exactly the
+    # per-dimension (value, ck) order, and blocks are contiguous with n
+    # rows each, so rank-in-dim = global_rank − d·n.
+    stacked = cust.select(
+        "ck",
         "rec",
         "freq",
         "mon",
-        F.expr("(5 * (r_rank - 1)) div n").alias("r_q"),
-        F.expr("(5 * (f_rank - 1)) div n").alias("f_q"),
-        F.expr("(5 * (m_rank - 1)) div n").alias("m_q"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("d"), F.col("rec").alias("v")),
+                F.struct(F.lit(1).alias("d"), F.col("freq").alias("v")),
+                F.struct(F.lit(2).alias("d"), F.col("mon").alias("v")),
+            )
+        ).alias("e"),
+    ).select("ck", "rec", "freq", "mon", F.col("e.d").alias("d"), F.col("e.v").alias("v"))
+    ranked = distributed_prefix_sum(
+        stacked, "v", [F.asc("d"), F.asc("v"), F.asc("ck")],
+        cum_col="_cum_v", rank_col="grank",
+    ).drop("_cum_v")
+    qd = F.expr("(5 * (grank - d * n - 1)) div n")
+    q = (
+        ranked.crossJoin(F.broadcast(n))
+        .select("ck", "rec", "freq", "mon", "d", qd.alias("qv"))
+        .groupBy("ck")
+        .agg(
+            F.first("rec").alias("rec"),
+            F.first("freq").alias("freq"),
+            F.first("mon").alias("mon"),
+            F.max(F.when(F.col("d") == 0, F.col("qv"))).alias("r_q"),
+            F.max(F.when(F.col("d") == 1, F.col("qv"))).alias("f_q"),
+            F.max(F.when(F.col("d") == 2, F.col("qv"))).alias("m_q"),
+        )
     )
     return (
         q.groupBy("r_q", "f_q", "m_q")
