@@ -126,3 +126,26 @@ def test_checks_jsonl_freshness():
         f"queries whose latest OK check is >4 rounds old (current round "
         f"{current}) — re-run their check_oracles shard: {stale}"
     )
+
+
+def test_checks_jsonl_has_sf1():
+    """Round-6 gate (VERDICT_r05 item 1): the full registry must carry
+    an OK row at the sf1 fixture rung — the evidence class that caught
+    the similarity_lsh_topk quadratic. fixtures/sf1 is gitignored
+    (byte-reproducible via tools/make_fixtures.py), but the CHECKS rows
+    are committed, so the gate runs everywhere."""
+    QUERIES, _ = _registry()
+    seen = set()
+    with open(os.path.join(REPO, "CHECKS.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["status"] in ("OK", "rows-only") and rec["sf_dir"].rstrip(
+                "/"
+            ).endswith("sf1"):
+                seen.add(rec["query"])
+    missing = sorted(set(QUERIES) - seen)
+    assert missing == [], (
+        f"{len(missing)} queries without an OK CHECKS row at the sf1 rung — "
+        "run `python tools/make_fixtures.py 10 fixtures/sf1` then "
+        f"`python tools/check_oracles.py fixtures/sf1 ...`: {missing}"
+    )

@@ -1,4 +1,5 @@
-"""Scale-slope evidence, two measured decades (VERDICT_r04 item 1).
+"""Scale-slope evidence, up to three measured decades
+(VERDICT_r04 item 1; third decade VERDICT_r05 item 2).
 
 Round 3 measured one decade (sf0.01 -> sf0.1, 17 MB of data); round 5
 adds a second rung, sf1 (~170 MB, 6M-row lineitem, 50k docs), generated
@@ -9,6 +10,7 @@ is a 10x data ratio, so:
 
   slope1 = t(sf0.1) / t(sf0.01)      (decade 1)
   slope2 = t(sf1)   / t(sf0.1)       (decade 2, when fixtures/sf1 exists)
+  slope3 = t(sf10)  / t(sf1)         (decade 3, when fixtures/sf10 exists)
 
 ~10 or below = at-worst-linear in the data (scan-bound is ~linear;
 bounded-state ops are far flatter). Queries whose slope exceeds
@@ -87,6 +89,11 @@ RUNGS = [
     ("sf0.01", "/root/testdata/sf0.01"),
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", os.path.join(REPO, "fixtures", "sf1")),
+    # Third decade (VERDICT_r05 item 2): ~1.7 GB, 60M-row lineitem,
+    # 500k docs — generate with `python tools/make_fixtures.py 100
+    # fixtures/sf10`. Only the heavy set runs here (scale_slopes args);
+    # the full-registry oracle battery stops at sf1.
+    ("sf10", os.path.join(REPO, "fixtures", "sf10")),
 ]
 
 
@@ -101,9 +108,10 @@ def main() -> int:
 
     rungs = [(k, d) for k, d in RUNGS if os.path.isdir(d)]
     if len(rungs) < len(RUNGS):
+        absent = [k for k, d in RUNGS if not os.path.isdir(d)]
         print(
-            "note: fixtures/sf1 missing — run `python tools/make_fixtures.py"
-            " 10 fixtures/sf1` for the second decade"
+            f"note: rungs {absent} missing — regenerate with "
+            "`python tools/make_fixtures.py <10|100> fixtures/<sf1|sf10>`"
         )
 
     def run(name: str, sf_dir: str) -> float:
@@ -125,8 +133,8 @@ def main() -> int:
         for (ka, _), (kb, _) in zip(rungs, rungs[1:]):
             slopes.append(t[kb] / t[ka] if t[ka] > 0 else float("inf"))
         rec["slope"] = round(slopes[0], 2)
-        if len(slopes) > 1:
-            rec["slope2"] = round(slopes[1], 2)
+        for i, sl in enumerate(slopes[1:], start=2):
+            rec[f"slope{i}"] = round(sl, 2)
         over = any(s > FLAG_RATIO * DATA_RATIO for s in slopes)
         if over and name in ALLOW:
             rec["flagged"] = False
