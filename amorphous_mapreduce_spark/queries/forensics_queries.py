@@ -107,18 +107,30 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- value-proximity band join ----------------------------------------------
 
+# The oracle mirrors the engine's bucketize-to-equi-join rewrite (each
+# qualifying pair is found by exactly ONE of the three probe buckets, so
+# the counts are identical to the naive BETWEEN form). Round 6: the
+# original IEJoin-form oracle was semantically the same but ground for
+# ~1h at the sf1 rung (~1e9 intermediate pairs through DuckDB's
+# inequality join); the equi-join form verifies the same counts in
+# seconds at every rung.
 BAND_ORACLE = """
 WITH ev AS (
     SELECT event_id,
            event_type,
            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
     FROM events
+),
+probes AS (
+    SELECT event_id, event_type,
+           unnest([cents - 1, cents, cents + 1]) AS b
+    FROM ev
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
        COUNT(*) AS n_pairs,
        CAST(MIN(a.event_id) AS BIGINT) AS min_event_a
-FROM ev a JOIN ev b
-  ON b.cents BETWEEN a.cents - 1 AND a.cents + 1
+FROM probes a JOIN ev b
+  ON b.cents = a.b
  AND a.event_id < b.event_id
 GROUP BY a.event_type, b.event_type
 """

@@ -49,6 +49,11 @@ def get_spark(
         # Env-overridable for constrained hosts. On a real cluster this is
         # the driver only — executors size independently.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # Output-bound baselines (simhash_near_pairs at sf1: 77M rows)
+        # exceed the 1g default when an oracle check collects them.
+        "spark.driver.maxResultSize": os.environ.get(
+            "SPARK_GRAFT_MAX_RESULT", "6g"
+        ),
         # Runtime re-planning: partition coalescing, skew-join handling.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
