@@ -362,9 +362,15 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_iter(prev: str, cur: str) -> str:
     """One unrolled fixed-point PageRank step (mirrors operators.graph
-    .pagerank: teleport 15%/N + 85% of summed integer contributions)."""
+    .pagerank: teleport 15%/N + 85% of summed integer contributions).
+
+    MATERIALIZED (round-6 fix): without it DuckDB inlines the whole
+    chain, re-expanding edges/deg (and the shingle->minhash->bands
+    pipeline under them) once per round — measured as a >70 GB temp
+    spill that filled the disk at the sf1 rung (same class as the
+    kcore gotcha)."""
     return f"""
-{cur} AS (
+{cur} AS MATERIALIZED (
     SELECT d.id, d.deg,
            CAST((15 * 1000000000000) // (100 * nn.n)
                 + (85 * COALESCE(SUM(r.r // r.deg), 0)) // 100 AS BIGINT) AS r
@@ -392,13 +398,13 @@ PAGERANK_ORACLE = (
     SELECT DISTINCT a.id AS qid, b.id AS nid
     FROM bands a JOIN bands b USING (band, sig)
     WHERE a.id < b.id
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT qid AS a, nid AS b FROM pairs
     UNION
     SELECT nid AS a, qid AS b FROM pairs
-), deg AS (SELECT a AS id, COUNT(*) AS deg FROM edges GROUP BY a),
-nn AS (SELECT COUNT(*) AS n FROM deg),
-r0 AS (
+), deg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS deg FROM edges GROUP BY a),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+r0 AS MATERIALIZED (
     SELECT id, deg, CAST(1000000000000 // n AS BIGINT) AS r
     FROM deg CROSS JOIN nn
 ),"""
