@@ -54,3 +54,25 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+def dsum_scaled(expr: Column, scale: int = 6) -> Column:
+    """Exact decimal sum returned as double via an exact scaled BIGINT.
+
+    The plain decimal->double cast is correctly rounded on Spark but
+    DOUBLE-ROUNDED in DuckDB once the sum's scaled integer exceeds 2^52
+    (DuckDB casts the hugeint payload to double FIRST, then applies the
+    scale — two roundings; caught by the sf1 battery on
+    q1_pricing_summary's sum_charge). Routing BOTH engines through
+    CAST(sum * 10^s AS BIGINT) -> double -> / 10^s performs the
+    identical two-step rounding, engine-portable while the scaled value
+    fits int64 (~9.2e18 — sf ~300 for money sums)."""
+    m = 10**scale
+    return (F.sum(expr) * F.lit(m)).cast("long").cast("double") / F.lit(float(m))
+
+
+def sql_dsum_scaled(expr: str, alias: str, scale: int = 6) -> str:
+    m = 10**scale
+    return (
+        f"CAST(CAST(SUM({expr}) * {m} AS BIGINT) AS DOUBLE) / {m}.0 AS {alias}"
+    )

@@ -1763,13 +1763,26 @@ s AS (
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_gaps,
            CAST(SUM(g) AS BIGINT) AS sum_g,
-           CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
-                AS DECIMAL(38,0)) AS sum_g2
+           -- 2^40 hi/lo split: sum(g^2) in micros^2 passes 2^63 at the
+           -- sf1 rung, where DuckDB's HUGEINT->DOUBLE cast mis-rounds;
+           -- hi*2^40 is an exact exponent shift, so the reconstruction
+           -- rounds ONCE, identically on both engines (CLAUDE.md rule)
+           -- CAST TO HUGEINT FIRST: DuckDB's // on DECIMAL operands is
+           -- a DOUBLE floor-division (measured), only HUGEINT // is
+           -- exact integer division
+           CAST(CAST(SUM(CAST(g AS DECIMAL(19,0))
+                         * CAST(g AS DECIMAL(19,0))) AS HUGEINT)
+                // 1099511627776 AS BIGINT) AS g2_hi,
+           CAST(CAST(SUM(CAST(g AS DECIMAL(19,0))
+                         * CAST(g AS DECIMAL(19,0))) AS HUGEINT)
+                % 1099511627776 AS BIGINT) AS g2_lo
     FROM gaps GROUP BY user_id
 )
 SELECT user_id, n_gaps, sum_g,
        CASE WHEN sum_g = 0 THEN NULL
-            ELSE (CAST(n_gaps AS DOUBLE) * CAST(sum_g2 AS DOUBLE)
+            ELSE (CAST(n_gaps AS DOUBLE)
+                  * (CAST(g2_hi AS DOUBLE) * 1099511627776.0
+                     + CAST(g2_lo AS DOUBLE))
                   - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE))
                  / (CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE))
        END AS cv2
@@ -1812,16 +1825,23 @@ def q_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rb") == F.col("ra") + 1)
         .select("user_id", (F.col("b_us") - F.col("a_us")).alias("g"))
     )
+    g2 = F.sum(
+        F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    two40 = F.lit(1_099_511_627_776)
     s = gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
         F.sum("g").alias("sum_g"),
-        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)"))
-        .cast("decimal(38,0)")
-        .alias("sum_g2"),
+        # 2^40 hi/lo split — see the oracle note (sum passes 2^63 at sf1)
+        ((g2 - F.pmod(g2, two40)) / two40).cast("long").alias("g2_hi"),
+        F.pmod(g2, two40).cast("long").alias("g2_lo"),
     )
     nd = F.col("n_gaps").cast("double")
     sg = F.col("sum_g").cast("double")
-    sg2 = F.col("sum_g2").cast("double")
+    sg2 = (
+        F.col("g2_hi").cast("double") * F.lit(1_099_511_627_776.0)
+        + F.col("g2_lo").cast("double")
+    )
     return s.filter(F.col("n_gaps") >= 2).select(
         "user_id",
         "n_gaps",

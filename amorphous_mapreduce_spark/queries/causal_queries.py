@@ -819,18 +819,29 @@ WITH cents AS (
 st AS (
     SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS s,
-           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
-                AS DECIMAL(38,0)) AS q
+           -- 2^40 hi/lo split: sum(x^2) cents^2 passes 2^63 at sf1
+           -- (HUGEINT->DOUBLE mis-rounds); // only after CAST AS
+           -- HUGEINT (DECIMAL // is a DOUBLE floor-division)
+           CAST(CAST(SUM(CAST(x AS DECIMAL(12,0))
+                         * CAST(x AS DECIMAL(12,0))) AS HUGEINT)
+                // 1099511627776 AS BIGINT) AS q_hi,
+           CAST(CAST(SUM(CAST(x AS DECIMAL(12,0))
+                         * CAST(x AS DECIMAL(12,0))) AS HUGEINT)
+                % 1099511627776 AS BIGINT) AS q_lo
     FROM cents GROUP BY seg, arm
 ),
 eff AS (
     SELECT a.seg, a.n AS n_a, b.n AS n_b,
            CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
                - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS d,
-           ((CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+           (((CAST(a.q_hi AS DOUBLE) * 1099511627776.0
+              + CAST(a.q_lo AS DOUBLE))
+               - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
                / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1)
                / CAST(a.n AS DOUBLE))
-           + ((CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+           + (((CAST(b.q_hi AS DOUBLE) * 1099511627776.0
+                + CAST(b.q_lo AS DOUBLE))
+               - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
                / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1)
                / CAST(b.n AS DOUBLE)) AS v
     FROM st a JOIN st b ON a.seg = b.seg AND a.arm = 0 AND b.arm = 1
@@ -898,36 +909,41 @@ def q_effect_heterogeneity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x"),
     )
+    qdec = F.sum(
+        F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)")
+    ).cast("decimal(38,0)")
+    two40 = F.lit(1_099_511_627_776)
     st = cents.groupBy("seg", "arm").agg(
         F.count("*").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("s"),
-        F.sum(
-            F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)")
-        )
-        .cast("decimal(38,0)")
-        .alias("q"),
+        # 2^40 hi/lo split — see oracle note (sum passes 2^63 at sf1)
+        ((qdec - F.pmod(qdec, two40)) / two40).cast("long").alias("q_hi"),
+        F.pmod(qdec, two40).cast("long").alias("q_lo"),
     )
     a = st.filter(F.col("arm") == 0).select(
         "seg",
         F.col("n").alias("n_a"),
         F.col("s").alias("s_a"),
-        F.col("q").alias("q_a"),
+        F.col("q_hi").alias("qhi_a"),
+        F.col("q_lo").alias("qlo_a"),
     )
     b = st.filter(F.col("arm") == 1).select(
         F.col("seg").alias("segb"),
         F.col("n").alias("n_b"),
         F.col("s").alias("s_b"),
-        F.col("q").alias("q_b"),
+        F.col("q_hi").alias("qhi_b"),
+        F.col("q_lo").alias("qlo_b"),
     )
+    _T40 = F.lit(1_099_511_627_776.0)
     na, sa, qa = (
         F.col("n_a").cast("double"),
         F.col("s_a").cast("double"),
-        F.col("q_a").cast("double"),
+        F.col("qhi_a").cast("double") * _T40 + F.col("qlo_a").cast("double"),
     )
     nb, sb, qb = (
         F.col("n_b").cast("double"),
         F.col("s_b").cast("double"),
-        F.col("q_b").cast("double"),
+        F.col("qhi_b").cast("double") * _T40 + F.col("qlo_b").cast("double"),
     )
     d = sa / na - sb / nb
     v = (qa - sa * sa / na) / (na - 1) / na + (qb - sb * sb / nb) / (

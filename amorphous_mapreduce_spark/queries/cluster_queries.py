@@ -793,7 +793,11 @@ def _anf_reg_sql(hexpr: str) -> str:
 def _anf_oracle() -> str:
     from amorphous_mapreduce_spark.queries.sketch_queries import _HLL_LC64
 
-    lc = ", ".join(repr(v) for v in _HLL_LC64)
+    # exponent-notation literals: DuckDB types a plain decimal literal
+    # as DECIMAL(19,16) even inside CAST(x AS DOUBLE), and that
+    # decimal->double conversion double-rounds past 2^52 (1-ulp drift
+    # on ~1/3 of entries; sf1 battery catch). %.17e parses as DOUBLE.
+    lc = ", ".join(f"{v:.17e}" for v in _HLL_LC64)
     h = _ANF_NH.format(v="node")
     ctes = [
         "base AS MATERIALIZED (\n"

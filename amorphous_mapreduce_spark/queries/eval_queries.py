@@ -245,7 +245,10 @@ WITH daily AS (
            CAST(CAST(SUM(day) AS BIGINT) AS DOUBLE) AS sx,
            CAST(SUM(rev) AS DOUBLE) AS sy,
            CAST(CAST(SUM(day * day) AS BIGINT) AS DOUBLE) AS sxx,
-           CAST(SUM(day * rev) AS DOUBLE) AS sxy
+           -- scaled-BIGINT two-step: Sxy exceeds 2^52 scaled cents at
+           -- sf1, where DuckDB's decimal->double cast double-rounds
+           CAST(CAST(SUM(day * rev) * 100 AS BIGINT) AS DOUBLE) / 100.0
+               AS sxy
     FROM daily GROUP BY nation
 )
 SELECT nation, CAST(n AS BIGINT) AS n_days,
@@ -284,7 +287,14 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day").cast("double").alias("sx"),
         F.sum("rev").cast("double").alias("sy"),
         F.sum(F.col("day") * F.col("day")).cast("double").alias("sxx"),
-        F.sum(F.col("day") * F.col("rev")).cast("double").alias("sxy"),
+        # scaled-BIGINT two-step (see oracle note): identical double
+        # rounding on both engines past 2^52 scaled cents
+        (
+            (F.sum(F.col("day") * F.col("rev")) * F.lit(100))
+            .cast("long")
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -397,8 +397,15 @@ mo AS (
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sx,
            CAST(SUM(r) AS BIGINT) AS sr,
-           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
-                AS DECIMAL(38,0)) AS sxx,
+           -- 2^40 hi/lo split: sum(x^2) in cents^2 passes 2^63 at the
+           -- sf1 rung (HUGEINT->DOUBLE mis-rounds there); // only after
+           -- CAST AS HUGEINT (DECIMAL // is a DOUBLE floor-division)
+           CAST(CAST(SUM(CAST(x AS DECIMAL(19,0))
+                         * CAST(x AS DECIMAL(19,0))) AS HUGEINT)
+                // 1099511627776 AS BIGINT) AS sxx_hi,
+           CAST(CAST(SUM(CAST(x AS DECIMAL(19,0))
+                         * CAST(x AS DECIMAL(19,0))) AS HUGEINT)
+                % 1099511627776 AS BIGINT) AS sxx_lo,
            CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)))
                 AS DECIMAL(38,0)) AS sxr
     FROM rk GROUP BY shard
@@ -407,7 +414,9 @@ ab AS (
     SELECT shard, n, sx, sr,
            (CAST(n AS DOUBLE) * CAST(sxr AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sr AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / (CAST(n AS DOUBLE)
+              * (CAST(sxx_hi AS DOUBLE) * 1099511627776.0
+                 + CAST(sxx_lo AS DOUBLE))
             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
     FROM mo WHERE n >= 2
 ),
@@ -456,13 +465,17 @@ def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = k.select(
         "x", "shard", F.row_number().over(w).cast("long").alias("r")
     ).persist()  # moments + the error join both read it
+    sxx = F.sum(
+        F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    two40 = F.lit(1_099_511_627_776)
     mo = rk.groupBy("shard").agg(
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("r").cast("long").alias("sr"),
-        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
-        .cast("decimal(38,0)")
-        .alias("sxx"),
+        # 2^40 hi/lo split — see oracle note (sum passes 2^63 at sf1)
+        ((sxx - F.pmod(sxx, two40)) / two40).cast("long").alias("sxx_hi"),
+        F.pmod(sxx, two40).cast("long").alias("sxx_lo"),
         F.sum(F.col("x").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)"))
         .cast("decimal(38,0)")
         .alias("sxr"),
@@ -472,8 +485,12 @@ def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("double"),
         F.col("sr").cast("double"),
     )
+    sxx_d = (
+        F.col("sxx_hi").cast("double") * F.lit(1_099_511_627_776.0)
+        + F.col("sxx_lo").cast("double")
+    )
     slope = (n_d * F.col("sxr").cast("double") - sx_d * sr_d) / (
-        n_d * F.col("sxx").cast("double") - sx_d * sx_d
+        n_d * sxx_d - sx_d * sx_d
     )
     ab = mo.select("shard", "n", "sx", "sr", slope.alias("slope")).select(
         "shard",

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amorphous_mapreduce_spark.functions.agg import davg, dec, dsum, dsum_expr
+from amorphous_mapreduce_spark.functions.agg import (
+    davg,
+    dec,
+    dsum,
+    dsum_expr,
+    dsum_scaled,
+)
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -33,11 +39,13 @@ Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+            AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * CAST(1 - l_discount AS DECIMAL(12,2))
-                * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+                * CAST(1 + l_tax AS DECIMAL(12,2))) * 1000000 AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -61,8 +69,10 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum_expr(disc_price).alias("sum_disc_price"),
-            dsum_expr(charge).alias("sum_charge"),
+            # scaled-BIGINT two-step: DuckDB double-rounds the plain
+            # decimal->double cast past 2^52 scaled units (sf1 gotcha)
+            dsum_scaled(disc_price, 4).alias("sum_disc_price"),
+            dsum_scaled(charge, 6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),

@@ -1008,6 +1008,14 @@ import math as _math  # noqa: E402
 # linear-counting table: _HLL_LC64[V-1] = 64*ln(64/V) (V = zero registers)
 _HLL_LC64 = [64 * _math.log(64 / v) for v in range(1, 65)]
 
+# SQL form with every element in EXPONENT notation: DuckDB types a
+# plain decimal literal as DECIMAL(19,16) first — even inside
+# CAST(x AS DOUBLE) — and the decimal->double conversion is
+# DOUBLE-ROUNDED past 2^52 scaled units (1-ulp drift on ~1/3 of the
+# table; sf1 battery catch via anf_neighborhood_sketch). An exponent
+# literal parses directly as DOUBLE; %.17e round-trips all 64 values.
+_HLL_LC64_SQL = "[" + ", ".join(f"{v:.17e}" for v in _HLL_LC64) + "]"
+
 
 HLL_ROLLING_ORACLE = f"""
 WITH e AS (
@@ -1042,10 +1050,10 @@ pl AS (
 SELECT day_idx, wau7_exact, hll_sum_scaled, zero_registers,
        raw_est AS wau7_raw_est,
        CASE WHEN zero_registers > 0 AND raw_est <= 160.0
-            THEN ([266.168517335019, 221.8070977791825, 195.85733086025996, 177.445678223346, 163.16449093923657, 151.4959113044235, 141.63026779547894, 133.0842586675095, 125.54614438550095, 118.80307138340008, 112.70321987592328, 107.13449174858698, 102.01175845748065, 97.26884823964244, 92.85330446447756, 88.722839111673, 84.84286331542117, 81.18472482966446, 77.7244226683668, 74.44165182756358, 71.31908132071992, 68.34180032008679, 65.49688751555341, 62.773072192750476, 60.160464543454154, 57.650338901644155, 55.23495791074193, 52.907428683805946, 50.66158421588466, 48.491884908641055, 46.393336247969636, 44.3614195558365, 42.39203340116426, 40.48144375958467, 38.62624139969652, 36.823305273827955, 35.06977092578864, 33.36300311253031, 31.700571982721627, 30.08023227172708, 28.499905065943302, 26.957661764883422, 25.451709930631004, 23.980380764250285, 22.542117989718538, 21.135467959716916, 19.759070825575247, 18.411652636913974, 17.09201825593889, 15.799044987617652, 14.531676840662149, 13.28891934580765, 12.069834867683198, 10.873538354905435, 9.699193480140856, 8.546009127969445, 7.413236193607785, 6.300164660048161, 5.206120925052954, 4.1304653528045545, 3.0725900279270824, 2.0319166921331373, 1.0078948459609032, 0.0])[CAST(zero_registers AS INT)]
+            THEN ({_HLL_LC64_SQL})[CAST(zero_registers AS INT)]
             ELSE raw_est END AS wau7_est,
        CASE WHEN zero_registers > 0 AND raw_est <= 160.0
-            THEN ([266.168517335019, 221.8070977791825, 195.85733086025996, 177.445678223346, 163.16449093923657, 151.4959113044235, 141.63026779547894, 133.0842586675095, 125.54614438550095, 118.80307138340008, 112.70321987592328, 107.13449174858698, 102.01175845748065, 97.26884823964244, 92.85330446447756, 88.722839111673, 84.84286331542117, 81.18472482966446, 77.7244226683668, 74.44165182756358, 71.31908132071992, 68.34180032008679, 65.49688751555341, 62.773072192750476, 60.160464543454154, 57.650338901644155, 55.23495791074193, 52.907428683805946, 50.66158421588466, 48.491884908641055, 46.393336247969636, 44.3614195558365, 42.39203340116426, 40.48144375958467, 38.62624139969652, 36.823305273827955, 35.06977092578864, 33.36300311253031, 31.700571982721627, 30.08023227172708, 28.499905065943302, 26.957661764883422, 25.451709930631004, 23.980380764250285, 22.542117989718538, 21.135467959716916, 19.759070825575247, 18.411652636913974, 17.09201825593889, 15.799044987617652, 14.531676840662149, 13.28891934580765, 12.069834867683198, 10.873538354905435, 9.699193480140856, 8.546009127969445, 7.413236193607785, 6.300164660048161, 5.206120925052954, 4.1304653528045545, 3.0725900279270824, 2.0319166921331373, 1.0078948459609032, 0.0])[CAST(zero_registers AS INT)]
+            THEN ({_HLL_LC64_SQL})[CAST(zero_registers AS INT)]
             ELSE raw_est END / CAST(wau7_exact AS DOUBLE) AS est_ratio
 FROM (
     SELECT day_idx, wau7_exact,
