@@ -141,13 +141,17 @@ WITH hashed AS (
            {_pois_case(_BS_U.replace('+ b *', '+ h.range *').replace('(b * 2 + 1)', '(h.range * 2 + 1)'))} AS k
     FROM hashed, range(100) h
 ), means AS (
+    -- scaled-BIGINT two-step on the decimal sums: past 2^52 scaled
+    -- units (sf1) DuckDB's decimal->double cast double-rounds
     SELECT b,
-           CAST(SUM(CAST(k AS DECIMAL(4,0)) * CAST(o_totalprice AS DECIMAL(18,6)))
-                AS DOUBLE)
+           (CAST(CAST(SUM(CAST(k AS DECIMAL(4,0))
+                          * CAST(o_totalprice AS DECIMAL(18,6)))
+                      * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
                / CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS mean_b
     FROM draws GROUP BY b
 ), point AS (
-    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                      * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
                / COUNT(*) AS mean_price
     FROM orders
 )
@@ -192,18 +196,36 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for kk in range(6, -1, -1):
         k = F.when(u < F.lit(_POIS_T[kk]), F.lit(kk)).otherwise(k)
     draws = rows.select("b", "o_totalprice", k.alias("k"))
+    # scaled-BIGINT two-step (see oracle note): identical rounding
+    # sequence on both engines past 2^52 scaled units
     means = draws.groupBy("b").agg(
         (
-            F.sum(
-                F.col("k").cast("decimal(4,0)")
-                * F.col("o_totalprice").cast("decimal(18,6)")
-            ).cast("double")
+            (
+                (
+                    F.sum(
+                        F.col("k").cast("decimal(4,0)")
+                        * F.col("o_totalprice").cast("decimal(18,6)")
+                    )
+                    * F.lit(1_000_000)
+                )
+                .cast("long")
+                .cast("double")
+                / F.lit(1_000_000.0)
+            )
             / F.sum("k").cast("double")
         ).alias("mean_b")
     )
     point = orders.agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            (
+                (
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                    * F.lit(1_000_000)
+                )
+                .cast("long")
+                .cast("double")
+                / F.lit(1_000_000.0)
+            )
             / F.count("*")
         ).alias("mean_price")
     )
