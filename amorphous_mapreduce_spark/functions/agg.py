@@ -64,15 +64,38 @@ def dsum_scaled(expr: Column, scale: int = 6) -> Column:
     (DuckDB casts the hugeint payload to double FIRST, then applies the
     scale — two roundings; caught by the sf1 battery on
     q1_pricing_summary's sum_charge). Routing BOTH engines through
-    CAST(sum * 10^s AS BIGINT) -> double -> / 10^s performs the
+    CAST(FLOOR(sum * 10^s) AS BIGINT) -> double -> / 10^s performs the
     identical two-step rounding, engine-portable while the scaled value
-    fits int64 (~9.2e18 — sf ~300 for money sums)."""
-    m = 10**scale
-    return (F.sum(expr) * F.lit(m)).cast("long").cast("double") / F.lit(float(m))
+    fits int64 (~9.2e18 — sf ~300 for money sums).
 
-
-def sql_dsum_scaled(expr: str, alias: str, scale: int = 6) -> str:
+    PRECONDITION: ``expr``'s decimal scale must be <= ``scale`` so that
+    sum * 10^s is an exact integer (then FLOOR is the identity). The
+    FLOOR guards the violated case: without it, Spark's decimal->long
+    cast TRUNCATES where DuckDB's decimal->BIGINT cast ROUNDS — a silent
+    cross-engine divergence (ADVICE_r06). FLOOR (round toward -inf) is
+    defined identically on both engines for every input."""
     m = 10**scale
     return (
-        f"CAST(CAST(SUM({expr}) * {m} AS BIGINT) AS DOUBLE) / {m}.0 AS {alias}"
+        F.floor(F.sum(expr) * F.lit(m)).cast("long").cast("double")
+        / F.lit(float(m))
+    )
+
+
+def sql_dsum_scaled(
+    expr: str, alias: str, scale: int = 6, typ: str | None = None
+) -> str:
+    """DuckDB counterpart of :func:`dsum_scaled` (same FLOOR discipline).
+
+    ``typ``: optional decimal type to cast ``expr`` to BEFORE summing
+    (what sql_dsum does with SQL_DEC) — pass it when ``expr`` is a raw
+    double, otherwise the SUM falls back to float accumulation and the
+    whole exactness argument is void (ADVICE_r06). Left None for
+    already-decimal expressions (the q1-style callers whose products
+    carry more precision than SQL_DEC)."""
+    if typ is not None:
+        expr = f"CAST({expr} AS {typ})"
+    m = 10**scale
+    return (
+        f"CAST(CAST(FLOOR(SUM({expr}) * {m}) AS BIGINT) AS DOUBLE)"
+        f" / {m}.0 AS {alias}"
     )

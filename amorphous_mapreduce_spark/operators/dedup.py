@@ -479,6 +479,14 @@ def simhash_band_spec(bits: int, nbands: int) -> list[tuple[int, int, int]]:
     (band_idx, offset, width) triples, first `bits % nbands` bands one
     bit wider. Shared by the exact banded join, the capped top-m scale
     path, and their SQL oracles (identical widths on both engines)."""
+    if nbands > bits:
+        # A zero-width band would put EVERY doc in one global bucket
+        # (mask 0) — under a cap only the `cap` lowest-hash ids would
+        # ever be candidates there, silently degrading recall. The
+        # pigeonhole guarantee needs only max_hamming+1 <= bits bands;
+        # callers wanting max_hamming >= bits get the full-width layout
+        # (every band still sound, recall unchanged) (ADVICE_r06).
+        nbands = bits
     base, extra = divmod(bits, nbands)
     spec = []
     off = 0

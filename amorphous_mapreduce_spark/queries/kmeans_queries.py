@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amorphous_mapreduce_spark.operators.kmeans import cluster_sizes, kmeans_assign
+from amorphous_mapreduce_spark.operators.kmeans import (
+    KM_TRAIN_N,
+    cluster_sizes,
+    kmeans_assign,
+)
 from amorphous_mapreduce_spark.queries_registry import register
 from amorphous_mapreduce_spark.sources import load_table
 
@@ -20,7 +24,7 @@ K = 8
 _QD = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"
 
 
-def _assign_cte(name: str, cents: str) -> str:
+def _assign_cte(name: str, cents: str, src: str = "q") -> str:
     return f"""
 {name} AS (
     SELECT id, qv, cell FROM (
@@ -31,7 +35,7 @@ def _assign_cte(name: str, cents: str) -> str:
                              - list_dot_product(s.cv, s.cv) / 2) DESC,
                             s.cell
                ) AS rk
-        FROM q, {cents} s
+        FROM {src} q, {cents} s
     ) WHERE rk = 1
 )
 """
@@ -60,19 +64,28 @@ WITH q AS (
                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
                                     AS BIGINT)) AS qv
     FROM embeddings
+), qtrain AS (
+    -- deterministic KM_TRAIN_N training sample (round 7, VERDICT_r06
+    -- item 5): Lloyd iterations scan this fixed-size subset only; the
+    -- one full-corpus pass is the final assignment. == full corpus at
+    -- the driver SFs (n <= {KM_TRAIN_N}).
+    SELECT id, qv FROM q
+    ORDER BY CAST('0x' || substr(md5('kmtrain_' || CAST(id AS VARCHAR)),
+                                 1, 15) AS BIGINT), id
+    LIMIT {KM_TRAIN_N}
 ), seeds AS (
     SELECT id AS cell,
            list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-    FROM q
+    FROM qtrain
     ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
                   AS BIGINT), id
     LIMIT {K}
 ),"""
-    + _assign_cte("a0", "seeds")
+    + _assign_cte("a0", "seeds", src="qtrain")
     + ","
     + _centroid_cte("cent1", "a0")
     + ","
-    + _assign_cte("a1", "cent1")
+    + _assign_cte("a1", "cent1", src="qtrain")
     + ","
     + _centroid_cte("cent2", "a1")
     + ","
@@ -86,9 +99,11 @@ SELECT id, cell FROM a2
 @register("kmeans_clusters", KMEANS_ORACLE)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of quantised k-means (k=8) over embeddings —
-    deterministic iterative clustering for diversity sampling."""
+    deterministic iterative clustering for diversity sampling. Training
+    runs on the KM_TRAIN_N hash sample (constant-cost; == full corpus at
+    driver SFs); the final assignment is the one full-corpus pass."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=K, iters=2)
+    return kmeans_assign(emb, k=K, iters=2, train_sample=KM_TRAIN_N)
 
 
 KMEANS_SIZES_ORACLE = KMEANS_ORACLE.replace(
@@ -101,7 +116,7 @@ KMEANS_SIZES_ORACLE = KMEANS_ORACLE.replace(
 def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the k-means assignment (diversity view)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cluster_sizes(kmeans_assign(emb, k=K, iters=2))
+    return cluster_sizes(kmeans_assign(emb, k=K, iters=2, train_sample=KM_TRAIN_N))
 
 
 DIVERSITY_ORACLE = KMEANS_ORACLE.replace(
@@ -122,7 +137,7 @@ def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, k=K, iters=2)
+    assigned = kmeans_assign(emb, k=K, iters=2, train_sample=KM_TRAIN_N)
     w = Window.partitionBy("cell").orderBy("id")
     return (
         assigned.withColumn("rnk", F.row_number().over(w))
@@ -195,7 +210,7 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.kmeans import _score, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q, _, cents = kmeans_fit(emb, k=K, iters=2)
+    q, _, cents = kmeans_fit(emb, k=K, iters=2, train_sample=KM_TRAIN_N)
     qq = F.aggregate(
         F.zip_with("qv", "qv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.vectors import l2_norm
+from amorphous_mapreduce_spark.operators.kmeans import KM_TRAIN_N
 from amorphous_mapreduce_spark.operators.similarity import (
     adaptive_band_bits,
     cosine_near_dup_blocked,
@@ -102,7 +103,10 @@ _COS_AB = (
 
 # operators.similarity.hyperplane_signatures replayed in SQL: plane p's
 # ±1 component at dim d = md5("lsh_{p}_{d}") parity (same bytes hashed as
-# _plane_sign), bit = sign of the ordered-fold projection, 4-bit bands.
+# _plane_sign), bit = sign of the ordered-fold projection, adaptive-width
+# bands, neighbor-side bucket cap 128 (mirrored in the lshcapped CTE).
+LSH_BUCKET_CAP = 128
+
 LSH_CTES = f"""
 planes AS (
     SELECT p.range AS p,
@@ -124,17 +128,27 @@ planes AS (
 ), lshbuckets AS (
     SELECT id, p // nb.b AS band, string_agg(bit, '' ORDER BY p) AS sig
     FROM lshbits CROSS JOIN lshnb nb GROUP BY id, p // nb.b
+), lshcapped AS (
+    -- neighbor-side bucket cap (128, md5-ordered): hot band signatures
+    -- (skewed sign bits) stay bounded, so candidate volume is linear in
+    -- n even in the 3rd decade (round-7 fix, VERDICT_r06 item 2)
+    SELECT id, band, sig FROM (
+        SELECT id, band, sig,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band, sig
+                   ORDER BY CAST('0x' || substr(md5('lshcap_' ||
+                                CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+                            id
+               ) AS rk
+        FROM lshbuckets
+    ) WHERE rk <= 128
 ), lshcand AS (
     SELECT DISTINCT a.id AS qid, b.id AS nid
-    FROM lshbuckets a JOIN lshbuckets b USING (band, sig)
-    WHERE a.id < b.id
-), lshsym AS (
-    SELECT qid, nid FROM lshcand
-    UNION ALL
-    SELECT nid AS qid, qid AS nid FROM lshcand
+    FROM lshbuckets a JOIN lshcapped b USING (band, sig)
+    WHERE a.id <> b.id
 ), lshscored AS (
     SELECT s.qid, s.nid, {_COS_AB} AS sim
-    FROM lshsym s
+    FROM lshcand s
     JOIN embeddings a ON a.vec_id = s.qid
     JOIN embeddings b ON b.vec_id = s.nid
 ), lsh AS (
@@ -153,7 +167,7 @@ planes AS (
 _IVF_QD = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"
 
 
-def _ivf_km_assign_cte(name: str, cents: str) -> str:
+def _ivf_km_assign_cte(name: str, cents: str, src: str = "q") -> str:
     return f"""
 {name} AS (
     SELECT id, qv, cell FROM (
@@ -164,7 +178,7 @@ def _ivf_km_assign_cte(name: str, cents: str) -> str:
                              - list_dot_product(s.cv, s.cv) / 2) DESC,
                             s.cell
                ) AS rk
-        FROM q, {cents} s
+        FROM {src} q, {cents} s
     ) WHERE rk = 1
 )
 """
@@ -186,26 +200,34 @@ def _ivf_km_centroid_cte(name: str, assigns: str) -> str:
 
 
 _IVF_TRAIN_CTES = (
-    """
+    f"""
 q AS (
     SELECT vec_id AS id,
            list_transform(embedding,
                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
                                     AS BIGINT)) AS qv
     FROM embeddings
+), qtrain AS (
+    -- deterministic KM_TRAIN_N training sample (round 7): Lloyd
+    -- iterations run on this fixed-size subset; == full corpus at the
+    -- driver SFs (n <= {KM_TRAIN_N}), constant-cost training above it
+    SELECT id, qv FROM q
+    ORDER BY CAST('0x' || substr(md5('kmtrain_' || CAST(id AS VARCHAR)),
+                                 1, 15) AS BIGINT), id
+    LIMIT {KM_TRAIN_N}
 ), ivfkseeds AS (
     SELECT id AS cell,
            list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-    FROM q
+    FROM qtrain
     ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
                   AS BIGINT), id
     LIMIT 16
 ),"""
-    + _ivf_km_assign_cte("ivfa0", "ivfkseeds")
+    + _ivf_km_assign_cte("ivfa0", "ivfkseeds", src="qtrain")
     + ","
     + _ivf_km_centroid_cte("ivfcent1", "ivfa0")
     + ","
-    + _ivf_km_assign_cte("ivfa1", "ivfcent1")
+    + _ivf_km_assign_cte("ivfa1", "ivfcent1", src="qtrain")
     + ","
     + _ivf_km_centroid_cte("ivfcent2", "ivfa1")
 )
@@ -269,9 +291,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LINEAR in n — 4 bits at the <=2k-vector rungs (identical results
     # to the round-4 setting), 8 bits at sf1's 20k. The one driver-side
     # scalar (count) parameterizes the plan, same as the dims probe in
-    # hyperplane_signatures.
+    # hyperplane_signatures. cap=128 bounds the neighbor side of each
+    # bucket (md5-ordered sample) — skewed sign bits make hot signatures
+    # grow with n regardless of band width (slope3 13.2 + 48 GB heap at
+    # sf10 before the cap; round-7 fix).
     bits = adaptive_band_bits(emb.count())
-    return lsh_topk(emb, k=5, n_planes=32, band_bits=bits)
+    return lsh_topk(emb, k=5, n_planes=32, band_bits=bits, cap=LSH_BUCKET_CAP)
 
 
 # --- recall@k vs exact top-k (the ANN quality metric, in-plan) ------------
@@ -332,7 +357,11 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, computed in-plan (join + aggregate) and hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     bits = adaptive_band_bits(emb.count())
-    return _recall(spark, sf_dir, lsh_topk(emb, k=5, n_planes=32, band_bits=bits))
+    return _recall(
+        spark,
+        sf_dir,
+        lsh_topk(emb, k=5, n_planes=32, band_bits=bits, cap=LSH_BUCKET_CAP),
+    )
 
 
 @register("similarity_ivf_recall", IVF_RECALL_ORACLE)
@@ -1580,4 +1609,183 @@ def q_mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qid") < F.col("nid"))
         .select(F.col("qid").alias("a"), F.col("nid").alias("b"))
         .orderBy("a", "b")
+    )
+
+
+# --- IVF-celled hard-negative mining (scale companion) ----------------------
+
+# hard_negative_mining's blocked E·Eᵀ kernel is the documented exact
+# baseline (quadratic by construction; slope2 = 12.4 at sf1). This is the
+# 100 TB path (VERDICT_r06 item 4): mine the nearest CROSS-label neighbor
+# inside the trained IVF probe cells only, with per-cell neighbor
+# occupancy capped (md5-ordered first HN_CELL_CAP members per cell, the
+# simhash_topm / lsh capped-bucket pattern) so candidate volume is
+# n · n_probe · cap — linear in n even though cell sizes grow with the
+# corpus at fixed n_cells.
+HN_CELL_CAP = 256
+
+IVF_HARDNEG_CTES = (
+    IVF_CTES
+    + f""", hnmembers AS (
+    SELECT nid, cell FROM (
+        SELECT id AS nid, cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY CAST('0x' || substr(md5('hncap_' ||
+                                CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+                            id
+               ) AS caprk
+        FROM ivfassign
+    ) WHERE caprk <= {HN_CELL_CAP}
+), hnscored AS (
+    SELECT p.qid, m.nid, a.label AS qlabel, b.label AS nlabel,
+           {_COS_AB} AS sim
+    FROM ivfprobes p
+    JOIN hnmembers m USING (cell)
+    JOIN embeddings a ON a.vec_id = p.qid
+    JOIN embeddings b ON b.vec_id = m.nid
+    WHERE p.qid <> m.nid AND a.label <> b.label
+), hntop AS (
+    SELECT qid, nid, qlabel, nlabel, sim FROM (
+        SELECT qid, nid, qlabel, nlabel, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM hnscored
+    ) WHERE rnk = 1
+)"""
+)
+
+IVF_HARDNEG_ORACLE = (
+    "WITH "
+    + IVF_HARDNEG_CTES
+    + "\nSELECT qid, nid, qlabel, nlabel, sim FROM hntop"
+)
+
+
+def _ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.operators.similarity import (
+        ivf_trained_ranked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = ivf_trained_ranked(emb, n_cells=16, max_rank=4).persist()
+    wcap = Window.partitionBy("cell").orderBy(
+        hex_hash64(F.concat(F.lit("hncap_"), F.col("id").cast("string"))),
+        F.col("id"),
+    )
+    members = (
+        ranked.filter(F.col("rk") == 1)
+        .withColumn("caprk", F.row_number().over(wcap))
+        .filter(F.col("caprk") <= HN_CELL_CAP)
+        .select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell")
+    )
+    probes = ranked.select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell"
+    )
+    lab = emb.select(F.col("vec_id").alias("_lid"), F.col("label").alias("_l"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        probes.join(members, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .join(lab.toDF("qid", "qlabel"), "qid")
+        .join(lab.toDF("nid", "nlabel"), "nid")
+        .filter(F.col("qlabel") != F.col("nlabel"))
+        .select(
+            "qid",
+            "nid",
+            "qlabel",
+            "nlabel",
+            (dot / (norm("qv") * norm("nv"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("qid", "nid", "qlabel", "nlabel", "sim")
+    )
+
+
+@register("ivf_hard_negatives", IVF_HARDNEG_ORACLE)
+def q_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at scale: each vector's nearest cross-label
+    neighbor among the CAPPED members of its 4 probed (k-means-trained)
+    IVF cells — the linear-candidate companion to hard_negative_mining's
+    exact quadratic kernel (VERDICT_r06 item 4).
+
+    Candidates = n · 4 probes · ≤256 capped members, so the mining pass
+    stays linear as cells grow with the corpus; per-cell caps sample by
+    md5 order (unbiased, deterministic, oracle-replayed). Quality is
+    measured by ivf_hard_negative_recall against the exact kernel.
+
+    Scale: cell equi-join + per-query window; training rides the
+    KM_TRAIN_N sampled k-means; cosine scores are ordered-fold doubles
+    (bit-identical to DuckDB list_dot_product)."""
+    return _ivf_hard_negatives(spark, sf_dir)
+
+
+IVF_HARDNEG_RECALL_ORACLE = (
+    "WITH "
+    + IVF_HARDNEG_CTES
+    + f""", hnpairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.label <> b.label
+), hnexact AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM hnpairs
+    ) WHERE rnk = 1
+)
+SELECT n_exact, n_hits, CAST(n_hits AS DOUBLE) / n_exact AS recall FROM (
+    SELECT COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+    FROM hnexact e
+    LEFT JOIN hntop t ON e.qid = t.qid AND e.nid = t.nid
+)"""
+)
+
+
+@register("ivf_hard_negative_recall", IVF_HARDNEG_RECALL_ORACLE)
+def q_ivf_hard_negative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement of the IVF-celled hard-negative miner with the exact
+    cross-label top-1 (blocked E·Eᵀ kernel as truth) — the quality
+    scorecard justifying ivf_hard_negatives as the 100 TB path. The
+    exact side is the documented quadratic baseline, present here only
+    for the eval (same pattern as similarity_lsh_recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk_blocked(
+        emb, k=1, n_blocks=16, exclude_label_col="label"
+    ).select("qid", "nid")
+    ann = (
+        _ivf_hard_negatives(spark, sf_dir)
+        .select("qid", "nid")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["qid", "nid"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+        )
     )

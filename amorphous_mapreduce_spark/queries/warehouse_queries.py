@@ -1272,11 +1272,14 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("total_cents"), F.asc("part")],
         cum_col="cum",
     )
-    # grand total = the LAST running total: max(cum) scans the prefix
-    # scan's persisted partials instead of re-executing the whole
-    # lineitem monthly-rollup lineage a second time (round-6 bench fix:
-    # the duplicate rollup was the in-bench latency outlier).
-    grand = ranked.agg(F.max("cum").alias("grand"))
+    # grand total from the prefix scan's persisted output instead of
+    # re-executing the whole lineitem monthly-rollup lineage a second
+    # time (round-6 bench fix: the duplicate rollup was the in-bench
+    # latency outlier). SUM over the persisted rows — NOT max(cum),
+    # which equals the grand total only while every per-part total is
+    # non-negative (a returns/credits fixture would silently break it;
+    # ADVICE_r06).
+    grand = ranked.agg(F.sum("total_cents").alias("grand"))
     ssd = F.col("ss_hi").cast("double") * F.lit(1048576.0) + F.col(
         "ss_lo"
     ).cast("double")
