@@ -3032,8 +3032,16 @@ def q_hodges_lehmann_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANSAC_T = 32  # candidate models
 _RANSAC_THR = 2000  # inlier threshold, cents
 
+# Endpoint sampling (round-7 rewrite, VERDICT_r06 item 8): ONE md5 per
+# row (reduced mod 2147483647), then 64 affine mixes — the minhash
+# permutation family ((hm*(2*slot+1) + slot*12345) % 2147483647), the
+# bootstrap_revenue_ci one-digest multi-draw trick — packed with pk into
+# a single BIGINT (mix * 2^32 + pk; pk < 2^32 through sf100) so each
+# slot's endpoint is MIN(pack): the previous ×64 panel explode shuffled
+# 64n rows through a window (slope2 11.3, ~50 s at sf1); now it's 64
+# min-aggregates in one partial-aggregated scan.
 _RANSAC_PANEL_SQL = ", ".join(
-    f"('a', {t}), ('b', {t})" for t in range(_RANSAC_T)
+    f"('a', {t}, {2 * t}), ('b', {t}, {2 * t + 1})" for t in range(_RANSAC_T)
 )
 
 RANSAC_ORACLE = f"""
@@ -3043,17 +3051,21 @@ WITH items AS (
     FROM part
 ),
 hashed AS (
-    SELECT e.ep, e.t, i.pk, i.sx, i.yc,
-           CAST('0x' || substr(md5('ransac_' || e.ep || e.t || '_' || i.pk),
-                               1, 15) AS BIGINT) AS h
-    FROM items i CROSS JOIN (VALUES {_RANSAC_PANEL_SQL}) AS e(ep, t)
+    SELECT pk, sx, yc,
+           CAST('0x' || substr(md5('ransac_' || CAST(pk AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2147483647 AS hm
+    FROM items
+),
+slotmins AS (
+    SELECT e.ep, e.t,
+           MIN(((hm * (2 * e.slot + 1) + e.slot * 12345) % 2147483647)
+               * 4294967296 + pk) AS pack
+    FROM hashed CROSS JOIN (VALUES {_RANSAC_PANEL_SQL}) AS e(ep, t, slot)
+    GROUP BY e.ep, e.t
 ),
 picked AS (
-    SELECT ep, t, sx, yc FROM (
-        SELECT ep, t, sx, yc,
-               row_number() OVER (PARTITION BY ep, t ORDER BY h, pk) AS rn
-        FROM hashed
-    ) WHERE rn = 1
+    SELECT s.ep, s.t, i.sx, i.yc
+    FROM slotmins s JOIN items i ON i.pk = s.pack % 4294967296
 ),
 cands AS (
     SELECT t,
@@ -3123,9 +3135,15 @@ def q_ransac_price_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the refit is a fixed double expression over exact int64 moments
     (size <= 50 keeps every moment in int64 through sf10).
 
-    Scale: endpoint picking is a 64-way partitioned argmin (two-phase
-    min-merge past local[*]); scoring joins the <=32-row broadcast line
-    panel onto one pass of part — no pairwise anything."""
+    Scale: endpoint picking is ONE md5 per row + 64 affine-mixed
+    min-aggregates fused into a single partial-aggregated scan (the
+    one-digest multi-draw trick; replaces the ×64 panel explode whose
+    64n-row window shuffle was slope2 11.3 / ~50 s at sf1 — VERDICT_r06
+    item 8), then a broadcast join of the 64 winner pks back to part;
+    scoring joins the <=32-row broadcast line panel onto one pass of
+    part — no pairwise anything."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
     part = load_table(spark, sf_dir, "part")
     items = part.select(
         F.col("p_partkey").alias("pk"),
@@ -3134,47 +3152,42 @@ def q_ransac_price_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yc"),
     ).persist()
-    panel = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(e).alias("ep"), F.lit(t).alias("t"))
-                for t in range(_RANSAC_T)
-                for e in ("a", "b")
-            ]
-        )
+    hm = F.pmod(
+        hex_hash64(F.concat(F.lit("ransac_"), F.col("pk").cast("string"))),
+        F.lit(2147483647),
     )
-    hashed = items.select("pk", "sx", "yc", panel.alias("et")).select(
-        F.col("et.ep").alias("ep"),
-        F.col("et.t").alias("t"),
-        "pk",
-        "sx",
-        "yc",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("ransac_"),
-                        F.col("et.ep"),
-                        F.col("et.t"),
-                        F.lit("_"),
-                        F.col("pk"),
+    hashed = items.select("pk", hm.alias("hm"))
+    slots = [(ep, t, 2 * t + (1 if ep == "b" else 0)) for t in range(_RANSAC_T) for ep in ("a", "b")]
+    mins = hashed.agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("hm") * F.lit(2 * slot + 1) + F.lit(slot * 12345),
+                    F.lit(2147483647),
+                )
+                * F.lit(4294967296)
+                + F.col("pk")
+            ).alias(f"p_{ep}_{t}")
+            for ep, t, slot in slots
+        ]
+    )
+    winners = mins.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ep).alias("ep"),
+                        F.lit(t).alias("t"),
+                        F.pmod(F.col(f"p_{ep}_{t}"), F.lit(4294967296)).alias(
+                            "pk"
+                        ),
                     )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    w = Window.partitionBy("ep", "t").orderBy("h", "pk")
-    picked = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("ep", "t", "sx", "yc")
-    )
+                    for ep, t, _ in slots
+                ]
+            )
+        ).alias("s")
+    ).select("s.ep", "s.t", "s.pk")
+    picked = items.join(F.broadcast(winners), "pk").select("ep", "t", "sx", "yc")
     cands = picked.groupBy("t").agg(
         F.max(F.when(F.col("ep") == "a", F.col("sx"))).alias("xa"),
         F.max(F.when(F.col("ep") == "a", F.col("yc"))).alias("ya"),

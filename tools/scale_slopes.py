@@ -66,6 +66,9 @@ HEAVY = [
     "embedding_power_iteration",
     "approx_quantile_audit",
     "cdc_net_effect_compaction",
+    "ivf_hard_negatives",
+    "semdedup_manifest",
+    "similarity_ivf_topk",
 ]
 
 DATA_RATIO = 10.0
@@ -129,6 +132,12 @@ def main() -> int:
         run(name, "/root/testdata/sf0.001")  # warm
         t = {k: min(run(name, d) for _ in range(2)) for k, d in rungs}
         rec: dict = {f"{k}_s": round(v, 3) for k, v in t.items()}
+        # Unrounded times + measurement stamp (ADVICE_r06): the merge
+        # path recomputes slopes from stored times; 3-decimal rounding
+        # could flip a near-threshold flag across subset runs (and a
+        # sub-ms rung rounded to 0.0 would produce slope=inf).
+        rec["_raw"] = {k: v for k, v in t.items()}
+        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         slopes = []
         for (ka, _), (kb, _) in zip(rungs, rungs[1:]):
             slopes.append(t[kb] / t[ka] if t[ka] > 0 else float("inf"))
@@ -174,20 +183,32 @@ def main() -> int:
             if old and any(k for k in old if k.endswith("_s") and k not in rec):
                 kept = [k for k in old if k.endswith("_s") and k not in rec]
                 print(f"warn: {name}: keeping prior deeper-rung evidence ({kept})")
+                # Prefer unrounded prior times when the row carries them
+                # (ADVICE_r06: rounded times can flip a near-threshold
+                # flag or produce slope=inf from a 0.0).
+                old_raw = old.get("_raw", {})
                 times = {
-                    k[: -len("_s")]: v
+                    k[: -len("_s")]: old_raw.get(k[: -len("_s")], v)
                     for k, v in old.items()
                     if k.endswith("_s")
                 }
+                new_raw = rec.get("_raw", {})
                 times.update(
                     {
-                        k[: -len("_s")]: v
+                        k[: -len("_s")]: new_raw.get(k[: -len("_s")], v)
                         for k, v in rec.items()
                         if k.endswith("_s")
                     }
                 )
                 ordered = [k for k, _ in RUNGS if k in times]
-                merged: dict = {f"{k}_s": times[k] for k in ordered}
+                merged: dict = {f"{k}_s": round(times[k], 3) for k in ordered}
+                merged["_raw"] = {k: times[k] for k in ordered}
+                if "measured_at" in rec:
+                    merged["measured_at"] = rec["measured_at"]
+                if "measured_at" in old:
+                    merged["prior_measured_at"] = old.get(
+                        "prior_measured_at", old["measured_at"]
+                    )
                 mslopes = [
                     times[b] / times[a] if times[a] > 0 else float("inf")
                     for a, b in zip(ordered, ordered[1:])
@@ -202,6 +223,15 @@ def main() -> int:
                     merged["flagged"] = mover
                     if "explained" in old:
                         merged["explained"] = old["explained"]
+                if mover:
+                    # Mixed-run slopes compare times measured under
+                    # different machine load — re-measure every rung
+                    # before trusting a flag that only appears here
+                    # (ADVICE_r06).
+                    print(
+                        f"warn: {name}: mixed-run merged slope crosses the"
+                        " flag line — re-measure ALL rungs for this query"
+                    )
                 rec = merged
             prior[name] = rec
         out = prior
