@@ -135,9 +135,74 @@ def kmeans_fit(
         assigned = _assign(train, means)
         centroids = means
     if train is not q:
-        # One full-corpus pass against the final (sample-trained) model.
-        assigned = _assign(q, centroids)
+        # One full-corpus pass against the final (sample-trained) model —
+        # via the Arrow kernel: the declarative _assign's per-row fold
+        # (F.aggregate lambda over d terms × k centroids) is interpreted
+        # expression-tree evaluation, measured ~30 s for 200k×64×8 at
+        # the sf10 rung; the kernel does the same ordered per-dimension
+        # accumulation vectorized (bit-identical doubles). Persist the
+        # k-row centroid frame first: the kernel collects it eagerly,
+        # and callers that use the centroid frame afterwards (the IVF
+        # ranking cross join) must hit the cache, not re-run training.
+        centroids = centroids.persist()
+        assigned = _assign_arrow(q, centroids)
     return q, assigned, centroids
+
+
+def _assign_arrow(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Full-corpus argmax assignment as ONE mapInPandas kernel.
+
+    Bit-exact with :func:`_assign` / the SQL oracle: scores accumulate
+    per dimension in order (``acc[:,c] += v[d]*C[c,d]`` for d = 0..D-1 —
+    the identical double-addition sequence as the ordered left fold /
+    DuckDB list_dot_product), c2/2 is one exact halving, and ties break
+    to the smallest cell (centroid rows sorted by cell; argmax returns
+    the first maximum). Centroids are collected driver-side — k·d
+    doubles, the model, not data (same class as the dims probe)."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if not rows:
+        spark = q.sparkSession
+        return spark.createDataFrame(
+            [], schema="id long, qv array<bigint>, cell long"
+        )
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)  # k x d
+    # c2 via the same ordered left fold (python float add == IEEE add)
+    c2 = np.array(
+        [_ordered_fold_sq(list(r["cv"])) for r in rows], dtype=np.float64
+    )
+    dims = C.shape[1]
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf["qv"]], dtype=np.float64)
+            acc = np.zeros((len(pdf), len(cells)), dtype=np.float64)
+            for d in range(dims):  # ordered over dims == left fold order
+                acc += V[:, d : d + 1] * C[:, d]
+            scores = acc - c2 / 2.0
+            best = np.argmax(scores, axis=1)  # first max = smallest cell
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "qv": pdf["qv"],
+                    "cell": cells[best],
+                }
+            )
+
+    return q.mapInPandas(kernel, "id long, qv array<bigint>, cell long")
+
+
+def _ordered_fold_sq(cv: list[float]) -> float:
+    acc = 0.0
+    for x in cv:
+        acc = acc + x * x
+    return acc
 
 
 def kmeans_assign(

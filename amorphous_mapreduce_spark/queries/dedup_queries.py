@@ -1741,14 +1741,13 @@ _FS_H = (
 )
 
 
-def _fs_oracle() -> str:
-    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
-
-    w_num = log2_scaled_sql("(m_agree + 1) * (u_tot + 2)")
-    w_den = log2_scaled_sql("(m_tot + 2) * (u_agree + 1)")
+def _fs_ctes() -> str:
+    """Shared Fellegi-Sunter CTE prefix (through mf/uf): LSH candidates,
+    Jaccard-verified matches, sampled non-matches, attributes, and the
+    per-field agreement scalars — used by both the weight table and the
+    classify query."""
     return (
-        "WITH "
-        + SHINGLES_CTE
+        SHINGLES_CTE
         + MINHASH_EDGES_CTE
         + f"""
 , capped AS (
@@ -1813,7 +1812,19 @@ uf AS (
            CAST(SUM(CASE WHEN a.head = b.head THEN 1 ELSE 0 END) AS BIGINT)
                AS f_head
     FROM nonmatches p JOIN att a ON a.id = p.qid JOIN att b ON b.id = p.nid
-),
+)"""
+    )
+
+
+def _fs_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    w_num = log2_scaled_sql("(m_agree + 1) * (u_tot + 2)")
+    w_den = log2_scaled_sql("(m_tot + 2) * (u_agree + 1)")
+    return (
+        "WITH "
+        + _fs_ctes()
+        + f""",
 feat AS (
     SELECT f.feature,
            CASE f.feature WHEN 'lang' THEN mf.f_lang
@@ -1864,8 +1875,47 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weight table itself is 4 rows. Reference tie-in: W6/W7 hash
     partition + per-key count (src/word_count.rs:96-118) driving the
     linkage-theory head."""
-    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
     from amorphous_mapreduce_spark.functions.intlog import log2_scaled
+
+    _, _, _, mf, uf = _fs_frames(spark, sf_dir)
+    feats = spark.createDataFrame(
+        [("lang",), ("source",), ("len20",), ("head24",)], ["feature"]
+    )
+    grid = feats.crossJoin(F.broadcast(mf)).crossJoin(F.broadcast(uf)).select(
+        "feature",
+        F.expr(
+            "CASE feature WHEN 'lang' THEN f_lang WHEN 'source' THEN f_source"
+            " WHEN 'len20' THEN f_len ELSE f_head END"
+        ).alias("m_agree"),
+        "m_tot",
+        F.expr(
+            "CASE feature WHEN 'lang' THEN u_lang WHEN 'source' THEN u_source"
+            " WHEN 'len20' THEN u_len ELSE u_head END"
+        ).alias("u_agree"),
+        "u_tot",
+    )
+    wnum = log2_scaled("(m_agree + 1) * (u_tot + 2)")
+    wden = log2_scaled("(m_tot + 2) * (u_agree + 1)")
+    return grid.select(
+        "feature",
+        "m_agree",
+        "m_tot",
+        "u_agree",
+        "u_tot",
+        (wnum - wden).cast("long").alias("weight_scaled"),
+        ((wnum - wden).cast("double") / F.lit(1048576.0)).alias(
+            "weight_bits"
+        ),
+    ).orderBy("feature")
+
+
+def _fs_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared Fellegi-Sunter frames: (candidate pairs, matches,
+    attributes, mf 1-row match-agreement scalars, uf 1-row non-match
+    scalars) — the Spark mirror of the _fs_ctes() oracle prefix."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
     from amorphous_mapreduce_spark.operators.dedup import (
         normalize_text,
         shingles,
@@ -1961,35 +2011,138 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_len").alias("u_len"),
         F.col("f_head").alias("u_head"),
     )
-    feats = spark.createDataFrame(
-        [("lang",), ("source",), ("len20",), ("head24",)], ["feature"]
+    return cand, matches, att, mf, uf
+
+
+# --- Fellegi-Sunter classification (the trained model APPLIED) ----------------
+
+# Score every LSH candidate pair by the summed per-field log2 weight
+# (agreement weight wa_k = log2(m_k/u_k), DISagreement weight
+# wd_k = log2((1-m_k)/(1-u_k)), Laplace-smoothed) and band into
+# match / possible / non-match at ±2 bits — the decision step a linkage
+# engine runs after fellegi_sunter_weights trains the table.
+_FS_BAND_BITS = 2
+
+
+def _fs_classify_oracle() -> str:
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_sql
+
+    def wa(f: str) -> str:
+        return (
+            f"({log2_scaled_sql(f'(mf.{f} + 1) * (uf.u_tot + 2)')}"
+            f" - {log2_scaled_sql(f'(mf.m_tot + 2) * (uf.{f} + 1)')})"
+        )
+
+    def wd(f: str) -> str:
+        return (
+            f"({log2_scaled_sql(f'(mf.m_tot + 1 - mf.{f}) * (uf.u_tot + 2)')}"
+            f" - {log2_scaled_sql(f'(uf.u_tot + 1 - uf.{f}) * (mf.m_tot + 2)')})"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {g} THEN {wa(f)} ELSE {wd(f)} END)"
+        for f, g in (
+            ("f_lang", "a.lang = b.lang"),
+            ("f_source", "a.source = b.source"),
+            ("f_len", "ABS(a.n_chars - b.n_chars) <= 20"),
+            ("f_head", "a.head = b.head"),
+        )
     )
-    grid = feats.crossJoin(F.broadcast(mf)).crossJoin(F.broadcast(uf)).select(
-        "feature",
-        F.expr(
-            "CASE feature WHEN 'lang' THEN f_lang WHEN 'source' THEN f_source"
-            " WHEN 'len20' THEN f_len ELSE f_head END"
-        ).alias("m_agree"),
-        "m_tot",
-        F.expr(
-            "CASE feature WHEN 'lang' THEN u_lang WHEN 'source' THEN u_source"
-            " WHEN 'len20' THEN u_len ELSE u_head END"
-        ).alias("u_agree"),
-        "u_tot",
+    thr = _FS_BAND_BITS * 1048576
+    return (
+        "WITH "
+        + _fs_ctes()
+        + f""",
+scoredp AS (
+    SELECT p.qid, p.nid, CAST({terms} AS BIGINT) AS score_q
+    FROM pairs p
+    JOIN att a ON a.id = p.qid JOIN att b ON b.id = p.nid
+    CROSS JOIN mf CROSS JOIN uf
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(score_q) AS BIGINT) AS sum_score_q,
+       CAST(SUM(score_q) AS DOUBLE) / (COUNT(*) * 1048576.0)
+           AS mean_score_bits
+FROM (
+    SELECT CASE WHEN score_q >= {thr} THEN 'match'
+                WHEN score_q <= -{thr} THEN 'nonmatch'
+                ELSE 'possible' END AS band, score_q
+    FROM scoredp
+) GROUP BY band ORDER BY band
+"""
     )
-    wnum = log2_scaled("(m_agree + 1) * (u_tot + 2)")
-    wden = log2_scaled("(m_tot + 2) * (u_agree + 1)")
-    return grid.select(
-        "feature",
-        "m_agree",
-        "m_tot",
-        "u_agree",
-        "u_tot",
-        (wnum - wden).cast("long").alias("weight_scaled"),
-        ((wnum - wden).cast("double") / F.lit(1048576.0)).alias(
-            "weight_bits"
-        ),
-    ).orderBy("feature")
+
+
+@register("record_linkage_classify", _fs_classify_oracle())
+def q_record_linkage_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter DECISION step: apply the trained per-field weights
+    to every LSH candidate pair — summed log2 evidence over the four
+    fields, agreement weight log2(m_k/u_k) or disagreement weight
+    log2((1-m_k)/(1-u_k)) per field — banded at ±2 bits into match /
+    possible / non-match with count and mean evidence per band. Closes
+    the linkage loop: fellegi_sunter_weights trains, this classifies.
+
+    All weights ride functions.intlog on the same Laplace-smoothed
+    integer counts as the weight table (bit-identical both engines);
+    per-pair scores are exact BIGINTs, so the band cut is deterministic.
+    Scale: candidate pairs are the bounded LSH set; scoring is two keyed
+    attribute joins + one broadcast of the two 1-row scalar frames; the
+    result is a 3-row scorecard."""
+    from amorphous_mapreduce_spark.functions.intlog import log2_scaled_expr
+
+    cand, _, att, mf, uf = _fs_frames(spark, sf_dir)
+
+    a = att.select(*[F.col(c).alias("a_" + c) for c in att.columns])
+    b = att.select(*[F.col(c).alias("b_" + c) for c in att.columns])
+    paired = (
+        cand.join(a, cand["qid"] == a["a_id"])
+        .join(b, cand["nid"] == b["b_id"])
+        .crossJoin(F.broadcast(mf))
+        .crossJoin(F.broadcast(uf))
+    )
+
+    def wa(mcol: str, ucol: str) -> str:
+        return (
+            f"({log2_scaled_expr(f'({mcol} + 1) * (u_tot + 2)')}"
+            f" - {log2_scaled_expr(f'(m_tot + 2) * ({ucol} + 1)')})"
+        )
+
+    def wd(mcol: str, ucol: str) -> str:
+        return (
+            f"({log2_scaled_expr(f'(m_tot + 1 - {mcol}) * (u_tot + 2)')}"
+            f" - {log2_scaled_expr(f'(u_tot + 1 - {ucol}) * (m_tot + 2)')})"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {g} THEN {wa(m, u)} ELSE {wd(m, u)} END)"
+        for m, u, g in (
+            ("f_lang", "u_lang", "a_lang = b_lang"),
+            ("f_source", "u_source", "a_source = b_source"),
+            ("f_len", "u_len", "ABS(a_n_chars - b_n_chars) <= 20"),
+            ("f_head", "u_head", "a_head = b_head"),
+        )
+    )
+    thr = _FS_BAND_BITS * 1048576
+    scored = paired.select(F.expr(f"CAST({terms} AS BIGINT)").alias("score_q"))
+    return (
+        scored.select(
+            F.when(F.col("score_q") >= thr, "match")
+            .when(F.col("score_q") <= -thr, "nonmatch")
+            .otherwise("possible")
+            .alias("band"),
+            "score_q",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("score_q").cast("long").alias("sum_score_q"),
+            (
+                F.sum("score_q").cast("double")
+                / (F.count("*") * F.lit(1048576.0))
+            ).alias("mean_score_bits"),
+        )
+        .orderBy("band")
+    )
 
 
 # --- IDF-weighted Jaccard near-dup pairs --------------------------------------

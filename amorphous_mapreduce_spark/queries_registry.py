@@ -70,6 +70,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     ordering_queries,
     pipeline_queries,
     relational_queries,
+    selection_queries,
     similarity_queries,
     sketch_queries,
     source_queries,

@@ -142,3 +142,40 @@ def test_ivf_hard_negative_recall_bounds(spark, sf_dir):
     assert row["n_exact"] > 0
     assert 0 <= row["n_hits"] <= row["n_exact"]
     assert row["recall"] == pytest.approx(row["n_hits"] / row["n_exact"])
+
+
+def test_assign_arrow_matches_declarative(spark):
+    """The Arrow full-assign kernel must reproduce the declarative
+    _assign exactly (same ordered-fold doubles, same tie-breaks)."""
+    from amorphous_mapreduce_spark.operators.kmeans import (
+        _assign,
+        _assign_arrow,
+        _quantize,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 13) % 7) - 3.0, float((i * 5) % 9), 0.25 * i])
+            for i in range(1, 61)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = _quantize(emb, "vec_id", "embedding").persist()
+    # a centroid table with deliberate score ties (duplicate centroids)
+    cents = spark.createDataFrame(
+        [
+            (3, [1000.0, 2000.0, 500.0]),
+            (7, [1000.0, 2000.0, 500.0]),  # tie with cell 3 -> cell 3 wins
+            (9, [-1000.0, 4000.0, 8000.0]),
+        ],
+        "cell long, cv array<double>",
+    )
+    decl = {
+        (r["id"], r["cell"]) for r in _assign(q, cents).collect()
+    }
+    kern = {
+        (r["id"], r["cell"])
+        for r in _assign_arrow(q, cents).select("id", "cell").collect()
+    }
+    assert decl == kern
+    assert all(c != 7 for _, c in kern)  # ties resolved to the lower cell

@@ -944,6 +944,18 @@ ALLOW: dict[str, dict[str, str]] = {
         "~25-row brand aggregate (dimension-bounded, broadcast) plus "
         "the 1-row count scalar cross — never over line items",
     },
+    "ivf_hard_negatives": {
+        "BroadcastNestedLoopJoin": "k-row IVF centroid frame broadcast "
+        "for cell assignment/probing (same as similarity_ivf_topk) — "
+        "bounded by n_cells; the candidate join itself is a cell "
+        "equi-join with capped occupancy",
+    },
+    "ivf_hard_negative_recall": {
+        "BroadcastNestedLoopJoin": "k-row IVF centroid broadcast (same "
+        "as ivf_hard_negatives) plus the blocked exact-top-1 kernel's "
+        "O(b²) block-pair cross (the documented exact baseline used as "
+        "eval truth, same as similarity_lsh_recall)",
+    },
 }
 
 # NOTE: WholeStageCodegen deliberately absent — pre-execution AQE plan
