@@ -148,24 +148,15 @@ SELECT id, lbl AS community FROM lpa{LPA_ROUNDS}
     )
 
 
-@register("lpa_communities", _lpa_oracle())
-def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-propagation communities over the MinHash near-dup graph:
-    each edge-incident doc adopts the MAJORITY label among its neighbors
-    (ties -> smallest label), 3 synchronous rounds — the community
-    detector that separates densely-linked template families where
-    min-label CC merges everything reachable.
-
-    Deterministic: fixed round count, (count DESC, label ASC) vote
-    order. Oracle unrolls the rounds as MATERIALIZED CTEs (the k-core
-    lesson: un-materialized chained rounds re-expand multiplicatively).
-    Scale: per round one keyed edge join + a (node, label) hash
-    aggregate + a per-node top-1 window — linear in edges;
-    localCheckpoint per round stops lineage re-expansion."""
+def _lpa_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pairs, symmetric edges, final LPA labels) — shared by the
+    community listing and the modularity scorecard."""
     from amorphous_mapreduce_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
     edges = (
         pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b"))
         .unionByName(
@@ -192,7 +183,112 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "lbl")
             .localCheckpoint()
         )
+    return pairs, edges, labels
+
+
+@register("lpa_communities", _lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the MinHash near-dup graph:
+    each edge-incident doc adopts the MAJORITY label among its neighbors
+    (ties -> smallest label), 3 synchronous rounds — the community
+    detector that separates densely-linked template families where
+    min-label CC merges everything reachable.
+
+    Deterministic: fixed round count, (count DESC, label ASC) vote
+    order. Oracle unrolls the rounds as MATERIALIZED CTEs (the k-core
+    lesson: un-materialized chained rounds re-expand multiplicatively).
+    Scale: per round one keyed edge join + a (node, label) hash
+    aggregate + a per-node top-1 window — linear in edges;
+    localCheckpoint per round stops lineage re-expansion."""
+    _, _, labels = _lpa_frames(spark, sf_dir)
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+# --- modularity of the LPA partition ------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from amorphous_mapreduce_spark.queries.dedup_queries import (
+        _NEARDUP_EDGES_PREFIX,
+    )
+
+    return (
+        _NEARDUP_EDGES_PREFIX
+        + ", lpa0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM edges),"
+        + ",".join(_lpa_round(i) for i in range(1, LPA_ROUNDS + 1))
+        + f""", comm AS (
+    SELECT id, lbl FROM lpa{LPA_ROUNDS}
+), mm AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs
+), intra AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS intra
+    FROM pairs p
+    JOIN comm a ON a.id = p.qid
+    JOIN comm b ON b.id = p.nid AND b.lbl = a.lbl
+), degc AS (
+    SELECT c.lbl, CAST(COUNT(*) AS BIGINT) AS dc
+    FROM edges e JOIN comm c ON c.id = e.a GROUP BY c.lbl
+), dsq AS (
+    SELECT CAST(SUM(dc * dc) AS BIGINT) AS sum_deg_sq,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM degc
+)
+SELECT n_communities, m AS n_edges, intra AS intra_edges, sum_deg_sq,
+       CASE WHEN m = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(4 * m * intra - sum_deg_sq AS DOUBLE)
+                 / CAST(4 * m * m AS DOUBLE) END AS modularity
+FROM dsq CROSS JOIN mm CROSS JOIN intra
+"""
+    )
+
+
+@register("community_modularity", _modularity_oracle())
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the one-row quality
+    scorecard for the community structure: Q = Σ_c [e_c/m − (d_c/2m)²]
+    computed as the EXACT integer rational (4m·Σe_c − Σd_c²) / 4m², one
+    double division at the end (int64-safe while m < ~10⁶ edges — the
+    bounded LSH candidate set; document before pushing past that).
+
+    Scale: reuses the LPA rounds (keyed joins), then one intra-edge
+    semi-join + one per-community degree aggregate."""
+    pairs, edges, labels = _lpa_frames(spark, sf_dir)
+    m = pairs.agg(F.count("*").cast("long").alias("m"))
+    ca = labels.select(F.col("id").alias("qid"), F.col("lbl").alias("albl"))
+    cb = labels.select(F.col("id").alias("nid"), F.col("lbl").alias("blbl"))
+    intra = (
+        pairs.join(ca, "qid")
+        .join(cb, "nid")
+        .filter(F.col("albl") == F.col("blbl"))
+        .agg(F.count("*").cast("long").alias("intra"))
+    )
+    degc = (
+        edges.join(labels.select(F.col("id").alias("a"), "lbl"), "a")
+        .groupBy("lbl")
+        .agg(F.count("*").alias("dc"))
+    )
+    dsq = degc.agg(
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_deg_sq"),
+        F.count("*").cast("long").alias("n_communities"),
+    )
+    return (
+        dsq.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            "n_communities",
+            F.col("m").alias("n_edges"),
+            F.col("intra").alias("intra_edges"),
+            "sum_deg_sq",
+            F.when(F.col("m") == 0, F.lit(0.0))
+            .otherwise(
+                (4 * F.col("m") * F.col("intra") - F.col("sum_deg_sq")).cast(
+                    "double"
+                )
+                / (4 * F.col("m") * F.col("m")).cast("double")
+            )
+            .alias("modularity"),
+        )
+    )
 
 
 # --- global transitivity ------------------------------------------------------

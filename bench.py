@@ -180,6 +180,12 @@ HEADLINE = [
     "product_type_profit",
     "average_precision_dup",
     "mutual_nearest_pairs",
+    # celled hard-negative mining / weighted sampling / community /
+    # linkage-decision families (round 7)
+    "ivf_hard_negatives",
+    "weighted_sample_es",
+    "lpa_communities",
+    "record_linkage_classify",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
