@@ -1459,15 +1459,36 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the isotropic fixture vectors (cos std = 1/sqrt(64)), so the drop
 # set is small but non-degenerate at every SF.
 _SEMDEDUP_T = 0.3
+# Per-cell representative cap (round 7): the all-pairs within-cell join
+# is Θ(Σ cell²) = n²/k at fixed cell count — the sf10 slopes run hung on
+# it (>40 min). A pair is examined iff EITHER side is one of the cell's
+# first SD_CAP members by md5 order, so candidates are ≤ n·SD_CAP
+# (linear) and dup FAMILIES are still covered (any family member close
+# to a representative is found). Never binds through sf0.1 (max cell
+# ≈ 125 members), so driver-SF results are unchanged.
+SD_CAP = 256
 
 SEMDEDUP_ORACLE = (
     "WITH "
     + IVF_CTES
     + f"""
-, sd_pairs AS (
-    SELECT x.cell, x.id AS qid, y.id AS nid
-    FROM ivfassign x JOIN ivfassign y USING (cell)
-    WHERE x.id < y.id
+, sd_reps AS (
+    SELECT cell, id FROM (
+        SELECT cell, id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY CAST('0x' || substr(md5('sdcap_' ||
+                                CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+                            id
+               ) AS caprk
+        FROM ivfassign
+    ) WHERE caprk <= {SD_CAP}
+),
+sd_pairs AS (
+    SELECT DISTINCT m.cell, LEAST(r.id, m.id) AS qid,
+           GREATEST(r.id, m.id) AS nid
+    FROM sd_reps r JOIN ivfassign m USING (cell)
+    WHERE r.id <> m.id
 ),
 sd_near AS (
     SELECT p.cell, p.qid, p.nid
@@ -1501,21 +1522,19 @@ def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair's lowest id) — embedding-level semantic dedup, the
     missing sibling of the text near-dup family.
 
-    Scale posture: the pairing is WITHIN coarse cells only (the
-    SemDeDup design point — cluster count grows with the corpus in
-    production, so cell populations and the per-cell quadratic term
-    stay bounded); the IVF assignment is the deterministic k-means-
-    TRAINED quantiser the ANN oracles replay (round 6 — the SemDeDup
-    paper clusters with k-means, so trained cells are the faithful
-    form), so every sim and drop decision hash-matches. NOTE the flat
-    quantiser's assignment cost is
-    n x n_cells, so cells cannot simply scale with n here (measured
-    slope2 7.35 at fixed 16 cells, SLOPES.json — under the flag line at
-    these SFs); at true corpus scale swap the quantiser for the
-    adaptive-width LSH bands (lsh_candidate_pairs / the blocked
-    embedding near-dup operator), whose assignment is O(n) and whose
-    bucket occupancy is held constant. Cosines are the ordered-fold
-    doubles bit-identical to DuckDB list_dot_product."""
+    Scale posture (round 7): the pairing is within coarse cells AND
+    capped — a pair is examined iff either side is one of the cell's
+    first SD_CAP=256 members by md5 order, so candidates are n·SD_CAP
+    (linear; the uncapped within-cell all-pairs term is n²/k at fixed
+    cell count and hung the sf10 slopes run). Dup families are still
+    covered: any member close to a family representative is found; the
+    cap never binds through sf0.1, so driver-SF results are unchanged.
+    The IVF assignment is the deterministic k-means-TRAINED quantiser
+    (KM_TRAIN_N-sampled training, Arrow-kernel ranking) the ANN oracles
+    replay, so every sim and drop decision hash-matches. Cosines are
+    the ordered-fold doubles bit-identical to DuckDB
+    list_dot_product."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
     from amorphous_mapreduce_spark.functions.vectors import dot_product, l2_norm
     from amorphous_mapreduce_spark.operators.similarity import ivf_trained_ranked
 
@@ -1523,21 +1542,42 @@ def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         ivf_trained_ranked(emb, n_cells=16, max_rank=1)
         .select("id", "vec", "cell")
-        .persist()  # both pair sides + the cell counts
+        .persist()  # rep/member pair sides + the cell counts
     )
-    a = assigned.select(
-        "cell", F.col("id").alias("qid"), F.col("vec").alias("qv")
+    wcap = Window.partitionBy("cell").orderBy(
+        hex_hash64(F.concat(F.lit("sdcap_"), F.col("id").cast("string"))),
+        F.col("id"),
     )
-    b = assigned.select(
-        "cell", F.col("id").alias("nid"), F.col("vec").alias("nv")
+    reps = (
+        assigned.withColumn("caprk", F.row_number().over(wcap))
+        .filter(F.col("caprk") <= SD_CAP)
+        .select("cell", F.col("id").alias("rid"), F.col("vec").alias("rv"))
+    )
+    members = assigned.select(
+        "cell", F.col("id").alias("mid"), F.col("vec").alias("mv")
+    )
+    # pair examined iff either side is a representative; canonicalise to
+    # (qid < nid) and dedup (a rep-rep pair arrives from both sides).
+    paired = (
+        reps.join(members, "cell")
+        .filter(F.col("rid") != F.col("mid"))
+        .select(
+            "cell",
+            F.least("rid", "mid").alias("qid"),
+            F.greatest("rid", "mid").alias("nid"),
+            F.when(F.col("rid") < F.col("mid"), F.col("rv"))
+            .otherwise(F.col("mv"))
+            .alias("qv"),
+            F.when(F.col("rid") < F.col("mid"), F.col("mv"))
+            .otherwise(F.col("rv"))
+            .alias("nv"),
+        )
+        .dropDuplicates(["cell", "qid", "nid"])
     )
     sim = dot_product("qv", "nv") / (l2_norm("qv") * l2_norm("nv"))
-    near = (
-        a.join(b, "cell")
-        .filter(F.col("qid") < F.col("nid"))
-        .select("cell", "qid", "nid", sim.alias("sim"))
-        .filter(F.col("sim") >= F.lit(_SEMDEDUP_T))
-    )
+    near = paired.select(
+        "cell", "qid", "nid", sim.alias("sim")
+    ).filter(F.col("sim") >= F.lit(_SEMDEDUP_T))
     dropped = near.select("cell", F.col("nid").alias("id")).distinct()
     cells = assigned.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_members")
