@@ -950,6 +950,20 @@ ALLOW: dict[str, dict[str, str]] = {
         "bounded by n_cells; the candidate join itself is a cell "
         "equi-join with capped occupancy",
     },
+    "community_modularity": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar crosses (edge "
+        "count m and the intra-community edge count) onto the 1-row "
+        "degree aggregate — the modularity formula's scalar terms",
+    },
+    "global_transitivity": {
+        "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the wedge "
+        "count) onto the 1-row triangle aggregate",
+    },
+    "record_linkage_classify": {
+        "BroadcastNestedLoopJoin": "the two 1-row Fellegi-Sunter "
+        "agreement-scalar frames (mf/uf) broadcast onto the candidate "
+        "pairs — model parameters, not data",
+    },
     "ivf_hard_negative_recall": {
         "BroadcastNestedLoopJoin": "k-row IVF centroid broadcast (same "
         "as ivf_hard_negatives) plus the blocked exact-top-1 kernel's "
