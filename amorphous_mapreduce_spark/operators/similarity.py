@@ -586,6 +586,30 @@ def _ordered_fold_sq_sim(cv: list) -> float:
     return acc
 
 
+IVF_CELL_CAP = 256
+
+
+def _capped_cell_members(
+    members: DataFrame, cap: int, salt: str = "ivfcap_"
+) -> DataFrame:
+    """First ``cap`` members of each cell by (md5(salt||id), id):
+    [nid, nv, cell]. At fixed n_cells the cell population grows with the
+    corpus, so an uncapped probe join is n²/k — quadratic (the sf10
+    slopes run measured the uncapped IVF probe at hours). The capped
+    inverted list bounds per-query candidates at n_probe·cap — the same
+    capped-occupancy pattern as the LSH buckets / simhash bands /
+    SemDeDup reps."""
+    w = Window.partitionBy("cell").orderBy(
+        hex_hash64(F.concat(F.lit(salt), F.col("id").cast("string"))),
+        F.col("id"),
+    )
+    return (
+        members.withColumn("_caprk", F.row_number().over(w))
+        .filter(F.col("_caprk") <= cap)
+        .select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -601,9 +625,12 @@ def ivf_topk(
     The candidate join is an equi-join on cell id — per-cell inverted
     lists are the classic sub-linear search structure; at scale the
     assignment table is partitioned by cell so probes touch only those
-    partitions. ``trained=True`` uses k-means centroids
-    (:func:`ivf_trained_ranked`) instead of md5-seeded corpus vectors —
-    measured recall@5 uplift 0.485→0.579 (sf0.01) / 0.492→0.546 (sf0.1) at the same probe budget.
+    partitions, and the trained path caps each inverted list at
+    IVF_CELL_CAP md5-ordered members (round 7 — linear candidates at
+    fixed n_cells; never binds through sf0.1). ``trained=True`` uses
+    k-means centroids (:func:`ivf_trained_ranked`) instead of
+    md5-seeded corpus vectors — measured recall@5 uplift 0.485→0.579
+    (sf0.01) / 0.492→0.546 (sf0.1) at the same probe budget.
     """
     if trained:
         ranked = ivf_trained_ranked(
@@ -613,8 +640,9 @@ def ivf_topk(
             F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell"
         )
         cands = probes.join(
-            ranked.filter(F.col("rk") == 1).select(
-                F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell"
+            _capped_cell_members(
+                ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
+                IVF_CELL_CAP,
             ),
             "cell",
         ).filter(F.col("qid") != F.col("nid"))
@@ -722,7 +750,8 @@ def ivf_probe_sweep_candidates(
     index per setting would scan max_probe times).
 
     ``trained=True`` sweeps against k-means centroids
-    (:func:`ivf_trained_ranked`) instead of md5-seeded corpus vectors.
+    (:func:`ivf_trained_ranked`) instead of md5-seeded corpus vectors,
+    with the same IVF_CELL_CAP inverted-list cap as ivf_topk.
     """
     if trained:
         ranked = ivf_trained_ranked(
@@ -735,8 +764,9 @@ def ivf_probe_sweep_candidates(
             F.col("rk").alias("probe_needed"),
         )
         cands = probes.join(
-            ranked.filter(F.col("rk") == 1).select(
-                F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell"
+            _capped_cell_members(
+                ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
+                IVF_CELL_CAP,
             ),
             "cell",
         ).filter(F.col("qid") != F.col("nid"))

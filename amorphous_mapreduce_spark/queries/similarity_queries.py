@@ -246,10 +246,25 @@ IVF_CTES = (
     SELECT id, cell FROM ivfrank WHERE rk = 1
 ), ivfprobes AS (
     SELECT id AS qid, cell FROM ivfrank WHERE rk <= 4
+), ivfmembers AS (
+    -- per-cell inverted-list cap (round 7): at fixed n_cells the cell
+    -- population grows with the corpus, so uncapped probing is n²/k —
+    -- the first IVF_CELL_CAP members by md5 order bound per-query
+    -- candidates at n_probe·cap (never binds through sf0.1)
+    SELECT id, cell FROM (
+        SELECT id, cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY CAST('0x' || substr(md5('ivfcap_' ||
+                                CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+                            id
+               ) AS caprk
+        FROM ivfassign
+    ) WHERE caprk <= 256
 ), ivfcand AS (
-    SELECT DISTINCT p.qid, a.id AS nid
-    FROM ivfprobes p JOIN ivfassign a USING (cell)
-    WHERE p.qid <> a.id
+    SELECT DISTINCT p.qid, m.id AS nid
+    FROM ivfprobes p JOIN ivfmembers m USING (cell)
+    WHERE p.qid <> m.id
 ), ivfscored AS (
     SELECT c.qid, c.nid, {_COS_AB} AS sim
     FROM ivfcand c
@@ -955,9 +970,21 @@ PROBE_SWEEP_CTES = (
     FROM q, ivfcent2 s
 ), ivfassign AS (
     SELECT id, cell FROM ivfrank WHERE rk = 1
+), ivfmembers AS (
+    -- IVF_CELL_CAP inverted-list cap (round 7, same as IVF_CTES)
+    SELECT id, cell FROM (
+        SELECT id, cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY CAST('0x' || substr(md5('ivfcap_' ||
+                                CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+                            id
+               ) AS caprk
+        FROM ivfassign
+    ) WHERE caprk <= 256
 ), cand AS (
-    SELECT r.id AS qid, a.id AS nid, r.rk AS probe_needed
-    FROM ivfrank r JOIN ivfassign a ON a.cell = r.cell AND a.id <> r.id
+    SELECT r.id AS qid, m.id AS nid, r.rk AS probe_needed
+    FROM ivfrank r JOIN ivfmembers m ON m.cell = r.cell AND m.id <> r.id
     WHERE r.rk <= 4
 ), scored AS (
     SELECT c.qid, c.nid, c.probe_needed, {_COS_AB} AS sim
@@ -1535,49 +1562,72 @@ def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered-fold doubles bit-identical to DuckDB
     list_dot_product."""
     from amorphous_mapreduce_spark.functions.hashing import hex_hash64
-    from amorphous_mapreduce_spark.functions.vectors import dot_product, l2_norm
     from amorphous_mapreduce_spark.operators.similarity import ivf_trained_ranked
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = (
         ivf_trained_ranked(emb, n_cells=16, max_rank=1)
         .select("id", "vec", "cell")
-        .persist()  # rep/member pair sides + the cell counts
+        .persist()  # kernel input + the cell counts
     )
     wcap = Window.partitionBy("cell").orderBy(
         hex_hash64(F.concat(F.lit("sdcap_"), F.col("id").cast("string"))),
         F.col("id"),
     )
-    reps = (
-        assigned.withColumn("caprk", F.row_number().over(wcap))
-        .filter(F.col("caprk") <= SD_CAP)
-        .select("cell", F.col("id").alias("rid"), F.col("vec").alias("rv"))
-    )
-    members = assigned.select(
-        "cell", F.col("id").alias("mid"), F.col("vec").alias("mv")
-    )
-    # pair examined iff either side is a representative; canonicalise to
-    # (qid < nid) and dedup (a rep-rep pair arrives from both sides).
-    paired = (
-        reps.join(members, "cell")
-        .filter(F.col("rid") != F.col("mid"))
-        .select(
-            "cell",
-            F.least("rid", "mid").alias("qid"),
-            F.greatest("rid", "mid").alias("nid"),
-            F.when(F.col("rid") < F.col("mid"), F.col("rv"))
-            .otherwise(F.col("mv"))
-            .alias("qv"),
-            F.when(F.col("rid") < F.col("mid"), F.col("mv"))
-            .otherwise(F.col("rv"))
-            .alias("nv"),
+    flagged = assigned.withColumn(
+        "caprk", F.row_number().over(wcap)
+    ).select("cell", "id", "vec", (F.col("caprk") <= SD_CAP).alias("is_rep"))
+
+    # Rep×member cosine per cell in ONE applyInPandas kernel: the
+    # per-pair interpreted fold (dot + two norms per candidate) was the
+    # sf10 wall (51M capped pairs × 64 dims ≈ 395 s); the kernel runs
+    # the identical ordered-dim accumulation vectorized. Each (q<n) pair
+    # with either side a rep is scored exactly once (rep-rep pairs only
+    # from the rid<mid side).
+    def _sd_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        V = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
+        ids = np.asarray(pdf["id"], dtype=np.int64)
+        rep = np.asarray(pdf["is_rep"], dtype=bool)
+        cell = pdf["cell"].iloc[0]
+        n, dims = V.shape
+        # ordered-fold norms (same add sequence as l2_norm / DuckDB)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for d in range(dims):
+            nrm2 += V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm2)
+        R = np.flatnonzero(rep)
+        if len(R) == 0:
+            return pd.DataFrame({"cell": [], "qid": [], "nid": []}).astype(
+                {"cell": "int64", "qid": "int64", "nid": "int64"}
+            )
+        acc = np.zeros((len(R), n), dtype=np.float64)
+        for d in range(dims):  # ordered over dims == left fold order
+            acc += V[R, d : d + 1] * V[:, d]
+        sim = acc / (nrm[R][:, None] * nrm[None, :])
+        qs, ns = [], []
+        hit = sim >= _SEMDEDUP_T
+        for i, r in enumerate(R):
+            for j in np.flatnonzero(hit[i]):
+                if ids[r] == ids[j]:
+                    continue
+                if rep[j] and ids[r] >= ids[j]:
+                    continue  # rep-rep pair scored from the lower-id side
+                qs.append(min(ids[r], ids[j]))
+                ns.append(max(ids[r], ids[j]))
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(qs), cell, dtype=np.int64),
+                "qid": np.array(qs, dtype=np.int64),
+                "nid": np.array(ns, dtype=np.int64),
+            }
         )
-        .dropDuplicates(["cell", "qid", "nid"])
+
+    near = flagged.groupBy("cell").applyInPandas(
+        _sd_kernel, "cell long, qid long, nid long"
     )
-    sim = dot_product("qv", "nv") / (l2_norm("qv") * l2_norm("nv"))
-    near = paired.select(
-        "cell", "qid", "nid", sim.alias("sim")
-    ).filter(F.col("sim") >= F.lit(_SEMDEDUP_T))
     dropped = near.select("cell", F.col("nid").alias("id")).distinct()
     cells = assigned.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_members")
