@@ -589,6 +589,107 @@ def _ordered_fold_sq_sim(cv: list) -> float:
 IVF_CELL_CAP = 256
 
 
+def _cell_scored_arrow(
+    probes: DataFrame,
+    members: DataFrame,
+    local_topk: int | None = None,
+    probe_rank_col: str | None = None,
+    cross_label: bool = False,
+) -> DataFrame:
+    """Per-cell probe×member cosine scoring as ONE applyInPandas kernel:
+    [qid, nid, prk, sim] (prk carries ``probe_rank_col`` or 0).
+
+    Bit-exact with the declarative join + fold scoring: dots accumulate
+    per dimension in order (the left-fold sequence), norms are
+    ordered-fold sqrt, and sim = dot / (qn·nn) performs the identical
+    multiply-then-divide. ``local_topk`` keeps only each probe's top-k
+    by (sim DESC, nid ASC) within the cell — sound for a global top-k
+    merge (global top-k ⊆ union of per-cell top-k, the blocked-tile
+    argument). The declarative form evaluated the 64-term fold as an
+    interpreted Catalyst expression per candidate — ~7.7 µs/pair,
+    measured at 26 min/run for the 205M capped candidates at sf10."""
+    import numpy as np
+
+    prk = (
+        F.col(probe_rank_col)
+        if probe_rank_col
+        else F.lit(0)
+    )
+    lbl = F.col("lbl") if cross_label else F.lit("")
+    p = probes.select(
+        "cell",
+        F.col("qid").alias("id"),
+        F.col("qv").alias("vec"),
+        prk.cast("int").alias("prk"),
+        F.lit(1).alias("role"),
+        lbl.cast("string").alias("lbl"),
+    )
+    m = members.select(
+        "cell",
+        F.col("nid").alias("id"),
+        F.col("nv").alias("vec"),
+        F.lit(0).alias("prk"),
+        F.lit(2).alias("role"),
+        lbl.cast("string").alias("lbl"),
+    )
+
+    def kern(pdf):
+        import pandas as pd
+
+        pr = pdf[pdf["role"] == 1]
+        me = pdf[pdf["role"] == 2]
+        empty = pd.DataFrame(
+            {"qid": [], "nid": [], "prk": [], "sim": []}
+        ).astype({"qid": "int64", "nid": "int64", "prk": "int32", "sim": "float64"})
+        if len(pr) == 0 or len(me) == 0:
+            return empty
+        P = np.array([list(v) for v in pr["vec"]], dtype=np.float64)
+        M = np.array([list(v) for v in me["vec"]], dtype=np.float64)
+        pid = np.asarray(pr["id"], dtype=np.int64)
+        mid = np.asarray(me["id"], dtype=np.int64)
+        prks = np.asarray(pr["prk"], dtype=np.int32)
+        plbl = np.asarray(pr["lbl"], dtype=object)
+        mlbl = np.asarray(me["lbl"], dtype=object)
+        dims = P.shape[1]
+        pn2 = np.zeros(len(pr), dtype=np.float64)
+        mn2 = np.zeros(len(me), dtype=np.float64)
+        for d in range(dims):  # ordered over dims == left fold order
+            pn2 += P[:, d] * P[:, d]
+            mn2 += M[:, d] * M[:, d]
+        pn, mn = np.sqrt(pn2), np.sqrt(mn2)
+        acc = np.zeros((len(pr), len(me)), dtype=np.float64)
+        for d in range(dims):
+            acc += P[:, d : d + 1] * M[:, d]
+        sim = acc / (pn[:, None] * mn[None, :])
+        out_q, out_n, out_p, out_s = [], [], [], []
+        for i in range(len(pr)):
+            ok = mid != pid[i]
+            if cross_label:
+                ok &= mlbl != plbl[i]
+            s, n = sim[i][ok], mid[ok]
+            if local_topk is not None and len(n) > local_topk:
+                sel = np.lexsort((n, -s))[:local_topk]
+                s, n = s[sel], n[sel]
+            out_q.append(np.full(len(n), pid[i], dtype=np.int64))
+            out_n.append(n)
+            out_p.append(np.full(len(n), prks[i], dtype=np.int32))
+            out_s.append(s)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "nid": np.concatenate(out_n),
+                "prk": np.concatenate(out_p),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return p.unionByName(m).groupBy("cell").applyInPandas(
+        kern, "qid long, nid long, prk int, sim double"
+    )
+
+
 def _capped_cell_members(
     members: DataFrame, cap: int, salt: str = "ivfcap_"
 ) -> DataFrame:
@@ -639,13 +740,20 @@ def ivf_topk(
         probes = ranked.filter(F.col("rk") <= n_probe).select(
             F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell"
         )
-        cands = probes.join(
-            _capped_cell_members(
-                ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
-                IVF_CELL_CAP,
-            ),
-            "cell",
-        ).filter(F.col("qid") != F.col("nid"))
+        members = _capped_cell_members(
+            ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
+            IVF_CELL_CAP,
+        )
+        # per-cell Arrow scoring with local top-k (global top-k ⊆ union
+        # of per-cell top-k); candidate pairs are unique (each nid lives
+        # in one cell), so no distinct is needed.
+        scored = _cell_scored_arrow(probes, members, local_topk=k).select(
+            "qid", "nid", "sim"
+        )
+        wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+        return scored.withColumn("rnk", F.row_number().over(wk)).filter(
+            F.col("rnk") <= k
+        )
     else:
         centroids, assigned = ivf_assign(emb, n_cells, id_col, vec_col)
         assigned = assigned.persist()
@@ -763,13 +871,15 @@ def ivf_probe_sweep_candidates(
             "cell",
             F.col("rk").alias("probe_needed"),
         )
-        cands = probes.join(
-            _capped_cell_members(
-                ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
-                IVF_CELL_CAP,
-            ),
-            "cell",
-        ).filter(F.col("qid") != F.col("nid"))
+        members = _capped_cell_members(
+            ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
+            IVF_CELL_CAP,
+        )
+        # per-cell Arrow scoring, probe rank carried through; candidate
+        # pairs are unique (each nid lives in one cell) so no distinct.
+        return _cell_scored_arrow(
+            probes, members, probe_rank_col="probe_needed"
+        ).select("qid", "nid", F.col("prk").alias("probe_needed"), "sim")
     else:
         centroids, assigned = ivf_assign(emb, n_cells, id_col, vec_col)
         assigned = assigned.persist()

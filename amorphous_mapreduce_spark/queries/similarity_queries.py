@@ -1753,57 +1753,37 @@ IVF_HARDNEG_ORACLE = (
 
 
 def _ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
     from amorphous_mapreduce_spark.operators.similarity import (
+        _capped_cell_members,
+        _cell_scored_arrow,
         ivf_trained_ranked,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ranked = ivf_trained_ranked(emb, n_cells=16, max_rank=4).persist()
-    wcap = Window.partitionBy("cell").orderBy(
-        hex_hash64(F.concat(F.lit("hncap_"), F.col("id").cast("string"))),
-        F.col("id"),
-    )
-    members = (
-        ranked.filter(F.col("rk") == 1)
-        .withColumn("caprk", F.row_number().over(wcap))
-        .filter(F.col("caprk") <= HN_CELL_CAP)
-        .select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell")
-    )
+    lab = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("lbl"))
+    ranked = ivf_trained_ranked(emb, n_cells=16, max_rank=4).join(
+        lab, "id"
+    ).persist()
+    members = _capped_cell_members(
+        ranked.filter(F.col("rk") == 1).select("id", "vec", "cell"),
+        HN_CELL_CAP,
+        salt="hncap_",
+    ).join(lab.toDF("nid", "lbl"), "nid")
     probes = ranked.select(
-        F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell"
+        F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell", "lbl"
     )
-    lab = emb.select(F.col("vec_id").alias("_lid"), F.col("label").alias("_l"))
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    scored = (
-        probes.join(members, "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .join(lab.toDF("qid", "qlabel"), "qid")
-        .join(lab.toDF("nid", "nlabel"), "nid")
-        .filter(F.col("qlabel") != F.col("nlabel"))
-        .select(
-            "qid",
-            "nid",
-            "qlabel",
-            "nlabel",
-            (dot / (norm("qv") * norm("nv"))).alias("sim"),
-        )
-    )
+    # per-cell Arrow kernel: cross-label mask + local top-1 (the
+    # interpreted fold over the capped candidates was still ~26 min/run
+    # at sf10); global top-1 merges the <=4 per-cell winners.
+    scored = _cell_scored_arrow(
+        probes, members, local_topk=1, cross_label=True
+    ).select("qid", "nid", "sim")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
+        .join(lab.toDF("qid", "qlabel"), "qid")
+        .join(lab.toDF("nid", "nlabel"), "nid")
         .select("qid", "nid", "qlabel", "nlabel", "sim")
     )
 

@@ -100,71 +100,14 @@ RUNGS = [
 ]
 
 
-def main() -> int:
-    names = sys.argv[1:] or HEAVY
-
-    from amorphous_mapreduce_spark import get_spark
-    from amorphous_mapreduce_spark.queries_registry import QUERIES
-
-    spark = get_spark(app_name="scale-slopes")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    rungs = [(k, d) for k, d in RUNGS if os.path.isdir(d)]
-    if len(rungs) < len(RUNGS):
-        absent = [k for k, d in RUNGS if not os.path.isdir(d)]
-        print(
-            f"note: rungs {absent} missing — regenerate with "
-            "`python tools/make_fixtures.py <10|100> fixtures/<sf1|sf10>`"
-        )
-
-    def run(name: str, sf_dir: str) -> float:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        return time.time() - t0
-
-    out = {}
-    for name in names:
-        if name not in QUERIES:
-            print(f"skip {name}: not registered")
-            continue
-        run(name, "/root/testdata/sf0.001")  # warm
-        t = {k: min(run(name, d) for _ in range(2)) for k, d in rungs}
-        rec: dict = {f"{k}_s": round(v, 3) for k, v in t.items()}
-        # Unrounded times + measurement stamp (ADVICE_r06): the merge
-        # path recomputes slopes from stored times; 3-decimal rounding
-        # could flip a near-threshold flag across subset runs (and a
-        # sub-ms rung rounded to 0.0 would produce slope=inf).
-        rec["_raw"] = {k: v for k, v in t.items()}
-        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-        slopes = []
-        for (ka, _), (kb, _) in zip(rungs, rungs[1:]):
-            slopes.append(t[kb] / t[ka] if t[ka] > 0 else float("inf"))
-        rec["slope"] = round(slopes[0], 2)
-        for i, sl in enumerate(slopes[1:], start=2):
-            rec[f"slope{i}"] = round(sl, 2)
-        over = any(s > FLAG_RATIO * DATA_RATIO for s in slopes)
-        if over and name in ALLOW:
-            rec["flagged"] = False
-            rec["explained"] = ALLOW[name]
-        else:
-            rec["flagged"] = over
-        out[name] = rec
-        print(
-            f"{name}: "
-            + " -> ".join(f"{t[k]:.2f}s" for k, _ in rungs)
-            + "  slopes "
-            + "/".join(f"{s:.2f}" for s in slopes)
-            + (
-                "  ** FLAGGED **"
-                if rec["flagged"]
-                else ("  (explained)" if "explained" in rec else "")
-            )
-        )
-
+def _merge_and_write(out: dict, rungs, subset: bool) -> dict:
+    """Merge fresh rows into SLOPES.json and write it. Called after
+    EVERY measured query (round 7): a killed/timed-out run previously
+    lost every rung it had measured, because the single write happened
+    only at the end."""
+    out = dict(out)
     prior_doc: dict = {}
-    if sys.argv[1:]:
+    if subset:
         # Subset run: merge fresh rows into the committed SLOPES.json so
         # per-fix re-measures don't drop the rest of the heavy set.
         try:
@@ -251,7 +194,79 @@ def main() -> int:
     with open(os.path.join(REPO, "SLOPES.json"), "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"\nwrote SLOPES.json: {len(out)} queries, {doc['n_flagged']} flagged")
+    return doc
+
+
+def main() -> int:
+    names = sys.argv[1:] or HEAVY
+
+    from amorphous_mapreduce_spark import get_spark
+    from amorphous_mapreduce_spark.queries_registry import QUERIES
+
+    spark = get_spark(app_name="scale-slopes")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rungs = [(k, d) for k, d in RUNGS if os.path.isdir(d)]
+    if len(rungs) < len(RUNGS):
+        absent = [k for k, d in RUNGS if not os.path.isdir(d)]
+        print(
+            f"note: rungs {absent} missing — regenerate with "
+            "`python tools/make_fixtures.py <10|100> fixtures/<sf1|sf10>`"
+        )
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.time() - t0
+
+    out = {}
+    for name in names:
+        if name not in QUERIES:
+            print(f"skip {name}: not registered")
+            continue
+        run(name, "/root/testdata/sf0.001")  # warm
+        t = {k: min(run(name, d) for _ in range(2)) for k, d in rungs}
+        rec: dict = {f"{k}_s": round(v, 3) for k, v in t.items()}
+        # Unrounded times + measurement stamp (ADVICE_r06): the merge
+        # path recomputes slopes from stored times; 3-decimal rounding
+        # could flip a near-threshold flag across subset runs (and a
+        # sub-ms rung rounded to 0.0 would produce slope=inf).
+        rec["_raw"] = {k: v for k, v in t.items()}
+        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        slopes = []
+        for (ka, _), (kb, _) in zip(rungs, rungs[1:]):
+            slopes.append(t[kb] / t[ka] if t[ka] > 0 else float("inf"))
+        rec["slope"] = round(slopes[0], 2)
+        for i, sl in enumerate(slopes[1:], start=2):
+            rec[f"slope{i}"] = round(sl, 2)
+        over = any(s > FLAG_RATIO * DATA_RATIO for s in slopes)
+        if over and name in ALLOW:
+            rec["flagged"] = False
+            rec["explained"] = ALLOW[name]
+        else:
+            rec["flagged"] = over
+        out[name] = rec
+        print(
+            f"{name}: "
+            + " -> ".join(f"{t[k]:.2f}s" for k, _ in rungs)
+            + "  slopes "
+            + "/".join(f"{s:.2f}" for s in slopes)
+            + (
+                "  ** FLAGGED **"
+                if rec["flagged"]
+                else ("  (explained)" if "explained" in rec else "")
+            )
+        )
+        # checkpoint: persist every rung measured so far (survives
+        # kills). Always merge-mode — a full-run checkpoint must not
+        # transiently truncate SLOPES.json to the measured-so-far set.
+        _merge_and_write(out, rungs, True)
+
+    doc = _merge_and_write(out, rungs, bool(sys.argv[1:]))
+    print(f"\nwrote SLOPES.json: {len(doc['queries'])} queries,"
+          f" {doc['n_flagged']} flagged")
     spark.stop()
     return 1 if doc["n_flagged"] else 0
 
