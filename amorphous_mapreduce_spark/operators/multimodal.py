@@ -69,7 +69,11 @@ def default_decoder(content: bytes, meta: dict) -> "object":
       pure-stdlib zlib codec (functions/png.py) decodes them for real —
       so THIS environment executes genuine byte-level decode
       (VERDICT_r04 item 2), with identical output to the PIL path;
-    - audio: ``soundfile`` -> float64 sample array.
+    - audio: ``soundfile`` -> float64 sample array; when soundfile is
+      absent but the bytes are a RIFF/WAVE PCM16 stream, the
+      pure-stdlib codec (functions/wav.py) decodes them for real with
+      soundfile's int16 convention (samples / 32768 -> [-1, 1)), so
+      THIS environment also executes genuine byte-level audio decode.
 
     Falls back to the loud ``NotImplementedError`` only when no backend
     can handle the bytes; tests and the synthetic pipeline use
@@ -104,6 +108,13 @@ def default_decoder(content: bytes, meta: dict) -> "object":
             return np.asarray(data, dtype=np.float64).ravel()
         except ImportError:
             pass
+        if bytes(content[:4]) == b"RIFF" and bytes(content[8:12]) == b"WAVE":
+            import numpy as np
+
+            from amorphous_mapreduce_spark.functions.wav import decode_wav
+
+            samples, _sr = decode_wav(bytes(content))
+            return np.asarray(samples, dtype=np.float64).ravel() / 32768.0
     raise NotImplementedError(
         "media decode requires an image/audio library not present in this "
         "environment; pass decoder=fake_decoder or a real codec-backed "

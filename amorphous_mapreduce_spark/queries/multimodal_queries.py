@@ -524,3 +524,145 @@ def q_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return content.mapInPandas(kernel, schema).orderBy("media_id")
+
+
+# --- REAL-bytes WAV audio round-trip (functions/wav.py) ----------------------
+
+_WAV_HX = " || ".join(
+    f"md5(CAST(doc_id AS VARCHAR) || '_wav{i}')" for i in range(8)
+)
+
+# 8 md5s = 128 bytes = 64 little-endian int16 samples; sample i's hex is
+# chars 4i+1..4i+4 (lo byte first), so '0x' || hi || lo parses the value.
+WAV_ROUNDTRIP_ORACLE = f"""
+WITH hx AS (
+    SELECT doc_id AS media_id, {_WAV_HX} AS hex FROM documents
+),
+smp AS (
+    SELECT media_id, hex, g.i,
+           CAST('0x' || substr(hex, 4 * g.i + 3, 2)
+                     || substr(hex, 4 * g.i + 1, 2) AS BIGINT) AS v
+    FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+),
+sgn AS (
+    SELECT media_id, hex, i,
+           CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+    FROM smp
+),
+lagd AS (
+    SELECT media_id, hex, s,
+           LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS sp
+    FROM sgn
+)
+SELECT media_id,
+       MAX(hex) AS decoded_hex,
+       CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN sp IS NOT NULL AND ((s < 0) != (sp < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagd
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+@register("media_wav_roundtrip", WAV_ROUNDTRIP_ORACLE)
+def q_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE byte-level AUDIO decode, oracle-proved: per document, 64
+    little-endian int16 PCM samples derived from the md5 chain of the
+    doc_id are encoded to a real RIFF/WAVE stream (functions/wav.py:
+    44-byte canonical header + PCM16 payload) and decoded back through
+    ``default_decoder`` — the same probed backend a soundfile-equipped
+    cluster uses — inside one mapInPandas kernel. The emitted
+    decoded_hex / abs_sum / peak_abs / zero_crossings only match DuckDB
+    (which computes all four straight from the md5 hex, no WAV
+    container anywhere) if the full magic/chunk-walk/fmt-parse/PCM
+    de-quantization pipeline reproduces every sample bit-exactly:
+    decode(encode(s)) == s is the correctness proof, so the audio codec
+    is oracle-checked, not just unit-tested (the audio twin of
+    media_png_roundtrip; closes the 'audio decode is stubbed' gap).
+
+    Exactness: default_decoder returns samples / 32768 (soundfile's
+    int16 convention); every such value is a dyadic rational exactly
+    representable in float64, so rint(f * 32768) recovers the int16
+    losslessly. Features are pure integers — no float accumulation.
+
+    Scale: one narrow scan of doc ids, PCM bytes derived JVM-side
+    (unhex(concat(md5...))), one Arrow-batched kernel with ~128 B/row
+    of state, repartitioned so single-file fixtures don't serialize the
+    per-row codec work onto one core; output is one row per document.
+    """
+    from amorphous_mapreduce_spark.operators.multimodal import default_decoder
+    from amorphous_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    content = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(
+                *[
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f"_wav{i}"))
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("content"),
+    ).repartition(32, "media_id")
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("decoded_hex", StringType()),
+            StructField("abs_sum", LongType()),
+            StructField("peak_abs", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def kernel(it):
+        import binascii
+
+        import numpy as np
+        import pandas as pd
+
+        from amorphous_mapreduce_spark.functions.wav import encode_wav
+
+        for pdf in it:
+            ids, hexes, sums, peaks, crossings = [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                samples = np.frombuffer(bytes(blob), dtype="<i2")
+                feats = default_decoder(
+                    encode_wav(samples, sample_rate=8000),
+                    {"media_type": "audio"},
+                )
+                decoded = (
+                    np.rint(np.asarray(feats) * 32768.0)
+                    .astype(np.int64)
+                )
+                neg = decoded < 0
+                ids.append(mid)
+                hexes.append(
+                    binascii.hexlify(decoded.astype("<i2").tobytes()).decode()
+                )
+                sums.append(int(np.abs(decoded).sum()))
+                peaks.append(int(np.abs(decoded).max()))
+                crossings.append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "decoded_hex": hexes,
+                    "abs_sum": sums,
+                    "peak_abs": peaks,
+                    "zero_crossings": crossings,
+                }
+            )
+
+    return content.mapInPandas(kernel, schema).orderBy("media_id")
