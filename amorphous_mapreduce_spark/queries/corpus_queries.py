@@ -1446,3 +1446,152 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("allocated").over(wall) == F.max("budget").over(wall)
         ).alias("sums_to_budget"),
     ).orderBy("source")
+
+
+# --- T5-style span-corruption manifest ---------------------------------------
+
+_SC_H = (
+    "CAST('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(p AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+SPAN_CORRUPTION_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS p FROM base
+),
+spans AS (
+    SELECT doc_id, n, p,
+           CASE WHEN {_SC_H} % 20 = 0
+                THEN 1 + ({_SC_H} // 20) % 5 ELSE 0 END AS sl
+    FROM pos
+),
+cov AS (
+    SELECT doc_id, n, p,
+           GREATEST(
+               CASE WHEN sl > 0 THEN 1 ELSE 0 END,
+               CASE WHEN LAG(sl, 1, 0) OVER w > 1 THEN 1 ELSE 0 END,
+               CASE WHEN LAG(sl, 2, 0) OVER w > 2 THEN 1 ELSE 0 END,
+               CASE WHEN LAG(sl, 3, 0) OVER w > 3 THEN 1 ELSE 0 END,
+               CASE WHEN LAG(sl, 4, 0) OVER w > 4 THEN 1 ELSE 0 END
+           ) AS covered
+    FROM spans
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl AS (
+    SELECT doc_id, n, covered,
+           CASE WHEN covered = 1
+                 AND LAG(covered, 1, 0)
+                     OVER (PARTITION BY doc_id ORDER BY p) = 0
+                THEN 1 ELSE 0 END AS island_start
+    FROM cov
+)
+SELECT doc_id,
+       MAX(n) AS n_tokens,
+       CAST(SUM(covered) AS BIGINT) AS n_masked,
+       CAST(SUM(island_start) AS BIGINT) AS n_spans,
+       CAST(MAX(n) - SUM(covered) + SUM(island_start) AS BIGINT)
+           AS corrupted_len,
+       CAST((1000 * CAST(SUM(covered) AS BIGINT)) // MAX(n) AS BIGINT)
+           AS masked_permille
+FROM isl
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("span_corruption_manifest", SPAN_CORRUPTION_ORACLE)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style denoising-objective manifest: per document, mask
+    deterministic token spans (a position starts a span with p=1/20 via
+    the portable MD5 hash; span length 1..5, mean 3 -> ~15% of tokens
+    masked) and report the corruption accounting a seq2seq training
+    pipeline needs — tokens masked, merged sentinel spans (overlapping
+    spans coalesce into one sentinel, the interval-islands rule), and
+    the corrupted sequence length n - masked + sentinels.
+
+    Engine-exactness: coverage at position p is the OR of five LAG
+    terms (a span of length L started j<=4 positions back covers p iff
+    L > j) — pure integer window arithmetic, no span self-join; island
+    starts are covered-AND-NOT-prev; every output is an integer
+    (masked_permille by integer div).
+
+    Scale: one narrow scan of documents, positions exploded per doc
+    (bounded by doc length), per-doc windows shuffle on doc_id only —
+    linear in corpus tokens, the same budget as tokenization itself.
+    """
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    pos = base.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n") - F.lit(1).cast("long"))
+        ).alias("p"),
+    )
+    h = hex_hash64(
+        F.concat(
+            F.lit("sc:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("p").cast("string"),
+        )
+    )
+    spans = pos.withColumn("h", h).select(
+        "doc_id",
+        "n",
+        "p",
+        F.expr(
+            "CASE WHEN h % 20 = 0 THEN CAST(1 + (h div 20) % 5 AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("sl"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cov = spans.select(
+        "doc_id",
+        "n",
+        "p",
+        F.greatest(
+            F.when(F.col("sl") > 0, 1).otherwise(0),
+            *[
+                F.when(F.lag("sl", j, 0).over(w) > j, 1).otherwise(0)
+                for j in (1, 2, 3, 4)
+            ],
+        ).alias("covered"),
+    )
+    isl = cov.select(
+        "doc_id",
+        "n",
+        "covered",
+        F.when(
+            (F.col("covered") == 1) & (F.lag("covered", 1, 0).over(w) == 0), 1
+        )
+        .otherwise(0)
+        .alias("island_start"),
+    )
+    agg = isl.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.sum("covered").alias("n_masked"),
+        F.sum("island_start").alias("n_spans"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans")).alias(
+            "corrupted_len"
+        ),
+        F.expr("(1000 * n_masked) div n_tokens").alias("masked_permille"),
+    ).orderBy("doc_id")

@@ -3019,3 +3019,173 @@ def q_average_precision_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("average_precision"),
         (F.col("n_pos").cast("double") / F.col("n")).alias("prevalence"),
     )
+
+
+# --- Fleiss' kappa: multi-rater annotation agreement --------------------------
+
+_FK_H = (
+    "CAST('0x' || substr(md5('fk:' || CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(r.range AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+FLEISS_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+),
+tb AS (
+    SELECT doc_id, LEAST(4, (n - 10) // 19) AS t FROM base
+),
+votes AS (
+    SELECT doc_id,
+           CASE WHEN h % 10 < 6 THEN t ELSE (h // 10) % 5 END AS vote
+    FROM (SELECT doc_id, t, {_FK_H} AS h FROM tb, range(5) r)
+),
+cells AS (
+    SELECT doc_id, vote, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM votes GROUP BY doc_id, vote
+),
+aa AS (
+    SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS a,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nitems
+    FROM cells
+),
+cc AS (
+    SELECT CAST(SUM(cj * cj) AS BIGINT) AS c
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cj FROM votes GROUP BY vote)
+),
+scal AS (
+    SELECT a, c, nitems,
+           nitems * 5 AS nn,
+           nitems * 20 AS d1,
+           CAST(nitems * 5 AS HUGEINT) * CAST(nitems * 5 AS HUGEINT) AS d2
+    FROM aa, cc
+),
+frac AS (
+    SELECT *,
+           CAST(a - nn AS HUGEINT) * d2
+               - CAST(c AS HUGEINT) * CAST(d1 AS HUGEINT) AS num,
+           CAST(d1 AS HUGEINT) * (d2 - CAST(c AS HUGEINT)) AS den
+    FROM scal
+)
+SELECT nitems AS n_items,
+       CAST(5 AS BIGINT) AS n_raters,
+       a AS a_sum,
+       c AS c_sum,
+       CAST((1000000 * (a - nn)) // d1 AS BIGINT) AS po_ppm,
+       CAST((1000000 * CAST(c AS HUGEINT)) // d2 AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN num >= 0 THEN (1000000 * num) // den
+                 ELSE -((1000000 * (-num)) // den) END AS BIGINT) AS kappa_ppm
+FROM frac
+"""
+
+
+@register("fleiss_kappa", FLEISS_ORACLE)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a simulated 5-rater annotation pass — the
+    multi-rater agreement gate an RLHF/annotation pipeline runs before
+    trusting labels (cohens_kappa covers the 2-rater case). Each rater's
+    vote is deterministic: with probability 6/10 (portable MD5 bits) the
+    doc's length-derived truth bucket, else a pseudo-random category —
+    so expected agreement is well above chance but far from 1.
+
+    Exactness: kappa = (Po - Pe)/(1 - Pe) where Po and Pe are rationals
+    with denominators Nn(n-1) and (Nn)^2; the query cross-multiplies to
+    ONE integer fraction (num/den) and emits floor(1e6 * num / den) via
+    integer division only. Products reach ~1e23 at sf10, so Spark
+    accumulates in tightly-cast DECIMALs (12+25 digit factors, products
+    <= 38) and DuckDB in HUGEINT — CAST BEFORE multiplying, and negative
+    numerators route through abs so Spark's decimal floor-division
+    (a - pmod(a, b))/b and DuckDB's truncating // agree (CLAUDE.md sign
+    rule). den = 0 would need every vote in one category — impossible
+    under the 40% noise mix by construction.
+
+    Scale: one scan of documents, a 5-way explode, two keyed aggregates
+    (per-item cells, per-category totals) -> 1-row scalar cross. Votes
+    persist()ed: both aggregate branches re-read the exploded lineage.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+        )
+        .repartition(32, "doc_id")
+    )
+    votes = (
+        docs.select(
+            "doc_id", F.expr("LEAST(CAST(4 AS BIGINT), (n - 10) div 19)").alias("t")
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .withColumn(
+            "h",
+            hex_hash64(
+                F.concat(
+                    F.lit("fk:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN h % 10 < 6 THEN t ELSE (h div 10) % 5 END"
+            ).alias("vote"),
+        )
+        .persist()
+    )
+    cells = votes.groupBy("doc_id", "vote").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    aa = cells.agg(
+        F.sum(F.expr("cnt * cnt")).alias("a"),
+        F.countDistinct("doc_id").alias("nitems"),
+    )
+    cc = (
+        votes.groupBy("vote")
+        .agg(F.count(F.lit(1)).alias("cj"))
+        .agg(F.sum(F.expr("cj * cj")).alias("c"))
+    )
+    return (
+        aa.crossJoin(F.broadcast(cc))
+        .withColumn("nn", F.expr("nitems * CAST(5 AS BIGINT)"))
+        .withColumn("d1", F.expr("nitems * CAST(20 AS BIGINT)"))
+        .withColumn(
+            "d2",
+            F.expr("CAST(nn AS DECIMAL(12,0)) * CAST(nn AS DECIMAL(12,0))"),
+        )
+        .withColumn(
+            "num",
+            F.expr(
+                "CAST(a - nn AS DECIMAL(12,0)) * d2"
+                " - CAST(c AS DECIMAL(18,0)) * CAST(d1 AS DECIMAL(12,0))"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                "CAST(d1 AS DECIMAL(12,0))"
+                " * (d2 - CAST(c AS DECIMAL(25,0)))"
+            ),
+        )
+        .select(
+            F.col("nitems").alias("n_items"),
+            F.lit(5).cast("long").alias("n_raters"),
+            F.col("a").alias("a_sum"),
+            F.col("c").alias("c_sum"),
+            F.expr("(1000000 * (a - nn)) div d1").alias("po_ppm"),
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(18,0)) * 1000000"
+                " - pmod(CAST(c AS DECIMAL(18,0)) * 1000000, d2)) / d2"
+                " AS BIGINT)"
+            ).alias("pe_ppm"),
+            F.expr(
+                "CAST(CASE WHEN num >= 0 THEN"
+                " (num * 1000000 - pmod(num * 1000000, den)) / den"
+                " ELSE -((-num * 1000000 - pmod(-num * 1000000, den)) / den)"
+                " END AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )

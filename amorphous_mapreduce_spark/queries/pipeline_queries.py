@@ -886,3 +886,215 @@ def q_weighted_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(_a div w_tokens AS BIGINT)").alias("key_q"),
     )
     return keyed.orderBy("key_q", "doc_id").limit(_WS_K)
+
+
+# --- DPO preference-pair construction ----------------------------------------
+
+DPO_PAIR_ORACLE = """
+WITH feat AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_dis,
+           CASE WHEN text LIKE '% dup' THEN 1 ELSE 0 END AS is_dup
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source, n_tok // 25 AS bucket,
+           1000 * n_dis - 10 * n_tok - 5000 * is_dup AS reward
+    FROM feat
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY source, bucket
+                              ORDER BY reward DESC, doc_id ASC) AS rb,
+           ROW_NUMBER() OVER (PARTITION BY source, bucket
+                              ORDER BY reward ASC, doc_id DESC) AS rw,
+           COUNT(*) OVER (PARTITION BY source, bucket) AS cnt
+    FROM scored
+)
+SELECT a.source, a.bucket,
+       CAST(a.rb AS BIGINT) AS pair_rank,
+       a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       a.reward AS chosen_reward, b.reward AS rejected_reward,
+       a.reward - b.reward AS margin
+FROM ranked a JOIN ranked b
+  ON a.source = b.source AND a.bucket = b.bucket AND a.rb = b.rw
+WHERE a.rb <= a.cnt // 2
+ORDER BY a.source, a.bucket, a.rb
+"""
+
+
+@register("dpo_pair_manifest", DPO_PAIR_ORACLE)
+def q_dpo_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (DPO/RLHF) construction manifest: within each
+    prompt group — (source, length-bucket), the stand-in for
+    "completions of the same prompt" — rank candidates by a
+    deterministic integer reward (lexical richness minus length minus a
+    duplicate penalty) and pair the k-th best with the k-th worst for
+    k <= group_size/2, emitting (chosen, rejected, margin). This is the
+    exact dataset-shaping step a preference-tuning pipeline runs after
+    reward scoring; margins are non-negative by the mirror-pairing
+    construction.
+
+    Exactness: the reward is pure integer arithmetic; both row_numbers
+    carry total-order tie-breaks ((reward DESC, id ASC) mirrored by
+    (reward ASC, id DESC)), so the k-th-worst is exactly the
+    (cnt+1-k)-th best and the pairing is a pure function of the corpus.
+
+    Scale: one scan -> per-group windows (shuffle on the group key) ->
+    an equi-join of the ranked frame with itself on (group, rank);
+    ranked is persist()ed because both join branches re-read its
+    lineage (CLAUDE.md self-join rule). Output is bounded by n/2 rows.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(32, "doc_id")
+    )
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(split(text, ' ')) AS BIGINT) div 25"
+        ).alias("bucket"),
+        (
+            F.lit(1000) * F.size(F.array_distinct(toks)).cast("long")
+            - F.lit(10) * F.size(toks).cast("long")
+            - F.lit(5000)
+            * F.when(F.col("text").like("% dup"), 1).otherwise(0).cast("long")
+        ).alias("reward"),
+    )
+    wb = Window.partitionBy("source", "bucket").orderBy(
+        F.col("reward").desc(), F.col("doc_id").asc()
+    )
+    ww = Window.partitionBy("source", "bucket").orderBy(
+        F.col("reward").asc(), F.col("doc_id").desc()
+    )
+    wc = Window.partitionBy("source", "bucket")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "bucket",
+        "reward",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    ).persist()
+    chosen = ranked.filter(F.col("rb") <= F.expr("cnt div 2")).select(
+        "source",
+        "bucket",
+        F.col("rb").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("reward").alias("chosen_reward"),
+    )
+    rejected = ranked.select(
+        "source",
+        "bucket",
+        F.col("rw").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("reward").alias("rejected_reward"),
+    )
+    return (
+        chosen.join(rejected, ["source", "bucket", "pair_rank"])
+        .select(
+            "source",
+            "bucket",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_reward",
+            "rejected_reward",
+            (F.col("chosen_reward") - F.col("rejected_reward")).alias("margin"),
+        )
+        .orderBy("source", "bucket", "pair_rank")
+    )
+
+
+# --- data-mixture temperature sweep -------------------------------------------
+
+MIXTURE_TEMP_ORACLE = """
+WITH src AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+taus(tau) AS (VALUES ('0.5'), ('0.75'), ('1.0')),
+q AS (
+    SELECT s.source, t.tau, s.n_tokens,
+           CASE t.tau
+               WHEN '0.5'  THEN CAST(sqrt(CAST(n_tokens AS DOUBLE))
+                                    * 1048576 AS BIGINT)
+               WHEN '0.75' THEN CAST(sqrt(CAST(n_tokens AS DOUBLE)
+                                          * sqrt(CAST(n_tokens AS DOUBLE)))
+                                    * 1048576 AS BIGINT)
+               ELSE n_tokens * 1048576
+           END AS w
+    FROM src s CROSS JOIN taus t
+)
+SELECT tau, source, n_tokens,
+       CAST((1000000 * w) // CAST(SUM(w) OVER (PARTITION BY tau) AS BIGINT)
+            AS BIGINT) AS weight_ppm
+FROM q
+ORDER BY tau, source
+"""
+
+
+@register("mixture_temperature_sweep", MIXTURE_TEMP_ORACLE)
+def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture temperature sweep: per-source sampling weights
+    w_s ∝ n_s^tau for tau in {0.5, 0.75, 1.0} — the knob every
+    large-scale pretraining recipe tunes (tau=1 is natural proportions,
+    tau<1 up-weights small sources; cf. multilingual sampling in
+    published LM data recipes). One sweep emits all three manifests so
+    the curation team can diff them.
+
+    Exactness: n^0.5 = sqrt(n) and n^0.75 = sqrt(n * sqrt(n)) are
+    compositions of IEEE-correctly-rounded ops on exact integers —
+    bit-identical across engines (the f^(k/2^m) trick,
+    negative_sampling_weights) — then floor-quantized to integers at
+    2^20 (multiply by a power of two is exact) BEFORE the cross-source
+    sum, so the normalizing total is an integer sum, never a
+    float-accumulation order hazard; weight_ppm is one integer div.
+
+    Scale: one groupBy(source) token count (map-side combined), then a
+    20-row frame crossed with 3 constant taus — everything after the
+    first aggregate is trivially small at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    src = docs.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    from pyspark.sql import Window
+
+    taus = spark.range(1).select(
+        F.explode(F.array(F.lit("0.5"), F.lit("0.75"), F.lit("1.0"))).alias(
+            "tau"
+        )
+    )
+    q = src.crossJoin(F.broadcast(taus)).select(
+        "source",
+        "tau",
+        "n_tokens",
+        F.expr(
+            "CASE tau"
+            " WHEN '0.5' THEN CAST(sqrt(CAST(n_tokens AS DOUBLE))"
+            "                      * 1048576 AS BIGINT)"
+            " WHEN '0.75' THEN CAST(sqrt(CAST(n_tokens AS DOUBLE)"
+            "                            * sqrt(CAST(n_tokens AS DOUBLE)))"
+            "                      * 1048576 AS BIGINT)"
+            " ELSE n_tokens * 1048576 END"
+        ).alias("w"),
+    )
+    wt = Window.partitionBy("tau")
+    return q.select(
+        "tau",
+        "source",
+        "n_tokens",
+        F.expr(
+            "(1000000 * w) div SUM(w) OVER (PARTITION BY tau)"
+        ).alias("weight_ppm"),
+    ).orderBy("tau", "source")

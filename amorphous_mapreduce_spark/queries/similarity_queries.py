@@ -1859,3 +1859,150 @@ def q_ivf_hard_negative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+# --- Matryoshka (prefix-truncation) recall audit ------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+MATRYOSHKA_ORACLE = f"""
+WITH panel AS (
+    SELECT vec_id AS qid, embedding AS qv
+    FROM embeddings ORDER BY {_QHASH}, vec_id LIMIT 32
+),
+dims(d) AS (VALUES ({"), (".join(str(d) for d in _MRL_DIMS)})),
+scored AS (
+    SELECT dims.d, p.qid, g.vec_id AS nid,
+           list_dot_product(p.qv::DOUBLE[], g.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding::DOUBLE[],
+                                      g.embedding::DOUBLE[]))) AS cos_full,
+           list_dot_product(p.qv[1:dims.d]::DOUBLE[],
+                            g.embedding[1:dims.d]::DOUBLE[])
+           / (sqrt(list_dot_product(p.qv[1:dims.d]::DOUBLE[],
+                                    p.qv[1:dims.d]::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding[1:dims.d]::DOUBLE[],
+                                      g.embedding[1:dims.d]::DOUBLE[])))
+               AS cos_trunc
+    FROM panel p CROSS JOIN dims JOIN embeddings g ON g.vec_id <> p.qid
+),
+rf AS (
+    SELECT d, qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY d, qid
+                              ORDER BY cos_full DESC, nid) AS r_full
+    FROM scored
+),
+rt AS (
+    SELECT d, qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY d, qid
+                              ORDER BY cos_trunc DESC, nid) AS r_trunc
+    FROM scored
+),
+ov AS (
+    SELECT rf.d, rf.qid, COUNT(rt.nid) AS n_overlap
+    FROM rf LEFT JOIN rt ON rf.d = rt.d AND rf.qid = rt.qid
+                         AND rf.nid = rt.nid AND rt.r_trunc <= 5
+    WHERE rf.r_full <= 5
+    GROUP BY rf.d, rf.qid
+)
+SELECT CAST(d AS BIGINT) AS trunc_dim, n_overlap AS overlap_at_5,
+       CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM ov GROUP BY d, n_overlap
+ORDER BY trunc_dim, overlap_at_5
+"""
+
+
+@register("matryoshka_recall", MATRYOSHKA_ORACLE)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: overlap@5 histogram between
+    full-dimension (64) cosine top-5 and PREFIX-truncated cosine top-5
+    at d in {8, 16, 32} — the storage/latency-vs-recall evidence for
+    serving truncated embeddings (MRL-style), the dimension-axis twin
+    of quantization_recall (which audits the precision axis).
+
+    Exactness: prefix dots are ordered left folds over array slices —
+    bit-identical to DuckDB list_dot_product on sliced DOUBLE[] (the
+    functions/vectors contract); both rankings carry nid tie-breaks.
+
+    Scale: the query panel is CONSTANT-SIZE (TakeOrdered over the md5
+    hash, limit 32), so the scored frame is 32 x |dims| x |gallery| —
+    linear in the corpus with the panel broadcast; both rankings come
+    from ONE persisted scored frame (the gotcha: the overlap join's two
+    branches would otherwise re-execute the crossJoin lineage).
+    """
+    from amorphous_mapreduce_spark.functions.vectors import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qpanel_"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    panel = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            qh.alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(32)
+        .drop("_h")
+    )
+    gal = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("gv")
+    ).repartition(32)
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("d")
+    )
+    cos_full = dot_product("qv", "gv") / (l2_norm("qv") * l2_norm("gv"))
+    qs = F.expr("slice(qv, 1, d)")
+    gs = F.expr("slice(gv, 1, d)")
+    cos_trunc = dot_product(qs, gs) / (
+        F.sqrt(dot_product(qs, qs)) * F.sqrt(dot_product(gs, gs))
+    )
+    scored = (
+        F.broadcast(panel)
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(gal)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "d",
+            "qid",
+            "nid",
+            cos_full.alias("cos_full"),
+            cos_trunc.alias("cos_trunc"),
+        )
+        .persist()
+    )
+    wf = Window.partitionBy("d", "qid").orderBy(
+        F.desc("cos_full"), F.asc("nid")
+    )
+    wt = Window.partitionBy("d", "qid").orderBy(
+        F.desc("cos_trunc"), F.asc("nid")
+    )
+    rf = scored.select("d", "qid", "nid", F.row_number().over(wf).alias("r_full"))
+    rt = scored.select("d", "qid", "nid", F.row_number().over(wt).alias("r_trunc"))
+    ov = (
+        rf.filter(F.col("r_full") <= 5)
+        .join(
+            rt.filter(F.col("r_trunc") <= 5).withColumn("hit", F.lit(1)),
+            ["d", "qid", "nid"],
+            "left",
+        )
+        .groupBy("d", "qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("overlap_at_5"))
+    )
+    return (
+        ov.groupBy("d", "overlap_at_5")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .select(
+            F.col("d").cast("long").alias("trunc_dim"),
+            "overlap_at_5",
+            "n_queries",
+        )
+        .orderBy("trunc_dim", "overlap_at_5")
+    )

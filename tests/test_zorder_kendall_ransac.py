@@ -102,12 +102,21 @@ def test_ransac_python_replay(spark):
     def h(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
+    # round-7 one-pass scheme: ONE md5 per row, 64 affine slot mixes,
+    # endpoint = argmin of pack = mix * 2^32 + pk (slot 2t='a', 2t+1='b')
+    def endpoint(slot):
+        return min(
+            rows,
+            key=lambda r: (
+                (h(f"ransac_{r[0]}") % 2147483647 * (2 * slot + 1)
+                 + slot * 12345) % 2147483647,
+                r[0],
+            ),
+        )
+
     lines = {}
     for t in range(32):
-        pts = {}
-        for e in ("a", "b"):
-            pts[e] = min(rows, key=lambda r: (h(f"ransac_{e}{t}_{r[0]}"), r[0]))
-        (_, xa, ya), (_, xb, yb) = pts["a"], pts["b"]
+        (_, xa, ya), (_, xb, yb) = endpoint(2 * t), endpoint(2 * t + 1)
         if xa == xb:
             continue
         num = (yb - ya) * 1048576

@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "fleiss_kappa": {
+        "BroadcastNestedLoopJoin": "ONE 1-row x 1-row scalar cross "
+        "(the per-item-cells aggregate (a, nitems) joined to the "
+        "per-category aggregate (c)) — the scalar-total pattern; all "
+        "data-sized work is two keyed aggregates over the vote explode",
+    },
     "t_closeness": {
         "BroadcastNestedLoopJoin": "two 1-row scalar crosses (the "
         "(n_total, m) aggregate onto the class x band grid, and the "
@@ -711,6 +717,18 @@ ALLOW: dict[str, dict[str, str]] = {
         "frame / raw gallery with a non-equi self-exclusion — fanout is "
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
+    },
+    "matryoshka_recall": {
+        "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
+        "(TakeOrdered limit 32) crossed with a 3-row constant dims table, "
+        "then broadcast-crossed over the gallery with a non-equi "
+        "self-exclusion filter — fanout is 32 x 3 x |gallery|, linear in "
+        "the corpus (quantization_recall pattern, dimension axis)",
+    },
+    "mixture_temperature_sweep": {
+        "BroadcastNestedLoopJoin": "the 20-row per-source aggregate "
+        "crossed with a 3-row constant tau table — everything after the "
+        "first map-side-combined groupBy is constant-size",
     },
     "quantization_recall": {
         "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
