@@ -1595,3 +1595,107 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(1000 * n_masked) div n_tokens").alias("masked_permille"),
     ).orderBy("doc_id")
+
+
+# --- epoch-shard mixing (shuffle-quality) audit --------------------------------
+
+SHARD_MIX_ORACLE = f"""
+WITH placed AS (
+    SELECT doc_id AS id, source,
+           {_SHARD_HASH} % 8 AS shard_id,
+           {_SHARD_HASH} AS h
+    FROM documents
+),
+adj AS (
+    SELECT shard_id, source,
+           LAG(source) OVER (PARTITION BY shard_id ORDER BY h, id) AS prev
+    FROM placed
+),
+runs AS (
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN source = prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_adjacent_same
+    FROM adj GROUP BY shard_id
+),
+expect AS (
+    SELECT shard_id, CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs_same
+    FROM (SELECT shard_id, source, CAST(COUNT(*) AS BIGINT) AS c
+          FROM placed GROUP BY shard_id, source)
+    GROUP BY shard_id
+)
+SELECT r.shard_id, r.n_docs, r.n_adjacent_same,
+       CAST((1000000 * r.n_adjacent_same) // (r.n_docs - 1) AS BIGINT)
+           AS same_ppm,
+       CAST((1000000 * e.pairs_same) // (r.n_docs * (r.n_docs - 1))
+            AS BIGINT) AS expected_ppm
+FROM runs r JOIN expect e USING (shard_id)
+ORDER BY r.shard_id
+"""
+
+
+@register("shard_mixing_audit", SHARD_MIX_ORACLE)
+def q_shard_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the epoch-0 training shards: per shard,
+    the rate of ADJACENT same-source documents in the shard's read
+    order (hash order — epoch_shard_manifest's layout) vs the
+    expectation under a uniformly random order (Σ c_s(c_s-1) / n(n-1)).
+    A pipeline whose shard order clusters sources feeds correlated
+    batches; hash order should sit at the random baseline — this query
+    is the proof, emitted as data.
+
+    Exactness: pure integer counts and two integer divisions (ppm).
+    Scale: one scan -> per-shard window (shuffle on shard only) + one
+    (shard, source) aggregate; both branches re-read the placed frame,
+    so it is persist()ed (CLAUDE.md self-join rule).
+    """
+    from pyspark.sql import Window
+
+    placed = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("id"),
+            "source",
+            hex_hash64(
+                F.concat(F.lit("ep0:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .withColumn("shard_id", F.col("h") % 8)
+        .persist()
+    )
+    w = Window.partitionBy("shard_id").orderBy("h", "id")
+    runs = (
+        placed.select(
+            "shard_id",
+            "source",
+            F.lag("source").over(w).alias("prev"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("source") == F.col("prev"), 1).otherwise(0)
+            ).alias("n_adjacent_same"),
+        )
+    )
+    expect = (
+        placed.groupBy("shard_id", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("shard_id")
+        .agg(F.sum(F.expr("c * (c - 1)")).alias("pairs_same"))
+    )
+    return (
+        runs.join(expect, "shard_id")
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_adjacent_same",
+            F.expr("(1000000 * n_adjacent_same) div (n_docs - 1)").alias(
+                "same_ppm"
+            ),
+            F.expr(
+                "(1000000 * pairs_same) div (n_docs * (n_docs - 1))"
+            ).alias("expected_ppm"),
+        )
+        .orderBy("shard_id")
+    )

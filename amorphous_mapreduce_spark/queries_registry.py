@@ -73,6 +73,7 @@ from amorphous_mapreduce_spark.queries import (  # noqa: E402,F401
     selection_queries,
     similarity_queries,
     sketch_queries,
+    ulm_queries,
     source_queries,
     spatial_queries,
     sql_queries,

@@ -186,6 +186,14 @@ HEADLINE = [
     "weighted_sample_es",
     "lpa_communities",
     "record_linkage_classify",
+    # real-bytes audio / denoising-objective / multi-rater-agreement /
+    # preference-pair / truncation-recall / mixture families (round 7, cont.)
+    "media_wav_roundtrip",
+    "span_corruption_manifest",
+    "fleiss_kappa",
+    "dpo_pair_manifest",
+    "matryoshka_recall",
+    "mixture_temperature_sweep",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
