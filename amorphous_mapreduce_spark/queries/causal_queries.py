@@ -992,3 +992,142 @@ def q_effect_heterogeneity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --- instrumental-variable (Wald / LATE) estimate ------------------------------
+
+_IV_Z = (
+    "CAST('0x' || substr(md5('ivz:' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+_IV_C = (
+    "CAST('0x' || substr(md5('ivc:' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+IV_WALD_ORACLE = f"""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+units AS (
+    SELECT c.c_custkey,
+           {_IV_Z} % 2 AS z,
+           CASE WHEN {_IV_Z} % 2 = 1
+                THEN CASE WHEN {_IV_C} % 10 < 7 THEN 1 ELSE 0 END
+                ELSE CASE WHEN {_IV_C} % 10 < 2 THEN 1 ELSE 0 END
+           END AS t,
+           COALESCE(r.cents, 0) AS y
+    FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+),
+arms AS (
+    SELECT CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN z = 1 THEN t ELSE 0 END) AS BIGINT) AS k1,
+           CAST(SUM(CASE WHEN z = 0 THEN t ELSE 0 END) AS BIGINT) AS k0,
+           CAST(SUM(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS s0
+    FROM units
+),
+frac AS (
+    SELECT *,
+           CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1 AS num,
+           CAST(k1 AS HUGEINT) * n0 - CAST(k0 AS HUGEINT) * n1 AS den
+    FROM arms
+)
+SELECT n1, n0, k1, k0, s1 AS sum1_cents, s0 AS sum0_cents,
+       CAST((1000000 * (k1 * n0 - k0 * n1)) // (n1 * n0) AS BIGINT)
+           AS first_stage_ppm,
+       CAST(CASE WHEN num >= 0 THEN (100 * num) // den
+                 ELSE -((100 * (-num)) // den) END AS BIGINT)
+           AS late_centicents
+FROM frac
+"""
+
+
+@register("iv_wald_estimate", IV_WALD_ORACLE)
+def q_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable (Wald) estimate of a local average
+    treatment effect — the encouragement-design readout the causal
+    battery lacked (beside CEM / DiD / CUPED / synthetic control).
+    Instrument Z = deterministic hash coin per customer (outreach
+    eligibility); treatment uptake T is simulated one-sided-noncompliant
+    (70% takers under Z=1, 20% always-takers under Z=0, second hash);
+    outcome Y = the customer's real order revenue in cents. The fixture
+    assigns Z independently of Y, so the estimate self-audits near zero
+    while the first stage (~50% compliance gap) is strongly identified.
+
+    Exactness: LATE = (ȳ1-ȳ0)/(t̄1-t̄0) cross-multiplies to ONE integer
+    fraction (s1·n0 - s0·n1)/(k1·n0 - k0·n1); Spark carries the ~1e20
+    products in tight DECIMALs, DuckDB in HUGEINT, negatives route
+    through abs so decimal floor-division matches truncating // (the
+    fleiss_kappa discipline).
+
+    Scale: one orders aggregate + one customer scan -> one 6-number
+    scalar row; nothing downstream scales with the corpus.
+    """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    hz = hex_hash64(F.concat(F.lit("ivz:"), F.col("c_custkey").cast("string")))
+    hc = hex_hash64(F.concat(F.lit("ivc:"), F.col("c_custkey").cast("string")))
+    units = (
+        cust.select("c_custkey", (hz % 2).alias("z"), (hc % 10).alias("hc"))
+        .join(rev, cust.c_custkey == rev.o_custkey, "left")
+        .select(
+            "z",
+            F.when(
+                (F.col("z") == 1) & (F.col("hc") < 7), 1
+            )
+            .when((F.col("z") == 0) & (F.col("hc") < 2), 1)
+            .otherwise(0)
+            .alias("t"),
+            F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias("y"),
+        )
+    )
+    arms = units.agg(
+        F.sum(F.when(F.col("z") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("z") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("t")).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("z") == 0, F.col("t")).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(0)).alias("s0"),
+    )
+    return arms.select(
+        "n1",
+        "n0",
+        "k1",
+        "k0",
+        F.col("s1").alias("sum1_cents"),
+        F.col("s0").alias("sum0_cents"),
+        F.expr("(1000000 * (k1 * n0 - k0 * n1)) div (n1 * n0)").alias(
+            "first_stage_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN CAST(s1 AS DECIMAL(18,0)) * n0"
+            " - CAST(s0 AS DECIMAL(18,0)) * n1 >= 0 THEN"
+            " ((CAST(s1 AS DECIMAL(18,0)) * n0"
+            "   - CAST(s0 AS DECIMAL(18,0)) * n1) * 100"
+            "  - pmod((CAST(s1 AS DECIMAL(18,0)) * n0"
+            "          - CAST(s0 AS DECIMAL(18,0)) * n1) * 100,"
+            "         CAST(k1 * n0 - k0 * n1 AS DECIMAL(18,0))))"
+            " / CAST(k1 * n0 - k0 * n1 AS DECIMAL(18,0))"
+            " ELSE"
+            " -(((CAST(s0 AS DECIMAL(18,0)) * n1"
+            "     - CAST(s1 AS DECIMAL(18,0)) * n0) * 100"
+            "   - pmod((CAST(s0 AS DECIMAL(18,0)) * n1"
+            "           - CAST(s1 AS DECIMAL(18,0)) * n0) * 100,"
+            "          CAST(k1 * n0 - k0 * n1 AS DECIMAL(18,0))))"
+            "  / CAST(k1 * n0 - k0 * n1 AS DECIMAL(18,0)))"
+            " END AS BIGINT)"
+        ).alias("late_centicents"),
+    )

@@ -1049,3 +1049,111 @@ def q_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("bcubed_recall"),
         ((F.lit(2.0) * p * r) / (p + r)).alias("bcubed_f1"),
     )
+
+
+# --- harmonic centrality (radius-3) of the near-dup graph --------------------
+
+HARMONIC_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, d1 AS MATERIALIZED (SELECT a, b FROM edges),
+d2 AS MATERIALIZED (
+    SELECT DISTINCT e1.a, e2.b
+    FROM d1 e1 JOIN d1 e2 ON e1.b = e2.a
+    WHERE e2.b <> e1.a
+      AND NOT EXISTS (SELECT 1 FROM d1 x
+                      WHERE x.a = e1.a AND x.b = e2.b)
+),
+d3 AS MATERIALIZED (
+    SELECT DISTINCT e2.a, e1.b
+    FROM d2 e2 JOIN d1 e1 ON e2.b = e1.a
+    WHERE e1.b <> e2.a
+      AND NOT EXISTS (SELECT 1 FROM d1 x
+                      WHERE x.a = e2.a AND x.b = e1.b)
+      AND NOT EXISTS (SELECT 1 FROM d2 x
+                      WHERE x.a = e2.a AND x.b = e1.b)
+),
+cn AS (
+    SELECT a AS id,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+    FROM (SELECT a, 1 AS d FROM d1 UNION ALL
+          SELECT a, 2 FROM d2 UNION ALL
+          SELECT a, 3 FROM d3)
+    GROUP BY a
+)
+SELECT id, n1, n2, n3, 6 * n1 + 3 * n2 + 2 * n3 AS harmonic_x6
+FROM cn ORDER BY id
+"""
+)
+
+
+@register("harmonic_centrality", HARMONIC_ORACLE)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-3 harmonic centrality over the MinHash-LSH near-dup graph:
+    H(v) = Σ_{0<d(u,v)<=3} 1/d(u,v), emitted as the EXACT integer
+    6·H = 6·n1 + 3·n2 + 2·n3 (lcm(1,2,3) = 6 — the integer-weights-
+    from-lcm trick, cf. rbo_rankings) plus the per-ring counts. The
+    centrality family's missing member beside degree/PageRank/HITS/
+    k-core: harmonic handles disconnected graphs where closeness
+    diverges, and the dedup use is spotting template-farm hubs whose
+    influence extends past direct neighbors.
+
+    Rings are computed set-wise (neighbors; two-hop minus direct minus
+    self; three-hop minus closer) with keyed equi-joins and anti-joins —
+    the wedge-enumeration budget of near_dup_triangles, bounded by the
+    near-dup graph's cluster sizes (adaptive band width keeps bucket
+    occupancy constant). No per-source BFS: all nodes advance together,
+    one round per radius, 3 rounds total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    d1 = (
+        pairs.select(F.col("qid").alias("a"), F.col("nid").alias("b"))
+        .unionByName(
+            pairs.select(F.col("nid").alias("a"), F.col("qid").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    two_hop = (
+        d1.alias("e1")
+        .join(d1.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    d2 = two_hop.join(d1, ["a", "b"], "left_anti").persist()
+    three_hop = (
+        d2.alias("e2")
+        .join(d1.alias("e1"), F.col("e2.b") == F.col("e1.a"))
+        .select(F.col("e2.a").alias("a"), F.col("e1.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    d3 = (
+        three_hop.join(d1, ["a", "b"], "left_anti")
+        .join(d2, ["a", "b"], "left_anti")
+    )
+    rings = (
+        d1.select("a", F.lit(1).alias("d"))
+        .unionByName(d2.select("a", F.lit(2).alias("d")))
+        .unionByName(d3.select("a", F.lit(3).alias("d")))
+    )
+    cn = rings.groupBy(F.col("a").alias("id")).agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("d") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("d") == 3, 1).otherwise(0)).alias("n3"),
+    )
+    return cn.select(
+        "id",
+        "n1",
+        "n2",
+        "n3",
+        (6 * F.col("n1") + 3 * F.col("n2") + 2 * F.col("n3")).alias(
+            "harmonic_x6"
+        ),
+    ).orderBy("id")

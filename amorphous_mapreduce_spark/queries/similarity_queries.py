@@ -201,13 +201,13 @@ def _ivf_km_centroid_cte(name: str, assigns: str) -> str:
 
 _IVF_TRAIN_CTES = (
     f"""
-q AS (
+q AS MATERIALIZED (
     SELECT vec_id AS id,
            list_transform(embedding,
                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
                                     AS BIGINT)) AS qv
     FROM embeddings
-), qtrain AS (
+), qtrain AS MATERIALIZED (
     -- deterministic KM_TRAIN_N training sample (round 7): Lloyd
     -- iterations run on this fixed-size subset; == full corpus at the
     -- driver SFs (n <= {KM_TRAIN_N}), constant-cost training above it
@@ -234,7 +234,7 @@ q AS (
 
 IVF_CTES = (
     _IVF_TRAIN_CTES
-    + f""", ivfrank AS (
+    + f""", ivfrank AS MATERIALIZED (
     SELECT q.id, s.cell,
            ROW_NUMBER() OVER (
                PARTITION BY q.id
@@ -242,11 +242,11 @@ IVF_CTES = (
                          - list_dot_product(s.cv, s.cv) / 2) DESC, s.cell
            ) AS rk
     FROM q, ivfcent2 s
-), ivfassign AS (
+), ivfassign AS MATERIALIZED (
     SELECT id, cell FROM ivfrank WHERE rk = 1
 ), ivfprobes AS (
     SELECT id AS qid, cell FROM ivfrank WHERE rk <= 4
-), ivfmembers AS (
+), ivfmembers AS MATERIALIZED (
     -- per-cell inverted-list cap (round 7): at fixed n_cells the cell
     -- population grows with the corpus, so uncapped probing is n²/k —
     -- the first IVF_CELL_CAP members by md5 order bound per-query
@@ -960,7 +960,7 @@ def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # them.
 PROBE_SWEEP_CTES = (
     _IVF_TRAIN_CTES
-    + f""", ivfrank AS (
+    + f""", ivfrank AS MATERIALIZED (
     SELECT q.id, s.cell,
            ROW_NUMBER() OVER (
                PARTITION BY q.id
@@ -968,9 +968,9 @@ PROBE_SWEEP_CTES = (
                          - list_dot_product(s.cv, s.cv) / 2) DESC, s.cell
            ) AS rk
     FROM q, ivfcent2 s
-), ivfassign AS (
+), ivfassign AS MATERIALIZED (
     SELECT id, cell FROM ivfrank WHERE rk = 1
-), ivfmembers AS (
+), ivfmembers AS MATERIALIZED (
     -- IVF_CELL_CAP inverted-list cap (round 7, same as IVF_CTES)
     SELECT id, cell FROM (
         SELECT id, cell,
@@ -1228,7 +1228,7 @@ _PQ_ADC_SUM = "((l0.dm + l1.dm) + l2.dm) + l3.dm"
 
 PQ_RECALL_ORACLE = (
     f"""
-WITH q AS (
+WITH q AS MATERIALIZED (
     SELECT vec_id AS id,
            list_transform(embedding,
                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
@@ -1716,7 +1716,7 @@ HN_CELL_CAP = 256
 
 IVF_HARDNEG_CTES = (
     IVF_CTES
-    + f""", hnmembers AS (
+    + f""", hnmembers AS MATERIALIZED (
     SELECT nid, cell FROM (
         SELECT id AS nid, cell,
                ROW_NUMBER() OVER (
