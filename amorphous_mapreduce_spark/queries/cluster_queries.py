@@ -1059,16 +1059,30 @@ HARMONIC_ORACLE = (
     + MINHASH_EDGES_CTE
     + """
 , d1 AS MATERIALIZED (SELECT a, b FROM edges),
+adjc AS MATERIALIZED (
+    -- capped expansion adjacency: first 16 neighbors per node in md5
+    -- order (the capped-occupancy pattern) so ring work is O(16^3 n)
+    -- on ANY graph density
+    SELECT a, b FROM (
+        SELECT a, b,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a
+                   ORDER BY CAST('0x' || substr(md5('hccap:' ||
+                                CAST(b AS VARCHAR)), 1, 15) AS BIGINT), b
+               ) AS rk
+        FROM d1
+    ) WHERE rk <= 16
+),
 d2 AS MATERIALIZED (
     SELECT DISTINCT e1.a, e2.b
-    FROM d1 e1 JOIN d1 e2 ON e1.b = e2.a
+    FROM adjc e1 JOIN adjc e2 ON e1.b = e2.a
     WHERE e2.b <> e1.a
       AND NOT EXISTS (SELECT 1 FROM d1 x
                       WHERE x.a = e1.a AND x.b = e2.b)
 ),
 d3 AS MATERIALIZED (
     SELECT DISTINCT e2.a, e1.b
-    FROM d2 e2 JOIN d1 e1 ON e2.b = e1.a
+    FROM d2 e2 JOIN adjc e1 ON e2.b = e1.a
     WHERE e1.b <> e2.a
       AND NOT EXISTS (SELECT 1 FROM d1 x
                       WHERE x.a = e2.a AND x.b = e1.b)
@@ -1094,7 +1108,8 @@ FROM cn ORDER BY id
 @register("harmonic_centrality", HARMONIC_ORACLE)
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-3 harmonic centrality over the MinHash-LSH near-dup graph:
-    H(v) = Σ_{0<d(u,v)<=3} 1/d(u,v), emitted as the EXACT integer
+    H(v) = Σ_{0<d(u,v)<=3} 1/d(u,v) with capped-adjacency ring
+    expansion, emitted as the exact integer
     6·H = 6·n1 + 3·n2 + 2·n3 (lcm(1,2,3) = 6 — the integer-weights-
     from-lcm trick, cf. rbo_rankings) plus the per-ring counts. The
     centrality family's missing member beside degree/PageRank/HITS/
@@ -1103,12 +1118,19 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     influence extends past direct neighbors.
 
     Rings are computed set-wise (neighbors; two-hop minus direct minus
-    self; three-hop minus closer) with keyed equi-joins and anti-joins —
-    the wedge-enumeration budget of near_dup_triangles, bounded by the
-    near-dup graph's cluster sizes (adaptive band width keeps bucket
-    occupancy constant). No per-source BFS: all nodes advance together,
-    one round per radius, 3 rounds total.
+    self; three-hop minus closer) with keyed equi-joins and anti-joins.
+    n1 is the EXACT degree; ring EXPANSION walks a capped adjacency
+    (first 16 neighbors per node, md5 order — the simhash_topm/LSH
+    capped-occupancy pattern) so the two/three-hop candidate volume is
+    <= 16^2·n and 16^3·n on ANY graph density: the uncapped exact rings
+    measured >10 min at the sf10 rung, where band collisions on the
+    31-word corpus make the near-dup graph dense; the cap is the same
+    trade every production k-hop neighborhood job makes, applied
+    identically in the oracle. No per-source BFS: all nodes advance
+    together, one round per radius, 3 rounds total.
     """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
     d1 = (
@@ -1119,9 +1141,19 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    wc = Window.partitionBy("a").orderBy(
+        hex_hash64(F.concat(F.lit("hccap:"), F.col("b").cast("string"))),
+        F.col("b"),
+    )
+    adjc = (
+        d1.select("a", "b", F.row_number().over(wc).alias("rk"))
+        .filter(F.col("rk") <= 16)
+        .drop("rk")
+        .persist()
+    )
     two_hop = (
-        d1.alias("e1")
-        .join(d1.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        adjc.alias("e1")
+        .join(adjc.alias("e2"), F.col("e1.b") == F.col("e2.a"))
         .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -1129,7 +1161,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = two_hop.join(d1, ["a", "b"], "left_anti").persist()
     three_hop = (
         d2.alias("e2")
-        .join(d1.alias("e1"), F.col("e2.b") == F.col("e1.a"))
+        .join(adjc.alias("e1"), F.col("e2.b") == F.col("e1.a"))
         .select(F.col("e2.a").alias("a"), F.col("e1.b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()

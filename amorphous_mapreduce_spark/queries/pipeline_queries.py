@@ -1098,3 +1098,114 @@ def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * w) div SUM(w) OVER (PARTITION BY tau)"
         ).alias("weight_ppm"),
     ).orderBy("tau", "source")
+
+
+# --- MoE expert-routing load audit ---------------------------------------------
+
+# pos - 1: operators.dedup.tokenized's posexplode is 0-based while
+# generate_subscripts is 1-based (the documented posexplode gotcha)
+_MOE_H = (
+    "CAST('0x' || substr(md5('moe:' || CAST(id AS VARCHAR) || ':' ||"
+    " CAST(pos - 1 AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+MOE_ROUTING_ORACLE = f"""
+WITH toks AS (
+    SELECT id, pos, word FROM (
+        SELECT doc_id AS id,
+               generate_subscripts(ws, 1) AS pos,
+               unnest(ws) AS word
+        FROM (SELECT doc_id, regexp_split_to_array({NORM}, ' ') AS ws
+              FROM documents)
+    ) WHERE length(word) > 0
+),
+routed AS (
+    SELECT {_MOE_H} % 8 AS e1,
+           ({_MOE_H} % 8 + 1 + ({_MOE_H} // 8) % 7) % 8 AS e2
+    FROM toks
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM routed),
+loads AS (
+    SELECT e AS expert_id,
+           CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_primary,
+           CAST(SUM(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_secondary
+    FROM (SELECT e1 AS e, 1 AS rank FROM routed UNION ALL
+          SELECT e2, 2 FROM routed)
+    GROUP BY e
+)
+SELECT l.expert_id, l.n_primary, l.n_secondary,
+       CAST((1000000 * l.n_primary) // n.total AS BIGINT) AS primary_ppm,
+       CAST(GREATEST(CAST(0 AS BIGINT),
+                     l.n_primary - (n.total * 5 + 31) // 32)
+            AS BIGINT) AS overflow_dropped
+FROM loads l CROSS JOIN n
+ORDER BY l.expert_id
+"""
+
+
+@register("moe_routing_audit", MOE_ROUTING_ORACLE)
+def q_moe_routing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts routing/load audit over the token stream:
+    every token is hash-routed to a primary expert (of 8) and a distinct
+    secondary (top-2 routing), and the audit emits per-expert primary/
+    secondary loads, the primary load share in ppm, and the tokens a
+    capacity-factor-1.25 expert would DROP (cap = ceil(1.25·N/8) =
+    (5N+31) div 32 — integer ceiling) — the balance/overflow accounting
+    an expert-parallel training job runs before committing a routing
+    scheme.
+
+    Exactness: routing and loads are pure integer hash arithmetic; the
+    secondary expert (e1 + 1 + h') mod 8 is distinct from e1 by
+    construction. Scale: one token scan -> one 8-row aggregate; the
+    union doubles rows but stays map-side combinable.
+    """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    toks = tokenized(load_table(spark, sf_dir, "documents"))
+    h = hex_hash64(
+        F.concat(
+            F.lit("moe:"),
+            F.col("id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+        )
+    )
+    routed = (
+        toks.withColumn("h", h)
+        .select(
+            F.expr("h % 8").alias("e1"),
+            F.expr("(h % 8 + 1 + (h div 8) % 7) % 8").alias("e2"),
+        )
+        .persist()
+    )
+    n = routed.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    loads = (
+        routed.select(F.col("e1").alias("e"), F.lit(1).alias("rank"))
+        .unionByName(routed.select(F.col("e2").alias("e"), F.lit(2).alias("rank")))
+        .groupBy(F.col("e").alias("expert_id"))
+        .agg(
+            F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias(
+                "n_primary"
+            ),
+            F.sum(F.when(F.col("rank") == 2, 1).otherwise(0)).alias(
+                "n_secondary"
+            ),
+        )
+    )
+    return (
+        loads.crossJoin(F.broadcast(n))
+        .select(
+            "expert_id",
+            "n_primary",
+            "n_secondary",
+            F.expr("(1000000 * n_primary) div total").alias("primary_ppm"),
+            F.expr(
+                "GREATEST(CAST(0 AS BIGINT),"
+                " n_primary - (total * 5 + 31) div 32)"
+            ).alias("overflow_dropped"),
+        )
+        .orderBy("expert_id")
+    )

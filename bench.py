@@ -194,6 +194,13 @@ HEADLINE = [
     "dpo_pair_manifest",
     "matryoshka_recall",
     "mixture_temperature_sweep",
+    # unigram-LM tokenizer / shard-mixing / centrality / IV / MoE
+    # families (round 7, closing)
+    "unigram_lm_tokenizer",
+    "shard_mixing_audit",
+    "harmonic_centrality",
+    "iv_wald_estimate",
+    "moe_routing_audit",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been

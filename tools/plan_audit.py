@@ -718,6 +718,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
     },
+    "moe_routing_audit": {
+        "BroadcastNestedLoopJoin": "the 8-row per-expert load table "
+        "crossed with the 1-row token-count aggregate — scalar-total "
+        "pattern; the data-sized work is one map-side-combined token "
+        "aggregate",
+    },
     "matryoshka_recall": {
         "BroadcastNestedLoopJoin": "the 32-row constant-size audit panel "
         "(TakeOrdered limit 32) crossed with a 3-row constant dims table, "
