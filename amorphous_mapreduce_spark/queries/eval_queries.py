@@ -3189,3 +3189,121 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+# --- unbiased pass@k estimator ------------------------------------------------
+
+# C(10-c, k) for c = 0..10, k in {1, 5}; C(10,1) = 10, C(10,5) = 252.
+_PAK_LUT = {1: [10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0],
+            5: [252, 126, 56, 21, 6, 1, 0, 0, 0, 0, 0]}
+_PAK_DENOM = {1: 10, 5: 252}
+
+_PAK_H = (
+    "CAST('0x' || substr(md5('pak:' || CAST(doc_id AS VARCHAR) || ':' ||"
+    " CAST(s.range AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+PASS_AT_K_ORACLE = f"""
+WITH samples AS (
+    SELECT doc_id,
+           CASE WHEN {_PAK_H} % 10
+                     < 1 + CAST('0x' || substr(md5('pakd:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5
+                THEN 1 ELSE 0 END AS pass
+    FROM documents, range(10) s
+),
+tasks AS (
+    SELECT doc_id, CAST(SUM(pass) AS BIGINT) AS c
+    FROM samples GROUP BY doc_id
+),
+per_k AS (
+    SELECT k.k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           CAST(SUM(CASE k.k
+                    WHEN 1 THEN ([{", ".join(str(v) for v in _PAK_LUT[1])}])[c + 1]
+                    ELSE ([{", ".join(str(v) for v in _PAK_LUT[5])}])[c + 1]
+                    END) AS BIGINT) AS miss_num
+    FROM tasks CROSS JOIN (SELECT unnest([1, 5]) AS k) k
+    GROUP BY k.k
+)
+SELECT k, n_tasks,
+       CASE k WHEN 1 THEN 10 ELSE 252 END AS denom_per_task,
+       CAST(1000000 - (1000000 * miss_num)
+            // (n_tasks * CASE k WHEN 1 THEN 10 ELSE 252 END) AS BIGINT)
+           AS pass_at_k_ppm_floor
+FROM per_k
+ORDER BY k
+"""
+
+
+@register("pass_at_k_estimate", PASS_AT_K_ORACLE)
+def q_pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (the HumanEval estimator): per task, n = 10
+    deterministic samples with heterogeneous per-task pass rates
+    (10%..50%, two portable MD5 draws); pass@k = 1 - C(n-c, k)/C(n, k)
+    averaged over tasks for k in {1, 5} — the eval-summary statistic
+    every code/reasoning benchmark pipeline computes from sampled
+    generations.
+
+    Exactness: each task's miss probability has the CONSTANT denominator
+    C(10, k), so the mean collapses to ONE integer fraction
+    Σ C(10-c_i, k) / (N·C(10,k)) — the binomials come from an 11-entry
+    literal LUT shared by both engines (element_at / list indexing),
+    and the final ppm is a single integer floor-division. No float
+    accumulation anywhere.
+
+    Scale: one 10-way sample explode (map-side combinable count), one
+    per-task aggregate, then a constant 2-row k-sweep — linear in tasks.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hd = hex_hash64(F.concat(F.lit("pakd:"), F.col("doc_id").cast("string")))
+    samples = (
+        docs.repartition(32, "doc_id")
+        .withColumn("thr", 1 + hd % 5)
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn(
+            "h",
+            hex_hash64(
+                F.concat(
+                    F.lit("pak:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("s").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("h") % 10 < F.col("thr"), 1).otherwise(0).alias("pass"),
+        )
+    )
+    tasks = samples.groupBy("doc_id").agg(F.sum("pass").alias("c"))
+    lut1 = ", ".join(str(v) for v in _PAK_LUT[1])
+    lut5 = ", ".join(str(v) for v in _PAK_LUT[5])
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5))).alias("k")
+    )
+    per_k = (
+        tasks.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum(
+                F.expr(
+                    f"CASE k WHEN 1 THEN element_at(array({lut1}),"
+                    f" CAST(c + 1 AS INT))"
+                    f" ELSE element_at(array({lut5}), CAST(c + 1 AS INT)) END"
+                )
+            ).alias("miss_num"),
+        )
+    )
+    return per_k.select(
+        "k",
+        "n_tasks",
+        F.expr("CASE k WHEN 1 THEN CAST(10 AS BIGINT)"
+               " ELSE CAST(252 AS BIGINT) END").alias("denom_per_task"),
+        F.expr(
+            "CAST(1000000 - (1000000 * miss_num)"
+            " div (n_tasks * CASE k WHEN 1 THEN 10 ELSE 252 END) AS BIGINT)"
+        ).alias("pass_at_k_ppm_floor"),
+    ).orderBy("k")

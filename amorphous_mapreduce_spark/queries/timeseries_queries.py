@@ -2493,3 +2493,125 @@ def q_ljung_box_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "lag")
     )
+
+
+# --- generalized-ESD-style iterative revenue outliers --------------------------
+
+_ESD_ROUNDS = 5
+
+
+def _esd_round_ctes(r: int, prev: str) -> str:
+    """One removal round: scalar (n, S) -> argmax |n·x - S| (tie day
+    asc) -> remaining set. MATERIALIZED (the kcore lesson)."""
+    return f"""
+, agg{r} AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s
+    FROM {prev}
+), pick{r} AS MATERIALIZED (
+    SELECT {r} AS round, d.day, d.rev_c, a.n,
+           abs(a.n * d.rev_c - a.s) AS dev_num,
+           a.s // a.n AS mean_floor_cents
+    FROM {prev} d CROSS JOIN agg{r} a
+    ORDER BY abs(a.n * d.rev_c - a.s) DESC, d.day ASC
+    LIMIT 1
+), rem{r} AS MATERIALIZED (
+    SELECT d.* FROM {prev} d
+    WHERE d.day <> (SELECT day FROM pick{r})
+)"""
+
+
+def _esd_oracle() -> str:
+    sql = """
+WITH daily AS MATERIALIZED (
+    SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                AS BIGINT) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders GROUP BY 1
+)"""
+    prev = "daily"
+    for r in range(1, _ESD_ROUNDS + 1):
+        sql += _esd_round_ctes(r, prev)
+        prev = f"rem{r}"
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM pick{r}" for r in range(1, _ESD_ROUNDS + 1)
+    )
+    return (
+        sql
+        + f"""
+SELECT round, day, rev_c AS revenue_cents, n AS n_before,
+       dev_num, mean_floor_cents
+FROM ({picks}) ORDER BY round
+"""
+    )
+
+
+@register("seasonal_esd_outliers", _esd_oracle())
+def q_seasonal_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD-style iterative outlier extraction on daily
+    revenue: 5 rounds of remove-the-extreme-then-recompute — the
+    masking-robust procedure (a single pass over z-scores misses
+    outliers that inflate each other's variance; Rosner's ESD re-fits
+    after every removal). Emits the removal order with each round's
+    population size, integer deviation |n·x − S| (cross-multiplied
+    |x − mean| — no division, no float), and the floor mean.
+
+    Exactness: the argmax key is a pure integer with a day tie-break;
+    mean_floor is one integer division. Scale: the daily frame is
+    CALENDAR-BOUNDED (~2,400 rows at any SF), so all 5 rounds are
+    constant-size; the only data-sized work is the first
+    map-side-combined groupBy(day). The Spark loop localCheckpoints the
+    shrinking frame each round (bounded-iteration convention).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp")
+            )
+            .cast("long")
+            .alias("day"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_c"))
+        .localCheckpoint()
+    )
+    rem = daily
+    picks = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        agg = rem.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rev_c").cast("long").alias("s"),
+        )
+        pick = (
+            rem.crossJoin(F.broadcast(agg))
+            .select(
+                F.lit(r).alias("round"),
+                "day",
+                "rev_c",
+                "n",
+                F.abs(F.col("n") * F.col("rev_c") - F.col("s")).alias(
+                    "dev_num"
+                ),
+                F.expr("s div n").alias("mean_floor_cents"),
+            )
+            .orderBy(F.desc("dev_num"), F.asc("day"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        rem = rem.join(pick.select("day"), "day", "left_anti").localCheckpoint()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "round",
+        "day",
+        F.col("rev_c").alias("revenue_cents"),
+        F.col("n").alias("n_before"),
+        "dev_num",
+        "mean_floor_cents",
+    ).orderBy("round")

@@ -718,6 +718,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
     },
+    "pass_at_k_estimate": {
+        "BroadcastNestedLoopJoin": "the per-task aggregate crossed with "
+        "the broadcast 2-row constant k table — a x2 fanout (constant), "
+        "immediately re-aggregated map-side",
+    },
     "moe_routing_audit": {
         "BroadcastNestedLoopJoin": "the 8-row per-expert load table "
         "crossed with the 1-row token-count aggregate — scalar-total "
