@@ -85,38 +85,65 @@ _GRID = [(st, ln) for st in range(1, _MAXW + 1) for ln in range(1, _MAXP + 1)]
 _GRID_VALUES = ", ".join(f"({st}, {ln})" for st, ln in _GRID)
 
 
-def _round_ctes(r: int, prev_counts: str) -> str:
+def _round_ctes(
+    r: int, prev_counts: str, lexname: str = "lex", prefix: str = ""
+) -> str:
     """One EM round: cost table from prev counts -> packed Viterbi
-    argmin -> winning-piece re-count. MATERIALIZED (the kcore lesson)."""
+    argmin -> winning-piece re-count. MATERIALIZED (the kcore lesson).
+    ``prefix``/``lexname`` let a composite oracle (tokenizer_parity)
+    embed the chain beside another trainer's CTEs without collisions."""
     return f"""
-, tot{r} AS MATERIALIZED (
+, {prefix}tot{r} AS MATERIALIZED (
     SELECT CAST(SUM(c) AS BIGINT) AS t FROM {prev_counts}
-), costs{r} AS MATERIALIZED (
+), {prefix}costs{r} AS MATERIALIZED (
     SELECT v.piece,
            {log2_scaled_sql('tot.t')} - {log2_scaled_sql('v.c')} AS cost
-    FROM {prev_counts} v CROSS JOIN tot{r} tot
-), scored{r} AS MATERIALIZED (
+    FROM {prev_counts} v CROSS JOIN {prefix}tot{r} tot
+), {prefix}scored{r} AS MATERIALIZED (
     SELECT x.word, x.wfreq, x.sid, x.np,
            SUM(COALESCE(cs.cost, {_INF})) AS total
     FROM (SELECT l.word, l.wfreq, c.sid, c.np,
                  substr(l.word, c.st, c.ln) AS piece
-          FROM lex l JOIN comp c ON c.wl = length(l.word)) x
-         LEFT JOIN costs{r} cs ON cs.piece = x.piece
+          FROM {lexname} l JOIN comp c ON c.wl = length(l.word)) x
+         LEFT JOIN {prefix}costs{r} cs ON cs.piece = x.piece
     GROUP BY x.word, x.wfreq, x.sid, x.np
-), best{r} AS MATERIALIZED (
+), {prefix}best{r} AS MATERIALIZED (
     SELECT word, wfreq,
            MIN(total * 8192 + np * 512 + sid) AS pack
-    FROM scored{r} GROUP BY word, wfreq
-), counts{r} AS MATERIALIZED (
+    FROM {prefix}scored{r} GROUP BY word, wfreq
+), {prefix}counts{r} AS MATERIALIZED (
     SELECT substr(b.word, c.st, c.ln) AS piece,
            CAST(SUM(b.wfreq) AS BIGINT) AS c,
            CAST(COUNT(DISTINCT b.word) AS BIGINT) AS n_types
-    FROM best{r} b
+    FROM {prefix}best{r} b
          JOIN comp c ON c.wl = length(b.word)
                     AND c.sid = (b.pack % 512)
                     AND c.np = ((b.pack % 8192) // 512)
     GROUP BY substr(b.word, c.st, c.ln)
 )"""
+
+
+def _ulm_chain(lexname: str, prefix: str) -> str:
+    """comp/grid literals + seed counts + ULM_ROUNDS EM rounds reading
+    (word, wfreq) from ``lexname``; all round CTEs carry ``prefix``.
+    Returns the CTE fragment (leading comma) and the final counts name
+    via f"{prefix}counts{ULM_ROUNDS}"."""
+    sql = f""",
+comp(wl, sid, np, k, st, ln) AS MATERIALIZED (
+    SELECT * FROM (VALUES {_COMP_VALUES})
+),
+grid(st, ln) AS (SELECT * FROM (VALUES {_GRID_VALUES})),
+{prefix}counts0 AS MATERIALIZED (
+    SELECT substr(word, g.st, g.ln) AS piece,
+           CAST(SUM(wfreq) AS BIGINT) AS c
+    FROM {lexname} JOIN grid g ON g.st + g.ln - 1 <= length(word)
+    GROUP BY substr(word, g.st, g.ln)
+)"""
+    prev = f"{prefix}counts0"
+    for r in range(1, ULM_ROUNDS + 1):
+        sql += _round_ctes(r, prev, lexname=lexname, prefix=prefix)
+        prev = f"{prefix}counts{r}"
+    return sql
 
 
 def _ulm_oracle() -> str:
@@ -127,22 +154,10 @@ def _ulm_oracle() -> str:
 , lex AS MATERIALIZED (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq
     FROM toks WHERE length(word) <= {_MAXW} GROUP BY word
-),
-comp(wl, sid, np, k, st, ln) AS MATERIALIZED (
-    SELECT * FROM (VALUES {_COMP_VALUES})
-),
-grid(st, ln) AS (SELECT * FROM (VALUES {_GRID_VALUES})),
-counts0 AS MATERIALIZED (
-    SELECT substr(word, g.st, g.ln) AS piece,
-           CAST(SUM(wfreq) AS BIGINT) AS c
-    FROM lex JOIN grid g ON g.st + g.ln - 1 <= length(word)
-    GROUP BY substr(word, g.st, g.ln)
 )"""
+        + _ulm_chain("lex", "")
     )
-    prev = "counts0"
-    for r in range(1, ULM_ROUNDS + 1):
-        sql += _round_ctes(r, prev)
-        prev = f"counts{r}"
+    prev = f"counts{ULM_ROUNDS}"
     sql += f"""
 SELECT p.piece,
        p.c AS weighted_count,
@@ -245,4 +260,118 @@ def q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "piece string, weighted_count long, n_types long, weight_ppm long",
         )
         .orderBy("piece")
+    )
+
+
+# --- BPE vs unigram-LM tokenizer bake-off -------------------------------------
+
+from amorphous_mapreduce_spark.queries.bpe_queries import (  # noqa: E402
+    _BPE_CHAIN,
+    _make_kernels,
+    BPE_ROUNDS,
+)
+
+TOKENIZER_PARITY_ORACLE = (
+    _BPE_CHAIN
+    + f""",
+ulex AS MATERIALIZED (
+    SELECT word, CAST(freq AS BIGINT) AS wfreq
+    FROM lex WHERE length(word) <= {_MAXW}
+)"""
+    + _ulm_chain("ulex", "u")
+    + f""",
+scal AS (
+    SELECT
+        (SELECT CAST(SUM(wfreq) AS BIGINT) FROM ulex) AS total_words,
+        (SELECT CAST(SUM(wfreq * length(word)) AS BIGINT) FROM ulex)
+            AS total_chars,
+        (SELECT CAST(COALESCE(SUM(freq), 0) AS BIGINT)
+         FROM lex WHERE length(word) > {_MAXW}) AS words_excluded,
+        (SELECT CAST(SUM(freq * len(string_split(trim(seg, ' '), ' ')))
+                     AS BIGINT)
+         FROM r{BPE_ROUNDS} WHERE length(word) <= {_MAXW}) AS bpe_tokens,
+        (SELECT CAST(SUM(c) AS BIGINT) FROM ucounts{ULM_ROUNDS})
+            AS ulm_tokens
+)
+SELECT total_words, total_chars, words_excluded, bpe_tokens, ulm_tokens,
+       CAST((1000 * bpe_tokens) // total_chars AS BIGINT)
+           AS bpe_tokens_per_kchar,
+       CAST((1000 * ulm_tokens) // total_chars AS BIGINT)
+           AS ulm_tokens_per_kchar
+FROM scal
+"""
+)
+
+
+@register("tokenizer_parity", TOKENIZER_PARITY_ORACLE)
+def q_tokenizer_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-vs-unigram-LM bake-off on the SAME weighted lexicon: corpus
+    token counts under the 12-merge BPE tokenizer and the 2-round
+    unigram-LM tokenizer, plus tokens-per-1000-chars for each — the
+    compression comparison a tokenizer selection actually runs (both
+    trainers already exist; this query proves they compose, and its
+    oracle embeds BOTH unrolled training chains in ONE WITH clause via
+    the prefix-parameterized CTE builders).
+
+    Exactness: both token totals are integer sums over each trainer's
+    final segmentation (BPE: symbols of r12's segs weighted by freq;
+    ULM: Σ weighted piece counts = one piece per winning-segmentation
+    slot per word instance); ratios are integer floor-divisions.
+
+    Scale: one lexicon groupBy feeds both bounded-state kernels; the
+    comparison is a cross of four 1-row aggregates.
+    """
+    from amorphous_mapreduce_spark.operators.dedup import tokenized
+
+    lex = (
+        tokenized(load_table(spark, sf_dir, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    stats = lex.agg(
+        F.sum(F.when(F.length("word") <= _MAXW, F.col("freq")).otherwise(0))
+        .cast("long")
+        .alias("total_words"),
+        F.sum(
+            F.when(
+                F.length("word") <= _MAXW,
+                F.col("freq") * F.length("word").cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.sum(F.when(F.length("word") > _MAXW, F.col("freq")).otherwise(0))
+        .cast("long")
+        .alias("words_excluded"),
+    )
+    _, tok_kernel, _ = _make_kernels(BPE_ROUNDS)
+    # BPE kernel segments the FULL lexicon; restrict the token total to
+    # the <=_MAXW words so both tokenizers are scored on the same corpus
+    lex8 = lex.filter(F.length("word") <= _MAXW)
+    bpe_tokens = (
+        lex8.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(tok_kernel, "symbol string, n_tokens long")
+        .agg(F.sum("n_tokens").cast("long").alias("bpe_tokens"))
+    )
+    ulm = q_unigram_lm_tokenizer(spark, sf_dir)
+    ulm_tokens = ulm.agg(
+        F.sum("weighted_count").cast("long").alias("ulm_tokens")
+    )
+    return (
+        stats.crossJoin(F.broadcast(bpe_tokens))
+        .crossJoin(F.broadcast(ulm_tokens))
+        .select(
+            "total_words",
+            "total_chars",
+            "words_excluded",
+            "bpe_tokens",
+            "ulm_tokens",
+            F.expr("(1000 * bpe_tokens) div total_chars").alias(
+                "bpe_tokens_per_kchar"
+            ),
+            F.expr("(1000 * ulm_tokens) div total_chars").alias(
+                "ulm_tokens_per_kchar"
+            ),
+        )
     )

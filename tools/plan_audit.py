@@ -718,6 +718,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
     },
+    "tokenizer_parity": {
+        "BroadcastNestedLoopJoin": "two 1-row x 1-row scalar crosses "
+        "(lexicon stats x BPE token total x ULM token total) — the "
+        "scalar-total pattern; each factor is a bounded-state kernel "
+        "or map-side aggregate",
+    },
     "pass_at_k_estimate": {
         "BroadcastNestedLoopJoin": "the per-task aggregate crossed with "
         "the broadcast 2-row constant k table — a x2 fanout (constant), "
