@@ -3307,3 +3307,98 @@ def q_pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_tasks * CASE k WHEN 1 THEN 10 ELSE 252 END) AS BIGINT)"
         ).alias("pass_at_k_ppm_floor"),
     ).orderBy("k")
+
+
+# --- WOE / Information-Value scorecard -----------------------------------------
+
+WOE_IV_ORACLE = f"""
+WITH bins AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)
+               AS discount_pct,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad
+    FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+           CAST(SUM(n_bad) AS BIGINT) AS b
+    FROM bins
+),
+scored AS (
+    SELECT bins.discount_pct, bins.n_good, bins.n_bad,
+           ({log2_scaled_sql('bins.n_good')} - {log2_scaled_sql('tot.g')})
+           - ({log2_scaled_sql('bins.n_bad')} - {log2_scaled_sql('tot.b')})
+               AS woe_q,
+           (1000000 * bins.n_good) // tot.g
+           - (1000000 * bins.n_bad) // tot.b AS share_diff_ppm
+    FROM bins CROSS JOIN tot
+)
+SELECT discount_pct, n_good, n_bad, woe_q, share_diff_ppm,
+       share_diff_ppm * woe_q AS iv_contrib_q,
+       CAST(SUM(share_diff_ppm * woe_q) OVER () AS BIGINT) AS iv_total_q
+FROM scored
+ORDER BY discount_pct
+"""
+
+
+@register("woe_iv_scorecard", WOE_IV_ORACLE)
+def q_woe_iv_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard — the classic
+    credit-risk binning diagnostic — for the discount feature against
+    the return outcome: per discount bin, WOE = log2(good share) -
+    log2(bad share) in integer 2^-20 units (the libm-free intlog LUT,
+    so both engines emit the identical integer), the share difference
+    quantized to ppm BEFORE multiplying (quantize-then-sum convention),
+    and each bin's IV contribution plus the windowed total.
+
+    Precondition (documented, not guarded): every bin holds both
+    classes — true by construction for the 11-value discount domain at
+    every fixture SF (the smallest bin/class cell is >100 rows at
+    sf0.001); log2_scaled requires counts >= 1.
+
+    Scale: one map-side-combined groupBy over lineitem -> an 11-row
+    frame crossed with a 1-row total; everything after the first
+    aggregate is constant-size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("decimal(3,2)") * 100)
+        .cast("long")
+        .alias("discount_pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    bins = li.groupBy("discount_pct").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = bins.agg(
+        F.sum("n_good").cast("long").alias("g"),
+        F.sum("n_bad").cast("long").alias("b"),
+    )
+    scored = bins.crossJoin(F.broadcast(tot)).select(
+        "discount_pct",
+        "n_good",
+        "n_bad",
+        (
+            (log2_scaled("n_good") - log2_scaled("g"))
+            - (log2_scaled("n_bad") - log2_scaled("b"))
+        ).alias("woe_q"),
+        (
+            F.expr("(1000000 * n_good) div g")
+            - F.expr("(1000000 * n_bad) div b")
+        ).alias("share_diff_ppm"),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "discount_pct",
+        "n_good",
+        "n_bad",
+        "woe_q",
+        "share_diff_ppm",
+        (F.col("share_diff_ppm") * F.col("woe_q")).alias("iv_contrib_q"),
+        F.sum(F.col("share_diff_ppm") * F.col("woe_q"))
+        .over(w)
+        .cast("long")
+        .alias("iv_total_q"),
+    ).orderBy("discount_pct")

@@ -1209,3 +1209,100 @@ def q_moe_routing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expert_id")
     )
+
+
+# --- salted-shuffle balance audit ----------------------------------------------
+
+_SSB_KEYH = (
+    "CAST('0x' || substr(md5('ssb:' || o_orderpriority), 1, 15) AS BIGINT)"
+)
+_SSB_SALTH = (
+    "CAST('0x' || substr(md5('ssbs:' || CAST(o_orderkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+SALT_BALANCE_ORACLE = f"""
+WITH placed AS (
+    SELECT {_SSB_KEYH} % 32 AS plain_r,
+           CAST('0x' || substr(md5('ssb:' || o_orderpriority || '#' ||
+                CAST({_SSB_SALTH} % 8 AS VARCHAR)), 1, 15) AS BIGINT) % 32
+               AS salted_r
+    FROM orders
+),
+per_r AS (
+    SELECT variant, r, CAST(COUNT(*) AS BIGINT) AS rows_in
+    FROM (SELECT 'plain' AS variant, plain_r AS r FROM placed UNION ALL
+          SELECT 'salted', salted_r FROM placed)
+    GROUP BY variant, r
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS reducers_used,
+       CAST(MAX(rows_in) AS BIGINT) AS max_reducer_rows,
+       CAST(SUM(rows_in) AS BIGINT) AS total_rows,
+       CAST((1000000 * MAX(rows_in)) // SUM(rows_in) AS BIGINT)
+           AS max_share_ppm
+FROM per_r
+GROUP BY variant
+ORDER BY variant
+"""
+
+
+@register("salted_shuffle_balance", SALT_BALANCE_ORACLE)
+def q_salted_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-balance evidence for skew salting, emitted as data: the
+    5-value order-priority key hashes into at most 5 of 32 reducers
+    (27 idle, the hottest holding ~20-25% of all rows); the same key
+    salted 8 ways (key#salt, salt from a second row-level hash —
+    operators.skew's scheme) spreads to ~32 reducers with max share
+    near 1/32. Both placements use the portable MD5 hash so the oracle
+    replays reducer assignment bit-for-bit — this is the query form of
+    the salted_count/salted_join operator tests, scoring placement
+    balance instead of asserting result equality.
+
+    Scale: one scan, one (variant, reducer) count (map-side combined,
+    <= 64 groups), one 2-row summary. The imbalance it measures is
+    exactly what decides straggler-or-not at 1000 executors.
+    """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyh = hex_hash64(F.concat(F.lit("ssb:"), F.col("o_orderpriority")))
+    salt = (
+        hex_hash64(
+            F.concat(F.lit("ssbs:"), F.col("o_orderkey").cast("string"))
+        )
+        % 8
+    )
+    salted = hex_hash64(
+        F.concat(
+            F.lit("ssb:"),
+            F.col("o_orderpriority"),
+            F.lit("#"),
+            salt.cast("string"),
+        )
+    )
+    placed = orders.select(
+        (keyh % 32).alias("plain_r"), (salted % 32).alias("salted_r")
+    ).persist()
+    per_r = (
+        placed.select(F.lit("plain").alias("variant"), F.col("plain_r").alias("r"))
+        .unionByName(
+            placed.select(
+                F.lit("salted").alias("variant"), F.col("salted_r").alias("r")
+            )
+        )
+        .groupBy("variant", "r")
+        .agg(F.count(F.lit(1)).alias("rows_in"))
+    )
+    return (
+        per_r.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("reducers_used"),
+            F.max("rows_in").cast("long").alias("max_reducer_rows"),
+            F.sum("rows_in").cast("long").alias("total_rows"),
+            F.expr(
+                "CAST((1000000 * MAX(rows_in)) div SUM(rows_in) AS BIGINT)"
+            ).alias("max_share_ppm"),
+        )
+        .orderBy("variant")
+    )

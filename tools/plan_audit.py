@@ -718,6 +718,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
     },
+    "woe_iv_scorecard": {
+        "BroadcastNestedLoopJoin": "the 11-row discount-bin frame "
+        "crossed with the 1-row (G, B) totals — scalar-total pattern",
+        "Exchange SinglePartition": "the unpartitioned IV-total window "
+        "over the 11-row bin frame (value-domain-bounded; "
+        "pareto_abc_classes precedent)",
+    },
     "tokenizer_parity": {
         "BroadcastNestedLoopJoin": "two 1-row x 1-row scalar crosses "
         "(lexicon stats x BPE token total x ULM token total) — the "
