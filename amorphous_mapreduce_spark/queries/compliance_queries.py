@@ -800,3 +800,80 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("t_closeness"), "nation", "seg")
     )
+
+
+# --- user-level contribution capping (DP sensitivity bounding) ----------------
+
+UCAP_K = 8
+
+UCAP_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_type, value) AS rk
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS total_events,
+       CAST(SUM(CASE WHEN rk <= {UCAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_events,
+       CAST(SUM(cents) AS BIGINT) AS total_value_cents,
+       CAST(SUM(CASE WHEN rk <= {UCAP_K} THEN cents ELSE 0 END) AS BIGINT)
+           AS kept_value_cents,
+       CAST((1000000 * SUM(CASE WHEN rk > {UCAP_K} THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dropped_ppm
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("user_contribution_capping", UCAP_ORACLE)
+def q_user_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level contribution bounding — the preprocessing step every
+    user-level-DP aggregate (and every abuse-robust metric) runs first:
+    keep at most K = 8 events per user (earliest-first with a full
+    (ts, type, value) tie-break), and report, per event type, how much
+    event count and value mass the cap clips. kept_value_cents is the
+    bounded-sensitivity aggregate a DP release would add noise to;
+    dropped_ppm is the utility cost of the bound.
+
+    Exactness: cents via the decimal cast convention; the rank's
+    ordering key is total for aggregate purposes (rows identical in all
+    three keys are interchangeable, so the kept MASS is well-defined);
+    integer ppm division.
+
+    Scale: one scan -> per-user window (shuffle on user_id) -> one
+    per-type aggregate. The cap is exactly the per-key bounded-work
+    idea the dedup caps use, applied to privacy sensitivity.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type", "value")
+    ranked = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_events"),
+            F.sum(F.when(F.col("rk") <= UCAP_K, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_events"),
+            F.sum("cents").cast("long").alias("total_value_cents"),
+            F.sum(F.when(F.col("rk") <= UCAP_K, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("kept_value_cents"),
+            F.expr(
+                f"CAST((1000000 * SUM(CASE WHEN rk > {UCAP_K} THEN 1 ELSE 0"
+                f" END)) div COUNT(*) AS BIGINT)"
+            ).alias("dropped_ppm"),
+        )
+        .orderBy("event_type")
+    )
