@@ -1306,3 +1306,93 @@ def q_salted_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --- GRPO group-relative advantage manifest -------------------------------------
+
+GRPO_ORACLE = """
+WITH feat AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_dis,
+           CASE WHEN text LIKE '% dup' THEN 1 ELSE 0 END AS is_dup
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source, n_tok // 25 AS bucket,
+           1000 * n_dis - 10 * n_tok - 5000 * is_dup AS reward
+    FROM feat
+),
+grp AS (
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(SUM(reward) AS BIGINT) AS s
+    FROM scored GROUP BY source, bucket
+)
+SELECT sc.source, sc.bucket, sc.doc_id, sc.reward, g.group_n,
+       g.group_n * sc.reward - g.s AS adv_num,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY sc.source, sc.bucket
+           ORDER BY g.group_n * sc.reward - g.s DESC, sc.doc_id
+       ) AS BIGINT) AS adv_rank
+FROM scored sc JOIN grp g USING (source, bucket)
+ORDER BY sc.source, sc.bucket, adv_rank
+"""
+
+
+@register("grpo_advantage_manifest", GRPO_ORACLE)
+def q_grpo_advantage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage manifest (the GRPO shaping step: no
+    critic, advantage = reward minus the group mean over completions of
+    the same prompt): same prompt groups and deterministic reward as
+    dpo_pair_manifest, emitting for every candidate the EXACT
+    cross-multiplied advantage numerator n·r − Σr (advantage sign and
+    ORDER are identical to (r − mean) without any division) and its
+    within-group rank.
+
+    Exactness: pure integer arithmetic throughout; rank carries a
+    doc_id tie-break. Scale: one scan -> one keyed aggregate joined
+    back on the group key -> one per-group window; linear with
+    group-keyed shuffles only.
+    """
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(32, "doc_id")
+    )
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT) div 25").alias(
+            "bucket"
+        ),
+        (
+            F.lit(1000) * F.size(F.array_distinct(toks)).cast("long")
+            - F.lit(10) * F.size(toks).cast("long")
+            - F.lit(5000)
+            * F.when(F.col("text").like("% dup"), 1).otherwise(0).cast("long")
+        ).alias("reward"),
+    )
+    grp = scored.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.sum("reward").cast("long").alias("s"),
+    )
+    joined = scored.join(grp, ["source", "bucket"]).withColumn(
+        "adv_num", F.col("group_n") * F.col("reward") - F.col("s")
+    )
+    w = Window.partitionBy("source", "bucket").orderBy(
+        F.desc("adv_num"), F.asc("doc_id")
+    )
+    return joined.select(
+        "source",
+        "bucket",
+        "doc_id",
+        "reward",
+        "group_n",
+        "adv_num",
+        F.row_number().over(w).cast("long").alias("adv_rank"),
+    ).orderBy("source", "bucket", "adv_rank")
