@@ -201,6 +201,15 @@ HEADLINE = [
     "harmonic_centrality",
     "iv_wald_estimate",
     "moe_routing_audit",
+    # bake-off / eval-stat / anomaly / scorecard / shuffle-health /
+    # privacy / RLHF-shaping families (round 7, final)
+    "tokenizer_parity",
+    "pass_at_k_estimate",
+    "seasonal_esd_outliers",
+    "woe_iv_scorecard",
+    "salted_shuffle_balance",
+    "user_contribution_capping",
+    "grpo_advantage_manifest",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
