@@ -1699,3 +1699,99 @@ def q_shard_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --- inference prefix-cache hit-rate audit --------------------------------------
+
+PREFIX_CACHE_ORACLE = """
+WITH pref AS (
+    SELECT doc_id, k.k,
+           array_to_string(string_split(text, ' ')[1:k.k], ' ') AS prefix,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents CROSS JOIN (SELECT unnest([4, 8, 16]) AS k) k
+    WHERE len(string_split(text, ' ')) >= k.k
+),
+firsts AS (
+    SELECT k, prefix, MIN(doc_id) AS first_id,
+           CAST(COUNT(*) AS BIGINT) AS grp_n
+    FROM pref GROUP BY k, prefix
+)
+SELECT p.k AS prefix_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT p.prefix) AS BIGINT) AS distinct_prefixes,
+       CAST(SUM(CASE WHEN p.doc_id > f.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST((1000000 * SUM(CASE WHEN p.doc_id > f.first_id THEN 1 ELSE 0
+                           END)) // COUNT(*) AS BIGINT) AS hit_ppm,
+       CAST(SUM(CASE WHEN p.doc_id > f.first_id THEN p.k ELSE 0 END)
+            AS BIGINT) AS cached_tokens_served
+FROM pref p JOIN firsts f ON f.k = p.k AND f.prefix = p.prefix
+GROUP BY p.k
+ORDER BY prefix_tokens
+"""
+
+
+@register("prefix_cache_hits", PREFIX_CACHE_ORACLE)
+def q_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference prefix-cache economics: for prefix lengths k in
+    {4, 8, 16} tokens, how many requests (documents, id order standing
+    in for arrival order) would HIT a prefix cache warmed by an earlier
+    request with the identical k-token prefix — plus the total cached
+    tokens served (the KV-recompute the cache saves). The serving-side
+    twin of boilerplate_prefix_mass (which measures corpus redundancy;
+    this prices the cache).
+
+    Exactness: pure string-prefix grouping and integer counts; the
+    'earlier' rule is MIN(doc_id) per (k, prefix) — a pure function of
+    the corpus. Scale: one scan x3 constant k levels, grouped on the
+    prefix key (hash-shuffled, no skew beyond true prefix popularity —
+    exactly the phenomenon being measured).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("k")
+    )
+    pref = (
+        docs.crossJoin(F.broadcast(ks))
+        .filter(F.size(F.split(F.col("text"), " ")) >= F.col("k"))
+        .select(
+            "doc_id",
+            "k",
+            F.expr(
+                "array_join(slice(split(text, ' '), 1, k), ' ')"
+            ).alias("prefix"),
+        )
+    )
+    firsts = pref.groupBy("k", "prefix").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    return (
+        pref.join(firsts, ["k", "prefix"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("prefix").cast("long").alias("distinct_prefixes"),
+            F.sum(F.when(F.col("doc_id") > F.col("first_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN doc_id > first_id THEN 1"
+                " ELSE 0 END)) div COUNT(*) AS BIGINT)"
+            ).alias("hit_ppm"),
+            F.sum(
+                F.when(F.col("doc_id") > F.col("first_id"), F.col("k"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("cached_tokens_served"),
+        )
+        .select(
+            F.col("k").cast("long").alias("prefix_tokens"),
+            "n_docs",
+            "distinct_prefixes",
+            "n_hits",
+            "hit_ppm",
+            "cached_tokens_served",
+        )
+        .orderBy("prefix_tokens")
+    )

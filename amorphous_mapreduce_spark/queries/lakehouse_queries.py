@@ -516,3 +516,119 @@ def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- dictionary-encoding size planner --------------------------------------------
+
+DICT_ENCODING_ORACLE = """
+WITH cols AS (
+    SELECT 'o_orderpriority' AS col_name, o_orderpriority AS v FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus FROM orders
+    UNION ALL
+    SELECT 'l_returnflag', l_returnflag FROM lineitem
+    UNION ALL
+    SELECT 'p_brand', p_brand FROM part
+),
+stats AS (
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           CAST(SUM(length(v)) AS BIGINT) AS raw_bytes
+    FROM cols GROUP BY col_name
+),
+dict_bytes AS (
+    SELECT col_name, CAST(SUM(len) AS BIGINT) AS db FROM (
+        SELECT DISTINCT col_name, v, length(v) AS len FROM cols
+    ) GROUP BY col_name
+)
+SELECT s.col_name, s.n_rows, s.ndv, s.raw_bytes,
+       CAST(length(bin(GREATEST(s.ndv - 1, CAST(1 AS BIGINT)))) AS BIGINT)
+           AS code_bits,
+       CAST((s.n_rows
+             * length(bin(GREATEST(s.ndv - 1, CAST(1 AS BIGINT)))) + 7) // 8
+            + d.db AS BIGINT) AS encoded_bytes,
+       CAST((1000000 * ((s.n_rows
+             * length(bin(GREATEST(s.ndv - 1, CAST(1 AS BIGINT)))) + 7) // 8
+             + d.db)) // s.raw_bytes AS BIGINT) AS size_ratio_ppm
+FROM stats s JOIN dict_bytes d USING (col_name)
+ORDER BY s.col_name
+"""
+
+
+@register("dict_encoding_estimate", DICT_ENCODING_ORACLE)
+def q_dict_encoding_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding size planner for low-cardinality string
+    columns — the decision a columnar writer (parquet/ORC) makes per
+    column: code width = ceil(log2 ndv) bits via the libm-free
+    length(bin(ndv-1)) (zipf_octave trick), encoded size = packed codes
+    + dictionary payload, and the ratio vs raw bytes in ppm. Four
+    representative columns audited in one stacked scan.
+
+    Exactness: counts, distinct counts, and byte lengths are integers;
+    the ceiling division (x+7) div 8 and the ppm ratio are integer
+    divisions. Scale: one union scan -> per-column aggregates (the
+    stacked (dim, value) scan pattern, rfm_cell_matrix precedent); no
+    row-level state anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cols = (
+        orders.select(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_orderstatus").alias("col_name"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_returnflag").alias("col_name"),
+                F.col("l_returnflag").alias("v"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.lit("p_brand").alias("col_name"), F.col("p_brand").alias("v")
+            )
+        )
+        .persist()
+    )
+    stats = cols.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("v").cast("long").alias("ndv"),
+        F.sum(F.length("v")).cast("long").alias("raw_bytes"),
+    )
+    dict_bytes = (
+        cols.select("col_name", "v")
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.sum(F.length("v")).cast("long").alias("db"))
+    )
+    return (
+        stats.join(dict_bytes, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "ndv",
+            "raw_bytes",
+            F.expr(
+                "CAST(length(bin(GREATEST(ndv - 1, CAST(1 AS BIGINT))))"
+                " AS BIGINT)"
+            ).alias("code_bits"),
+            F.expr(
+                "CAST((n_rows * length(bin(GREATEST(ndv - 1,"
+                " CAST(1 AS BIGINT)))) + 7) div 8 + db AS BIGINT)"
+            ).alias("encoded_bytes"),
+            F.expr(
+                "CAST((1000000 * ((n_rows * length(bin(GREATEST(ndv - 1,"
+                " CAST(1 AS BIGINT)))) + 7) div 8 + db)) div raw_bytes"
+                " AS BIGINT)"
+            ).alias("size_ratio_ppm"),
+        )
+        .orderBy("col_name")
+    )

@@ -718,6 +718,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
     },
+    "prefix_cache_hits": {
+        "BroadcastNestedLoopJoin": "the 3-row constant k table broadcast-"
+        "crossed onto the document scan (x3 constant fanout, matryoshka/"
+        "mixture pattern), appearing twice in the BUILT plan because both "
+        "the pref and firsts branches re-expand the lineage pre-execution",
+    },
     "woe_iv_scorecard": {
         "BroadcastNestedLoopJoin": "the 11-row discount-bin frame "
         "crossed with the 1-row (G, B) totals — scalar-total pattern",
