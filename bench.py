@@ -210,6 +210,8 @@ HEADLINE = [
     "salted_shuffle_balance",
     "user_contribution_capping",
     "grpo_advantage_manifest",
+    "prefix_cache_hits",
+    "dict_encoding_estimate",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
