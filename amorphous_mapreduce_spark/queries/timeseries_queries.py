@@ -2615,3 +2615,174 @@ def q_seasonal_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev_num",
         "mean_floor_cents",
     ).orderBy("round")
+
+
+# --- dynamic-time-warping brand similarity ---------------------------------------
+
+_DTW_N = 12  # months of 1996; DP is (12 x 12), 300 brand pairs
+_DTW_INF = 10**15
+
+
+def _dtw_diag_cte(d: int) -> str:
+    """Diagonal i+j = d from the two previous diagonals (banded-DP
+    unroll; LEFT JOINs + COALESCE(INF) encode the DTW boundary rules).
+    d = 3 has no d-2 diagonal (the (i-1, j-1) predecessor would sit at
+    i+j = 1, outside the grid), so its ul term is the INF literal."""
+    if d == 3:
+        return f"""
+, diag{d} AS MATERIALIZED (
+    SELECT p.ba, p.bb, p.i, p.j,
+           p.c + LEAST(COALESCE(u.cost, {_DTW_INF}),
+                       COALESCE(l.cost, {_DTW_INF})) AS cost
+    FROM cells p
+    LEFT JOIN diag{d - 1} u
+           ON u.ba = p.ba AND u.bb = p.bb AND u.i = p.i - 1 AND u.j = p.j
+    LEFT JOIN diag{d - 1} l
+           ON l.ba = p.ba AND l.bb = p.bb AND l.i = p.i AND l.j = p.j - 1
+    WHERE p.i + p.j = {d}
+)"""
+    return f"""
+, diag{d} AS MATERIALIZED (
+    SELECT p.ba, p.bb, p.i, p.j,
+           p.c + LEAST(COALESCE(u.cost, {_DTW_INF}),
+                       COALESCE(l.cost, {_DTW_INF}),
+                       COALESCE(ul.cost, {_DTW_INF})) AS cost
+    FROM cells p
+    LEFT JOIN diag{d - 1} u
+           ON u.ba = p.ba AND u.bb = p.bb AND u.i = p.i - 1 AND u.j = p.j
+    LEFT JOIN diag{d - 1} l
+           ON l.ba = p.ba AND l.bb = p.bb AND l.i = p.i AND l.j = p.j - 1
+    LEFT JOIN diag{d - 2} ul
+           ON ul.ba = p.ba AND ul.bb = p.bb AND ul.i = p.i - 1
+          AND ul.j = p.j - 1
+    WHERE p.i + p.j = {d}
+)"""
+
+
+def _dtw_oracle() -> str:
+    sql = f"""
+WITH rev AS (
+    SELECT p.p_brand AS brand,
+           CAST(date_part('month', l.l_shipdate) AS BIGINT) AS m,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE date_part('year', l.l_shipdate) = 1996
+    GROUP BY 1, 2
+),
+series AS MATERIALIZED (
+    SELECT b.brand, g.m, COALESCE(r.cents, 0) AS cents
+    FROM (SELECT DISTINCT p_brand AS brand FROM part) b
+    CROSS JOIN (SELECT unnest(generate_series(1, {_DTW_N})) AS m) g
+    LEFT JOIN rev r ON r.brand = b.brand AND r.m = g.m
+),
+cells AS MATERIALIZED (
+    SELECT a.brand AS ba, b.brand AS bb, a.m AS i, b.m AS j,
+           abs(a.cents - b.cents) AS c
+    FROM series a JOIN series b ON a.brand < b.brand
+),
+diag2 AS MATERIALIZED (
+    SELECT ba, bb, i, j, c AS cost FROM cells WHERE i = 1 AND j = 1
+)"""
+    for d in range(3, 2 * _DTW_N + 1):
+        sql += _dtw_diag_cte(d)
+    sql += f"""
+SELECT ba AS brand_a, bb AS brand_b, CAST(cost AS BIGINT) AS dtw_cents,
+       CAST(ROW_NUMBER() OVER (ORDER BY cost, ba, bb) AS BIGINT) AS rank
+FROM diag{2 * _DTW_N}
+WHERE i = {_DTW_N} AND j = {_DTW_N}
+ORDER BY rank LIMIT 10
+"""
+    return sql
+
+
+@register("dtw_brand_similarity", _dtw_oracle())
+def q_dtw_brand_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-similar brand pairs by EXACT dynamic time warping
+    over their 1996 monthly revenue series — the classic elastic
+    time-series similarity measure (the distributed data-series
+    similarity-search literature's core primitive, cf. PAPERS.md
+    Odyssey/EDBT-2019), absent from the engine until now. L1 ground
+    cost in integer cents keeps the whole DP integral, so the DTW
+    distance itself hash-matches.
+
+    Distribution shape: the series table is DIMENSION-bounded (25
+    brands x 12 months) at any corpus size, so after one distributed
+    (brand, month) aggregate the 300-pair DP runs in ONE grouped
+    kernel (bpe/markov bounded-state pattern). The oracle unrolls the
+    DP by anti-diagonal (22 MATERIALIZED CTEs; LEFT JOIN + COALESCE(INF)
+    encode the boundary), mirroring the kendall 2-D grid discipline.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(F.year("l_shipdate") == 1996)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.month("l_shipdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    brands = part.select(F.col("p_brand").alias("brand")).distinct()
+    months = spark.range(1, _DTW_N + 1).select(F.col("id").alias("m"))
+    series = (
+        brands.crossJoin(F.broadcast(months))
+        .join(rev, ["brand", "m"], "left")
+        .select(
+            "brand", "m", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+        )
+    )
+    n = _DTW_N
+
+    def kernel(pdf):
+        import pandas as pd
+
+        s: dict = {}
+        for b, m, c in zip(pdf["brand"], pdf["m"], pdf["cents"]):
+            s.setdefault(b, [0] * n)[int(m) - 1] = int(c)
+        names = sorted(s)
+        out = []
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                a, b = s[names[x]], s[names[y]]
+                prev = None
+                for i in range(n):
+                    cur = [0] * n
+                    for j in range(n):
+                        c = abs(a[i] - b[j])
+                        if i == 0 and j == 0:
+                            cur[j] = c
+                        elif i == 0:
+                            cur[j] = c + cur[j - 1]
+                        elif j == 0:
+                            cur[j] = c + prev[j]
+                        else:
+                            cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+                    prev = cur
+                out.append((names[x], names[y], prev[n - 1]))
+        out.sort(key=lambda r: (r[2], r[0], r[1]))
+        top = out[:10]
+        return pd.DataFrame(
+            {
+                "brand_a": [r[0] for r in top],
+                "brand_b": [r[1] for r in top],
+                "dtw_cents": [r[2] for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        series.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(
+            kernel,
+            "brand_a string, brand_b string, dtw_cents long, rank long",
+        )
+        .orderBy("rank")
+    )

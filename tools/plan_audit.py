@@ -718,6 +718,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "16 x |gallery|, linear; codebooks and LUTs are constant-size "
         "broadcasts (same pattern as quantization_recall)",
     },
+    "dtw_brand_similarity": {
+        "BroadcastNestedLoopJoin": "the 25-row brand dimension crossed "
+        "with the broadcast 12-row month table to zero-fill the series "
+        "grid — a 300-row DIMENSION-bounded frame at any corpus size",
+    },
     "prefix_cache_hits": {
         "BroadcastNestedLoopJoin": "the 3-row constant k table broadcast-"
         "crossed onto the document scan (x3 constant fanout, matryoshka/"
