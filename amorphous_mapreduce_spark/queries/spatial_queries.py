@@ -894,3 +894,103 @@ def q_kdist_knee_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "knee_rank")
         .limit(1)
     )
+
+
+# --- diversified top-k region search ----------------------------------------------
+
+_DTR_K = 5
+_DTR_SEP = 2  # picked cells must differ by > SEP in cx or cy (Chebyshev)
+
+
+def _dtr_round_ctes(r: int, prev: str) -> str:
+    return f"""
+, pick{r} AS MATERIALIZED (
+    SELECT {r} AS rank, cx, cy, n_points
+    FROM {prev}
+    ORDER BY n_points DESC, cx, cy LIMIT 1
+), rem{r} AS MATERIALIZED (
+    SELECT d.* FROM {prev} d CROSS JOIN pick{r} p
+    WHERE abs(d.cx - p.cx) > {_DTR_SEP} OR abs(d.cy - p.cy) > {_DTR_SEP}
+)"""
+
+
+def _dtr_oracle() -> str:
+    sql = (
+        "WITH "
+        + _PTS_CTE
+        + f"""
+, cells0 AS MATERIALIZED (
+    SELECT x // {HOT_CELL} AS cx, y // {HOT_CELL} AS cy,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pts GROUP BY 1, 2
+)"""
+    )
+    prev = "cells0"
+    for r in range(1, _DTR_K + 1):
+        sql += _dtr_round_ctes(r, prev)
+        prev = f"rem{r}"
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM pick{r}" for r in range(1, _DTR_K + 1)
+    )
+    return (
+        sql
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, cx, cy, n_points
+FROM ({picks}) ORDER BY rank
+"""
+    )
+
+
+@register("diversified_top_regions", _dtr_oracle())
+def q_diversified_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k best-region search (cf. PAPERS.md EDBT-2020):
+    greedily pick the 5 densest 20k-unit grid cells such that no two
+    picks are within Chebyshev distance 2 of each other in cell space —
+    the "show me distinct hotspots, not five tiles of one blob" query.
+    The spatial twin of mmr_diverse_retrieval's relevance-vs-diversity
+    greedy, with exact integer scores (no quantization needed).
+
+    Scale: one distributed point scan -> the AREA-bounded cell
+    histogram (50x50 at any corpus size); the 5 greedy rounds run on
+    that constant frame with localCheckpoint per round (the
+    seasonal_esd iterative-argmax template, plus a spatial-exclusion
+    filter instead of row removal). Oracle: 5 unrolled MATERIALIZED
+    pick/remainder rounds.
+    """
+    from amorphous_mapreduce_spark.operators.spatial import with_cells
+
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        with_cells(hashed_points(cust, "c_custkey"), HOT_CELL)
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .localCheckpoint()
+    )
+    rem = cells
+    picks = []
+    for r in range(1, _DTR_K + 1):
+        pick = (
+            rem.select(F.lit(r).alias("rank"), "cx", "cy", "n_points")
+            .orderBy(F.desc("n_points"), F.asc("cx"), F.asc("cy"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        p = pick.select(
+            F.col("cx").alias("pcx"), F.col("cy").alias("pcy")
+        )
+        rem = (
+            rem.crossJoin(F.broadcast(p))
+            .filter(
+                (F.abs(F.col("cx") - F.col("pcx")) > _DTR_SEP)
+                | (F.abs(F.col("cy") - F.col("pcy")) > _DTR_SEP)
+            )
+            .drop("pcx", "pcy")
+            .localCheckpoint()
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "cx", "cy", "n_points"
+    ).orderBy("rank")
