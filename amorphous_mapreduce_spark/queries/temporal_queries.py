@@ -419,3 +419,233 @@ def q_allen_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel")
     )
+
+
+# --- trajectory similarity search (LCSS, signature-pruned) ----------------------
+
+_TRAJ_LEN = 16   # sequence cap per user
+_TRAJ_PANEL = 16
+_TRAJ_CAP = 64   # verified candidates per signature bucket (md5 order)
+_TRAJ_TOPM = 3
+
+_TRAJ_QH = "CAST('0x' || substr(md5('traj_' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+_TRAJ_CH = "CAST('0x' || substr(md5('tcap_' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _traj_diag_cte(d: int) -> str:
+    """LCS diagonal i+j = d. Missing predecessors default to 0 (the LCS
+    base), so only the d-2 back-reference needs a d=3 special case."""
+    ul = (
+        f"""
+    LEFT JOIN diag{d - 2} ul
+           ON ul.qid = p.qid AND ul.cid = p.cid AND ul.i = p.i - 1
+          AND ul.j = p.j - 1"""
+        if d > 3
+        else ""
+    )
+    ul_cost = f"COALESCE(ul.cost, 0)" if d > 3 else "0"
+    return f"""
+, diag{d} AS MATERIALIZED (
+    SELECT p.qid, p.cid, p.i, p.j,
+           CASE WHEN p.eq = 1 THEN {ul_cost} + 1
+                ELSE GREATEST(COALESCE(u.cost, 0), COALESCE(l.cost, 0))
+           END AS cost
+    FROM tcells p
+    LEFT JOIN diag{d - 1} u
+           ON u.qid = p.qid AND u.cid = p.cid AND u.i = p.i - 1
+          AND u.j = p.j
+    LEFT JOIN diag{d - 1} l
+           ON l.qid = p.qid AND l.cid = p.cid AND l.i = p.i
+          AND l.j = p.j - 1{ul}
+    WHERE p.i + p.j = {d}
+)"""
+
+
+def _traj_oracle() -> str:
+    sql = f"""
+WITH seqs AS MATERIALIZED (
+    SELECT user_id,
+           (list(event_type ORDER BY ts, event_type, value))[1:{_TRAJ_LEN}]
+               AS seq
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) >= 4
+),
+sigs AS MATERIALIZED (
+    SELECT user_id, seq, seq[1] || '|' || seq[2] AS sig, len(seq) AS n
+    FROM seqs
+),
+panel AS MATERIALIZED (
+    SELECT user_id AS qid, seq AS qseq, sig, n AS qn
+    FROM sigs ORDER BY {_TRAJ_QH}, user_id LIMIT {_TRAJ_PANEL}
+),
+capped AS MATERIALIZED (
+    SELECT user_id AS cid, seq AS cseq, sig, n AS cn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY sig ORDER BY {_TRAJ_CH}, user_id) AS rk
+        FROM sigs
+    ) WHERE rk <= {_TRAJ_CAP}
+),
+prs AS MATERIALIZED (
+    SELECT p.qid, p.qseq, p.qn, c.cid, c.cseq, c.cn
+    FROM panel p JOIN capped c USING (sig)
+    WHERE c.cid <> p.qid
+),
+tcells AS MATERIALIZED (
+    SELECT qid, cid, gi.i, gj.j,
+           CASE WHEN qseq[gi.i] = cseq[gj.j] THEN 1 ELSE 0 END AS eq
+    FROM prs
+    CROSS JOIN (SELECT unnest(generate_series(1, {_TRAJ_LEN})) AS i) gi
+    CROSS JOIN (SELECT unnest(generate_series(1, {_TRAJ_LEN})) AS j) gj
+    WHERE gi.i <= qn AND gj.j <= cn
+),
+diag2 AS MATERIALIZED (
+    SELECT qid, cid, i, j, eq AS cost FROM tcells WHERE i = 1 AND j = 1
+)"""
+    for d in range(3, 2 * _TRAJ_LEN + 1):
+        sql += _traj_diag_cte(d)
+    allcells = " UNION ALL ".join(
+        f"SELECT * FROM diag{d}" for d in range(2, 2 * _TRAJ_LEN + 1)
+    )
+    return (
+        sql
+        + f""",
+finals AS (
+    SELECT a.qid, a.cid, a.cost AS lcs_len
+    FROM ({allcells}) a
+    JOIN prs ON prs.qid = a.qid AND prs.cid = a.cid
+    WHERE a.i = prs.qn AND a.j = prs.cn
+)
+SELECT qid AS query_user, cid AS neighbor_user, lcs_len,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT qid, cid, lcs_len,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY lcs_len DESC, cid) AS rnk
+      FROM finals)
+WHERE rnk <= {_TRAJ_TOPM}
+ORDER BY query_user, rank
+"""
+    )
+
+
+@register("trajectory_similarity_topk", _traj_oracle())
+def q_trajectory_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar user trajectories per query user (LCSS over
+    capped 16-event event-type sequences) — the distributed trajectory
+    top-k similarity-search primitive (cf. PAPERS.md REPOSE ICDE-2021),
+    with REPOSE's pruning idea re-expressed Spark-first: candidates are
+    verified ONLY inside the query's 2-event prefix-signature bucket,
+    each bucket capped at the first 64 members in md5 order (the
+    simhash_topm/LSH capped-occupancy pattern), so verification work is
+    <= panel·cap LCS DPs at ANY corpus size. The 16-user query panel is
+    hash-chosen (the quantization_recall panel trick).
+
+    Exactness: sequences are totally ordered by (ts, type, value); LCS
+    lengths are integers; ranks tie-break on neighbor id. The oracle
+    unrolls the LCS DP by anti-diagonal (30 MATERIALIZED CTEs, missing
+    predecessors default to the 0 base — unlike DTW's INF boundary).
+
+    Scale: one events scan -> per-user sequence aggregate (shuffle on
+    user), one signature-bucket window, then the constant-size verify
+    set through ONE grouped kernel.
+    """
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type", "value")
+    seqs = (
+        ev.select("user_id", "ts", "event_type", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRAJ_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "event_type"))
+            ).alias("pairs"),
+            F.count(F.lit(1)).alias("n_capped"),
+            F.max("rk").alias("_mx"),
+        )
+        .join(
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total")),
+            "user_id",
+        )
+        .filter(F.col("n_total") >= 4)
+        .select(
+            "user_id",
+            F.expr("transform(pairs, p -> p.event_type)").alias("seq"),
+            F.col("n_capped").cast("long").alias("n"),
+        )
+        .withColumn(
+            "sig", F.concat(F.expr("seq[0]"), F.lit("|"), F.expr("seq[1]"))
+        )
+        .persist()
+    )
+    qh = hex_hash64(F.concat(F.lit("traj_"), F.col("user_id").cast("string")))
+    ch = hex_hash64(F.concat(F.lit("tcap_"), F.col("user_id").cast("string")))
+    panel = (
+        seqs.withColumn("_h", qh)
+        .orderBy("_h", "user_id")
+        .limit(_TRAJ_PANEL)
+        .select(
+            F.col("user_id").alias("qid"),
+            F.col("seq").alias("qseq"),
+            F.col("n").alias("qn"),
+            "sig",
+        )
+    )
+    wc = Window.partitionBy("sig").orderBy(ch.asc(), F.col("user_id").asc())
+    capped = (
+        seqs.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= _TRAJ_CAP)
+        .select(
+            F.col("user_id").alias("cid"),
+            F.col("seq").alias("cseq"),
+            F.col("n").alias("cn"),
+            "sig",
+        )
+    )
+    prs = (
+        F.broadcast(panel)
+        .join(capped, "sig")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "qseq", "qn", "cid", "cseq", "cn")
+    )
+    topm = _TRAJ_TOPM
+
+    def kernel(pdf):
+        import pandas as pd
+
+        rows = []
+        for qid, qseq, qn, cid, cseq, cn in zip(
+            pdf["qid"], pdf["qseq"], pdf["qn"], pdf["cid"], pdf["cseq"],
+            pdf["cn"],
+        ):
+            a, b = list(qseq), list(cseq)
+            prev = [0] * (len(b) + 1)
+            for i in range(1, len(a) + 1):
+                cur = [0] * (len(b) + 1)
+                for j in range(1, len(b) + 1):
+                    if a[i - 1] == b[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                    else:
+                        cur[j] = max(prev[j], cur[j - 1])
+                prev = cur
+            rows.append((int(qid), int(cid), prev[len(b)]))
+        return pd.DataFrame(rows, columns=["qid", "cid", "lcs_len"])
+
+    scored = prs.mapInPandas(
+        lambda it: (kernel(pdf) for pdf in it),
+        "qid long, cid long, lcs_len long",
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("lcs_len"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= topm)
+        .select(
+            F.col("qid").alias("query_user"),
+            F.col("cid").alias("neighbor_user"),
+            "lcs_len",
+            "rank",
+        )
+        .orderBy("query_user", "rank")
+    )
