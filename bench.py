@@ -212,6 +212,11 @@ HEADLINE = [
     "grpo_advantage_manifest",
     "prefix_cache_hits",
     "dict_encoding_estimate",
+    # PAPERS.md counterparts: elastic TS similarity / diversified regions /
+    # trajectory search (round 7, absolute close)
+    "dtw_brand_similarity",
+    "diversified_top_regions",
+    "trajectory_similarity_topk",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
