@@ -1189,3 +1189,119 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_x6"
         ),
     ).orderBy("id")
+
+
+# --- field-level golden-record fusion (MDM survivorship) ------------------------
+
+GOLDEN_ORACLE = (
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.strip()
+    + MINHASH_EDGES_CTE
+    + """
+, reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), cl AS MATERIALIZED (
+    SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src
+), members AS MATERIALIZED (
+    SELECT c.cluster, d.doc_id, d.lang, d.source,
+           CAST(length(d.text) AS BIGINT) AS tlen
+    FROM cl c JOIN documents d ON d.doc_id = c.id
+), big AS (
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(tlen) AS text_len,
+           MIN((100000 - tlen) * 10000000000 + doc_id) AS tpack
+    FROM members GROUP BY cluster HAVING COUNT(*) >= 2
+), langm AS (
+    SELECT cluster, lang AS modal_lang FROM (
+        SELECT cluster, lang,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY COUNT(*) DESC, lang) AS rk
+        FROM members GROUP BY cluster, lang
+    ) WHERE rk = 1
+), srcm AS (
+    SELECT cluster, source AS modal_source FROM (
+        SELECT cluster, source,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY COUNT(*) DESC, source) AS rk
+        FROM members GROUP BY cluster, source
+    ) WHERE rk = 1
+)
+SELECT b.cluster, b.n_members,
+       CAST(b.tpack % 10000000000 AS BIGINT) AS text_donor_id,
+       b.text_len, l.modal_lang, s.modal_source
+FROM big b JOIN langm l USING (cluster) JOIN srcm s USING (cluster)
+ORDER BY b.cluster
+"""
+)
+
+
+@register("golden_record_fields", GOLDEN_ORACLE)
+def q_golden_record_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level golden-record fusion (MDM survivorship): for every
+    near-dup cluster with >= 2 members, fuse a canonical record by
+    per-FIELD rules — text from the longest member (tie: smallest id;
+    the donor id is emitted, packed argmin (100000-len)*1e10 + id),
+    lang and source by majority vote (tie: value asc). Distinct from
+    near_dup_best_quality / upsert survivorship, which pick ONE whole
+    row: real MDM merges fields from different donors.
+
+    Scale: clusters via the edge-incident connected components
+    (bounded-round label propagation); every fusion rule is a keyed
+    aggregate or a per-cluster window — no cross-cluster work. Oracle:
+    the WITH RECURSIVE transitive closure + windowed modes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
+    cl = dedup_clusters(docs, pairs).select("id", "cluster")
+    members = (
+        cl.join(docs, cl.id == docs.doc_id)
+        .select(
+            "cluster",
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("tlen"),
+        )
+        .persist()
+    )
+    big = (
+        members.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("tlen").alias("text_len"),
+            F.min(
+                (F.lit(100000) - F.col("tlen")) * F.lit(10000000000)
+                + F.col("doc_id")
+            ).alias("tpack"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    from pyspark.sql import Window
+
+    def modal(col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("cluster").orderBy(
+            F.desc("cnt"), F.asc(col)
+        )
+        return (
+            members.groupBy("cluster", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cluster", F.col(col).alias(alias))
+        )
+
+    return (
+        big.join(modal("lang", "modal_lang"), "cluster")
+        .join(modal("source", "modal_source"), "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            (F.col("tpack") % 10000000000).cast("long").alias("text_donor_id"),
+            "text_len",
+            "modal_lang",
+            "modal_source",
+        )
+        .orderBy("cluster")
+    )
