@@ -685,3 +685,125 @@ def q_brand_coverage_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best_suppkey"),
         )
     )
+
+
+# --- conjunctive-predicate selectivity (independence) audit ---------------------
+
+SELECTIVITY_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM part),
+marg AS (
+    SELECT
+        CAST(SUM(CASE WHEN p_size <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN p_retailprice >= 1500 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN p_size <= 25 AND p_type LIKE 'PROMO%'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+        CAST(SUM(CASE WHEN p_size <= 25 AND p_retailprice >= 1500
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' AND p_retailprice >= 1500
+                 THEN 1 ELSE 0 END) AS BIGINT) AS bc
+    FROM part
+),
+prs AS (
+    SELECT 'size_and_type' AS predicate_pair, ab AS true_cnt,
+           (a * b) // total AS est_cnt
+    FROM marg CROSS JOIN n
+    UNION ALL
+    SELECT 'size_and_price', ac, (a * c) // total FROM marg CROSS JOIN n
+    UNION ALL
+    SELECT 'type_and_price', bc, (b * c) // total FROM marg CROSS JOIN n
+)
+SELECT predicate_pair, true_cnt, est_cnt,
+       CAST(CASE WHEN est_cnt >= true_cnt
+                 THEN (1000 * est_cnt) // GREATEST(true_cnt,
+                                                   CAST(1 AS BIGINT))
+                 ELSE (1000 * true_cnt) // GREATEST(est_cnt,
+                                                    CAST(1 AS BIGINT))
+            END AS BIGINT) AS q_error_milli
+FROM prs
+ORDER BY predicate_pair
+"""
+
+
+@register("selectivity_independence_audit", SELECTIVITY_ORACLE)
+def q_selectivity_independence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cardinality-estimation quality audit: for three conjunctive
+    predicate pairs on part, the TRUE count vs the independence-
+    assumption estimate (|A|·|B| / n — what a cost-based optimizer
+    without multi-column stats would plan with), plus the q-error
+    (max(est/true, true/est), the CBO literature's standard metric) in
+    integer milli-units via floor division. The evidence layer for
+    whether a workload needs column-group statistics.
+
+    Exactness: all counts from ONE conditional-aggregate scan; the
+    estimate and q-error are integer floor-divisions (zero-guarded).
+    Scale: one map-side-combined scan -> a 1-row marginal frame -> a
+    3-row constant output.
+    """
+    part = load_table(spark, sf_dir, "part")
+    marg = part.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("p_size") <= 25, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("p_retailprice") >= 1500, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("p_size") <= 25) & F.col("p_type").like("PROMO%"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ab"),
+        F.sum(
+            F.when(
+                (F.col("p_size") <= 25) & (F.col("p_retailprice") >= 1500), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ac"),
+        F.sum(
+            F.when(
+                F.col("p_type").like("PROMO%")
+                & (F.col("p_retailprice") >= 1500),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bc"),
+    )
+    pairs = [
+        ("size_and_type", "ab", "a", "b"),
+        ("size_and_price", "ac", "a", "c"),
+        ("type_and_price", "bc", "b", "c"),
+    ]
+    frames = [
+        marg.select(
+            F.lit(name).alias("predicate_pair"),
+            F.col(t).alias("true_cnt"),
+            F.expr(f"({m1} * {m2}) div total").alias("est_cnt"),
+        )
+        for name, t, m1, m2 in pairs
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select(
+        "predicate_pair",
+        "true_cnt",
+        "est_cnt",
+        F.expr(
+            "CAST(CASE WHEN est_cnt >= true_cnt THEN"
+            " (1000 * est_cnt) div GREATEST(true_cnt, CAST(1 AS BIGINT))"
+            " ELSE (1000 * true_cnt) div GREATEST(est_cnt,"
+            " CAST(1 AS BIGINT)) END AS BIGINT)"
+        ).alias("q_error_milli"),
+    ).orderBy("predicate_pair")
