@@ -217,6 +217,8 @@ HEADLINE = [
     "dtw_brand_similarity",
     "diversified_top_regions",
     "trajectory_similarity_topk",
+    "golden_record_fields",
+    "selectivity_independence_audit",
 ]
 
 # Load markers (VERDICT_r04 item 5): driver-round bench numbers have been
