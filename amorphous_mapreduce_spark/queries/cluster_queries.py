@@ -1243,7 +1243,13 @@ def q_golden_record_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster with >= 2 members, fuse a canonical record by
     per-FIELD rules — text from the longest member (tie: smallest id;
     the donor id is emitted, packed argmin (100000-len)*1e10 + id),
-    lang and source by majority vote (tie: value asc). Distinct from
+    lang and source by majority vote (tie: value asc). PACK
+    PRECONDITIONS (both engines, unguarded by design so the pack stays
+    one MIN aggregate): text length < 100000 chars and doc_id < 1e10 —
+    a longer text makes (100000-tlen) negative and the truncating `%`
+    extraction yields a bogus donor id identically on both engines.
+    The fixtures cap text at ~400 chars and ids at ~6e6; any corpus
+    beyond these bounds must widen the pack constants. Distinct from
     near_dup_best_quality / upsert survivorship, which pick ONE whole
     row: real MDM merges fields from different donors.
 

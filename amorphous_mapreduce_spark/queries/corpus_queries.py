@@ -1625,9 +1625,10 @@ expect AS (
     GROUP BY shard_id
 )
 SELECT r.shard_id, r.n_docs, r.n_adjacent_same,
-       CAST((1000000 * r.n_adjacent_same) // (r.n_docs - 1) AS BIGINT)
-           AS same_ppm,
-       CAST((1000000 * e.pairs_same) // (r.n_docs * (r.n_docs - 1))
+       CAST((1000000 * r.n_adjacent_same) // GREATEST(r.n_docs - 1, 1)
+            AS BIGINT) AS same_ppm,
+       CAST((1000000 * e.pairs_same)
+            // GREATEST(r.n_docs * (r.n_docs - 1), 1)
             AS BIGINT) AS expected_ppm
 FROM runs r JOIN expect e USING (shard_id)
 ORDER BY r.shard_id
@@ -1690,11 +1691,12 @@ def q_shard_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id",
             "n_docs",
             "n_adjacent_same",
-            F.expr("(1000000 * n_adjacent_same) div (n_docs - 1)").alias(
-                "same_ppm"
-            ),
             F.expr(
-                "(1000000 * pairs_same) div (n_docs * (n_docs - 1))"
+                "(1000000 * n_adjacent_same) div GREATEST(n_docs - 1, 1)"
+            ).alias("same_ppm"),
+            F.expr(
+                "(1000000 * pairs_same)"
+                " div GREATEST(n_docs * (n_docs - 1), 1)"
             ).alias("expected_ppm"),
         )
         .orderBy("shard_id")
@@ -1761,6 +1763,9 @@ def q_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "array_join(slice(split(text, ' '), 1, k), ' ')"
             ).alias("prefix"),
         )
+        .persist()  # fed to BOTH the firsts aggregate and the probe join:
+        # without persist each branch re-expands the 3x document-scan
+        # lineage (the distributed_prefix_sum self-join lesson)
     )
     firsts = pref.groupBy("k", "prefix").agg(
         F.min("doc_id").alias("first_id")

@@ -1376,7 +1376,8 @@ def q_grpo_advantage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(5000)
             * F.when(F.col("text").like("% dup"), 1).otherwise(0).cast("long")
         ).alias("reward"),
-    )
+    ).persist()  # grp derives from scored and joins back: both branches
+    # of the self-join would otherwise re-execute the document scan
     grp = scored.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("group_n"),
         F.sum("reward").cast("long").alias("s"),

@@ -345,14 +345,22 @@ def q_tokenizer_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("words_excluded"),
     )
-    _, tok_kernel, _ = _make_kernels(BPE_ROUNDS)
-    # BPE kernel segments the FULL lexicon; restrict the token total to
-    # the <=_MAXW words so both tokenizers are scored on the same corpus
-    lex8 = lex.filter(F.length("word") <= _MAXW)
+    _, _, ws_kernel = _make_kernels(BPE_ROUNDS)
+    # The BPE kernel trains on the FULL lexicon (matching the oracle's
+    # _BPE_CHAIN, whose r12 segments every word); the token total is then
+    # restricted to the <=_MAXW words POST-kernel so both tokenizers are
+    # scored on the same corpus. Filtering before the kernel would train
+    # different merges whenever a >_MAXW-char word carries weight.
     bpe_tokens = (
-        lex8.groupBy(F.lit(0).alias("g"))
-        .applyInPandas(tok_kernel, "symbol string, n_tokens long")
-        .agg(F.sum("n_tokens").cast("long").alias("bpe_tokens"))
+        lex.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(ws_kernel, "word string, n_syms long")
+        .join(lex.select("word", "freq"), "word")
+        .filter(F.length("word") <= _MAXW)
+        .agg(
+            F.sum(F.col("n_syms") * F.col("freq"))
+            .cast("long")
+            .alias("bpe_tokens")
+        )
     )
     ulm = q_unigram_lm_tokenizer(spark, sf_dir)
     ulm_tokens = ulm.agg(
