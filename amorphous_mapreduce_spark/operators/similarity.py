@@ -84,6 +84,7 @@ def cosine_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_label_col: str | None = None,
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k via blocked E·Eᵀ — the reference's tiled outer-product
     GEMM (src/outer_product.rs:146-169 tiling, :194-208 rank-k update)
@@ -108,6 +109,12 @@ def cosine_topk_blocked(
     are masked in the tile (in addition to self-pairs), turning the
     kernel into a hard-negative miner — top-k nearest CROSS-label
     neighbours (contrastive-training negative mining).
+
+    ``query_ids``: optional one-column frame of vector ids; when set,
+    only those vectors act as QUERIES (the gallery side stays the full
+    corpus), so the tile work drops from n² to |panel|·n — the truth
+    panel for recall evals (round 8, VERDICT_r07 item 5). The frame is
+    broadcast (panel-sized, the model class, not data).
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -136,7 +143,17 @@ def cosine_topk_blocked(
     blocks = v.groupBy("blk").agg(
         F.sort_array(F.collect_list(F.struct(*item_fields))).alias("items")
     )
-    pairs = blocks.select(
+    if query_ids is not None:
+        qn = query_ids.columns[0]
+        va = v.join(
+            F.broadcast(query_ids.select(F.col(qn).alias("id"))), "id"
+        )
+        a_blocks = va.groupBy("blk").agg(
+            F.sort_array(F.collect_list(F.struct(*item_fields))).alias("items")
+        )
+    else:
+        a_blocks = blocks
+    pairs = a_blocks.select(
         F.col("blk").alias("ablk"), F.col("items").alias("a_items")
     ).crossJoin(
         blocks.select(F.col("blk").alias("bblk"), F.col("items").alias("b_items"))
@@ -383,6 +400,26 @@ def adaptive_band_bits(
     return min(max_bits, max(min_bits, n.bit_length() - 1 - target_log2_bucket))
 
 
+def adaptive_cells(n: int, min_cells: int = 16, max_cells: int = 4096) -> int:
+    """Scale-correct IVF/k-means cell count: k = 2^(floor(log2 n) // 2),
+    clamped to [16, 4096] — i.e. k ≈ √n within a factor of √2.
+
+    A FIXED cell count is the same latent-quadratic defect class as the
+    fixed LSH band bits round 5 caught (VERDICT_r07 item 2): at fixed k,
+    cell occupancy grows as n/k, so capped inverted lists silently lose
+    recall and any uncapped within-cell work grows superlinearly. k ∝ √n
+    is the classic IVF optimum (cell-ranking cost k plus per-probe scan
+    n/k are balanced at √n each). floor(log2) is the engine-portable
+    length(bin(n)) - 1 (Python: bit_length() - 1), so the DuckDB oracle
+    derives the identical k from COUNT(*) — see the ivfk CTE in
+    queries/similarity_queries.py. The floor of 16 keeps every rung with
+    n <= ~1000 byte-identical to the historical fixed k=16 (sf0.001 and
+    sf0.01 results unchanged); the 4096 cap equals KM_TRAIN_N so seeds
+    never exceed the training sample.
+    """
+    return min(max_cells, max(min_cells, 1 << ((n.bit_length() - 1) // 2)))
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_planes: int = 32,
@@ -480,7 +517,7 @@ def ivf_assign(
 
 def ivf_trained_ranked(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     max_rank: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -509,6 +546,11 @@ def ivf_trained_ranked(
         kmeans_fit,
     )
 
+    if n_cells is None:
+        # adaptive k ≈ √n (round 8, VERDICT_r07 item 2) — the count is a
+        # driver-side scalar plan parameter, same class as the LSH
+        # band-bits count and the dims probe.
+        n_cells = adaptive_cells(emb.count())
     q, _, cents = kmeans_fit(
         emb,
         k=n_cells,
@@ -714,11 +756,12 @@ def _capped_cell_members(
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trained: bool = False,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN top-k: probe the ``n_probe`` nearest cells per query,
     exact cosine re-rank within them: [qid, nid, sim, rnk].
@@ -732,11 +775,18 @@ def ivf_topk(
     k-means centroids (:func:`ivf_trained_ranked`) instead of
     md5-seeded corpus vectors — measured recall@5 uplift 0.485→0.579
     (sf0.01) / 0.492→0.546 (sf0.1) at the same probe budget.
+    ``n_cells=None`` derives k ≈ √n via :func:`adaptive_cells` (round 8).
+    ``ranked``: optional pre-built :func:`ivf_trained_ranked` frame (the
+    trained index, shared across queries in one session — a model is
+    trained once and served to every query).
     """
     if trained:
-        ranked = ivf_trained_ranked(
-            emb, n_cells, n_probe, id_col, vec_col
-        ).persist()
+        if ranked is None:
+            if n_cells is None:
+                n_cells = adaptive_cells(emb.count())
+            ranked = ivf_trained_ranked(
+                emb, n_cells, n_probe, id_col, vec_col
+            ).persist()
         probes = ranked.filter(F.col("rk") <= n_probe).select(
             F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell"
         )
@@ -755,6 +805,8 @@ def ivf_topk(
             F.col("rnk") <= k
         )
     else:
+        if n_cells is None:
+            n_cells = adaptive_cells(emb.count())
         centroids, assigned = ivf_assign(emb, n_cells, id_col, vec_col)
         assigned = assigned.persist()
         dot_qc = F.aggregate(
@@ -842,11 +894,12 @@ def lsh_topk(
 
 def ivf_probe_sweep_candidates(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     max_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trained: bool = False,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Scored IVF candidates tagged with the probe depth that reaches
     them: [qid, nid, probe_needed, sim].
@@ -860,11 +913,16 @@ def ivf_probe_sweep_candidates(
     ``trained=True`` sweeps against k-means centroids
     (:func:`ivf_trained_ranked`) instead of md5-seeded corpus vectors,
     with the same IVF_CELL_CAP inverted-list cap as ivf_topk.
+    ``n_cells=None`` derives k ≈ √n via :func:`adaptive_cells` (round 8);
+    ``ranked`` optionally supplies a shared pre-built trained index.
     """
     if trained:
-        ranked = ivf_trained_ranked(
-            emb, n_cells, max_probe, id_col, vec_col
-        ).persist()
+        if ranked is None:
+            if n_cells is None:
+                n_cells = adaptive_cells(emb.count())
+            ranked = ivf_trained_ranked(
+                emb, n_cells, max_probe, id_col, vec_col
+            ).persist()
         probes = ranked.select(
             F.col("id").alias("qid"),
             F.col("vec").alias("qv"),
@@ -881,6 +939,8 @@ def ivf_probe_sweep_candidates(
             probes, members, probe_rank_col="probe_needed"
         ).select("qid", "nid", F.col("prk").alias("probe_needed"), "sim")
     else:
+        if n_cells is None:
+            n_cells = adaptive_cells(emb.count())
         centroids, assigned = ivf_assign(emb, n_cells, id_col, vec_col)
         assigned = assigned.persist()
         dot_qc = F.aggregate(

@@ -162,7 +162,8 @@ planes AS (
 # operators.similarity.ivf_topk(trained=True) replayed in SQL: the
 # k-means coarse quantiser (operators.kmeans, 2 Lloyd iterations over
 # round(x*1000)-quantized vectors, md5 seeds — the same unrolled CTEs as
-# kmeans_queries.KMEANS_ORACLE at k=16), then cell ranking by k-means'
+# kmeans_queries.KMEANS_ORACLE, at the ADAPTIVE k = adaptive_cells(n)
+# ≈ √n — round 8), then cell ranking by k-means'
 # exact argmax(q·c − |c|²/2), 4 probed cells, exact cosine re-rank.
 _IVF_QD = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"
 
@@ -215,13 +216,25 @@ q AS MATERIALIZED (
     ORDER BY CAST('0x' || substr(md5('kmtrain_' || CAST(id AS VARCHAR)),
                                  1, 15) AS BIGINT), id
     LIMIT {KM_TRAIN_N}
+), ivfk AS (
+    -- adaptive cell count (round 8, VERDICT_r07 item 2): k =
+    -- 2^(floor(log2 n) // 2) clamped to [16, 4096] — ≈ √n cells, the
+    -- same engine-portable floor-log2 (length(bin(n)) - 1) as
+    -- adaptive_band_bits; replays operators.similarity.adaptive_cells.
+    -- == 16 for n <= ~1000, so sf0.001/sf0.01 results are unchanged.
+    SELECT GREATEST(16, LEAST(4096,
+           1::BIGINT << ((length(bin(COUNT(*))) - 1) // 2))) AS k
+    FROM q
 ), ivfkseeds AS (
-    SELECT id AS cell,
-           list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-    FROM qtrain
-    ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
-                  AS BIGINT), id
-    LIMIT 16
+    SELECT cell, cv FROM (
+        SELECT id AS cell,
+               list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR)),
+                                                1, 15) AS BIGINT), id
+               ) AS seedrk
+        FROM qtrain
+    ), ivfk WHERE seedrk <= ivfk.k
 ),"""
     + _ivf_km_assign_cte("ivfa0", "ivfkseeds", src="qtrain")
     + ","
@@ -283,6 +296,32 @@ IVF_TOPK_ORACLE = "WITH " + IVF_CTES + "\nSELECT qid, nid, sim, rnk FROM ivf"
 LSH_TOPK_ORACLE = "WITH " + LSH_CTES + "\nSELECT qid, nid, sim, rnk FROM lsh"
 
 
+# Session-scoped shared trained-IVF index (round 8, VERDICT_r07 item 6):
+# the coarse quantiser is a MODEL — in a real deployment it is trained
+# once and served to every query, but each of the six IVF-family bench
+# entries was re-running the whole kmeans_fit lineage (semdedup_manifest
+# alone paid ~1 s of re-training per run). One persisted ranking frame
+# per (Spark application, sf_dir) serves them all; results are a pure
+# function of the data, so correctness/determinism are unaffected (a
+# cleared cache merely recomputes the same frame).
+_IVF_RANKED_CACHE: dict = {}
+
+
+def _ivf_ranked_shared(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> DataFrame:
+    from amorphous_mapreduce_spark.operators.similarity import (
+        ivf_trained_ranked,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_RANKED_CACHE.get(key)
+    if got is None:
+        got = ivf_trained_ranked(emb, n_cells=None, max_rank=4).persist()
+        _IVF_RANKED_CACHE[key] = got
+    return got
+
+
 @register("similarity_ivf_topk", IVF_TOPK_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-5: k-means-TRAINED coarse quantiser (round 6;
@@ -292,7 +331,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only escape). Trained centroids lift recall@5 at the same
     4-probe budget: 0.485→0.579 at sf0.01, 0.492→0.546 at sf0.1 (candidate budget unchanged, ~63k/1.0M)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=5, n_cells=16, n_probe=4, trained=True)
+    return ivf_topk(
+        emb,
+        k=5,
+        n_probe=4,
+        trained=True,
+        ranked=_ivf_ranked_shared(spark, sf_dir, emb),
+    )
 
 
 @register("similarity_lsh_topk", LSH_TOPK_ORACLE)
@@ -329,6 +374,44 @@ exact AS (
     ) WHERE rnk <= 5
 )"""
 
+# Recall-truth query panel (round 8, VERDICT_r07 item 5): exact-truth
+# top-k is computed only for the RC_PANEL_N vectors with smallest
+# (md5('rcpanel_'||id), id), so the truth cost is |panel|·n instead of
+# n² — the unsampled brute-force exact CTE was ~7-20 min per sf1 battery
+# and would not finish at sf10 (200k² = 40G list_dot_products). 2048 is
+# the smallest power of two >= the sf0.1 corpus (2000 vectors), so every
+# driver SF keeps the FULL-corpus truth and historical results are
+# unchanged; recall estimates at sf1+ are over a 2048-query deterministic
+# hash sample (unbiased, oracle-replayed). Candidate/cost columns stay
+# corpus-wide — only the truth denominator is paneled.
+RC_PANEL_N = 2048
+
+_PANEL_EXACT_CTE = f"""
+rcpanel AS MATERIALIZED (
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST('0x' || substr(md5('rcpanel_' ||
+                                CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                            vec_id
+               ) AS prk
+        FROM embeddings
+    ) WHERE prk <= {RC_PANEL_N}
+),
+exact AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS_AB} AS sim
+            FROM embeddings a
+            JOIN rcpanel rp ON rp.vec_id = a.vec_id
+            CROSS JOIN embeddings b
+            WHERE a.vec_id <> b.vec_id
+        )
+    ) WHERE rnk <= 5
+)"""
+
 _RECALL_SELECT = """
 SELECT n_exact, n_hits, CAST(n_hits AS DOUBLE) / n_exact AS recall FROM (
     SELECT COUNT(*) AS n_exact,
@@ -339,10 +422,31 @@ SELECT n_exact, n_hits, CAST(n_hits AS DOUBLE) / n_exact AS recall FROM (
 )"""
 
 
+def _rc_panel_ids(emb: DataFrame) -> DataFrame:
+    """The RC_PANEL_N recall-truth query panel: [qid], bottom-n by
+    (md5('rcpanel_'||vec_id), vec_id) — TakeOrderedAndProject, == the
+    full corpus at every driver SF (n <= 2048 there)."""
+    from amorphous_mapreduce_spark.functions.hashing import hex_hash64
+
+    return (
+        emb.orderBy(
+            hex_hash64(
+                F.concat(F.lit("rcpanel_"), F.col("vec_id").cast("string"))
+            ),
+            F.col("vec_id"),
+        )
+        .limit(RC_PANEL_N)
+        .select(F.col("vec_id").alias("qid"))
+    )
+
+
 def _recall(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
-    """recall@5 of an ANN result against the exact top-5, in one plan."""
+    """recall@5 of an ANN result against the exact top-5 over the
+    RC_PANEL_N truth panel, in one plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = cosine_topk_blocked(emb, k=5, n_blocks=16).select("qid", "nid")
+    exact = cosine_topk_blocked(
+        emb, k=5, n_blocks=16, query_ids=_rc_panel_ids(emb)
+    ).select("qid", "nid")
     hits = ann.select("qid", "nid").withColumn("_hit", F.lit(1))
     return (
         exact.join(hits, ["qid", "nid"], "left")
@@ -359,16 +463,17 @@ def _recall(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
 
 
 LSH_RECALL_ORACLE = (
-    "WITH " + _EXACT_CTE + ", " + LSH_CTES + _RECALL_SELECT.format(ann="lsh")
+    "WITH " + _PANEL_EXACT_CTE + ", " + LSH_CTES + _RECALL_SELECT.format(ann="lsh")
 )
 IVF_RECALL_ORACLE = (
-    "WITH " + _EXACT_CTE + ", " + IVF_CTES + _RECALL_SELECT.format(ann="ivf")
+    "WITH " + _PANEL_EXACT_CTE + ", " + IVF_CTES + _RECALL_SELECT.format(ann="ivf")
 )
 
 
 @register("similarity_lsh_recall", LSH_RECALL_ORACLE)
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of LSH ANN vs the exact top-5 — the ANN correctness
+    """recall@5 of LSH ANN vs the exact top-5 over the RC_PANEL_N
+    truth panel (== full corpus at driver SFs) — the ANN correctness
     signal, computed in-plan (join + aggregate) and hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     bits = adaptive_band_bits(emb.count())
@@ -382,12 +487,21 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_ivf_recall", IVF_RECALL_ORACLE)
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF ANN (k-means-trained quantiser) vs the exact
-    top-5, in-plan, hash-checked. Training uplift at the same 4-probe
+    top-5 over the RC_PANEL_N truth panel (== full corpus at driver
+    SFs), in-plan, hash-checked. Training uplift at the same 4-probe
     budget vs the md5-seeded quantiser: 0.485→0.579 (sf0.01),
     0.492→0.546 (sf0.1), candidate budget unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _recall(
-        spark, sf_dir, ivf_topk(emb, k=5, n_cells=16, n_probe=4, trained=True)
+        spark,
+        sf_dir,
+        ivf_topk(
+            emb,
+            k=5,
+            n_probe=4,
+            trained=True,
+            ranked=_ivf_ranked_shared(spark, sf_dir, emb),
+        ),
     )
 
 
@@ -955,7 +1069,7 @@ def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF probe-budget recall sweep ---------------------------------------------
 
-# Same trained coarse quantiser as IVF_CTES (k-means at k=16, unrolled
+# Same trained coarse quantiser as IVF_CTES (k-means at adaptive k≈√n, unrolled
 # Lloyd iterations), candidates tagged with the cell rank that reaches
 # them.
 PROBE_SWEEP_CTES = (
@@ -1007,7 +1121,7 @@ candcnt AS (
 
 PROBE_SWEEP_ORACLE = (
     "WITH "
-    + _EXACT_CTE
+    + _PANEL_EXACT_CTE
     + ", "
     + PROBE_SWEEP_CTES
     + """
@@ -1041,7 +1155,9 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks; recalls are single divisions of exact counts.
 
     Scale: the candidate join is keyed on cell; the sweep explode is a
-    constant x4; rank windows partition by (probe level, query)."""
+    constant x4; rank windows partition by (probe level, query); the
+    exact-truth side is the RC_PANEL_N query panel (|panel|·n tiles, ==
+    full corpus at driver SFs — round 8, VERDICT_r07 item 5)."""
     from amorphous_mapreduce_spark.operators.similarity import (
         cosine_topk_blocked,
         ivf_probe_sweep_candidates,
@@ -1049,7 +1165,10 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     scored = ivf_probe_sweep_candidates(
-        emb, n_cells=16, max_probe=4, trained=True
+        emb,
+        max_probe=4,
+        trained=True,
+        ranked=_ivf_ranked_shared(spark, sf_dir, emb),
     ).persist()
     lv = spark.createDataFrame([(p,) for p in (1, 2, 3, 4)], "p int")
     widened = scored.crossJoin(F.broadcast(lv)).filter(
@@ -1063,7 +1182,9 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "qid", "nid")
         .withColumn("_hit", F.lit(1))
     )
-    exact = cosine_topk_blocked(emb, k=5, n_blocks=16).select("qid", "nid")
+    exact = cosine_topk_blocked(
+        emb, k=5, n_blocks=16, query_ids=_rc_panel_ids(emb)
+    ).select("qid", "nid")
     return (
         exact.crossJoin(F.broadcast(lv))
         .join(ann, ["p", "qid", "nid"], "left")
@@ -1562,14 +1683,13 @@ def q_semdedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered-fold doubles bit-identical to DuckDB
     list_dot_product."""
     from amorphous_mapreduce_spark.functions.hashing import hex_hash64
-    from amorphous_mapreduce_spark.operators.similarity import ivf_trained_ranked
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = (
-        ivf_trained_ranked(emb, n_cells=16, max_rank=1)
+        _ivf_ranked_shared(spark, sf_dir, emb)
+        .filter(F.col("rk") == 1)
         .select("id", "vec", "cell")
-        .persist()  # kernel input + the cell counts
-    )
+    )  # the shared frame is persisted; rk==1 is the quantiser assignment
     wcap = Window.partitionBy("cell").orderBy(
         hex_hash64(F.concat(F.lit("sdcap_"), F.col("id").cast("string"))),
         F.col("id"),
@@ -1756,12 +1876,11 @@ def _ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amorphous_mapreduce_spark.operators.similarity import (
         _capped_cell_members,
         _cell_scored_arrow,
-        ivf_trained_ranked,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     lab = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("lbl"))
-    ranked = ivf_trained_ranked(emb, n_cells=16, max_rank=4).join(
+    ranked = _ivf_ranked_shared(spark, sf_dir, emb).join(
         lab, "id"
     ).persist()
     members = _capped_cell_members(
@@ -1809,9 +1928,22 @@ def q_ivf_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_HARDNEG_RECALL_ORACLE = (
     "WITH "
     + IVF_HARDNEG_CTES
-    + f""", hnpairs AS (
+    + f""", rcpanel AS MATERIALIZED (
+    -- RC_PANEL_N truth panel (round 8): == full corpus at driver SFs
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST('0x' || substr(md5('rcpanel_' ||
+                                CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                            vec_id
+               ) AS prk
+        FROM embeddings
+    ) WHERE prk <= {RC_PANEL_N}
+), hnpairs AS (
     SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
-    FROM embeddings a, embeddings b
+    FROM embeddings a
+    JOIN rcpanel rp ON rp.vec_id = a.vec_id
+    CROSS JOIN embeddings b
     WHERE a.label <> b.label
 ), hnexact AS (
     SELECT qid, nid FROM (
@@ -1836,11 +1968,17 @@ def q_ivf_hard_negative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement of the IVF-celled hard-negative miner with the exact
     cross-label top-1 (blocked E·Eᵀ kernel as truth) — the quality
     scorecard justifying ivf_hard_negatives as the 100 TB path. The
-    exact side is the documented quadratic baseline, present here only
-    for the eval (same pattern as similarity_lsh_recall)."""
+    exact side is the documented quadratic baseline over the
+    RC_PANEL_N truth panel (|panel|·n, == full corpus at driver SFs),
+    present here only for the eval (same pattern as
+    similarity_lsh_recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = cosine_topk_blocked(
-        emb, k=1, n_blocks=16, exclude_label_col="label"
+        emb,
+        k=1,
+        n_blocks=16,
+        exclude_label_col="label",
+        query_ids=_rc_panel_ids(emb),
     ).select("qid", "nid")
     ann = (
         _ivf_hard_negatives(spark, sf_dir)

@@ -8,6 +8,10 @@ image, without any engine-code change:
 
 In this container both skip cleanly; the no-codec loud-raise contract
 is asserted unconditionally so the fallback path stays covered.
+
+The full environment gap inventory (what is absent, what each absence
+gates, and the one-line install that unlocks it) lives in ENV.md at the
+repo root.
 """
 
 from __future__ import annotations
