@@ -1800,3 +1800,111 @@ def q_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_tokens")
     )
+
+
+# --- paged-KV block-cache depth curve ----------------------------------------
+
+# Paged-attention prefix caching (vLLM) reuses KV cache at BLOCK
+# granularity: a request reuses cached blocks while its token prefix
+# matches a previously-seen prefix, block by block. For block size 8 and
+# depths b = 1..8, a document "hits" at depth b when an EARLIER document
+# (smaller doc_id, id order standing in for arrival order) shares its
+# first 8*b tokens exactly. The depth curve prices how much KV recompute
+# a block cache saves — the block-granular sibling of prefix_cache_hits
+# (which measures fixed word-count prefixes); here the key is the FULL
+# prefix chain, so a depth-b hit implies depths 1..b-1 also hit
+# (monotone curve, asserted by construction).
+KV_BLOCK = 8
+KV_MAX_DEPTH = 8
+
+KV_BLOCK_ORACLE = f"""
+WITH pref AS (
+    SELECT doc_id, b.b,
+           md5(array_to_string(string_split(text, ' ')[1:{KV_BLOCK} * b.b],
+               ' ')) AS chain_key
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(1, {KV_MAX_DEPTH})) AS b) b
+    WHERE len(string_split(text, ' ')) >= {KV_BLOCK} * b.b
+),
+firsts AS (
+    SELECT b, chain_key, MIN(doc_id) AS first_id
+    FROM pref GROUP BY b, chain_key
+)
+SELECT p.b AS depth_blocks,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(COUNT(DISTINCT p.chain_key) AS BIGINT) AS distinct_chains,
+       CAST(SUM(CASE WHEN p.doc_id > f.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN p.doc_id > f.first_id THEN {KV_BLOCK} ELSE 0 END)
+            AS BIGINT) AS cached_tokens_at_depth
+FROM pref p JOIN firsts f ON f.b = p.b AND f.chain_key = p.chain_key
+GROUP BY p.b
+ORDER BY depth_blocks
+"""
+
+
+@register("kv_block_cache_curve", KV_BLOCK_ORACLE)
+def q_kv_block_cache_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paged-KV block-cache economics: for block depths 1..8 (block =
+    8 tokens), how many requests would reuse a cached block chain warmed
+    by an earlier request with the identical token prefix, and the KV
+    tokens served from cache at each depth — the depth curve that sizes
+    a vLLM-style prefix cache before an inference rollout.
+
+    Exactness: chain keys are md5 of the literal prefix text (no
+    normalisation — KV reuse requires byte-identical prefixes); counts
+    are integers; 'earlier' is MIN(doc_id) per (depth, chain).
+
+    Scale: one scan fanned x<=8 constant depth levels (bounded by each
+    doc's own length), grouped on the chain-key hash — the same shape
+    as prefix_cache_hits, with the shared fan-out frame persisted for
+    its two consumers (firsts aggregate + probe join)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bs = spark.range(1, KV_MAX_DEPTH + 1).select(F.col("id").cast("int").alias("b"))
+    pref = (
+        docs.crossJoin(F.broadcast(bs))
+        .filter(
+            F.size(F.split(F.col("text"), " ")) >= F.lit(KV_BLOCK) * F.col("b")
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.md5(
+                F.expr(
+                    f"array_join(slice(split(text, ' '), 1, {KV_BLOCK} * b), ' ')"
+                )
+            ).alias("chain_key"),
+        )
+        .persist()  # firsts aggregate + probe join (self-join rule)
+    )
+    firsts = pref.groupBy("b", "chain_key").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    return (
+        pref.join(firsts, ["b", "chain_key"])
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            F.countDistinct("chain_key").cast("long").alias("distinct_chains"),
+            F.sum(
+                F.when(F.col("doc_id") > F.col("first_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") > F.col("first_id"), F.lit(KV_BLOCK)
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cached_tokens_at_depth"),
+        )
+        .select(
+            F.col("b").cast("long").alias("depth_blocks"),
+            "n_requests",
+            "distinct_chains",
+            "n_hits",
+            "cached_tokens_at_depth",
+        )
+        .orderBy("depth_blocks")
+    )

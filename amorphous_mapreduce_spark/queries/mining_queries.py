@@ -1100,3 +1100,154 @@ def q_dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g2_scaled"), F.asc("bigram"))
         .limit(G2_TOP_K)
     )
+
+
+# --- speculative-decoding acceptance economics -------------------------------
+
+# Speculative decoding (Leviathan et al. 2023): a cheap DRAFT model
+# proposes tokens that the TARGET model accepts with probability
+# min(1, p_target / p_draft); the expected accepted tokens per
+# verification round with lookahead gamma is (1 - a^(gamma+1)) / (1 - a)
+# where a is the mean acceptance rate. Here the draft is the corpus
+# unigram MLE and the target the bigram MLE, so every per-token
+# acceptance probability is an EXACT integer rational:
+#     min(1, (c_bigram / c_prev) / (c_tok / N))
+#   = min(c_bigram * N, c_prev * c_tok) / (c_prev * c_tok)
+# Per-token rationals are floor-quantized to 2^-20 BEFORE the per-source
+# sum (the repo's quantize-then-sum rule for cross-group rational sums);
+# the numerator-times-2^20 product can pass int64, so the floor division
+# rides DECIMAL(38,0) pmod-floor-div on Spark == HUGEINT // in DuckDB
+# (the fleiss_kappa pattern — both exact for non-negative operands).
+# Precondition: token count N < ~3e9 so c_prev*c_tok fits int64
+# (documented; past that the counts move to DECIMAL like ab_test_welch).
+SPEC_GAMMA = 4  # draft lookahead; speedup column uses gamma+1 = 5
+
+SPEC_DECODE_ORACLE = (
+    "WITH "
+    + TOKS_CTE
+    + """
+, tk AS MATERIALIZED (SELECT id, pos, word FROM toks),
+uni AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY word
+),
+ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+bg AS MATERIALIZED (
+    SELECT d.source, t.w1, t.word AS w2
+    FROM (
+        SELECT id, word,
+               lag(word) OVER (PARTITION BY id ORDER BY pos) AS w1
+        FROM tk
+    ) t
+    JOIN documents d ON d.doc_id = t.id
+    WHERE t.w1 IS NOT NULL
+),
+bgc AS MATERIALIZED (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+),
+ev AS (
+    SELECT b.source,
+           CAST(CAST(LEAST(bc.cb * ntok.n, u1.c * u2.c) AS HUGEINT)
+                * 1048576 // (u1.c * u2.c) AS BIGINT) AS q
+    FROM bg b
+    JOIN bgc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN ntok
+),
+agg AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_proposals,
+           CAST(SUM(q) AS BIGINT) AS accept_q
+    FROM ev GROUP BY source
+),
+alph AS (
+    SELECT source, n_proposals, accept_q,
+           CAST(accept_q AS DOUBLE)
+               / (CAST(n_proposals AS DOUBLE) * 1048576.0) AS alpha
+    FROM agg
+)
+SELECT source, n_proposals, accept_q, alpha,
+       CASE WHEN accept_q = n_proposals * 1048576
+            THEN CAST(5 AS DOUBLE)
+            ELSE (1.0 - (((alpha * alpha) * (alpha * alpha)) * alpha))
+                 / (1.0 - alpha)
+       END AS exp_tokens_per_round
+FROM alph
+ORDER BY source
+"""
+)
+
+
+@register("speculative_decoding_acceptance", SPEC_DECODE_ORACLE)
+def q_speculative_decoding_acceptance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Speculative-decoding economics per source: exact mean acceptance
+    rate of a unigram DRAFT model against a bigram TARGET model over the
+    corpus token stream, and the implied accepted-tokens-per-verification
+    round at lookahead gamma=4 ((1 - a^5)/(1 - a), the Leviathan et al.
+    formula) — the measurement that decides whether a draft model pays
+    for itself before an inference rollout.
+
+    Exactness: acceptance min(1, p_t/p_d) collapses to an integer
+    cross-ratio (see module comment); per-token values are 2^-20
+    floor-quantized via DECIMAL pmod-floor-div (== DuckDB HUGEINT //)
+    before the per-source sum; alpha and the speedup are fixed double
+    expressions with pinned parenthesization.
+
+    Scale: tokenize rides the word-count substrate
+    (src/word_count.rs:90-128 tokenize/hash-partition/count); the
+    unigram/bigram model tables are vocab-bounded (broadcast-sized
+    here; AQE picks the join side), the token stream is touched twice
+    (model counts, scoring) with the shared lineage persisted.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    toks = tokenized(docs).persist()  # model counts + scoring stream
+    uni = toks.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    n = toks.agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.select("id", "word", F.lag("word").over(w).alias("w1"))
+        .filter(F.col("w1").isNotNull())
+        .join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .select("source", "w1", F.col("word").alias("w2"))
+        .persist()  # bigram counts + scoring both read it
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    ev = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    num = (
+        F.least(F.col("cb") * F.col("n"), F.col("c1") * F.col("c2"))
+        .cast("decimal(38,0)")
+        * F.lit(1048576)
+    )
+    den = (F.col("c1") * F.col("c2")).cast("decimal(38,0)")
+    q = ((num - F.pmod(num, den)) / den).cast("long")
+    agg = ev.select("source", q.alias("q")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_proposals"),
+        F.sum("q").cast("long").alias("accept_q"),
+    )
+    alpha = F.col("accept_q").cast("double") / (
+        F.col("n_proposals").cast("double") * F.lit(1048576.0)
+    )
+    out = agg.select("source", "n_proposals", "accept_q", alpha.alias("alpha"))
+    a = F.col("alpha")
+    a5 = ((a * a) * (a * a)) * a
+    return out.select(
+        "source",
+        "n_proposals",
+        "accept_q",
+        "alpha",
+        F.when(
+            F.col("accept_q") == F.col("n_proposals") * F.lit(1048576),
+            F.lit(5.0),
+        )
+        .otherwise((F.lit(1.0) - a5) / (F.lit(1.0) - a))
+        .alias("exp_tokens_per_round"),
+    ).orderBy("source")

@@ -101,10 +101,27 @@ def prune_checks(path: str, registered: set[str]) -> None:
 def main() -> int:
     argv = sys.argv[1:]
     shard = None
-    if argv and argv[0] == "--shard":
-        k, n = argv[1].split("/")
-        shard = (int(k) - 1, int(n))
-        argv = argv[2:]
+    timeout = None
+    skip: set[str] = set()
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--shard":
+            k, n = argv[1].split("/")
+            shard = (int(k) - 1, int(n))
+            argv = argv[2:]
+        elif argv[0] == "--timeout":
+            # Per-query wall-clock budget (spark + duck). On expiry a
+            # watchdog thread interrupts the DuckDB connection and
+            # cancels all Spark jobs; the query is recorded TIMEOUT and
+            # the battery continues — so a brute-force oracle that is
+            # infeasible at a big rung self-triages instead of hanging
+            # the whole shard (round 8, for the fixtures/sf10 battery).
+            timeout = float(argv[1])
+            argv = argv[2:]
+        elif argv[0] == "--skip":
+            skip = set(argv[1].split(","))
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -153,19 +170,63 @@ def main() -> int:
         )
         checks.flush()
 
+    import threading
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
-        t_spark = time.time() - t0
-        if name not in oracles:
-            print(f"  {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s spark) [no oracle]")
-            record(name, "rows-only", len(sdf), t_spark, 0.0)
+        if name in skip:
+            print(f"  {name}: SKIPPED (--skip)")
             continue
+        done = None
+        timer = None
+        if timeout is not None:
+            done = threading.Event()
+
+            def _watchdog(ev=done):
+                if not ev.wait(timeout):
+                    try:
+                        con.interrupt()
+                    except Exception:
+                        pass
+                    try:
+                        spark.sparkContext.cancelAllJobs()
+                    except Exception:
+                        pass
+
+            timer = threading.Thread(target=_watchdog, daemon=True)
+            timer.start()
         t0 = time.time()
-        odf = con.sql(oracles[name]).df()
-        t_duck = time.time() - t0
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            t_spark = time.time() - t0
+            if name not in oracles:
+                print(
+                    f"  {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s spark) [no oracle]"
+                )
+                record(name, "rows-only", len(sdf), t_spark, 0.0)
+                if done is not None:
+                    done.set()
+                continue
+            t0 = time.time()
+            odf = con.sql(oracles[name]).df()
+            t_duck = time.time() - t0
+        except Exception as ex:
+            el = time.time() - t0
+            kind = (
+                "TIMEOUT"
+                if timeout is not None and el >= timeout * 0.95
+                else f"ERR {type(ex).__name__}"
+            )
+            print(f"  {name}: {kind} after {el:.0f}s: {str(ex).splitlines()[0][:160]}")
+            record(name, kind, -1, el, 0.0)
+            failures.append(name)
+            if done is not None:
+                done.set()
+            continue
+        finally:
+            if done is not None:
+                done.set()
         status = "OK"
         if len(sdf) != len(odf):
             status = f"ROWCOUNT {len(sdf)} vs {len(odf)}"

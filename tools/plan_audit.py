@@ -42,6 +42,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "speculative_decoding_acceptance": {
+        "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the total "
+        "token count N onto the bigram scoring stream) — scalar-total "
+        "pattern; the model joins (unigram/bigram counts) are keyed "
+        "equi-joins and every aggregate is keyed on source",
+    },
+    "optimal_partitioning_changepoints": {
+        "Exchange SinglePartition": "the day-domain frame is CONSTANT "
+        "size (~2400 rows at every SF — TPC-H's date span is fixed): "
+        "the global row_number over days and the single-group DP "
+        "kernel are the documented bounded-state one-kernel pattern "
+        "(markov_removal_attribution precedent); the data-proportional "
+        "work is one keyed daily aggregate",
+    },
+    "kv_block_cache_curve": {
+        "BroadcastNestedLoopJoin": "the constant 8-row depth-level "
+        "table crossed onto the doc scan (x<=8 bounded fan-out, "
+        "prefix_cache_hits precedent), appearing once per branch of "
+        "the persisted pref frame's two consumers",
+    },
     "fleiss_kappa": {
         "BroadcastNestedLoopJoin": "ONE 1-row x 1-row scalar cross "
         "(the per-item-cells aggregate (a, nitems) joined to the "
