@@ -2355,3 +2355,213 @@ def q_coverage_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("round")
+
+
+# --- expected calibration error of the MinHash similarity estimate -----------
+
+# The MinHash signature-agreement fraction (matching components / 16) is
+# an unbiased estimator of Jaccard; dedup pipelines threshold it as a
+# dup-probability. ECE (expected calibration error, the standard
+# reliability-diagram summary) measures how far that estimate sits from
+# the realized rate of true near-dups (exact capped-vocab Jaccard >=
+# 1/4) across 5 confidence bins — the calibration sibling of
+# quality_dup_calibration (per-band rates) and isotonic_dup_calibration
+# (the corrective fit). Everything is integer-exact: est16 in 0..16,
+# bins = est16 // 4, the per-bin |accuracy - confidence| mass collapses
+# to |16*n_pos - sum_est16| / (16*N) — ONE integer numerator per bin and
+# a single double division for the headline.
+_ECE_NH = 16
+
+ECE_DUP_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+, capped AS MATERIALIZED (
+    SELECT s.id, s.sh FROM shingles s
+    JOIN (SELECT sh FROM shingles GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}) rare USING (sh)
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS sz FROM capped GROUP BY id),
+minhash AS MATERIALIZED (
+    SELECT s.id, h.range AS hid,
+           MIN(((s.sh % 2147483647) * (h.range * 2 + 1) + h.range * 12345)
+               % 2147483647) AS mh
+    FROM shingles s, range({_ECE_NH}) h
+    GROUP BY s.id, h.range
+),
+bands AS MATERIALIZED (
+    SELECT id, hid // 4 AS band, string_agg(mh, '-' ORDER BY hid) AS sig
+    FROM minhash GROUP BY id, hid // 4
+),
+found AS MATERIALIZED (
+    SELECT DISTINCT a.id AS qid, b.id AS nid
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.id < b.id
+),
+est AS MATERIALIZED (
+    SELECT f.qid, f.nid,
+           CAST(SUM(CASE WHEN qa.mh = nb.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS est16
+    FROM found f
+    JOIN minhash qa ON qa.id = f.qid
+    JOIN minhash nb ON nb.id = f.nid AND nb.hid = qa.hid
+    GROUP BY f.qid, f.nid
+),
+inters AS MATERIALIZED (
+    SELECT f.qid, f.nid, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM found f
+    JOIN capped a ON a.id = f.qid
+    JOIN capped b ON b.id = f.nid AND b.sh = a.sh
+    GROUP BY f.qid, f.nid
+),
+scored AS (
+    SELECT e.est16 // 4 AS conf_bin,
+           e.est16,
+           CASE WHEN 4 * COALESCE(i.inter, 0)
+                          >= COALESCE(qs.sz, 0) + COALESCE(ns.sz, 0)
+                             - COALESCE(i.inter, 0)
+                      AND COALESCE(qs.sz, 0) + COALESCE(ns.sz, 0)
+                          - COALESCE(i.inter, 0) > 0
+                THEN 1 ELSE 0 END AS pos
+    FROM est e
+    LEFT JOIN inters i ON i.qid = e.qid AND i.nid = e.nid
+    LEFT JOIN sizes qs ON qs.id = e.qid
+    LEFT JOIN sizes ns ON ns.id = e.nid
+),
+bins AS (
+    SELECT conf_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est16) AS BIGINT) AS sum_est16,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(ABS({_ECE_NH} * SUM(pos) - SUM(est16)) AS BIGINT)
+               AS ece_contrib_num
+    FROM scored GROUP BY conf_bin
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n,
+               CAST(SUM(ece_contrib_num) AS BIGINT) AS num
+        FROM bins)
+SELECT b.conf_bin, b.n_pairs, b.sum_est16, b.n_pos, b.ece_contrib_num,
+       CAST(b.n_pos AS DOUBLE) / CAST(b.n_pairs AS DOUBLE) AS accuracy,
+       CAST(b.sum_est16 AS DOUBLE)
+           / (CAST(b.n_pairs AS DOUBLE) * {_ECE_NH}.0) AS confidence,
+       CAST(t.num AS DOUBLE) / (CAST(t.n AS DOUBLE) * {_ECE_NH}.0) AS ece
+FROM bins b, tot t
+ORDER BY conf_bin
+"""
+)
+
+
+@register("ece_dup_calibration", ECE_DUP_ORACLE)
+def q_ece_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the MinHash(16) signature-agreement
+    estimate as a near-dup probability: per confidence bin (est16 // 4),
+    candidate count, realized exact-Jaccard>=1/4 rate, mean estimated
+    similarity, and the |accuracy - confidence| mass; the global ECE
+    rides every row (the self-auditing-scalar pattern).
+
+    Exactness: est16 and the intersection counts are integers; the
+    per-bin calibration mass is the integer |16*n_pos - sum_est16|; ECE
+    is one double division. 'pos' handles the degenerate empty-capped-
+    vocabulary pair identically on both engines.
+
+    Scale: candidates come from the banded LSH join (linear); the
+    signature-agreement and intersection joins are keyed per candidate;
+    the reliability table is 5 constant bins. Signatures and buckets
+    are persisted (multi-consumer, the self-join rule)."""
+    from amorphous_mapreduce_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, _ECE_NH).persist()
+    buckets = minhash_band_buckets(sigs, 4).persist()
+    a = buckets.select(F.col("id").alias("qid"), "band", "sig")
+    b = buckets.select(F.col("id").alias("nid"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+        .persist()  # est16 join + intersection join
+    )
+    est = (
+        cand.join(
+            sigs.select(F.col("id").alias("qid"), "hid", F.col("mh").alias("qmh")),
+            "qid",
+        )
+        .join(
+            sigs.select(F.col("id").alias("nid"), "hid", F.col("mh").alias("nmh")),
+            ["nid", "hid"],
+        )
+        .groupBy("qid", "nid")
+        .agg(
+            F.sum(F.when(F.col("qmh") == F.col("nmh"), 1).otherwise(0))
+            .cast("long")
+            .alias("est16")
+        )
+    )
+    sh = shingles(docs).persist()  # df cap + both intersection sides
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= JACCARD_MAX_DF
+    )
+    capped = sh.join(rare.select("sh"), "sh").persist()
+    sizes = capped.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    inters = (
+        cand.join(capped.toDF("sh", "qid"), "qid")
+        .join(capped.toDF("sh", "nid"), ["nid", "sh"])
+        .groupBy("qid", "nid")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    scored = (
+        est.join(inters, ["qid", "nid"], "left")
+        .join(sizes.toDF("qid", "qsz"), "qid", "left")
+        .join(sizes.toDF("nid", "nsz"), "nid", "left")
+        .select(
+            F.expr("est16 div 4").alias("conf_bin"),
+            "est16",
+            F.expr(
+                "CASE WHEN 4 * COALESCE(inter, 0)"
+                " >= COALESCE(qsz, 0) + COALESCE(nsz, 0) - COALESCE(inter, 0)"
+                " AND COALESCE(qsz, 0) + COALESCE(nsz, 0)"
+                " - COALESCE(inter, 0) > 0 THEN 1 ELSE 0 END"
+            ).alias("pos"),
+        )
+    )
+    bins = scored.groupBy("conf_bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("est16").cast("long").alias("sum_est16"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.abs(
+            F.lit(_ECE_NH) * F.sum("pos") - F.sum("est16")
+        )
+        .cast("long")
+        .alias("ece_contrib_num"),
+    )
+    tot = bins.agg(
+        F.sum("n_pairs").cast("long").alias("n"),
+        F.sum("ece_contrib_num").cast("long").alias("num"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "conf_bin",
+            "n_pairs",
+            "sum_est16",
+            "n_pos",
+            "ece_contrib_num",
+            (
+                F.col("n_pos").cast("double") / F.col("n_pairs").cast("double")
+            ).alias("accuracy"),
+            (
+                F.col("sum_est16").cast("double")
+                / (F.col("n_pairs").cast("double") * F.lit(float(_ECE_NH)))
+            ).alias("confidence"),
+            (
+                F.col("num").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(_ECE_NH)))
+            ).alias("ece"),
+        )
+        .orderBy("conf_bin")
+    )

@@ -429,3 +429,187 @@ def q_dup_cluster_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octave")
     )
+
+
+# --- lightweight coreset over the embedding corpus ----------------------------
+
+# Lightweight coresets (Bachem, Lucic & Krause, KDD 2018): sample m
+# points with probability q(x) = 1/(2n) + d(x, mean)^2 / (2 * sum d^2),
+# weight each by 1/(m*q(x)) — a provable k-means coreset from ONE mean
+# pass + ONE importance-sampling pass, the cheapest corpus-compression
+# recipe that still bounds clustering error. Deterministic distributed
+# version: the draw is Efraimidis-Spirakis over the integer importance
+# weights (the weighted_sample_es machinery — md5 draw, intlog L,
+# truncated rational rank key), so the sample is bit-identical across
+# engines and replayable in SQL. Integer discipline:
+# - center = per-dim floor-quantized mean (sum div n) of the
+#   round(x*1000)-quantized vectors — exact, engine-portable (Spark div
+#   == DuckDB // on BIGINT, negatives truncate identically);
+# - d2 = sum of squared integer residuals (order-free integer sum);
+# - importance W = S + n*d2 (common-denominator form of q(x), S = sum of
+#   all d2; both ~1e15 at sf10, inside int64 to ~sf300);
+# - rank weight w_q = W div max(S div 2^20, 1) — the 2^20-scaled
+#   RELATIVE importance, keeping the ES key (L*2^20) div w_q
+#   non-degenerate at any corpus magnitude.
+LWCS_M = 64
+_LWCS_POW = 1125899906842624  # 2^50
+_LWCS_LBITS = 50 * 1048576
+
+_LWCS_HM_SQL = (
+    "CAST('0x' || substr(md5('lwcs_' || CAST(vec_id AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {_LWCS_POW} + 1"
+)
+
+LWCS_ORACLE = f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT)) AS qv
+    FROM embeddings
+),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+center AS MATERIALIZED (
+    SELECT dim, SUM(v) // n AS c
+    FROM (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM q),
+         nrow
+    GROUP BY dim, n
+),
+d2s AS MATERIALIZED (
+    SELECT t.id, CAST(SUM((t.v - c.c) * (t.v - c.c)) AS BIGINT) AS d2
+    FROM (SELECT id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v
+          FROM q) t
+    JOIN center c USING (dim)
+    GROUP BY t.id
+),
+tots AS (SELECT CAST(SUM(d2) AS BIGINT) AS s FROM d2s),
+keyed AS (
+    SELECT d.id, d.d2,
+           (tots.s + nrow.n * d.d2)
+               // GREATEST(tots.s // 1048576, 1) AS w_q,
+           (({_LWCS_LBITS} - {log2_scaled_sql("hm")}) * 1048576)
+               // ((tots.s + nrow.n * d.d2)
+                   // GREATEST(tots.s // 1048576, 1)) AS key_q,
+           CAST(tots.s AS DOUBLE) AS sd, CAST(nrow.n AS DOUBLE) AS nd,
+           CAST(tots.s + nrow.n * d.d2 AS DOUBLE) AS wd
+    FROM (SELECT id, d2, {_LWCS_HM_SQL.replace("vec_id", "id")} AS hm
+          FROM d2s) d, tots, nrow
+)
+SELECT rk, id AS vec_id, d2, w_q, key_q,
+       ((2.0 * nd) * sd) / ({LWCS_M}.0 * wd) AS coreset_weight
+FROM (
+    SELECT id, d2, w_q, key_q, sd, nd, wd,
+           ROW_NUMBER() OVER (ORDER BY key_q, id) AS rk
+    FROM keyed
+) WHERE rk <= {LWCS_M}
+ORDER BY rk
+"""
+
+
+@register("lightweight_coreset", LWCS_ORACLE)
+def q_lightweight_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight-coreset manifest (Bachem et al. 2018): the LWCS_M=64
+    embedding vectors drawn by deterministic Efraimidis-Spirakis
+    sampling with importance q(x) = 1/(2n) + d(x,mean)^2/(2*sum d^2),
+    each with its exact squared distance, integer importance, rank key
+    and the 1/(m*q) coreset weight — corpus compression with a
+    clustering-error guarantee, from two linear passes.
+
+    Determinism/exactness: quantized-integer center and distances; the
+    ES draw and rank key are the weighted_sample_es integers; the
+    coreset weight is one pinned-parenthesization double expression.
+
+    Scale: one per-dim aggregate (64*n explode -> 64 rows), one scoring
+    pass against the broadcast 1-row (center, S, n) model frame, one
+    global top-m (TakeOrderedAndProject). The quantized frame is
+    persisted (mean pass + scoring pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000).cast("long")
+    )
+    q = emb.select(F.col("vec_id").alias("id"), qv.alias("qv")).persist()
+    n = q.agg(F.count("*").cast("long").alias("n"))
+    center = (
+        q.select(F.posexplode("qv").alias("dim0", "v"))
+        .groupBy("dim0")
+        .agg(F.sum("v").alias("sv"))
+        .crossJoin(F.broadcast(n))
+        .select("dim0", F.expr("sv div n").alias("c"))
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .drop("_g")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2s = (
+        q.crossJoin(F.broadcast(center))
+        .select("id", d2.alias("d2"))
+        .persist()  # S aggregate + scoring both read it
+    )
+    tots = d2s.agg(F.sum("d2").cast("long").alias("s"))
+    hm = (
+        F.pmod(
+            hex_hash64(F.concat(F.lit("lwcs_"), F.col("id").cast("string"))),
+            F.lit(_LWCS_POW),
+        )
+        + 1
+    )
+    keyed = (
+        d2s.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "d2",
+            hm.alias("hm"),
+            F.expr(
+                "(s + n * d2) div GREATEST(s div 1048576, 1)"
+            ).alias("w_q"),
+            F.col("s").cast("double").alias("sd"),
+            F.col("n").cast("double").alias("nd"),
+            (F.col("s") + F.col("n") * F.col("d2"))
+            .cast("double")
+            .alias("wd"),
+        )
+        .select(
+            "id",
+            "d2",
+            "w_q",
+            "sd",
+            "nd",
+            "wd",
+            F.expr(
+                f"CAST((({_LWCS_LBITS} - ("
+                + _spark_log2("hm")
+                + ")) * 1048576) div w_q AS BIGINT)"
+            ).alias("key_q"),
+        )
+    )
+    # TakeOrderedAndProject cuts to m rows BEFORE the rank window, so
+    # the only global window runs over the 64-row result, never the
+    # corpus (the distributed top-k discipline).
+    wk = Window.orderBy("key_q", "id")
+    return (
+        keyed.orderBy("key_q", "id")
+        .limit(LWCS_M)
+        .withColumn("rk", F.row_number().over(wk))
+        .select(
+            "rk",
+            F.col("id").alias("vec_id"),
+            "d2",
+            "w_q",
+            "key_q",
+            (
+                ((F.lit(2.0) * F.col("nd")) * F.col("sd"))
+                / (F.lit(float(LWCS_M)) * F.col("wd"))
+            ).alias("coreset_weight"),
+        )
+        .orderBy("rk")
+    )

@@ -102,6 +102,7 @@ def main() -> int:
     argv = sys.argv[1:]
     shard = None
     timeout = None
+    resume = False
     skip: set[str] = set()
     while argv and argv[0].startswith("--"):
         if argv[0] == "--shard":
@@ -120,10 +121,30 @@ def main() -> int:
         elif argv[0] == "--skip":
             skip = set(argv[1].split(","))
             argv = argv[2:]
+        elif argv[0] == "--resume":
+            # Skip queries whose LATEST CHECKS.jsonl row at this sf_dir is
+            # already OK/rows-only — lets a long battery be re-launched
+            # (different shard counts, after fixes, after kills) without
+            # re-paying completed queries (round 8, the sf10 battery).
+            resume = True
+            argv = argv[1:]
         else:
             raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if resume:
+        latest: dict[str, str] = {}
+        try:
+            with open(os.path.join(REPO, "CHECKS.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["sf_dir"].rstrip("/") == sf_dir.rstrip("/"):
+                        latest[rec["query"]] = rec["status"]
+        except FileNotFoundError:
+            pass
+        done = {q for q, st in latest.items() if st in ("OK", "rows-only")}
+        skip |= done
+        print(f"--resume: skipping {len(done)} already-green queries")
 
     import hashlib
 
@@ -131,11 +152,23 @@ def main() -> int:
     from amorphous_mapreduce_spark import get_spark
 
     spark = get_spark(app_name="oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def fresh_con():
+        c = duckdb.connect()
+        # Parallel battery shards each spawn a full-width DuckDB by
+        # default (32 threads x N shards thrashes the box); cap
+        # per-process threads when running sharded (round 8).
+        duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+        if duck_threads:
+            c.execute(f"SET threads={int(duck_threads)}")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     qs, oracles = e.queries(), e.oracle_sql()
     if shard is not None:
@@ -223,6 +256,11 @@ def main() -> int:
             failures.append(name)
             if done is not None:
                 done.set()
+            # A watchdog that fired during the SPARK phase leaves a
+            # pending interrupt on the DuckDB connection that would kill
+            # the NEXT query's oracle (measured: InterruptException on
+            # the query after a timeout) — reconnect to clear it.
+            con = fresh_con()
             continue
         finally:
             if done is not None:

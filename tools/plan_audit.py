@@ -42,6 +42,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan legitimately contains a flagged node, with the
 # reason it is scale-safe anyway. Every entry must say WHY.
 ALLOW: dict[str, dict[str, str]] = {
+    "ece_dup_calibration": {
+        "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the "
+        "(N, ece numerator) totals onto the 5-bin reliability table) — "
+        "scalar-total pattern; candidates ride the banded LSH equi-join",
+    },
+    "lightweight_coreset": {
+        "BroadcastNestedLoopJoin": "the 1-row MODEL frames (64-dim "
+        "quantized-mean center, the (S) total, the (n) count) crossed "
+        "onto the scoring scan, replicated across the persisted "
+        "d2s frame's consumers in the BUILT plan — model-broadcast "
+        "pattern (kmeans/similarity precedent); all data-sized joins "
+        "are keyed and the top-m is TakeOrderedAndProject",
+    },
     "speculative_decoding_acceptance": {
         "BroadcastNestedLoopJoin": "ONE 1-row scalar cross (the total "
         "token count N onto the bigram scoring stream) — scalar-total "
