@@ -161,6 +161,12 @@ def main() -> int:
         duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
         if duck_threads:
             c.execute(f"SET threads={int(duck_threads)}")
+        # Parallel shards also each claim DuckDB's default 80%-of-RAM
+        # memory budget; cap per-process so N shards + N Spark drivers
+        # coexist on one box (round 8, the fixtures/sf10 battery).
+        duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+        if duck_mem:
+            c.execute(f"SET memory_limit='{duck_mem}'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "

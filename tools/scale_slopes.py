@@ -86,6 +86,21 @@ ALLOW = {
         "-> ~82M result rows); the banded join produces ~2.7M pairs/s, "
         "i.e. work ~ output, the optimum for an exact pair enumeration"
     ),
+    "hard_negative_mining": (
+        "exact blocked same-label kernel is intrinsically n^2*d (the "
+        "tile mask prunes constants, not asymptotics); at sf10 the "
+        "kernel ran >10 CPU-min without finishing a rung and was "
+        "deliberately cut — the SCALE path is ivf_hard_negatives "
+        "(celled, per-cell cap 256), 4-decade measured slope3 5.45"
+    ),
+    "similarity_topk": (
+        "exact brute-force truth baseline: blocked cosine top-k over ALL "
+        "pairs is intrinsically n^2*d (slope2 12.93 at sf1 is the "
+        "expected quadratic); at sf10 that is ~4e10 dot products "
+        "(~40 min/run), deliberately not measured — the SCALE paths are "
+        "similarity_lsh_topk and similarity_ivf_topk, both 4-decade "
+        "measured, and the query exists as the recall-eval truth"
+    ),
 }
 
 RUNGS = [
