@@ -81,6 +81,71 @@ def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def word_array(text_col: Column | str) -> Column:
+    """Array of non-empty tokens of the normalised text (W3-W5 semantics,
+    as an array column instead of exploded rows)."""
+    return F.filter(
+        F.split(normalize_text(text_col), " "), lambda w: F.length(w) > 0
+    )
+
+
+def shingle_grams(words: Column | str, shingle_size: int = 3) -> Column:
+    """Array of word-``shingle_size``-grams (space-joined) over a WORD
+    ARRAY column — pure per-row array math.
+
+    Equivalent to the explode + lead()-window construction (same gram
+    strings, same order) but with ZERO shuffles: the window form paid an
+    (id, pos) sort shuffle per call, which dominated every shingle
+    consumer's plan (round-8 optimization, guide §2.4). Gram i is
+    words[i..i+k-1], built by zipping k aligned slices of the word array.
+
+    Takes the tokenised array (see :func:`word_array`), NOT the raw text:
+    the normalise+split must be materialised in a prior projection, or
+    Catalyst inlines it into every slice and re-tokenises the text
+    ``shingle_size`` times per row (measured 1.7x slower at sf0.1).
+    """
+    words = _c(words) if not isinstance(words, Column) else words
+    if shingle_size == 1:
+        return words
+    m = F.greatest(F.size(words) - (shingle_size - 1), F.lit(0))
+    slices = [F.slice(words, i + 1, m) for i in range(shingle_size)]
+    z = F.arrays_zip(*slices)
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(shingle_size)])
+    )
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _gram_hashes(
+    docs: DataFrame,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, sh] — one row per gram OCCURRENCE (non-distinct).
+
+    Internal fast path: consumers whose aggregate is duplicate-invariant
+    (minhash minima) skip the distinct shuffle entirely.
+    """
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        # repartition BEFORE the explode: single-file fixtures scan as one
+        # partition and the per-gram md5 would run on one core. word_array
+        # is a separate projection so the tokenise runs ONCE per row (see
+        # shingle_grams docstring).
+        docs.repartition(nparts)
+        .select(F.col(id_col).alias("id"), word_array(text_col).alias("_ws"))
+        .select(
+            "id",
+            F.explode(shingle_grams(F.col("_ws"), shingle_size)).alias("gram"),
+        )
+        .select("id", hex_hash64(F.col("gram")).alias("sh"))
+    )
+
+
 def shingles(
     docs: DataFrame,
     shingle_size: int = 3,
@@ -90,25 +155,10 @@ def shingles(
     """Distinct word-``shingle_size``-gram hashes per doc: [id, sh].
 
     Shingle text is the space-joined n-gram; hash is the portable 60-bit
-    MD5-derived integer. Built with lead() windows so the construction is
-    expressible identically in the SQL oracle.
+    MD5-derived integer. Grams come from per-row array math
+    (:func:`shingle_grams`); only the distinct shuffles.
     """
-    toks = tokenized(docs, id_col, text_col)
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, shingle_size)]
-    # Both window expressions must be evaluated in the SAME select (before
-    # any filter) — otherwise the leads would be recomputed over the
-    # filtered rows and truncate the final shingle of each doc.
-    grams = toks.select(
-        "id",
-        F.concat_ws(" ", *parts).alias("gram"),
-        F.lead("word", shingle_size - 1).over(w).alias("_last"),
-    )
-    return (
-        grams.filter(F.col("_last").isNotNull())
-        .select("id", hex_hash64(F.col("gram")).alias("sh"))
-        .distinct()
-    )
+    return _gram_hashes(docs, shingle_size, id_col, text_col).distinct()
 
 
 def minhash_signatures(
@@ -125,17 +175,31 @@ def minhash_signatures(
     row explosion, which would multiply shuffle volume by num_hashes on a
     large corpus. The wide row then unpivots via stack() (no shuffle).
     """
-    sh = shingles(docs, shingle_size, id_col, text_col)
+    stack_args = ", ".join(f"{i}L, mh{i}" for i in range(num_hashes))
+    return _minhash_wide(docs, num_hashes, shingle_size, id_col, text_col).select(
+        "id", F.expr(f"stack({num_hashes}, {stack_args}) AS (hid, mh)")
+    )
+
+
+def _minhash_wide(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Wide minhash signatures [id, mh0..mh{n-1}] in ONE shuffle.
+
+    Minima are duplicate-invariant, so the gram stream skips the
+    shingle-distinct shuffle (min over the bag == min over the set).
+    """
+    sh = _gram_hashes(docs, shingle_size, id_col, text_col)
 
     def perm(i: int):
         return ((F.col("sh") % MINHASH_P) * (2 * i + 1) + i * 12345) % MINHASH_P
 
-    wide = sh.groupBy("id").agg(
+    return sh.groupBy("id").agg(
         *[F.min(perm(i)).alias(f"mh{i}") for i in range(num_hashes)]
-    )
-    stack_args = ", ".join(f"{i}L, mh{i}" for i in range(num_hashes))
-    return wide.select(
-        "id", F.expr(f"stack({num_hashes}, {stack_args}) AS (hid, mh)")
     )
 
 
@@ -166,12 +230,31 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Distinct near-dup candidate pairs [qid, nid] (qid < nid) that agree
     on at least one full minhash band."""
+    # Band signatures straight off the WIDE aggregate (per-row concat +
+    # explode — no long-format groupBy shuffle); identical [id, band, sig]
+    # rows to minhash_band_buckets(minhash_signatures(...)).
+    wide = _minhash_wide(docs, num_hashes, shingle_size, id_col, text_col)
+    nbands = (num_hashes + band_bits - 1) // band_bits
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{i}")
+                    for i in range(b * band_bits, min((b + 1) * band_bits, num_hashes))
+                ],
+            ).alias("sig"),
+        )
+        for b in range(nbands)
+    ]
     # Persist: both join branches read the buckets (else the shingle +
     # minhash pipeline executes twice).
-    buckets = minhash_band_buckets(
-        minhash_signatures(docs, num_hashes, shingle_size, id_col, text_col),
-        band_bits,
-    ).persist()
+    buckets = (
+        wide.select("id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        .persist()
+    )
     a = buckets.select(F.col("id").alias("qid"), "band", "sig")
     b = buckets.select(F.col("id").alias("nid"), "band", "sig")
     return (

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from amorphous_mapreduce_spark.functions.hashing import hex_hash64
-from amorphous_mapreduce_spark.operators.dedup import tokenized
+from amorphous_mapreduce_spark.operators.dedup import (
+    shingle_grams,
+    tokenized,
+    word_array,
+)
 
 
 def positioned_shingles(
@@ -44,23 +48,23 @@ def positioned_shingles(
 ) -> DataFrame:
     """[id, pos, sh]: k-gram hash at every token position (keeps repeats).
 
-    Same construction as ``dedup.shingles`` (lead windows, all window
-    expressions in one select) but position-preserving and non-distinct —
-    repeats matter for passage extents.
+    Same rows as ``dedup.shingles``' construction but position-preserving
+    and non-distinct — repeats matter for passage extents. Round 8: grams
+    come from per-row array math (posexplode of ``shingle_grams``; gram
+    index == 0-based start-token position), not lead() windows — no
+    (id, pos) sort shuffle (guide §2.4).
     """
-    toks = tokenized(docs, id_col, text_col)
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("word")] + [
-        F.lead("word", i).over(w) for i in range(1, shingle_size)
-    ]
-    grams = toks.select(
-        "id",
-        "pos",
-        F.concat_ws(" ", *parts).alias("gram"),
-        F.lead("word", shingle_size - 1).over(w).alias("_last"),
-    )
-    return grams.filter(F.col("_last").isNotNull()).select(
-        "id", "pos", hex_hash64(F.col("gram")).alias("sh")
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.repartition(nparts)
+        .select(F.col(id_col).alias("id"), word_array(text_col).alias("_ws"))
+        .select(
+            "id",
+            F.posexplode(shingle_grams(F.col("_ws"), shingle_size)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select("id", "pos", hex_hash64(F.col("gram")).alias("sh"))
     )
 
 

@@ -172,14 +172,20 @@ def bigram_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Corpus bigram counts: [bigram, cnt] (word pairs, space-joined)."""
-    toks = tokenized(docs, id_col, text_col)
-    w = Window.partitionBy("id").orderBy("pos")
-    nxt = F.lead("word").over(w)
+    """Corpus bigram counts: [bigram, cnt] (word pairs, space-joined).
+
+    Round 8: bigrams from per-row array math (no lead() window / no
+    (id, pos) sort shuffle) — identical bigram strings, guide §2.4."""
+    from amorphous_mapreduce_spark.operators.dedup import (
+        shingle_grams,
+        word_array,
+    )
+
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        toks.withColumn("w2", nxt)
-        .filter(F.col("w2").isNotNull())
-        .select(F.concat_ws(" ", "word", "w2").alias("bigram"))
+        docs.repartition(nparts)
+        .select(word_array(text_col).alias("_ws"))
+        .select(F.explode(shingle_grams(F.col("_ws"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )

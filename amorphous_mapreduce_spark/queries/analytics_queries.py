@@ -4055,14 +4055,27 @@ def q_bellman_ford_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges, src = _bf_graph(spark, sf_dir)
     # localCheckpoint (eager, MEMORY_AND_DISK, lineage truncation) rather
-    # than persist: the delta recursion references dist TWICE per round
-    # (settled-filter join + merge) on top of the frontier chain, and the
-    # un-truncated 4-round plan OOMs a default-1g driver JVM — the
+    # than persist: the delta recursion references each round's improved
+    # frame THREE times (settled-filter join, next frontier, size proof),
+    # and the un-truncated 4-round plan OOMs a default-1g driver JVM — the
     # operators/graph convergence-loop convention applies.
-    dist = src.select(
-        "p", F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint()
-    frontier = dist
+    #
+    # Round-8 optimization (guide §2.4/§5): dist is NOT checkpointed per
+    # round any more. It is derived lazily as min() over the union of the
+    # already-checkpointed improved frames (d0 ∪ improved_1..k), so each
+    # round runs ONE eager job instead of two — the union inputs are all
+    # checkpointed RDDs, so nothing recomputes and the plan stays shallow
+    # (k+1 small unions). Same relaxation sequence, same output.
+    d0 = src.select("p", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    layers = [d0]
+
+    def dist_now():
+        acc = layers[0]
+        for extra in layers[1:]:
+            acc = acc.unionByName(extra)
+        return acc.groupBy("p").agg(F.min("dist").alias("dist"))
+
+    frontier = d0
     fsizes = []
     for k in range(1, BF_ROUNDS + 1):
         cand = (
@@ -4080,7 +4093,9 @@ def q_bellman_ford_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         improved = (
             cand.join(
-                dist.select(F.col("p").alias("dp"), F.col("dist").alias("dd")),
+                dist_now().select(
+                    F.col("p").alias("dp"), F.col("dist").alias("dd")
+                ),
                 F.col("p") == F.col("dp"),
                 "left_outer",
             )
@@ -4090,17 +4105,12 @@ def q_bellman_ford_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and the frontier-size aggregate
             .localCheckpoint()
         )
-        dist = (
-            dist.unionByName(improved)
-            .groupBy("p")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
+        layers.append(improved)
         frontier = improved
         fsizes.append(
             improved.agg(F.count("*").cast("long").alias(f"frontier_{k}"))
         )
-    out = dist.select(F.col("p").alias("part"), "dist")
+    out = dist_now().select(F.col("p").alias("part"), "dist")
     for fs in fsizes:
         out = out.crossJoin(F.broadcast(fs))
     return out.orderBy("dist", "part").limit(BF_TOP)

@@ -1239,25 +1239,26 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-row position explode PER DUPLICATED GRAM INSTANCE (linear in dup
     mass, never pairwise — no df cap needed, unlike pair joins); the
     distinct (id, pos) collapse bounds double counting."""
-    from pyspark.sql import Window
-
-    from amorphous_mapreduce_spark.operators.dedup import tokenized
+    from amorphous_mapreduce_spark.operators.dedup import (
+        shingle_grams,
+        word_array,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenized(docs)
-    w = Window.partitionBy("id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("word"), *[F.lead("word", i).over(w) for i in range(1, _DNC_N)]
-    )
+    # grams via per-row array math (round 8, guide §2.4): posexplode of
+    # the gram array yields the IDENTICAL (id, pos, gram) rows the
+    # lead()-window form produced (gram index == 0-based start-token
+    # position), without the (id, pos) sort shuffle.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     g = (
-        toks.select(
+        docs.repartition(nparts)
+        .select(F.col("doc_id").alias("id"), word_array("text").alias("_ws"))
+        .select(
             "id",
-            "pos",
-            gram.alias("gram"),
-            F.lead("word", _DNC_N - 1).over(w).alias("lastw"),
+            F.posexplode(shingle_grams(F.col("_ws"), _DNC_N)).alias(
+                "pos", "gram"
+            ),
         )
-        .filter(F.col("lastw").isNotNull())
-        .select("id", "pos", "gram")
         .persist()  # gram-df aggregate AND the dup join both read it
     )
     dup = (
@@ -1278,7 +1279,13 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("covered"))
     )
-    per_doc = toks.groupBy("id").agg(F.count("*").alias("n_tok"))
+    # n_tok per row (no explode/groupBy); the >=1 filter preserves the
+    # original semantics (0-token docs never produced token rows, so the
+    # window form excluded them from per-source n_docs).
+    per_doc = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(word_array("text")).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") >= 1)
     joined = (
         per_doc.join(
             docs.select(F.col("doc_id").alias("id"), "source"), "id"

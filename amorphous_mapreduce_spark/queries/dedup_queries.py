@@ -1923,8 +1923,13 @@ def _fs_frames(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4)
-    sh = shingles(docs)
+    # persist: record_linkage_classify reads cand TWICE (the Jaccard
+    # verification join AND the classification scoring join) — without
+    # the cache the banded-bucket join + distinct re-runs (round 8).
+    cand = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    # persist: sh feeds the df-cap aggregate AND the capped probe join —
+    # two consumers, one tokenize+gram+distinct pass (round 8).
+    sh = shingles(docs).persist()
     rare = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("_df"))

@@ -3521,7 +3521,9 @@ def q_kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.lit(10))).alias("y"),
         )
     )
-    cells = grid.join(counts, ["brand", "x", "y"], "left").select(
+    # counts is VALUE-DOMAIN bounded (|brands| x 50 x 11 <= 13,750 rows at
+    # ANY SF) — broadcast beats the planner's sort-merge pick (round 8).
+    cells = grid.join(F.broadcast(counts), ["brand", "x", "y"], "left").select(
         "brand",
         "x",
         "y",
@@ -3583,9 +3585,10 @@ def q_kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n2 = F.expr("CAST(n_obs * (n_obs - 1) div 2 AS BIGINT)")
     return (
-        cd.join(ties, "brand")
-        .join(tx, "brand")
-        .join(ty, "brand")
+        # one row per brand on every side — broadcast the margins
+        cd.join(F.broadcast(ties), "brand")
+        .join(F.broadcast(tx), "brand")
+        .join(F.broadcast(ty), "brand")
         .select(
             "brand",
             "n_obs",
