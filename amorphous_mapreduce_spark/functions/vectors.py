@@ -13,6 +13,9 @@ blocked path where np.dot's BLAS beats per-row expression eval.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type-hint inference resolves
+import numpy as np   # annotations against module globals (PEP 563)
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -49,15 +52,16 @@ def cosine_batch(a: Column | str, b: Column | str) -> Column:
     hashes are unchanged (the _cell_scored_arrow precedent,
     operators/similarity.py). Use on candidate-scoring paths with many
     pairs; the expression form stays for small frames (guide §4.2).
+
+    PRECONDITION: both array columns must be non-NULL with no NULL
+    elements (np.vstack raises on None). A zero-norm vector yields NaN —
+    the same IEEE 0/0 the expression form produces. Callers outside an
+    inner-join candidate context must filter NULLs first.
     """
-    import numpy as np
-    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _cos(va: "pd.Series", vb: "pd.Series") -> "pd.Series":
-        import pandas as pd
-
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
         A = np.vstack(va.to_numpy()).astype(np.float64)

@@ -7,7 +7,8 @@ claims in OPTIMIZATION_r08.md are reproducible.
 
 Usage: python tools/opt_measure.py <tag> <query> [query ...]
   tag: 'before' or 'after' (plan file suffix; 'none' skips the dump)
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), OPT_RUNS (default 3)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), OPT_RUNS (default 3),
+     OPT_PLANS_DIR (default plans/r09 — round-9 deliverables)
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    plans_dir = os.path.join(REPO, "plans", "r08")
+    plans_dir = os.path.join(REPO, os.environ.get("OPT_PLANS_DIR", "plans/r09"))
     os.makedirs(plans_dir, exist_ok=True)
 
     from bench import spin_rate
