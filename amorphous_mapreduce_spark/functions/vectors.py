@@ -54,9 +54,11 @@ def cosine_batch(a: Column | str, b: Column | str) -> Column:
     pairs; the expression form stays for small frames (guide §4.2).
 
     PRECONDITION: both array columns must be non-NULL with no NULL
-    elements (np.vstack raises on None). A zero-norm vector yields NaN —
-    the same IEEE 0/0 the expression form produces. Callers outside an
-    inner-join candidate context must filter NULLs first.
+    elements (np.vstack raises on None). A zero-norm vector comes back
+    NULL (numpy's 0/0 NaN is pandas' null sentinel, so the Arrow
+    serializer nulls it), where the expression form under ANSI mode
+    (Spark 4 default) raises DIVIDE_BY_ZERO instead. Callers outside an
+    inner-join candidate context must filter NULLs/zero-norms first.
     """
     from pyspark.sql.functions import pandas_udf
 

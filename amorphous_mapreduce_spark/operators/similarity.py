@@ -873,18 +873,29 @@ def lsh_topk(
         sym = cands.unionByName(
             cands.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
         )
+    # Precomputed-norm expression re-rank (round-9 A/B): norms fold once
+    # per VECTOR here, so each candidate pair pays ONE interpreted dot
+    # fold + a multiply. The round-8 cosine_batch pandas-UDF variant
+    # recomputed both norms per PAIR inside the kernel and paid the
+    # Arrow transpose of two 64-dim arrays per pair — measured SLOWER
+    # at sf0.1 (alternating same-session A/B, median 12.0 s vs 16.5 s,
+    # identical output), so the §4.2 rewrite was reverted per
+    # VERDICT_r08 item 1. cosine_batch remains in functions/vectors for
+    # paths with per-pair work large enough to amortize the transpose.
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
     ).persist()
-    # cosine_batch: bit-identical vectorized scoring (round-8 — the
-    # interpreted fold was ~7.7 µs per candidate pair, guide §4.2).
-    from amorphous_mapreduce_spark.functions.vectors import cosine_batch
-
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = (
-        sym.join(vecs.toDF("qid", "qv"), "qid")
-        .join(vecs.toDF("nid", "nv"), "nid")
-        .select("qid", "nid", cosine_batch("qv", "nv").alias("sim"))
+        sym.join(vecs.toDF("qid", "qv", "qn"), "qid")
+        .join(vecs.toDF("nid", "nv", "nn"), "nid")
+        .select("qid", "nid", (dot / (F.col("qn") * F.col("nn"))).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
