@@ -57,8 +57,19 @@ def connected_components(
         # from |corpus| to |edge nodes| — the difference between
         # O(corpus) and O(dups) work per round at 100 TB. Singletons are
         # unioned back once at the end.
-        ids = sym.select(F.col("a").alias("id")).distinct()
-        labels = ids.withColumn("component", F.col("id")).localCheckpoint()
+        #
+        # Round 0 is FUSED with the label init (round 9, guide §2.4):
+        # initial labels are id -> id, so the first min-label adoption
+        # is just min(self, neighbours) = ONE aggregation over sym — no
+        # separate edge-incident-ids distinct, no init checkpoint, no
+        # round-0 join. Identical label sequence to init-then-propagate
+        # (verified node-for-node on fixtures, chains and stars).
+        labels = (
+            sym.groupBy("a")
+            .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+            .select(F.col("a").alias("id"), "component")
+            .localCheckpoint(eager=False)
+        )
         labels = _cc_loop(sym, labels, max_iter)
     finally:
         spark.conf.set(pf_key, pf_old)
@@ -87,22 +98,40 @@ def _cc_loop(
     rounds start exceeding ``pj_after``, and from there label distances
     halve per round (O(log diameter) total) — adaptive: cheap rounds in
     the common case, the asymptotic guarantee in the adversarial one.
+
+    Round shape (round 9, guide §2.4): min(self ∪ neighbours) is ONE
+    message join + union + grouped MIN — the previous form's second
+    (left) join of labels against neighbour minima is gone, and the
+    convergence probe rides label-sum MONOTONICITY: labels only ever
+    decrease, so sum(component) unchanged ⟺ no label changed — no
+    ``_old`` carry column, no comparison join. The checkpoint is lazy
+    (eager=False) so the probe's 1-row aggregate materialises it:
+    ONE job per round instead of two. ``labels`` enters callers'
+    round-0-fused aggregate; the loop here runs rounds 1..max_iter-1
+    (same total propagation count as the init-then-propagate form).
     """
-    for it in range(max_iter):
-        # (a) adopt the minimum label among self and neighbours
-        neigh_min = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
+    spark = sym.sparkSession
+
+    def _label_sum(frame: DataFrame):
+        # decimal(38,0): at 1e12 nodes x 1e12 max id the exact sum needs
+        # ~1e24 — far past int64, comfortably inside decimal(38,0)
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    cur_sum = _label_sum(labels)
+    for it in range(1, max_iter):
+        # adopt the minimum label among self and neighbours: neighbour
+        # messages unioned with the current labels, one grouped MIN
+        msg = sym.join(labels, sym.b == labels.id).select(
+            F.col("a").alias("id"), "component"
         )
-        stepped = labels.join(neigh_min, labels.id == neigh_min.a, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("_old"),
+        stepped = (
+            msg.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
         )
-        # (b) pointer jumping: follow component -> its component (labels
+        # pointer jumping: follow component -> its component (labels
         # halve the remaining distance each round)
         if it >= pj_after:
             parents = stepped.select(
@@ -113,15 +142,16 @@ def _cc_loop(
             ).select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("_pcomp"), F.col("component")),
                 ).alias("component"),
-                "_old",
             )
-        new_labels = stepped.localCheckpoint()
-        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
-        labels = new_labels.drop("_old")
-        if changed == 0:
+        new_labels = stepped.localCheckpoint(eager=False)
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     return labels
 
 

@@ -207,3 +207,23 @@ def test_transitivity_consistent_with_triangle_counts(spark):
     assert 0 <= r.n_closed <= r.n_wedges
     if r.transitivity is not None:
         assert 0.0 <= r.transitivity <= 1.0
+
+
+def test_connected_components_star_dup_edges_and_empty(spark):
+    # round-9 loop rewrite (fused round 0, union-min rounds, label-sum
+    # convergence probe): star with duplicate/reversed edge listings
+    # must collapse to the hub's min id; an empty edge set must return
+    # only nodes-supplied singletons (the empty-sum probe path).
+    edges = spark.createDataFrame(
+        [(50, 51), (51, 50), (50, 52), (50, 52), (53, 50)], ["qid", "nid"]
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {50: 50, 51: 50, 52: 50, 53: 50}
+
+    empty = spark.createDataFrame([], "qid long, nid long")
+    nodes = spark.createDataFrame([(7,), (8,)], ["id"])
+    cc2 = {
+        r["id"]: r["component"]
+        for r in connected_components(empty, nodes=nodes).collect()
+    }
+    assert cc2 == {7: 7, 8: 8}
