@@ -482,11 +482,21 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
         F.col("y") - F.col("qy")
     ) * (F.col("y") - F.col("qy"))
+    # shuffled-hash on the grid key (round 9, guide §3.1): Catalyst's
+    # size estimate after the 9-way halo explode undercounts the probe
+    # side, so the planner BROADCAST the 1.35M-row exploded frame
+    # (~160 MB hashed relation built on the driver) against the 150k-row
+    # cells cache — measured 8.6 s for the query. Forcing a shuffled
+    # hash join with the (smaller) cells side as build runs the same
+    # query in 3.6 s and is the 100 TB shape: both sides are
+    # corpus-sized, the grid key is uniform by construction (density-
+    # adaptive cell, expected occupancy ~4), and neither side can be
+    # assumed broadcastable.
     cand = (
         probe.join(
             cells.select(
                 F.col("id").alias("nid"), "x", "y", "cx", "cy"
-            ),
+            ).hint("shuffle_hash"),
             ["cx", "cy"],
         )
         .filter(F.col("nid") != F.col("qid"))
