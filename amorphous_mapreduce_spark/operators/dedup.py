@@ -187,13 +187,20 @@ def _minhash_wide(
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Wide minhash signatures [id, mh0..mh{n-1}] in ONE shuffle.
 
     Minima are duplicate-invariant, so the gram stream skips the
     shingle-distinct shuffle (min over the bag == min over the set).
+    ``grams`` optionally supplies a pre-built (typically persisted)
+    [id, sh] occurrence frame so callers that ALSO consume the gram bag
+    (e.g. the Fellegi-Sunter frames) tokenize the corpus once, not
+    twice (round 9, guide §2.4/§5).
     """
-    sh = _gram_hashes(docs, shingle_size, id_col, text_col)
+    sh = grams if grams is not None else _gram_hashes(
+        docs, shingle_size, id_col, text_col
+    )
 
     def perm(i: int):
         return ((F.col("sh") % MINHASH_P) * (2 * i + 1) + i * 12345) % MINHASH_P
@@ -227,13 +234,17 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct near-dup candidate pairs [qid, nid] (qid < nid) that agree
-    on at least one full minhash band."""
+    on at least one full minhash band.
+
+    ``grams``: optional pre-built [id, sh] gram-occurrence frame (see
+    :func:`_minhash_wide`)."""
     # Band signatures straight off the WIDE aggregate (per-row concat +
     # explode — no long-format groupBy shuffle); identical [id, band, sig]
     # rows to minhash_band_buckets(minhash_signatures(...)).
-    wide = _minhash_wide(docs, num_hashes, shingle_size, id_col, text_col)
+    wide = _minhash_wide(docs, num_hashes, shingle_size, id_col, text_col, grams)
     nbands = (num_hashes + band_bits - 1) // band_bits
     band_structs = [
         F.struct(

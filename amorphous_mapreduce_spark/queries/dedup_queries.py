@@ -1917,19 +1917,26 @@ def _fs_frames(
     scalars) — the Spark mirror of the _fs_ctes() oracle prefix."""
     from amorphous_mapreduce_spark.functions.hashing import hex_hash64
     from amorphous_mapreduce_spark.operators.dedup import (
+        _gram_hashes,
         normalize_text,
-        shingles,
     )
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE persisted gram-occurrence pass feeds BOTH the minhash pipeline
+    # (bag minima) and the distinct shingle vocabulary below — the
+    # tokenize+gram+md5 corpus pass previously ran twice (round 9,
+    # guide §2.4/§5).
+    grams = _gram_hashes(docs).persist()
     # persist: record_linkage_classify reads cand TWICE (the Jaccard
     # verification join AND the classification scoring join) — without
     # the cache the banded-bucket join + distinct re-runs (round 8).
-    cand = minhash_lsh_pairs(docs, num_hashes=16, band_bits=4).persist()
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=16, band_bits=4, grams=grams
+    ).persist()
     # persist: sh feeds the df-cap aggregate AND the capped probe join —
-    # two consumers, one tokenize+gram+distinct pass (round 8).
-    sh = shingles(docs).persist()
+    # two consumers, one distinct over the shared gram pass (round 8).
+    sh = grams.distinct().persist()
     rare = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("_df"))
